@@ -1,0 +1,208 @@
+"""Document deduplication suite — training-data-pipeline operators.
+
+Four families, each scale-first:
+
+- **exact**      — hash-groupBy on a canonical fingerprint (one shuffle).
+- **n-gram Jaccard** — shingle explode → inverted-index self-join → count
+  ratio. The join key is the shingle, so the shuffle distributes by shingle;
+  frequent shingles are the skew risk → ``max_shingle_df`` drops
+  stop-shingles (standard trick; at 100 TB this is what keeps the candidate
+  blow-up bounded).
+- **MinHash + LSH** — per-doc signature (k independent min-hashes via
+  ``xxhash64(shingle, seed)``), banded into buckets; candidate pairs only
+  form within a bucket (band join), then are verified with the estimated
+  Jaccard from signature agreement. Pure built-ins: explode + groupBy + join.
+- **SimHash** — 64-bit signature from token-hash bit votes; near-dup pairs
+  share at least one of 4 16-bit chunks (pigeonhole for hamming ≤ 3), so the
+  candidate join is chunk-bucketed, then filtered on true hamming distance
+  via ``bit_count(xor)``.
+
+All deterministic (seeded hashes, no RNG), so results are reproducible
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.rounding import round_div
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization) docs:
+    (fingerprint, keep_id=min id, n_copies)."""
+    return (
+        df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col).alias("id"), T.word_shingles(T.tokens(F.col(text_col)), k).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over all pairs sharing ≥1 shingle.
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4."""
+    sh = _doc_shingles(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        # Drop stop-shingles: the degree cap that bounds candidate pairs at scale.
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", round_div(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy; no Python in the loop."""
+    sh = _doc_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + signature-estimated Jaccard.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing on any full
+    band collide. Estimated similarity = fraction of agreeing hash slots.
+    Returns (a_id, b_id, est_jaccard ≥ threshold)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string")) for i in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        cand.withColumn("est_jaccard", round_div(agree / F.lit(num_hashes), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+    Bit j of the signature is the sign of the vote sum over token-hash bit j."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming`` (< 16-bit
+    chunk count), using 4-chunk pigeonhole bucketing so the candidate join is
+    equi- not cross-."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

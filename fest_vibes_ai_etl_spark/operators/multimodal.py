@@ -1,0 +1,125 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+
+Media bytes travel as ``binary`` columns with a typed metadata struct; the
+decode / feature-extract steps are Arrow-batched ``mapInPandas`` stages so
+bytes never round-trip through Python row-at-a-time. The actual codec calls
+are STUBBED (image/audio libraries are not in this container): the default
+``fake`` decoder derives deterministic metadata from the bytes so the whole
+Spark-side pipeline — schema, batching, partition sizing — is real and
+testable; ``strict`` raises NotImplementedError at the exact seam where a
+real decoder (PIL/ffmpeg) plugs in.
+
+Scale notes: media rows are orders of magnitude wider than text rows — the
+reader must keep ``spark.sql.files.maxPartitionBytes`` small enough that a
+partition of blobs fits executor memory, and decode stages should run on a
+repartitioned DataFrame sized so each Arrow batch holds tens, not thousands,
+of blobs (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("content_digest", StringType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a deterministic binary media column from text (UTF-8
+    bytes) + a media_type tag — the stand-in for reading real blobs."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(F.col(id_col)), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+    )
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """mapInPandas decode stage: (doc_id, media_type, media) → typed metadata.
+    ``decoder='strict'`` marks the seam where real codecs are required.
+
+    The closure is deliberately self-contained (stdlib imports inside) so it
+    pickles by value and runs on executors that don't have this package on
+    their import path."""
+    columns = [f.name for f in DECODED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_decode(doc_id, media_type, blob):
+            # Deterministic pseudo-decode: metadata from a content digest.
+            # Replace with PIL/soundfile/ffmpeg probes in a real deployment.
+            digest = _hashlib.md5(blob or b"").hexdigest()
+            h = int(digest[:8], 16)
+            return {
+                "doc_id": doc_id,
+                "media_type": media_type,
+                "byte_len": len(blob or b""),
+                "width": 64 + h % 1024,
+                "height": 64 + (h >> 10) % 1024,
+                "n_frames": 1 if media_type == "image" else 1 + h % 300,
+                "content_digest": digest,
+            }
+
+        for pdf in batches:
+            if decoder == "strict":
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg — not available "
+                    "in this environment; use decoder='fake'"
+                )
+            rows = [
+                fake_decode(r.doc_id, r.media_type, r.media)
+                for r in pdf.itertuples(index=False)
+            ]
+            yield _pd.DataFrame(rows, columns=columns)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled frame
+    index (pure ``sequence``+``explode`` — the per-frame decode would be a
+    second mapInPandas stage)."""
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

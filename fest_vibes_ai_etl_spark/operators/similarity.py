@@ -1,0 +1,158 @@
+"""Vector similarity search over ``array<float>`` embedding columns.
+
+The reference declares HNSW cosine indexes (/root/reference/src/shared/db/
+database.py:202-210) — the implied capability is cosine top-k. Spark has no
+HNSW; the scale-correct designs are:
+
+- **brute-force top-k** (baseline, exact): broadcast the query set, compute
+  cosine JVM-side (zip_with/aggregate — no Python), rank per query with a
+  window. Cost O(|Q|·|corpus|) — right answer for |Q| small, any corpus size,
+  because the corpus scan is embarrassingly parallel and never shuffles the
+  corpus itself (only |Q|·k rows shuffle for the final top-k).
+- **pairwise near-dup** above a threshold: corpus self-join; at scale, gate
+  it with the LSH bucketing below.
+- **random-hyperplane LSH bucketing** (approximate scale path): b-bit sign
+  signatures from deterministic pseudo-random hyperplanes (seeded hash in
+  lieu of a Gaussian sample — fully reproducible, no driver-side RNG state);
+  candidates collide on signature bands, then exact cosine re-ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import vector as V
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+    Returns (query_id, vec_id, cosine, rk). Deterministic tie-break on id;
+    ranking is on a 6-decimal-rounded score so results are reproducible
+    across summation orders."""
+    q = broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos6", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos6", round_to).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def near_duplicate_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 4,
+) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine ≥ threshold. Exact; for corpora
+    beyond ~10⁵ vectors use ``lsh_near_duplicate_pairs``."""
+    a = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def _hyperplane(dim: int, bit: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: component j is a zero-mean
+    value derived from xxhash64(bit, j). Reproducible everywhere."""
+    comps = [
+        (F.xxhash64(F.lit(bit), F.lit(j)) % 10007).cast("double") / 10007.0 - 0.5
+        for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def rhp_signature(vec_col: F.Column, dim: int, bits: int = 16) -> F.Column:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit i = sign of
+    <v, h_i>. Returns a long."""
+    sig = None
+    for i in range(bits):
+        h = _hyperplane(dim, i)
+        bit = F.when(V.dot(vec_col, h) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def lsh_near_duplicate_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bits: int = 16,
+    bands: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate near-dup pairs: random-hyperplane signature, banded
+    collision, exact cosine verify. The self-join is bucket-equi, so the
+    pair count stays near-linear in corpus size for realistic distributions."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        rhp_signature(F.col(vec_col), dim, bits).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

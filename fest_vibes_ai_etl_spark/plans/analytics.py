@@ -1,0 +1,272 @@
+"""Training-data-pipeline analytics queries: dedup, similarity search, text
+analysis, multimodal plumbing — over ``documents`` and ``embeddings``.
+
+Oracle notes: DuckDB lists are 1-based and ``/`` is float division (same as
+the Spark expressions used); cosine is computed over DOUBLE[] casts on both
+sides so accumulation is double-precision everywhere; every similarity score
+is rounded identically on both sides before ranking/threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textanalysis
+from ..sources import table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+    bench=True,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized fingerprint (one shuffle)."""
+    return dedup.exact_duplicates(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a_id, b_id,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 0.00000001, 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+    tags=("dedup", "ngram"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted index."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.2
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+    doc="MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard — "
+    "approximate scale path for dedup_ngram_jaccard; no SQL oracle "
+    "(seeded xxhash64 signatures are engine-specific).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        num_hashes=32, bands=8, threshold=0.2,
+    ).orderBy("a_id", "b_id")
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk pigeonhole "
+    "bucketing; no SQL oracle (xxhash64 token hashes are engine-specific).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).orderBy("a_id", "b_id")
+
+
+@register(
+    "dedup_embedding_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+    tags=("dedup", "vector"),
+)
+def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; LSH variant is
+    ``lsh_near_duplicate_pairs`` — see test_similarity)."""
+    return similarity.near_duplicate_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10) — the
+    reference's implied HNSW query capability (U6, /root/reference/src/
+    shared/db/database.py:202-210). Queries broadcast; corpus never shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')) + 0.00000001, 4) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char stats."""
+    return textanalysis.token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             CAST(length(text) AS INT) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tok,
+             CAST(len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','an','and','of','to','is','in','that','it'))) AS INT) AS sw,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct,
+             n_chars
+      FROM t
+    )
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           ROUND(CAST(sw AS DOUBLE) / n_tok + 0.00000001, 4)       AS stopword_ratio,
+           ROUND(CAST(punct AS DOUBLE) / n_chars + 0.00000001, 4)  AS punct_ratio,
+           ROUND(0.5 * LEAST(n_tok / 50.0, 1.0)
+               + 0.5 * LEAST(sw / 5.0, 1.0) + 0.00000001, 4)       AS quality_score
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (length/punct/stopword signals)."""
+    return textanalysis.quality_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> lower(x) IN ('the','and','of','is','a')))      AS s_en,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','los')))     AS s_es,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','les','des','est')))    AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist')))  AS s_de,
+        len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with fixed tie precedence."""
+    return textanalysis.language_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text)."""
+    return textanalysis.fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_meta",
+    tags=("multimodal",),
+    doc="Binary media column + Arrow-batched mapInPandas decode to typed "
+    "metadata (decode stubbed deterministically; no SQL oracle — the "
+    "mapInPandas stage is the point).",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, "doc_id", "text")
+    return multimodal.decode_media(media).orderBy("doc_id")

@@ -1,0 +1,69 @@
+"""Declared query catalog.
+
+Every operator capability from SURVEY §2 is declared here as a named
+``QuerySpec``: a Spark DataFrame plan plus (where SQL-expressible) the exact
+ANSI-SQL oracle DuckDB runs on the same parquet tables. The driver's
+correctness harness compares row counts + schema + order-insensitive value
+hashes, so:
+
+- every computed column is explicitly aliased identically on both sides;
+- floating-point aggregates are rounded identically on both sides;
+- emitted timestamps are truncated to seconds on both sides (the synthetic
+  ``events.ts`` carries sub-microsecond nanos that Spark truncates to µs but
+  DuckDB preserves).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+             bench: bool = False, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags,
+                                   bench=bench, doc=doc or (fn.__doc__ or ""))
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    _load()
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
+
+
+_loaded = False
+
+
+def _load() -> None:
+    """Populate REGISTRY (import side-effect of the plan modules)."""
+    global _loaded
+    if not _loaded:
+        from . import relational, analytics, pipelineq  # noqa: F401
+        _loaded = True

@@ -81,9 +81,11 @@ def near_duplicate_pairs(
 
 def _hyperplane(dim: int, bit: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j is a zero-mean
-    value derived from xxhash64(bit, j). Reproducible everywhere."""
+    value derived from xxhash64(bit, j). Reproducible everywhere.
+    ``pmod`` (not ``%``) — Spark's ``%`` keeps the dividend's sign, which
+    would shift the components to mean −0.5 and correlate all signatures."""
     comps = [
-        (F.xxhash64(F.lit(bit), F.lit(j)) % 10007).cast("double") / 10007.0 - 0.5
+        F.pmod(F.xxhash64(F.lit(bit), F.lit(j)), F.lit(10007)).cast("double") / 10007.0 - 0.5
         for j in range(dim)
     ]
     return F.array(*comps)
@@ -109,8 +111,8 @@ def lsh_near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bits: int = 16,
-    bands: int = 4,
+    bits: int = 32,
+    bands: int = 16,
     round_to: int = 4,
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane signature, banded

@@ -1,0 +1,129 @@
+"""Behavioral tests for the dedup + similarity operator families on small
+synthetic corpora with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fest_vibes_ai_etl_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+    (4, "completely different text about spark query engines"),
+    (5, "the  QUICK  brown fox jumps over the lazy dog"),        # ws/case variant of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(docs):
+    groups = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    # 1, 2 and 5 collapse (case/whitespace normalization); 3 and 4 singletons
+    assert groups[1] == 3
+    assert groups[3] == 1
+    assert groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates_contain_true_dups(docs):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_estimate_close_to_true_jaccard(docs):
+    est = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical sets → identical signatures
+
+
+def test_simhash_signatures_and_pairs(docs, spark):
+    sigs = {r.id: r.simhash for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(1, 2) == 0  # identical token multisets → identical signatures
+    assert ham(1, 3) < ham(1, 4)  # one-token edit ≪ unrelated doc
+    # the pair operator is self-consistent with the signatures: every
+    # returned pair's hamming matches, and all hamming-0 pairs are found
+    # (pigeonhole guarantees recall for hamming ≤ 3)
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    for (a, b), h in pairs.items():
+        assert ham(a, b) == h
+    assert not any(4 in p for p in pairs)
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+    (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    (5, [0.7, 0.7, 0.0, 0.0]),      # between 1 and 3
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_topk_cosine_ranks_correctly(vecs):
+    out = similarity.topk_cosine(vecs, vecs.filter(F.col("vec_id") == 1), k=3)
+    got = [(r.vec_id, r.rk) for r in sorted(out.collect(), key=lambda r: r.rk)]
+    assert got == [(2, 1), (5, 2), (3, 3)]  # 4 (opposite) excluded from top-3
+
+
+def test_near_duplicate_pairs_threshold(vecs):
+    pairs = {(r.a_id, r.b_id) for r in similarity.near_duplicate_pairs(vecs, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_near_duplicate_pairs_finds_planted_dup(vecs):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in similarity.lsh_near_duplicate_pairs(vecs, dim=4, threshold=0.99).collect()
+    }
+    assert (1, 2) in pairs  # sign signatures identical → same buckets
+
+
+def test_lsh_recall_vs_exact_on_testdata(spark):
+    """LSH candidates must recover every exact pair at the 0.45 threshold on
+    the synthetic embeddings (64-dim, 500 vecs)."""
+    from fest_vibes_ai_etl_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in similarity.near_duplicate_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in similarity.lsh_near_duplicate_pairs(
+            emb, dim=64, threshold=0.45, bits=32, bands=16
+        ).collect()
+    }
+    assert exact, "test premise: some exact pairs exist"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(approx)} candidates)"

@@ -811,14 +811,13 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p11_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cache-manager date-range predicate P11 (/root/reference/src/
     cache_manager/service.py:43-58). On a date-partitioned lakehouse table
-    this prunes partitions; here it pushes to the parquet scan."""
-    ev = table(spark, sf_dir, "events")
+    this prunes partitions; here the time range is pushed to the parquet
+    scan as a raw-nanos predicate (see sources.events_time_range)."""
+    from ..sources.tables import events_time_range
+
+    ev = events_time_range(spark, sf_dir, "2024-01-10 00:00:00", "2024-01-11 00:00:00")
     return (
-        ev.filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
-            & F.col("event_type").isin("click", "purchase")
-        )
+        ev.filter(F.col("event_type").isin("click", "purchase"))
         .select(
             "event_id", "user_id", "event_type",
             F.date_trunc("second", F.col("ts")).alias("ts_sec"),

@@ -45,3 +45,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def events_time_range(
+    spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str
+) -> DataFrame:
+    """Events with ``start <= ts < end``, with the range predicate pushed to
+    the parquet scan.
+
+    A filter written against the *converted* timestamp column sits above a
+    Project and never reaches the scan (only IsNotNull pushes). Translating
+    the bounds to raw nanos and filtering the bigint column first makes the
+    range a ``PushedFilters`` row-group predicate — the difference between a
+    pruned scan and a full 100 TB scan on a time-partitioned fact table."""
+    import datetime as dt
+
+    def ns(s: str) -> int:
+        d = dt.datetime.fromisoformat(s)
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000_000
+
+    configure(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":  # already µs timestamps
+        return raw.filter(
+            (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
+            & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
+        )
+    return raw.filter(
+        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

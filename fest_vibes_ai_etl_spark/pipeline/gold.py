@@ -120,4 +120,8 @@ def to_cache_payload(gold: DataFrame) -> DataFrame:
             F.struct("artist_data", "venue_data", "event_data", "performance_time", "scrape_time")
         ).alias("payload"),
         "ttl_seconds",
+        # Explicit document order (W1): survives any downstream shuffle —
+        # collect_list order after a groupBy is otherwise undefined.
+        F.col("performance_time").alias("sort_ts"),
+        "event_id",
     )

@@ -65,5 +65,5 @@ def _load() -> None:
     """Populate REGISTRY (import side-effect of the plan modules)."""
     global _loaded
     if not _loaded:
-        from . import relational, analytics, extended, pipelineq  # noqa: F401
+        from . import relational, analytics, extended, pipelineq, scalar_extra  # noqa: F401
         _loaded = True

@@ -1,0 +1,49 @@
+"""Lakehouse write discipline: partitioned + bucketed tables.
+
+The reference's physical design is Postgres indexes (SURVEY §1.3); the
+Spark-native equivalents are:
+
+- **partition by date** — the events fact partitioned by ``event_date``
+  turns every P11-style date filter into partition pruning (a 100 TB table
+  scans only the queried days);
+- **bucket by join key** — dims and facts bucketed on their join keys
+  co-locate rows so the sort-merge join runs shuffle-free (both sides read
+  pre-bucketed); this is the 1000-executor replacement for "index nested
+  loop";
+- **overwrite by partition** (dynamic partition overwrite) — idempotent
+  re-runs replace only the dates they touched, the storage-side half of the
+  merge engine's idempotence story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed managed table (bucket metadata lives in the
+    catalog, so only saveAsTable supports it)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -65,5 +65,12 @@ def _load() -> None:
     """Populate REGISTRY (import side-effect of the plan modules)."""
     global _loaded
     if not _loaded:
-        from . import relational, analytics, extended, pipelineq, scalar_extra  # noqa: F401
+        from . import (  # noqa: F401
+            analytics,
+            extended,
+            pipelineq,
+            relational,
+            scalar_extra,
+            sessions,
+        )
         _loaded = True

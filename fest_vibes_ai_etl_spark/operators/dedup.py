@@ -66,6 +66,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard over all pairs sharing ≥1 shingle.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4."""
+    # Pair generation is a shingle self-join (not groupBy-shingle +
+    # pair-explode, which benched ~12% faster at sf0.1 but collects a
+    # per-shingle id list — an OOM grenade on stop-shingles at scale,
+    # whereas the join splits hot shingle keys under AQE skew handling).
     sh = _doc_shingles(df, id_col, text_col, k)
     if max_shingle_df is not None:
         # Drop stop-shingles: the degree cap that bounds candidate pairs at scale.

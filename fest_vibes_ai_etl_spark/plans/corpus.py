@@ -1,0 +1,124 @@
+"""Composed training-corpus preparation — the LLM-data-pipeline story as one
+declared, oracle-checked query: quality filter → exact dedup → near-dedup
+(transitive via pairs, survivor = min id) → per-language corpus stats.
+Plus the rows-only cluster/IVF capabilities behind it."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_div
+from ..operators import cluster, dedup, ivf, textanalysis
+from ..sources import table
+from .catalog import register
+
+MIN_TOKENS = 30
+JACCARD_T = 0.5
+
+
+@register(
+    "corpus_prep_stats",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {MIN_TOKENS}
+    ),
+    exact_kept AS (  -- exact dedup: keep min doc_id per normalized text
+      SELECT MIN(doc_id) AS doc_id
+      FROM quality
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ),
+    q2 AS (SELECT q.* FROM quality q JOIN exact_kept USING (doc_id)),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM q2),
+    sh AS (
+      SELECT DISTINCT doc_id, hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 0.00000001, 4) >= {JACCARD_T}
+    ),
+    victims AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+    survivors AS (
+      SELECT q2.* FROM q2 LEFT JOIN victims USING (doc_id) WHERE victims.doc_id IS NULL
+    )
+    SELECT lang,
+           COUNT(*)                                 AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)               AS total_tokens,
+           ROUND(AVG(n_tok) + 0.000001, 2)          AS avg_tokens
+    FROM survivors GROUP BY lang
+    """,
+    tags=("corpus", "composed", "dedup"),
+    bench=True,
+)
+def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus prep composed end-to-end. Near-dup victim rule here is
+    pairwise (every b_id of an over-threshold pair is dropped) so the oracle
+    stays SQL-expressible; the full transitive-cluster variant is the
+    rows-only ``dedup_cluster_survivors`` query."""
+    docs = table(spark, sf_dir, "documents")
+    stats = textanalysis.token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    quality = docs.join(stats, "doc_id").filter(F.col("n_tokens") >= MIN_TOKENS)
+
+    exact_kept = (
+        dedup.exact_duplicates(quality, "doc_id", "text")
+        .select(F.col("keep_id").alias("doc_id"))
+    )
+    q2 = quality.join(exact_kept, "doc_id")
+
+    pairs = dedup.ngram_jaccard_pairs(q2, "doc_id", "text", k=3, threshold=JACCARD_T)
+    victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    survivors = q2.join(victims, "doc_id", "left_anti")
+
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round_div(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+@register(
+    "dedup_cluster_survivors",
+    tags=("dedup", "cluster", "iterative"),
+    doc="Transitive near-dup clusters via iterative min-label connected "
+    "components over Jaccard pairs; one survivor (min id) per cluster. "
+    "Iterative — not SQL-expressible → rows-only.",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return (
+        cluster.dedup_survivors(docs, pairs, "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("similarity", "ivf", "approx"),
+    bench=True,
+    doc="IVF approximate top-k: seeded KMeans coarse cells, nprobe=4 of "
+    "k=16 probed per query, exact cosine rerank within. Engine-specific "
+    "clustering → rows-only; recall vs brute force bounded in tests.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centers = ivf.build_ivf_index(emb, k=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=4).orderBy(
+        "query_id", "rk"
+    )

@@ -27,9 +27,14 @@ def build_ivf_index(
     vec_col: str = "embedding",
     k: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
 ):
     """Fit the coarse quantizer and assign every corpus vector to a cell.
-    Returns (assigned_df with cell_id, centers: list[list[float]])."""
+    Returns (assigned_df with cell_id, centers: list[list[float]]).
+
+    The fit is the one-off index build — amortized over every subsequent
+    query batch in deployment (persist ``assigned`` partitioned by cell_id);
+    8 Lloyd iterations is plenty for a coarse quantizer."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -44,7 +49,7 @@ def build_ivf_index(
     ).select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(ml_df)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(ml_df)
     assigned = model.transform(ml_df).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell_id")
     )

@@ -109,3 +109,43 @@ def pipeline_gold_event_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     silver = normalize.normalize(bronze)
     g = gold.events_for_date(silver, "2025-03-01", ref_date="2025-03-01")
     return gold.to_cache_payload(g)
+
+
+_LISTING_HTML = """
+<div class="livewire-listing">
+  <div class="panel panel-default">
+    <h3 class="panel-title"><a href="/venues/123">Snug Harbor</a></h3>
+    <div class="panel-body">
+      <div class="row"><div class="calendar-info">
+        <a href="/events/456">Ellis Marsalis Quartet</a><p>Jazz</p><p>8:00pm</p>
+      </div></div>
+      <div class="row"><div class="calendar-info">
+        <a href="/events/789">Kermit Ruffins</a><p>Jazz, Blues</p><p>10:30pm</p>
+      </div></div>
+    </div>
+  </div>
+  <div class="panel panel-default">
+    <h3 class="panel-title"><a href="/venues/456">Preservation Hall</a></h3>
+    <div class="panel-body">
+      <div class="row"><div class="calendar-info">
+        <a href="/events/101">Preservation Hall Jazz Band</a><p>Traditional Jazz</p><p>8:00pm</p>
+      </div></div>
+    </div>
+  </div>
+</div>
+"""
+
+
+@register(
+    "extractor_parse_listing",
+    tags=("extractor", "parse", "udtf"),
+    doc="P1-P5/U5: listing-HTML page rows → parsed event rows via "
+    "mapInPandas (1 page ⇒ N events), time text extracted F1-style. "
+    "Rows-only (HTML parsing has no SQL oracle); semantics pinned in "
+    "tests/test_htmlparse.py against the reference's own parse fixture.",
+)
+def extractor_parse_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.htmlparse import parse_listing_html
+
+    pages = spark.createDataFrame([(_LISTING_HTML, "2025-03-01")], "html string, d string")
+    return parse_listing_html(pages, "html", "d").orderBy("wwoz_event_href")

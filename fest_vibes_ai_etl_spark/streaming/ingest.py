@@ -53,17 +53,43 @@ def start_silver_maintenance(
     silver_dir: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """foreachBatch loop: bronze micro-batch → normalize → overwrite silver
-    snapshot. Parquet-overwrite keeps exactly-once semantics without a
-    transactional table format (Delta MERGE slots in here when available)."""
+    """foreachBatch loop: bronze micro-batch → normalize → MERGE into silver.
+
+    The events fact merges via ``merge_into_partitioned`` (only the event
+    dates present in the batch are rewritten); the small dims merge-coalesce
+    against their full table (localCheckpoint materializes the merge before
+    the overwrite — Spark cannot lazily read and overwrite the same path).
+    Idempotent merges + checkpointed offsets = exactly-once end to end even
+    when a micro-batch is replayed after failure."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.merge import merge_coalesce
     from ..pipeline.normalize import normalize
+    from ..sources.merge_store import merge_into_partitioned
+
+    DIM_KEYS = {"genres": ["name"], "artists": ["name"], "venues": ["name", "full_address"]}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         silver = normalize(batch_df)
-        for name, df in silver.items():
-            df.write.mode("overwrite").parquet(f"{silver_dir}/{name}/batch={batch_id}")
+        merge_into_partitioned(
+            spark,
+            f"{silver_dir}/events",
+            silver["events"],
+            keys=["wwoz_event_href"],
+            partition_col="event_date",
+            keep_if_null_cols=["description"],  # J4 semantics
+        )
+        for name, keys in DIM_KEYS.items():
+            path = f"{silver_dir}/{name}"
+            source = silver[name]
+            try:
+                target = spark.read.parquet(path)
+                merged = merge_coalesce(target, source, keys=keys).localCheckpoint()
+            except AnalysisException:
+                merged = source
+            merged.write.mode("overwrite").parquet(path)
 
     return (
         read_bronze_stream(spark, bronze_dir)

@@ -43,11 +43,50 @@ def test_stream_bronze_to_silver(spark, tmpdirs):
         str(tmpdirs / "ckpt"),
     )
     q.awaitTermination(120)
-    events = spark.read.parquet(str(tmpdirs / "silver" / "events" / "batch=0"))
+    events = spark.read.parquet(str(tmpdirs / "silver" / "events"))
     assert events.count() == 4  # same as batch normalize: deduped + validated
     assert {r.wwoz_event_href for r in events.collect()} == {
         "/events/456", "/events/457", "/events/458", "/events/459"
     }
+    artists = spark.read.parquet(str(tmpdirs / "silver" / "artists"))
+    assert artists.count() == 4
+
+    # incremental batch 2: same checkpoint → only the new file processes;
+    # the updated event MERGEs (description fills where null), new event appends
+    import json as _json
+
+    update = {
+        "artist_data": {"name": "Kermit Ruffins", "genres": ["Jazz"]},
+        "venue_data": {"name": "Snug Harbor", "full_address": "626 Frenchmen St, New Orleans, LA 70116"},
+        "event_data": {
+            "event_date": "2025-03-01",
+            "wwoz_event_href": "/events/457",
+            "description": "late set",  # was null → J4 fill
+            "genres": ["Jazz"],
+        },
+        "performance_time": "2025-03-01T21:30:00.000Z",
+        "scrape_time": "2025-03-01T02:00:00.000Z",
+    }
+    new_event = {
+        "artist_data": {"name": "Big Freedia", "genres": ["Bounce"]},
+        "venue_data": {"name": "Republic", "full_address": "828 S Peters St, New Orleans, LA 70130"},
+        "event_data": {"event_date": "2025-03-03", "wwoz_event_href": "/events/900",
+                       "genres": ["Bounce"]},
+        "performance_time": "2025-03-03T23:00:00.000Z",
+        "scrape_time": "2025-03-01T02:00:00.000Z",
+    }
+    (bronze_dir / "event_data_2025-03-01_b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in [update, new_event])
+    )
+    q2 = ingest.start_silver_maintenance(
+        spark, str(bronze_dir), str(tmpdirs / "silver"), str(tmpdirs / "ckpt")
+    )
+    q2.awaitTermination(120)
+    ev = {r.wwoz_event_href: r for r in spark.read.parquet(str(tmpdirs / "silver" / "events")).collect()}
+    assert len(ev) == 5
+    assert ev["/events/457"].description == "late set"  # filled where null
+    assert ev["/events/456"].description == "evening set (updated)"  # untouched
+    assert ev["/events/900"].artist_name == "Big Freedia"
 
 
 def test_windowed_counts_match_batch(spark, tmpdirs):

@@ -12,11 +12,18 @@ just exposes its query catalog.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fest_vibes_ai_etl_spark.plans import catalog
+# Importable regardless of the harness's cwd/sys.path.
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from fest_vibes_ai_etl_spark.plans import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

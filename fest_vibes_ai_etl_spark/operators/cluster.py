@@ -30,6 +30,11 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # Materialize once: sym is joined every iteration, and without the
+        # checkpoint each round re-executes the whole upstream edge pipeline
+        # (for near-dup dedup that's the full candidate join) — measured as
+        # the dominant cost of cluster dedup, not the CC math itself.
+        .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

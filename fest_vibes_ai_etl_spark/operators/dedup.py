@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
 from ..functions.rounding import round_div
@@ -61,6 +62,48 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     )
 
 
+def shingle_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, sh: sorted array<bigint>, n) — the per-doc shingle-set signature
+    table that all exact-Jaccard paths share. Sorted ascending so a length-p
+    ``slice`` IS the p-prefix under a global shingle order (prefix filtering
+    needs one consistent total order across all docs; hash order ≈ random
+    order, which is what PPJoin assumes when document frequencies are
+    unknown). ``max_shingle_df`` drops stop-shingles (degree cap) via one
+    explode/anti-join/re-collect round-trip."""
+    # Non-empty-shingles filter MUST be on the token count, not size(sh) > 0:
+    # a filter referencing `sh` gets pushed below the projection with the full
+    # shingle expression substituted in — including the tokenize lambda, whose
+    # inline re-evaluation is the measured 15× slowdown (see _shingle_arrays).
+    # size(tk) >= k ⇔ sh non-empty, and only re-evaluates the cheap split.
+    toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    arrays = toks.select("id", T.word_shingles(F.col("tk"), k).alias("sh"))
+    sig = arrays.select(
+        "id", F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("sh")
+    )
+    # Separate select so CollapseProject keeps `sh` single-evaluated (verified:
+    # one xxhash64 in the physical plan); n is cheap on the materialized array.
+    sig = sig.select("id", "sh", F.size("sh").alias("n"))
+    if max_shingle_df is not None:
+        ex = sig.select("id", F.explode("sh").alias("shingle"))
+        hot = ex.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sig = (
+            ex.join(hot.select("shingle"), "shingle", "left_anti")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+            .withColumn("n", F.size("sh"))
+            .filter(F.col("n") > 0)
+        )
+    return sig
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -68,37 +111,64 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard over all pairs sharing ≥1 shingle.
-    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4."""
-    # Pair generation is a shingle self-join (not groupBy-shingle +
-    # pair-explode, which benched ~12% faster at sf0.1 but collects a
-    # per-shingle id list — an OOM grenade on stop-shingles at scale,
-    # whereas the join splits hot shingle keys under AQE skew handling).
-    sh = _doc_shingles(df, id_col, text_col, k)
-    if max_shingle_df is not None:
-        # Drop stop-shingles: the degree cap that bounds candidate pairs at scale.
-        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    else:
-        # Uncapped: per-doc set size is map-side (array length), no shuffle.
-        sizes = (
-            _shingle_arrays(df, id_col, text_col, k)
-            .select("id", F.size("sh").alias("n"))
-            .filter(F.col("n") > 0)
-        )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    """Exact word-k-gram Jaccard near-dup pairs, PPJoin-style.
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4.
+
+    Candidate generation is an inverted-index self-join over each doc's
+    *prefix* only: for Jaccard ≥ t a pair must (a) share a shingle among the
+    first ``n − ⌈t·n⌉ + 1`` of each doc's sorted shingles (prefix-filtering
+    principle) and (b) satisfy the length filter ``t·max(na,nb) ≤ min(na,nb)``
+    — both lossless. Verification is one ``array_intersect`` per distinct
+    candidate pair against the signature table, replacing the old
+    count-per-shared-shingle groupBy (which shuffled one row per shared
+    shingle per pair). The prefix threshold is backed off by 1e-3 so pairs
+    whose true Jaccard sits just under ``threshold`` but rounds up to it
+    (round_div's +1e-8 HALF_UP at 4 decimals) are still generated — the
+    final filter is on the rounded value, same as the oracle.
+
+    ``persist=True`` caches the signature table (MEMORY_AND_DISK): it is read
+    by the prefix explode and both verify joins; uncached, Catalyst would
+    recompute the tokenize→shingle→sort scan 4×. At 100 TB this table is the
+    dedup index — persisting (or staging to parquet) it is the intended
+    physical design; ContextCleaner drops the cache when the plan is GC'd.
+    """
+    sig = shingle_signature(df, id_col, text_col, k, max_shingle_df)
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    tp = max(threshold - 1e-3, 0.0)
+    p = (F.col("n") - F.ceil(F.lit(tp) * F.col("n")) + 1).cast("int")
+    pre = sig.select(
+        "id", "n", F.posexplode(F.slice("sh", 1, F.greatest(p, F.lit(1)))).alias("pos", "shingle")
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    a, b = pre.alias("a"), pre.alias("b")
+    # Positional filter (PPJoin): for the pair's FIRST shared shingle, every
+    # common element sits at-or-after the match in both sorted arrays, so
+    # i ≤ min(na − pos_a, nb − pos_b) (0-based pos); J ≥ t needs
+    # i ≥ t·(na+nb)/(1+t). Applying the bound to every match row then
+    # distinct-ing is lossless: the first-match row always satisfies it.
+    alpha = F.ceil(F.lit(tp / (1.0 + tp)) * (F.col("a.n") + F.col("b.n")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: integer n ≥ real x  ⇔  n ≥ ceil(x)
+            & (F.col("a.n") >= F.ceil(F.lit(tp) * F.col("b.n")))
+            & (F.col("b.n") >= F.ceil(F.lit(tp) * F.col("a.n")))
+            & (F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) >= alpha),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
+    sb = sig.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "a_id")
+        cand.join(sa, "a_id")
         .join(sb, "b_id")
+        .withColumn("i", inter)
         .withColumn("jaccard", round_div(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")

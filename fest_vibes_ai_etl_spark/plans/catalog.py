@@ -73,5 +73,6 @@ def _load() -> None:
             relational,
             scalar_extra,
             sessions,
+            tpch_extra,
         )
         _loaded = True

@@ -72,3 +72,84 @@ def bpe_ish_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(pieces).alias("n_pieces"),
     )
+
+
+def term_document_frequencies(df: DataFrame, id_col: str, text_col: str, k: int = 1) -> DataFrame:
+    """(term, doc_freq) — corpus-level document frequency of word k-grams
+    (distinct per doc, so a term repeated inside one doc counts once). The
+    explode→groupBy is the canonical corpus-stats shuffle: map-side partial
+    counts mean only |vocab| rows cross the exchange per partition."""
+    if k == 1:
+        terms = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("term"),
+        )
+    else:
+        toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk"))
+        terms = toks.select(
+            "id", F.explode(T.word_shingles(F.col("tk"), k)).alias("term")
+        )
+    return terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, topk: int = 3, min_df: int = 1
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf, idf = ln(N/df). Classic two-pass
+    corpus weighting: one shuffle for per-(doc,term) tf, one broadcastable
+    aggregate for df, a window for the per-doc top-k. Ranking uses the
+    ROUNDED score (4 dp, epsilon-nudged) with the term as tie-break so the
+    ordering is reproducible bit-for-bit across engines and cluster sizes."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk"))
+    tf = (
+        toks.select("id", F.explode("tk").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N as a broadcast 1-row aggregate, not a driver-side .count(): keeps the
+    # operator lazy and the whole plan one Spark job at any scale.
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "score", round_div(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("id", "term", "score", "rk")
+    )
+
+
+# deterministic, dialect-portable PII patterns (Java regex ≡ RE2 subset)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+PII_URL = r"https?://[^\s]+"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted, n_emails, n_phones, n_urls) — scrub emails, phone
+    numbers and URLs to typed placeholder tokens. Pure regexp_replace /
+    regexp_count column expressions (codegen'd; no Python in the hot path) —
+    the standard pre-training privacy-scrub stage."""
+    text = F.col(text_col)
+    red = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_URL, "<URL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_URL), F.lit(0))).alias("n_urls"),
+    )

@@ -73,6 +73,7 @@ def _load() -> None:
             relational,
             scalar_extra,
             sessions,
+            textmining,
             tpch_extra,
         )
         _loaded = True

@@ -1,0 +1,170 @@
+"""Corpus-mining queries — the text-statistics layer of a training-data
+pipeline over the documents table: corpus term/bigram frequencies, TF-IDF
+keyword extraction, per-language vocabulary statistics, PII redaction.
+
+All oracle-checked. The documents corpus is synthetic word-salad (no real
+PII), so the redaction query injects deterministic synthetic PII from the
+doc id — identically on both engines — and verifies the scrubber removes
+exactly what it should.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.rounding import round_div
+from ..operators import textanalysis
+from ..sources import table
+from .catalog import register
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS term
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM bg GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 25
+    """,
+    tags=("text", "corpus", "ngram"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-25 bigrams by document frequency (distinct-per-doc, so a
+    bigram repeated within one doc counts once) — the n-gram census stage of
+    corpus analysis. Map-side partial counts; only |vocab| rows shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        textanalysis.term_document_frequencies(docs, "doc_id", "text", k=2)
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(25)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id AS id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs / dfreq.df) + 0.00000001, 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT id, term, score, CAST(rk AS INT) AS rk FROM (
+      SELECT id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+    tags=("text", "corpus", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (idf = ln(N/df)). Ranking is on the
+    rounded score with the term as tie-break — reproducible across engines,
+    partitionings and cluster sizes."""
+    docs = table(spark, sf_dir, "documents")
+    return textanalysis.tfidf_top_terms(docs, "doc_id", "text", topk=3)
+
+
+@register(
+    "text_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    per_term AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT)              AS n_tokens,
+           COUNT(*)                            AS vocab_size,
+           COUNT(*) FILTER (WHERE n = 1)       AS hapax_count,
+           ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE) + 0.00000001, 4) AS type_token_ratio
+    FROM per_term GROUP BY lang
+    """,
+    tags=("text", "corpus", "vocab"),
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics: token count, vocabulary size,
+    hapax legomena (terms occurring once), type-token ratio. Two-level
+    aggregation — per-(lang,term) counts then per-lang rollup — both with
+    map-side partial aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    per_term = (
+        docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_term.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("hapax_count"),
+        round_div(F.count(F.lit(1)) / F.sum("n").cast("double"), 4).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example see https://ex.org/d/'
+                  || doc_id || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}'))::INT             AS n_phones,
+           len(regexp_extract_all(text, 'https?://[^\\s]+'))::INT                               AS n_urls,
+           CAST(LENGTH(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g')) AS INT) AS redacted_len
+    FROM seeded
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails, URLs and phone numbers replaced by
+    typed placeholders, with per-doc match counts. Synthetic PII is seeded
+    from doc_id (the corpus itself is word-salad) identically on both
+    engines; the comparison checks counts AND the redacted text length, so a
+    scrubber that over- or under-matches fails the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example see https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = textanalysis.redact_pii(seeded, "doc_id", "text")
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_urls",
+        F.length("redacted").alias("redacted_len"),
+    )

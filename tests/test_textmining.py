@@ -1,0 +1,62 @@
+"""Unit tests for the corpus-mining operators: PII redaction on real-looking
+fixtures (the catalog query uses synthetic seeded PII), TF-IDF determinism,
+and term-frequency semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fest_vibes_ai_etl_spark.operators import textanalysis
+
+
+def test_redact_pii_fixture(spark):
+    rows = [
+        (1, "mail me at alice.smith+spam@example.co.uk or bob@x.io today"),
+        (2, "see https://docs.example.com/a?b=1 and http://plain.org now"),
+        (3, "call +1-555-0199 or +44-202-7946 tomorrow"),
+        (4, "no pii here at all"),
+        (5, "mixed: c@d.org https://e.fr/x +1-555-123 end"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in textanalysis.redact_pii(df, "id", "text").collect()}
+
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0 and out[1]["n_urls"] == 0
+    assert out[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out[2]["n_urls"] == 2 and "<URL>" in out[2]["redacted"]
+    assert "docs.example.com" not in out[2]["redacted"]
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE> tomorrow"
+    assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_urls"] == 0
+    assert out[4]["redacted"] == "no pii here at all"
+    assert (out[5]["n_emails"], out[5]["n_urls"], out[5]["n_phones"]) == (1, 1, 1)
+    assert out[5]["redacted"] == "mixed: <EMAIL> <URL> <PHONE> end"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # 'rare' appears in 1 of 4 docs; 'common' in all 4 (idf = ln(1) = 0).
+    rows = [
+        (1, "common rare common"),
+        (2, "common common"),
+        (3, "common"),
+        (4, "common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    top = textanalysis.tfidf_top_terms(df, "id", "text", topk=1).collect()
+    best = {r["id"]: r["term"] for r in top}
+    assert best[1] == "rare"
+    # docs without a positive-idf term still emit their best (score 0) term
+    assert best[2] == "common" and top[0]["rk"] == 1
+
+
+def test_term_document_frequencies_distinct_per_doc(spark):
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], ["id", "text"])
+    uni = {
+        r["term"]: r["doc_freq"]
+        for r in textanalysis.term_document_frequencies(df, "id", "text", k=1).collect()
+    }
+    assert uni == {"a": 2, "b": 1, "c": 1}  # repeats within a doc count once
+    bi = {
+        r["term"]: r["doc_freq"]
+        for r in textanalysis.term_document_frequencies(df, "id", "text", k=2).collect()
+    }
+    assert bi == {"a b": 1, "b a": 1, "a c": 1}

@@ -47,6 +47,30 @@ def windowed_event_counts(
     )
 
 
+def deduped_event_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_data.wwoz_event_href",),
+    ts_col: str = "performance_time",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming first-wins dedup: one row per key within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the streaming twin of the
+    batch ``window_first_wins_dedup`` plan (reference P12: crawl-order
+    first-wins). The watermark bounds the dedup state store: keys older than
+    the horizon are evicted, so state is O(keys-per-horizon), not O(stream) —
+    the property that keeps this runnable forever at 100 TB/day. Duplicates
+    arriving later than the watermark are NOT suppressed (they land in the
+    idempotent silver MERGE, which absorbs them — defense in depth)."""
+    keyed = events.withColumn("__dedup_key", F.col(key_cols[0]))
+    for extra in key_cols[1:]:
+        keyed = keyed.withColumn("__dedup_key", F.concat_ws("", "__dedup_key", F.col(extra)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__dedup_key"])
+        .drop("__dedup_key")
+    )
+
+
 def start_silver_maintenance(
     spark: SparkSession,
     bronze_dir: str,

@@ -118,3 +118,26 @@ def test_windowed_counts_match_batch(spark, tmpdirs):
         ("2025-03-01T21:00:00", 1),
         ("2025-03-02T22:00:00", 1),
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmpdirs):
+    bronze_dir = tmpdirs / "bronze"
+    _write_bronze_json(spark, bronze_dir)
+    stream = ingest.read_bronze_stream(spark, str(bronze_dir))
+    deduped = ingest.deduped_event_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_data.wwoz_event_href AS href FROM dedup_stream").collect()
+    hrefs = [r.href for r in out]
+    # raw bronze has 7 rows with /events/456 duplicated → exactly one survives;
+    # every other href (incl. the invalid rows' — validation is downstream) once
+    assert len(hrefs) == len(set(hrefs))
+    assert hrefs.count("/events/456") == 1
+    assert set(hrefs) >= {"/events/456", "/events/457", "/events/458"}

@@ -73,6 +73,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
     tags=("text", "corpus", "tfidf"),
+    bench=True,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (idf = ln(N/df)). Ranking is on the

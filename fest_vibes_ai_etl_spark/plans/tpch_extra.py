@@ -125,6 +125,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "topk"),
+    bench=True,
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: lost revenue from returned items, top-20 customers.
@@ -240,6 +241,7 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "having", "subquery"),
+    bench=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: IN over a HAVING-filtered aggregate → semi-join

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_div
 from ..operators import dedup, multimodal, similarity, textanalysis
 from ..sources import table
 from .catalog import register
@@ -270,3 +271,63 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(docs, "doc_id", "text")
     return multimodal.decode_media(media).orderBy("doc_id")
+
+
+@register(
+    "embedding_label_cohesion",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, dim, CAST(embedding[dim] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(dim)
+    ),
+    cent AS (
+      SELECT label, dim, ROUND(AVG(val) + 0.00000001, 6) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    per_vec AS (
+      SELECT ex.label, ex.vec_id,
+             SUM(ex.val * cent.c)        AS dp,
+             SQRT(SUM(ex.val * ex.val))  AS nv,
+             SQRT(SUM(cent.c * cent.c))  AS nc
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+      GROUP BY ex.label, ex.vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_members,
+           ROUND(AVG(dp / (nv * nc)) + 0.00000001, 4) AS mean_cohesion
+    FROM per_vec GROUP BY label
+    """,
+    tags=("vector", "analytics", "centroid"),
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid cohesion: mean cosine of members to their
+    label centroid — the cluster-quality metric behind embedding-space
+    curation (e.g. pruning incoherent classes before training). Centroids are
+    an avg-per-(label,dim) aggregate (map-side partial; |labels|·|dims| rows
+    shuffle), rounded to 6 dp so both engines dot the identical centroid;
+    member cosines then aggregate per label. At 100 TB the per-dim explode is
+    the portable formulation — with fixed-width vectors the same plan can
+    stay array-native (F.aggregate over zip_with, no explode) as in
+    ``similarity.topk_cosine``."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("val")
+    )
+    cent = ex.groupBy("label", "dim").agg(round_div(F.avg("val"), 6).alias("c"))
+    per_vec = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dp"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        round_div(F.avg(F.col("dp") / (F.col("nv") * F.col("nc"))), 4).alias("mean_cohesion"),
+    )

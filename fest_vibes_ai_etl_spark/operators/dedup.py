@@ -179,21 +179,30 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — sig[i] = min over shingles of
-    xxhash64(shingle, i). Computed entirely map-side with array
-    transforms (no explode, no shuffle): at scale the signature build is a
-    pure scan stage, and only the (id, sig) rows — a fixed 8·k bytes/doc —
-    ever move."""
-    sh = _doc_shingles(df, id_col, text_col, k)  # shingles pre-hashed to long
-    # Independent permutations via seeded re-hash of the 8-byte shingle hash.
-    # (Kirsch-Mitzenmacher linear perms were tried and rejected: min over
-    # correlated perms collapses signature diversity and inflates the
-    # estimated Jaccard ~7× on the synthetic corpus.)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    xxhash64(shingle, i). Computed entirely map-side with array transforms
+    (no explode, no shuffle): at scale the signature build is a pure scan
+    stage, and only the (id, sig) rows — a fixed 8·num_hashes bytes/doc —
+    ever move.
+
+    Independent permutations are seeded re-hashes of the 8-byte base shingle
+    hash. (Kirsch-Mitzenmacher linear perms were tried and rejected: min over
+    correlated perms collapses signature diversity and inflates the estimated
+    Jaccard ~7× on the synthetic corpus.) The base-hash array sits in its own
+    projection so the ``num_hashes`` transforms reference a cheap attribute,
+    not ``num_hashes`` re-expansions of the shingle expression (the
+    CollapseProject/pushdown trap documented on shingle_signature)."""
+    toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    arrays = toks.select("id", T.word_shingles(F.col("tk"), k).alias("sh"))
+    hashed = arrays.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("h"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("h", lambda x: F.xxhash64(x, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return hashed.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -432,3 +432,31 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.exceptAll(supp)
+
+
+@register(
+    "grouping_sets_status_segment",
+    oracle="""
+    SELECT o_orderstatus, c_mktsegment,
+           CAST(GROUPING(o_orderstatus, c_mktsegment) AS INT) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+    """,
+    tags=("agg", "grouping-sets", "sql"),
+)
+def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither ROLLUP nor CUBE) via the engine's SQL
+    entry path — two independent 1-dim breakdowns plus the grand total in one
+    pass over the join, each set tagged by grouping_id."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql("""
+        SELECT o_orderstatus, c_mktsegment,
+               CAST(grouping_id() AS INT) AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM gs_orders LEFT JOIN gs_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+    """)

@@ -1,0 +1,69 @@
+"""Plan-regression tests: the scale-critical physical-plan properties the
+operators were tuned for, asserted on `.explain` output so a future edit
+that silently reintroduces a shuffle / recompute / full-scan fails here.
+
+(The storage-layout assertions — partition pruning, shuffle-free bucketed
+joins — live in test_storage.py; these cover the operator plans.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.operators import dedup
+from fest_vibes_ai_etl_spark.plans import catalog
+from fest_vibes_ai_etl_spark.sources import table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    docs = table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.minhash_signatures(docs, "doc_id", "text"))
+    assert "Exchange" not in plan  # signature build must stay map-side
+
+
+def test_shingle_signature_single_expansion(spark):
+    # The tokenize→shingle expression must appear exactly once: a pushed
+    # filter or collapsed projection that re-inlines it regresses 5-15×.
+    docs = table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.shingle_signature(docs, "doc_id", "text", 3))
+    assert plan.count("xxhash64") == 1
+    assert "Exchange" not in plan
+
+
+def test_q19_disjunction_pushed_to_scan(spark):
+    q = catalog.queries()["q19_disjunctive_revenue"]
+    plan = _plan(q(spark, SF_DIR))
+    # the OR-of-ANDs lineitem-side conjuncts reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan.replace("\n", "")
+
+
+def test_q1_filter_pushed_and_partial_agg(spark):
+    q = catalog.queries()["q1_pricing_summary"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in plan  # scan-level predicate
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_flagship_dims_broadcast(spark):
+    q = catalog.queries()["q_order_document"]
+    plan = _plan(q(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_uses_cached_signature(spark):
+    docs = table(spark, SF_DIR, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    plan = _plan(pairs)
+    # all four consumers (prefix a/b, verify sa/sb) read the persisted
+    # signature; the parquet scan lines under each InMemoryTableScan are the
+    # cached plan's printed recipe, not additional executed scans
+    assert plan.count("InMemoryTableScan") == 4
+    pairs.count()  # materialize, then drop the operator-persisted signature
+    spark.catalog.clearCache()

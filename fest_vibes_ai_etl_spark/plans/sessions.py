@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_div
 from ..sources import table
 from .catalog import register
 
@@ -125,3 +126,57 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for col in ["o_totalprice", "o_orderstatus", "o_custkey"]
     ]
     return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH rolled AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             ROUND(AVG(value) + 0.000001, 2) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM rolled),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour
+      FROM bounds
+    )
+    SELECT s.hour,
+           COALESCE(r.n, 0)  AS n,
+           ROUND(COALESCE(r.avg_value,
+                 LAST_VALUE(r.avg_value IGNORE NULLS)
+                   OVER (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2)
+             AS avg_value_locf
+    FROM spine s LEFT JOIN rolled r USING (hour)
+    """,
+    tags=("time", "gapfill", "window"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill: a dense hourly spine between the
+    observed bounds, zero-filled counts and last-observation-carried-forward
+    averages for the missing buckets. The spine is sequence+explode from a
+    1-row bounds aggregate — generated distributed (no driver loop) and
+    linear in the covered range, not the row count. LOCF is
+    last(ignorenulls) over an ordered frame; at scale the same plan runs
+    partitioned per series key instead of one global ordering."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rolled = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round_div(F.avg("value"), 2).alias("avg_value"),
+    )
+    bounds = rolled.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(rolled, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(F.col("avg_value"), F.last("avg_value", ignorenulls=True).over(w)), 2
+            ).alias("avg_value_locf"),
+        )
+    )

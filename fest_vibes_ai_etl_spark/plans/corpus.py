@@ -92,10 +92,48 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_survivors",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 0.00000001, 4) >= 0.2
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    victims AS (SELECT node FROM comp WHERE comp < node)
+    SELECT doc_id, lang, n_chars
+    FROM documents LEFT JOIN victims ON doc_id = victims.node
+    WHERE victims.node IS NULL
+    ORDER BY doc_id
+    """,
     tags=("dedup", "cluster", "iterative"),
     doc="Transitive near-dup clusters via iterative min-label connected "
-    "components over Jaccard pairs; one survivor (min id) per cluster. "
-    "Iterative — not SQL-expressible → rows-only.",
+    "components over Jaccard pairs; one survivor (min id) per cluster. The "
+    "Spark side is iterative label propagation (operators/cluster.py); the "
+    "oracle expresses the same fixpoint as a recursive CTE — transitive "
+    "reachability to the minimum id.",
 )
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

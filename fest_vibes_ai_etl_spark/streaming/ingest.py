@@ -71,6 +71,63 @@ def deduped_event_stream(
     )
 
 
+def enriched_event_stream(events: DataFrame, venue_dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream broadcast-
+    joins the (small, slowly-changing) venue dim — the streaming twin of the
+    batch gold enrichment. The static side is re-resolved per micro-batch,
+    so a dim refresh (overwritten parquet) is picked up without restarting
+    the query; no watermark is needed because the static side never ages."""
+    venues = F.broadcast(
+        venue_dim.select(
+            F.col("name").alias("__venue_name"),
+            F.col("full_address").alias("venue_address"),
+        )
+    )
+    return (
+        events.withColumn("__vn", F.col("venue_data.name"))
+        .join(venues, F.col("__vn") == F.col("__venue_name"), "left")
+        .select(
+            F.col("event_data.wwoz_event_href").alias("event_href"),
+            F.col("artist_data.name").alias("artist_name"),
+            F.col("__vn").alias("venue_name"),
+            "venue_address",
+            "performance_time",
+        )
+    )
+
+
+def correlated_event_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    join_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair events from two live streams on venue
+    within an event-time window (|t_L − t_R| ≤ ``join_window``) — the shape
+    of click↔purchase / listing↔update correlation. BOTH sides carry a
+    watermark and the join condition bounds event time on both sides, which
+    is what lets Spark evict buffered state: without the time bound the
+    buffers grow with the stream. State is O(events-per-window), the
+    scale-safety property."""
+    l = left.select(
+        F.col("event_data.wwoz_event_href").alias("l_href"),
+        F.col("venue_data.name").alias("l_venue"),
+        F.col("performance_time").alias("l_time"),
+    ).withWatermark("l_time", watermark)
+    r = right.select(
+        F.col("event_data.wwoz_event_href").alias("r_href"),
+        F.col("venue_data.name").alias("r_venue"),
+        F.col("performance_time").alias("r_time"),
+    ).withWatermark("r_time", watermark)
+    return l.join(
+        r,
+        (F.col("l_venue") == F.col("r_venue"))
+        & (F.col("l_href") < F.col("r_href"))
+        & (F.col("r_time") >= F.col("l_time") - F.expr(f"INTERVAL {join_window}"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {join_window}")),
+    )
+
+
 def start_silver_maintenance(
     spark: SparkSession,
     bronze_dir: str,

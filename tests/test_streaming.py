@@ -141,3 +141,56 @@ def test_streaming_dedup_within_watermark(spark, tmpdirs):
     assert len(hrefs) == len(set(hrefs))
     assert hrefs.count("/events/456") == 1
     assert set(hrefs) >= {"/events/456", "/events/457", "/events/458"}
+
+
+def test_stream_static_enrichment(spark, tmpdirs):
+    bronze_dir = tmpdirs / "bronze"
+    _write_bronze_json(spark, bronze_dir)
+    # static venue dim from the batch fixture's normalize output
+    from fest_vibes_ai_etl_spark.pipeline.fixtures import bronze_rows as _rows
+    from fest_vibes_ai_etl_spark.pipeline.normalize import normalize
+
+    batch = spark.createDataFrame(_rows(), EVENT_DTO)
+    venues = normalize(batch)["venues"].select("name", "full_address")
+    stream = ingest.read_bronze_stream(spark, str(bronze_dir))
+    q = (
+        ingest.enriched_event_stream(stream, venues)
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_href: r for r in spark.sql("SELECT * FROM enriched_stream").collect()}
+    assert rows["/events/456"].venue_address == "626 Frenchmen St, New Orleans, LA 70116"
+    assert rows["/events/458"].venue_name == "Tipitina's Outdoor Stage"
+
+
+def test_stream_stream_time_bounded_join(spark, tmpdirs):
+    bronze_dir = tmpdirs / "bronze"
+    _write_bronze_json(spark, bronze_dir)
+    left = ingest.read_bronze_stream(spark, str(bronze_dir))
+    right = ingest.read_bronze_stream(spark, str(bronze_dir))
+    q = (
+        ingest.correlated_event_pairs(left, right, join_window="1 hour")
+        .writeStream.format("memory")
+        .queryName("pair_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.l_href, r.r_href)
+        for r in spark.sql("SELECT l_href, r_href FROM pair_stream").collect()
+    }
+    # Snug Harbor 20:00 (456, dup + invalid rows share venue+hour) and 21:30
+    # (457) are within 1h30m?? -> no: |20:00-21:30| = 1h30m > 1h, so 456-457
+    # must NOT pair; the same-href self-pairs are excluded by l_href < r_href
+    assert ("/events/456", "/events/457") not in got
+    # the invalid-but-same-venue-same-time rows (/events/900 at 20:00) pair
+    # with /events/456 (20:00, same venue, within the window)
+    assert ("/events/456", "/events/900") in got

@@ -180,3 +180,48 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value_locf"),
         )
     )
+
+
+@register(
+    "events_sliding_window_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events
+      WHERE event_type = 'signup'
+    ),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo - INTERVAL 30 MINUTE, hi, INTERVAL 30 MINUTE)) AS TIMESTAMP) AS w_start
+      FROM bounds
+    ),
+    win AS (
+      SELECT s.w_start, s.w_start + INTERVAL 1 HOUR AS w_end,
+             COUNT(e.event_id) AS n,
+             ROUND(SUM(e.value), 2) AS sum_value
+      FROM spine s LEFT JOIN events e
+        ON e.event_type = 'signup' AND e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 1 HOUR
+      GROUP BY s.w_start
+    )
+    SELECT w_start, w_end, n, sum_value FROM win WHERE n > 0
+    """,
+    tags=("time", "window", "sliding"),
+)
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour windows every 30 minutes): each
+    event lands in ⌈window/slide⌉ = 2 overlapping buckets via Spark's
+    ``window()`` expansion — still one shuffle, map-side expanded. The same
+    expression runs under a watermark as the streaming variant. The oracle
+    reconstructs the overlap with a half-hour spine range-join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -153,3 +153,30 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
         F.size(F.regexp_extract_all(text, F.lit(PII_URL), F.lit(0))).alias("n_urls"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 20, stride: int = 10
+) -> DataFrame:
+    """Sliding token-window chunking — the pre-training chunker: each doc
+    becomes ⌈max(n−size,0)/stride⌉+1 overlapping chunks of ``size`` tokens
+    every ``stride``. Entirely map-side (sequence+explode+slice; the 1⇒N
+    generator shape), deterministic chunk ids, no Python in the path. Chunk
+    boundaries are token-aligned so re-running at a different parallelism
+    yields byte-identical chunks."""
+    toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n = F.size("tk")
+    n_chunks = (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride  # ceil div
+    n_chunks = F.floor(n_chunks).cast("int") + 1
+    chunked = toks.select(
+        "id", "tk", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    return chunked.select(
+        "id",
+        "chunk_id",
+        F.concat_ws(" ", F.slice("tk", start, size)).alias("chunk_text"),
+        F.least(F.size("tk") - start + 1, F.lit(size)).alias("n_tokens"),
+    )

@@ -169,3 +169,30 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_urls",
         F.length("redacted").alias("redacted_len"),
     )
+
+
+@register(
+    "corpus_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0
+    ),
+    chunked AS (
+      SELECT doc_id, w,
+             UNNEST(generate_series(0,
+               CAST(floor((greatest(len(w) - 20, 0) + 9) / 10) AS INT))) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id AS id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(w[chunk_id * 10 + 1 : chunk_id * 10 + 20], ' ') AS chunk_text,
+           CAST(least(len(w) - (chunk_id * 10 + 1) + 1, 20) AS INT) AS n_tokens
+    FROM chunked
+    """,
+    tags=("text", "corpus", "chunking"),
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (20-token chunks every 10): the
+    pre-training chunk generator as a declared 1⇒N map-side query."""
+    docs = table(spark, sf_dir, "documents")
+    return textanalysis.chunk_documents(docs, "doc_id", "text", size=20, stride=10)

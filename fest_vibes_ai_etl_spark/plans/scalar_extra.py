@@ -151,3 +151,31 @@ def f18_embed_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", txt.alias("embed_text")
     )
+
+
+@register(
+    "scalar_try_safe_suite",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT)      AS k_int,
+           TRY_CAST(json_extract_string(props, '$.tag') AS INT)    AS tag_as_int,
+           CASE WHEN CAST(event_id % 5 AS INT) = 0 THEN NULL
+                ELSE ROUND(value / CAST(event_id % 5 AS INT), 4) END AS safe_ratio
+    FROM events
+    """,
+    tags=("scalar", "ansi", "try"),
+)
+def scalar_try_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar suite: the engine runs with spark.sql.ansi.enabled
+    (overflow/bad-cast THROW, catching data bugs loudly), so intentional
+    maybe-invalid operations use the try_* family — try_cast on a non-numeric
+    JSON field yields NULL not an exception, try_divide turns div-by-zero
+    into NULL. The oracle mirrors with TRY_CAST / a NULL-guarded divide."""
+    ev = table(spark, sf_dir, "events")
+    denom = F.pmod(F.col("event_id"), F.lit(5)).cast("int")
+    return ev.select(
+        "event_id",
+        F.try_to_number(F.get_json_object("props", "$.k"), F.lit("999999")).cast("int").alias("k_int"),
+        F.get_json_object("props", "$.tag").try_cast("int").alias("tag_as_int"),
+        F.round(F.try_divide(F.col("value"), F.nullif(denom, F.lit(0))), 4).alias("safe_ratio"),
+    )

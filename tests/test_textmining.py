@@ -60,3 +60,33 @@ def test_term_document_frequencies_distinct_per_doc(spark):
         for r in textanalysis.term_document_frequencies(df, "id", "text", k=2).collect()
     }
     assert bi == {"a b": 1, "b a": 1, "a c": 1}
+
+
+def test_chunking_covers_and_reconstructs(spark):
+    rows = [
+        (1, "a b c d e f g h i j k"),   # 11 tokens
+        (2, "x"),                        # single token → one chunk
+        (3, " ".join(f"t{i}" for i in range(45))),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = textanalysis.chunk_documents(df, "id", "text", size=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for did, text in [(1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])]:
+        toks = text.split()
+        chunks = sorted(by_doc[did], key=lambda r: r["chunk_id"])
+        # chunk_ids dense from 0; every token covered; boundaries exact
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            start = c["chunk_id"] * 2
+            expect = toks[start:start + 4]
+            assert c["chunk_text"].split() == expect
+            assert c["n_tokens"] == len(expect)
+            covered.update(range(start, start + len(expect)))
+        assert covered == set(range(len(toks)))
+    # stride == size → non-overlapping reconstruction
+    flat = textanalysis.chunk_documents(df, "id", "text", size=5, stride=5).collect()
+    doc3 = sorted((r for r in flat if r["id"] == 3), key=lambda r: r["chunk_id"])
+    assert " ".join(r["chunk_text"] for r in doc3) == rows[2][1]

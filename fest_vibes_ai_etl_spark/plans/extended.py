@@ -249,3 +249,59 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
+
+
+@register(
+    "higher_order_array_suite",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             list(l_extendedprice ORDER BY l_linenumber) AS prices,
+             list(l_quantity     ORDER BY l_linenumber) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(prices) AS INT)                                        AS n_items,
+           ROUND(list_sum(list_transform(prices, x -> x * 0.9)) + 0.000001, 2) AS disc_total,
+           CAST(len(list_filter(prices, x -> x > 30000)) AS INT)           AS n_big,
+           len(list_filter(qtys, q -> q > 45)) > 0                         AS any_hot,
+           len(list_filter(qtys, q -> q <= 0)) = 0                         AS all_pos,
+           ROUND(list_sum(list_transform(range(1, len(prices) + 1),
+                                         i -> qtys[i] * prices[i])), 2)    AS weighted_sum
+    FROM g
+    """,
+    tags=("array", "higher-order", "lambda"),
+)
+def higher_order_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform / filter / aggregate / exists /
+    forall / zip_with over per-order line arrays, all inside codegen (the
+    Spark-distinctive alternative to exploding and re-aggregating: zero extra
+    shuffles once the array is built). Arrays are ordered by the unique
+    linenumber so element order — and therefore the left-to-right fold — is
+    identical on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_extendedprice", "l_quantity"))
+            ).alias("lines")
+        )
+        .select(
+            "l_orderkey",
+            F.transform("lines", lambda s: s["l_extendedprice"]).alias("prices"),
+            F.transform("lines", lambda s: s["l_quantity"]).alias("qtys"),
+        )
+    )
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return g.select(
+        "l_orderkey",
+        F.size("prices").alias("n_items"),
+        round_div(fold_sum(F.transform("prices", lambda x: x * 0.9)), 2).alias("disc_total"),
+        F.size(F.filter("prices", lambda x: x > 30000)).alias("n_big"),
+        F.exists("qtys", lambda q: q > 45).alias("any_hot"),
+        F.forall("qtys", lambda q: q > 0).alias("all_pos"),
+        F.round(fold_sum(F.zip_with("qtys", "prices", lambda q, p: q * p)), 2).alias(
+            "weighted_sum"
+        ),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..functions.rounding import round_div
 from ..operators import cluster, dedup, ivf, textanalysis
 from ..sources import table
@@ -70,14 +71,19 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays SQL-expressible; the full transitive-cluster variant is the
     rows-only ``dedup_cluster_survivors`` query."""
     docs = table(spark, sf_dir, "documents")
-    stats = textanalysis.token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
-    quality = docs.join(stats, "doc_id").filter(F.col("n_tokens") >= MIN_TOKENS)
+    # n_tokens is a map-side column — computing it via token_stats and
+    # joining back on doc_id would be a pointless self-join shuffle.
+    quality = docs.withColumn("n_tokens", F.size(T.tokens(F.col("text")))).filter(
+        F.col("n_tokens") >= MIN_TOKENS
+    )
 
     exact_kept = (
         dedup.exact_duplicates(quality, "doc_id", "text")
         .select(F.col("keep_id").alias("doc_id"))
     )
-    q2 = quality.join(exact_kept, "doc_id")
+    # q2 feeds three consumers (the persisted dedup signature, the survivors
+    # anti-join, the final rollup); persist it once like the signature table.
+    q2 = quality.join(exact_kept, "doc_id").persist()
 
     pairs = dedup.ngram_jaccard_pairs(q2, "doc_id", "text", k=3, threshold=JACCARD_T)
     victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()

@@ -127,3 +127,29 @@ def test_lsh_recall_vs_exact_on_testdata(spark):
     assert exact, "test premise: some exact pairs exist"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(approx)} candidates)"
+
+
+def test_ngram_jaccard_degree_cap_drops_stop_shingles(spark):
+    # 'STOP X Y' is a shingle in every doc (degree 4 > cap 2) and must be
+    # dropped from the sets before pairing; docs 1/2 share their remaining
+    # shingles exactly, docs 3/4 share nothing after the cap.
+    mk = lambda tail: f"STOP X Y {tail}"  # noqa: E731
+    rows = [
+        (1, mk("a b c d e")),
+        (2, mk("a b c d e")),
+        (3, mk("p q r s t")),
+        (4, mk("u v w x z")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    # only the identical pair survives, at jaccard 1.0 on the capped sets
+    assert capped == {(1, 2): 1.0}
+    # without the cap the shared stop-shingle creates cross pairs too
+    # (1 shared of 11 union → jaccard 0.0909)
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.05)
+    assert {(r.a_id, r.b_id) for r in uncapped.collect()} > {(1, 2)}

@@ -76,5 +76,6 @@ def _load() -> None:
             skewq,
             textmining,
             tpch_extra,
+            tpch_more,
         )
         _loaded = True

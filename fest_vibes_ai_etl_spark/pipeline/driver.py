@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalar
 from ..operators.enrich import embed_column, geocode_with_cache
+from ..session import configure
 from . import gold, normalize
 
 
@@ -37,6 +38,9 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Bronze → silver → gold for the given dates. Returns every layer
     (callers persist with ``df.write.partitionBy(...)`` as needed)."""
+    # Externally-created sessions (the correctness driver's, a user's) need
+    # the package shipped to executor workers before any UDF stage runs.
+    configure(spark)
     silver = normalize.normalize(bronze)
     quarantined = normalize.quarantine_events(bronze)
 

@@ -1,0 +1,181 @@
+"""Training-set assembly operators: deterministic splits, test-set
+decontamination, token-budget packing, global deterministic shuffle, and
+mixture resampling.
+
+These extend the reference's pipeline (which stops at load + cache,
+`src/loader/service.py:1052-1132`) with the downstream steps an LLM
+training-data pipeline needs before a corpus is consumable. Every operator
+is deterministic — keyed on portable hashes (md5, identical in Spark and
+DuckDB) rather than RNG — so reruns, retries, and the correctness oracle
+all agree.
+
+Scale notes (100 TB):
+- All hash/split/resample decisions are map-side column expressions: no
+  shuffle at all until the caller aggregates.
+- ``global_positions`` implements a scalable global row index: range-
+  partitioned sort, per-partition offsets (one tiny agg over #partitions
+  rows, broadcast back), local row_number. No single-partition window.
+- ``decontaminate`` broadcasts the (small) eval side's shingles; the train
+  side streams map-side until the broadcast-hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+HASH_DENOM = float(1 << 24)  # first 6 md5 hex chars → uniform [0, 1)
+
+
+def hash_fraction(col: Column, salt: str) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from a key column.
+
+    Portable across engines: Spark `conv(substr(md5(s),1,6),16,10)` equals
+    DuckDB `('0x' || substr(md5(s),1,6))::BIGINT`.
+    """
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 6)
+    return F.conv(hexpart, 16, 10).cast("long") / F.lit(HASH_DENOM)
+
+
+def assign_split(key: Column, train: float = 0.8, val: float = 0.1,
+                 salt: str = "split-v1:") -> Column:
+    """Group-aware train/val/test label: every row with the same key lands
+    in the same split (leakage control — e.g. key on ``source`` so one
+    crawl domain never straddles train and eval)."""
+    frac = hash_fraction(key, salt)
+    return (
+        F.when(frac < train, F.lit("train"))
+        .when(frac < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Find train docs contaminated by k-word-shingle overlap with the eval
+    slice. Returns (id_col, n_shared_shingles, n_eval_matches).
+
+    The eval side is a small fraction of the corpus, so its exploded
+    shingle set is broadcast; the train side never shuffles before the
+    join. Filter on the cheap token count, not on the shingle array (the
+    pushdown re-inline trap)."""
+    toks = docs.select(
+        F.col(id_col), eval_pred.alias("is_eval"), T.tokens(F.col(text_col)).alias("tk")
+    ).filter(F.size("tk") >= k)
+    shingles = toks.select(
+        id_col, "is_eval", F.explode(T.word_shingles(F.col("tk"), k)).alias("g")
+    )
+    train_sh = shingles.filter(~F.col("is_eval")).select(id_col, "g")
+    eval_sh = (
+        shingles.filter(F.col("is_eval"))
+        .select(F.col(id_col).alias("eval_id"), "g")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_matches"),
+        )
+    )
+
+
+def pack_budget(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row to a fixed-token-budget bin within its partition
+    column, in deterministic ``order_col`` order (contiguous packing; a doc
+    whose tokens straddle a boundary belongs to the bin its first token
+    falls in). Adds ``bin`` (int).
+
+    One shuffle on ``part_col`` for the running-sum window; at scale the
+    partition key (language / shard) keeps windows narrow."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(cum_before / budget).cast("int"))
+
+
+def global_positions(df: DataFrame, key: Column) -> DataFrame:
+    """Deterministic global shuffle: total order by ``key`` with a global
+    0-based ``pos`` — WITHOUT a single-partition window.
+
+    Plan: range-partitioned sort on the key, local row_number per Spark
+    partition, then add per-partition offsets (a #partitions-row aggregate,
+    broadcast back). This is the scalable zipWithIndex expressed in
+    DataFrame ops."""
+    keyed = df.withColumn("_k", key).repartitionByRange(F.col("_k")).sortWithinPartitions("_k")
+    parts = keyed.withColumn("_pid", F.spark_partition_id())
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy("_k")) - 1
+    with_local = parts.withColumn("_local", local)
+    offsets = (
+        with_local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn("pos", (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset", "_k")
+    )
+
+
+def mixture_rates(
+    df: DataFrame, group_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Per-group deterministic keep-rate achieving a target mixture by
+    downsampling only: rate_g = c * w_g / n_g with c = min_g(n_g / w_g)
+    (the largest scale at which no group needs upsampling)."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(w)) for g, w in targets.items()], f"{group_col} string, w double"
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n")).join(tgt, group_col)
+    c = counts.agg(F.min(F.col("n") / F.col("w")).alias("c"))
+    return (
+        counts.crossJoin(F.broadcast(c))
+        .withColumn("rate", F.col("c") * F.col("w") / F.col("n"))
+        .select(group_col, "n", "rate")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    id_col: str,
+    salt: str = "mix-v1:",
+) -> DataFrame:
+    """Deterministically downsample each group to the target mixture: keep a
+    row iff hash_fraction(id) < its group's rate. Rates are a tiny
+    broadcast; the keep decision is map-side."""
+    rates = mixture_rates(df, group_col, targets).select(group_col, "rate")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_fraction(F.col(id_col), salt) < F.col("rate"))
+        .drop("rate")
+    )

@@ -77,5 +77,6 @@ def _load() -> None:
             textmining,
             tpch_extra,
             tpch_more,
+            trainprep,
         )
         _loaded = True

@@ -1,0 +1,290 @@
+"""Training-set assembly queries — the steps between "clean corpus" and
+"consumable training data": leakage-safe splits, eval-set decontamination,
+token-budget packing, deterministic global shuffle, mixture resampling, and
+Gopher-style repetition quality gates.
+
+Beyond reference parity (the reference pipeline ends at load + cache,
+`src/loader/service.py:1052-1132`); these are the BASELINE.json
+training-data extensions. All oracle-checked: every decision derives from
+portable hashes (md5 ↔ identical in DuckDB) or exact window arithmetic,
+never RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.rounding import round_div
+from ..operators import trainprep
+from ..sources import table
+from .catalog import register
+
+HASH_FRAC_SQL = "('0x' || substr(md5({key}), 1, 6))::BIGINT / 16777216.0"
+
+PACK_BUDGET = 2000
+DECON_K = 4
+MIX_TARGETS = {"en": 0.25, "es": 0.20, "fr": 0.20, "de": 0.20, "zh": 0.15}
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN h < 0.8 THEN 'train'
+                WHEN h < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 {HASH_FRAC_SQL.format(key="'split-v1:' || source")} AS h
+          FROM documents)
+    """,
+    tags=("trainprep", "split"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 train/val/test assignment keyed on ``source``:
+    every doc from one source lands in the same split (no leakage across
+    the boundary). Pure map-side — the split is a hash of the key, so it is
+    stable under reruns, repartitioning, and growing data."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", trainprep.assign_split(F.col("source")).alias("split")
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 17 = 0 AS is_eval,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_eval,
+             list_aggregate(w[i:i+{DECON_K - 1}], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - {DECON_K - 1})) AS t(i)
+      WHERE len(w) >= {DECON_K}
+    ),
+    tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_eval),
+    ev AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams WHERE is_eval)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.g)       AS n_shared_shingles,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_matches
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+    tags=("trainprep", "decontamination"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: train docs sharing any 4-word shingle with
+    the eval slice (here: doc_id % 17), with overlap counts. The eval
+    shingle set is broadcast (eval is a small fraction by construction);
+    the train side stays map-side until the broadcast join."""
+    docs = table(spark, sf_dir, "documents")
+    return trainprep.decontaminate(
+        docs, (F.col("doc_id") % 17 == 0), "doc_id", "text", k=DECON_K
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_pack_budget",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET}) AS INT) AS bin
+      FROM sized
+    )
+    SELECT lang, bin,
+           COUNT(*)                   AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id)                AS first_doc,
+           MAX(doc_id)                AS last_doc
+    FROM binned GROUP BY lang, bin
+    """,
+    tags=("trainprep", "packing"),
+)
+def corpus_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: contiguous 2000-token bins per language in
+    deterministic doc_id order (a doc straddling a boundary belongs to the
+    bin its first token falls in) — the sequence-packing step of training
+    prep. One shuffle (the per-language running-sum window), then a partial
+    agg."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+    binned = trainprep.pack_budget(sized, "lang", "doc_id", "n_tok", PACK_BUDGET)
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "corpus_shuffle_positions",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('shuf-v1:' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+    FROM documents
+    """,
+    tags=("trainprep", "shuffle"),
+)
+def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: total order by a salted md5 of
+    the id, materialized as a 0-based position. Implemented WITHOUT a
+    single-partition window: range-partitioned sort + per-partition offsets
+    (scalable zipWithIndex — see operators/trainprep.global_positions)."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf-v1:"), F.col("doc_id").cast("string")))
+    return trainprep.global_positions(docs, key).select("doc_id", "pos")
+
+
+_MIX_VALUES = ", ".join(f"('{g}', {w})" for g, w in MIX_TARGETS.items())
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+    WITH tgt(lang, w) AS (VALUES {_MIX_VALUES}),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    joined AS (SELECT c.lang, c.n, CAST(t.w AS DOUBLE) AS w
+               FROM counts c JOIN tgt t USING (lang)),
+    cc AS (SELECT MIN(n / w) AS c FROM joined),
+    rates AS (SELECT lang, n, (SELECT c FROM cc) * w / n AS rate FROM joined),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r USING (lang)
+      WHERE {HASH_FRAC_SQL.format(key="'mix-v1:' || CAST(d.doc_id AS VARCHAR)")}
+            < r.rate
+    ),
+    k AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_kept) AS DOUBLE) AS t FROM k)
+    SELECT r.lang, r.n AS n_before, k.n_kept,
+           ROUND(CAST(k.n_kept AS DOUBLE) / (SELECT t FROM tot)
+                 + 0.00000001, 4) AS share_kept
+    FROM rates r JOIN k USING (lang)
+    """,
+    tags=("trainprep", "mixture"),
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: downsample-only rates
+    rate_g = c·w_g/n_g (c = min n_g/w_g) hit the target language mix
+    exactly at the largest achievable corpus size; the keep decision is a
+    map-side hash compare against a broadcast rate table. Reports
+    before/after counts and the achieved share."""
+    docs = table(spark, sf_dir, "documents")
+    rates = trainprep.mixture_rates(docs, "lang", MIX_TARGETS)
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(trainprep.hash_fraction(F.col("doc_id"), "mix-v1:") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    tot = kept.agg(F.sum("n_kept").cast("double").alias("t"))
+    return (
+        rates.withColumnRenamed("n", "n_before")
+        .select("lang", "n_before")
+        .join(kept, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_before",
+            "n_kept",
+            round_div(F.col("n_kept").cast("double") / F.col("t"), 4).alias(
+                "share_kept"
+            ),
+        )
+    )
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_ns
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM base, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    topbg AS (
+      SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT b.doc_id,
+             len(w)                                        AS n_tok,
+             ROUND(1 - len(list_distinct(w))
+                   / CAST(len(w) AS DOUBLE) + 0.00000001, 4) AS dup_word_frac,
+             ROUND(top_c / CAST(len(w) - 1 AS DOUBLE)
+                   + 0.00000001, 4)                          AS top_bigram_frac,
+             ROUND(n_chars_ns / CAST(len(w) AS DOUBLE)
+                   + 0.000001, 2)                            AS mean_word_len
+      FROM base b JOIN topbg USING (doc_id)
+    )
+    SELECT doc_id, n_tok, dup_word_frac, top_bigram_frac, mean_word_len,
+           dup_word_frac <= 0.6 AND top_bigram_frac <= 0.05 AS keep
+    FROM m
+    """,
+    tags=("trainprep", "quality", "gopher"),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate, entirely map-side (zero
+    shuffle): duplicate-word fraction, top-bigram repetition fraction and
+    mean word length per doc, with a keep verdict. The bigram histogram is
+    computed inside the row via array lambdas — no explode, no groupBy, so
+    the filter scales linearly with corpus bytes."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("tk"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("n_chars_ns"),
+    )
+    # bigrams in their own select so downstream refs are attribute reads,
+    # not re-inlined lambda trees (the pushdown re-inline trap)
+    with_bg = toks.select(
+        "doc_id",
+        "tk",
+        "n_chars_ns",
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tk", (i + 1).cast("int")),
+                F.element_at("tk", (i + 2).cast("int")),
+            ),
+        ).alias("bg"),
+    )
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda b: F.size(F.filter("bg", lambda x: x == b)),
+        )
+    )
+    m = with_bg.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        round_div(
+            F.lit(1.0) - F.size(F.array_distinct("tk")) / F.size("tk"), 4
+        ).alias("dup_word_frac"),
+        round_div(top_c / (F.size("tk") - 1), 4).alias("top_bigram_frac"),
+        round_div(F.col("n_chars_ns") / F.size("tk"), 2).alias("mean_word_len"),
+    )
+    return m.withColumn(
+        "keep", (F.col("dup_word_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.05)
+    )

@@ -57,3 +57,52 @@ def write_jsonl(df: DataFrame, path: str, coalesce: int | None = None) -> None:
 def write_csv(df: DataFrame, path: str, header: bool = True, coalesce: int | None = None) -> None:
     out = df.coalesce(coalesce) if coalesce else df
     out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC columnar read. Schema optional — ORC carries its own types (no
+    inference pass), but passing one pins the contract and enables pruning
+    of never-read columns at scan time."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC columnar write (predicate pushdown + column pruning work the same
+    as parquet; useful when downstream consumers are Hive/Trino-side)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text_docs(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw-text corpus ingest: one row per line (or per file with
+    ``whole_file`` — each document is one file, the common crawl-dump
+    layout). Columns: ``text`` plus ``source_file`` from the scan metadata,
+    so downstream dedup/split operators can key on provenance."""
+    from pyspark.sql import functions as F
+
+    # NB: must be the reader kwarg — .option("wholetext", ...) is silently
+    # ignored by the text source in Spark 4
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source_file"),
+    )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal ingest: opaque media blobs via Spark's binaryFile source
+    (columns path/modificationTime/length/content). The decode stage stays
+    a mapInPandas over `operators/multimodal.py`; this is the scan. Large
+    files are one row each — partition count follows file count, so callers
+    repartition by bytes before heavy decode stages."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -60,3 +60,42 @@ def test_csv_roundtrip_and_corrupt_quarantine(spark, tmpdir):
     corrupt = [r for r in rows if r._corrupt_record is not None]
     assert len(good) == 1 and good[0].doc_id == 1
     assert len(corrupt) == 1
+
+
+def test_orc_roundtrip_partitioned(spark, tmpdir):
+    docs = table(spark, SF_DIR, "documents")
+    formats.write_orc(docs, str(tmpdir / "docs_orc"), partition_by=["lang"])
+    back = formats.read_orc(spark, str(tmpdir / "docs_orc"))
+    assert back.count() == docs.count()
+    a = {r.lang: r.s for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    b = {r.lang: r.s for r in back.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    assert a == b
+    # partition pruning: a lang filter must not scan other partitions
+    plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "lang=en" in plan or "PartitionFilters" in plan
+
+
+def test_text_docs_per_line_and_whole_file(spark, tmpdir):
+    d = tmpdir / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("single doc body\nwith two lines\n")
+    lines = formats.read_text_docs(spark, str(d))
+    assert lines.count() == 4
+    whole = formats.read_text_docs(spark, str(d), whole_file=True)
+    rows = {r.source_file.rsplit("/", 1)[-1]: r.text for r in whole.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["b.txt"].startswith("single doc body")
+
+
+def test_binary_files_scan_feeds_multimodal_decode(spark, tmpdir):
+    d = tmpdir / "media"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x89IMG" + bytes(range(64)))
+    (d / "y.img").write_bytes(b"\x89IMG" + bytes(range(32)))
+    (d / "skip.dat").write_bytes(b"nope")
+    scanned = formats.read_binary_files(spark, str(d), glob="*.img")
+    rows = scanned.select("path", "length", "content").collect()
+    assert len(rows) == 2
+    assert {r.length for r in rows} == {68, 36}
+    assert all(bytes(r.content)[:4] == b"\x89IMG" for r in rows)

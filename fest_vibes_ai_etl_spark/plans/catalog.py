@@ -73,6 +73,7 @@ def _load() -> None:
             relational,
             scalar_extra,
             sessions,
+            sketches,
             skewq,
             textmining,
             tpch_extra,

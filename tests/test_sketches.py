@@ -1,0 +1,61 @@
+"""Sketch aggregates: HLL distinct estimates bounded against exact answers,
+sketch mergeability (the reusable-partial property), and approx-percentile
+rank-error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.plans.sketches import daily_user_sketches
+from fest_vibes_ai_etl_spark.plans import catalog
+from fest_vibes_ai_etl_spark.sources import table
+
+
+def test_hll_daily_estimate_within_bounds(spark):
+    qs = catalog.queries()
+    approx = {r.day: r.approx_users for r in qs["sketch_hll_daily_users"](spark, SF_DIR).collect()}
+    events = table(spark, SF_DIR, "events")
+    exact = {
+        r.day: r.n
+        for r in events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
+
+
+def test_hll_sketches_merge_to_coarser_grain(spark):
+    # union of per-day sketches == sketch built over the whole range:
+    # the property that lets a 100 TB engine answer any date-range distinct
+    # count from persisted daily partials without rescanning the fact.
+    events = table(spark, SF_DIR, "events")
+    daily = daily_user_sketches(events)
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("est")
+    ).collect()[0].est
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0].est
+    assert merged == direct
+
+
+def test_approx_percentile_rank_error(spark):
+    qs = catalog.queries()
+    approx = {r.event_type: (r.p50, r.p95, r.p99)
+              for r in qs["sketch_quantiles_by_type"](spark, SF_DIR).collect()}
+    events = table(spark, SF_DIR, "events")
+    for etype, (p50, p95, p99) in approx.items():
+        vals = sorted(
+            r.value for r in events.filter(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            # rank of the returned value must be within 1% of the target rank
+            import bisect
+            lo, hi = bisect.bisect_left(vals, got), bisect.bisect_right(vals, got)
+            target = q * n
+            assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (etype, q, got)

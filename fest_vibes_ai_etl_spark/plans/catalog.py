@@ -75,6 +75,7 @@ def _load() -> None:
             sessions,
             sketches,
             skewq,
+            snapshots,
             textmining,
             tpch_extra,
             tpch_more,

@@ -37,6 +37,7 @@ def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
 @register(
     "sketch_hll_daily_users",
     tags=("sketch", "approx", "hll"),
+    bench=True,
 )
 def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per day via DataSketches HLL (lgK=12 ⇒ <1% typical

@@ -45,6 +45,7 @@ from .catalog import register
      AND (c.valid_to IS NULL OR f.ts < c.valid_to)
     """,
     tags=("join", "scd2", "temporal"),
+    bench=True,
 )
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 point-in-time join: click events are profile updates; each
@@ -95,6 +96,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("diff", "audit"),
+    bench=True,
 )
 def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation audit: yesterday/today snapshots derived

@@ -75,6 +75,7 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY tr.doc_id
     """,
     tags=("trainprep", "decontamination"),
+    bench=True,
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: train docs sharing any 4-word shingle with
@@ -242,6 +243,7 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
     tags=("trainprep", "quality", "gopher"),
+    bench=True,
 )
 def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gate, entirely map-side (zero

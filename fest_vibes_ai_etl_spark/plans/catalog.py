@@ -69,6 +69,7 @@ def _load() -> None:
             analytics,
             corpus,
             extended,
+            graph,
             pipelineq,
             relational,
             scalar_extra,

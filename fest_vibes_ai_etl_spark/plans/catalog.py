@@ -67,6 +67,7 @@ def _load() -> None:
     if not _loaded:
         from . import (  # noqa: F401
             analytics,
+            behavior,
             corpus,
             extended,
             graph,

@@ -69,6 +69,7 @@ def _load() -> None:
             analytics,
             behavior,
             corpus,
+            dq,
             extended,
             graph,
             pipelineq,

@@ -1,0 +1,156 @@
+"""Data-quality audit + built-in session-window queries.
+
+``dq_violations_report`` re-expresses the reference's Postgres constraints
+(`src/shared/db/database.py:151-199`: unique natural keys, FKs, non-null
+columns) as lakehouse audit jobs over the driver tables, including checks
+that deliberately FIND violations (a restricted parent set and duplicate
+document fingerprints) so the report proves it detects, not just passes.
+
+``events_session_window_builtin`` is the built-in ``session_window``
+operator over events — same gap semantics as the lag→cumsum
+``events_sessionization`` query, but executed by Spark's native session
+aggregation (merging windows in the agg operator, streaming-ready).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality
+from ..sources import table
+from .catalog import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "dq_violations_report",
+    oracle="""
+    SELECT 'not_null' AS check, 'orders.o_custkey' AS target,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null', 'documents.text',
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'unique', 'orders(o_orderkey)',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'unique', 'documents(fingerprint)',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                 COUNT(*) AS n
+          FROM documents GROUP BY 1)
+    UNION ALL
+    SELECT 'referential', 'lineitem.l_orderkey -> orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'referential', 'lineitem.l_suppkey -> supplier[s_suppkey % 7 <> 3]',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 3) s
+      ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NULL AND l.l_suppkey IS NOT NULL
+    UNION ALL
+    SELECT 'expression', 'lineitem: discount in [0,1]',
+           CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("quality", "audit"),
+    bench=True,
+)
+def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse: non-null, uniqueness (incl. a
+    derived natural key — the document fingerprint), referential integrity
+    (one passing FK, one against a deliberately restricted parent set that
+    must find orphans — proving the check detects, not just passes), and a
+    row-predicate check. Each check is one aggregate / one broadcast
+    anti-join; the report is a union of 1-row results."""
+    orders = table(spark, sf_dir, "orders")
+    docs = table(spark, sf_dir, "documents")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+
+    from ..functions.text import fingerprint
+
+    docs_fp = docs.select(fingerprint(F.col("text")).alias("fp"))
+    checks = [
+        quality.check_not_null(orders, "orders", ["o_custkey"]),
+        quality.check_not_null(docs, "documents", ["text"]),
+        quality.check_unique(orders, "orders", ["o_orderkey"]),
+        quality.check_unique(docs_fp, "documents", ["fp"]).withColumn(
+            "target", F.lit("documents(fingerprint)")
+        ),
+        quality.check_referential(
+            li, orders, "l_orderkey", "o_orderkey", "lineitem.l_orderkey -> orders"
+        ),
+        quality.check_referential(
+            li,
+            supp.filter(F.col("s_suppkey") % 7 != 3),
+            "l_suppkey",
+            "s_suppkey",
+            "lineitem.l_suppkey -> supplier[s_suppkey % 7 <> 3]",
+        ),
+        quality.check_expression(
+            li,
+            "lineitem",
+            "discount in [0,1]",
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+        ),
+    ]
+    return quality.dq_report(checks)
+
+
+@register(
+    "events_session_window_builtin",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t_prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN t_prev IS NULL
+                       OR t - t_prev > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(t) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "builtin"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window aggregate
+    (windows merge inside the agg operator — the same operator Structured
+    Streaming uses with watermarks, so this plan is streaming-ready as-is).
+    The oracle derives identical sessions with the classic lag→cumsum
+    construction. Session identity is emitted as epoch-microsecond starts —
+    exact integers on both engines."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

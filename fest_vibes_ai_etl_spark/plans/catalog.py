@@ -71,6 +71,7 @@ def _load() -> None:
             corpus,
             dq,
             extended,
+            funnel,
             graph,
             pipelineq,
             relational,

@@ -1,0 +1,134 @@
+"""Funnel + trend analytics over the event stream.
+
+- ``events_funnel_ordered``: the classic ordered conversion funnel
+  (signup → first click after signup → first purchase after that click),
+  counted per stage. Ordering matters — a purchase before the click does
+  not convert — which is what separates this from three independent
+  filters.
+- ``events_trend_per_user``: per-user least-squares trend of value over
+  time via the built-in regression aggregates (regr_slope/regr_intercept/
+  corr) — one partial-aggregable pass, no window, no UDF; DuckDB's
+  identical aggregates are the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_div
+from ..sources import table
+from .catalog import register
+
+EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_t
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_t
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.s_t
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_t
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s
+      UNION ALL
+      SELECT '2_click_after_signup', COUNT(*) FROM c
+      UNION ALL
+      SELECT '3_purchase_after_click', COUNT(*) FROM p
+    )
+    """,
+    tags=("funnel", "analytics"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage conversion funnel. Each stage is one filtered
+    aggregate joined to the previous stage's per-user frontier timestamp —
+    user-keyed shuffles all the way down, and every stage shrinks the
+    frontier, so the expensive side is always the first scan (which AQE
+    reuses partitioning for)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("s_t"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("t") > F.col("s_t"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("c_t"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("c_t"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("p_t"))
+    )
+    rows = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_signup").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_after_signup").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "events_trend_per_user",
+    oracle=f"""
+    WITH xy AS (
+      SELECT user_id,
+             (epoch_us(ts) - {EPOCH_2024_US}) / 86400000000.0 AS x,
+             value AS y
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(regr_slope(y, x) + 0.00000001, 4)     AS slope_per_day,
+           ROUND(regr_intercept(y, x) + 0.00000001, 4) AS intercept,
+           ROUND(corr(y, x) + 0.00000001, 4)           AS corr_vt
+    FROM xy GROUP BY user_id
+    """,
+    tags=("regression", "analytics"),
+)
+def events_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-over-time trend: built-in least-squares aggregates
+    over (days since 2024-01-01, value). Fully partial-aggregable — the
+    shuffle carries the moment sums, not rows — which is the 100 TB shape
+    for per-entity model fitting when a closed form exists."""
+    ev = table(spark, sf_dir, "events")
+    xy = ev.select(
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(EPOCH_2024_US)) / F.lit(86400000000.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_div(F.regr_slope("y", "x"), 4).alias("slope_per_day"),
+        round_div(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        round_div(F.corr("y", "x"), 4).alias("corr_vt"),
+    )

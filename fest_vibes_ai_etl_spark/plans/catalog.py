@@ -84,5 +84,6 @@ def _load() -> None:
             tpch_extra,
             tpch_more,
             trainprep,
+            zorderq,
         )
         _loaded = True

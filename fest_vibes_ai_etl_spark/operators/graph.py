@@ -27,20 +27,34 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Unnormalized PageRank (pr = (1-d) + d·Σ pr_in/deg_in) over a directed
     edge list (src, dst). Callers wanting the undirected variant symmetrize
     first; with a symmetrized graph every node has out-degree ≥ 1, so there
-    is no dangling-mass correction to apply. Returns (node, pr)."""
+    is no dangling-mass correction to apply. Returns (node, pr).
+
+    The edge+degree table is the loop invariant: it is persisted once and
+    every other table (initial ranks included) derives from the cached copy,
+    so the upstream edge construction runs exactly once. With
+    ``broadcast_ranks`` the per-iteration join ships the rank table (one row
+    per node — orders of magnitude smaller than the edges) to the executors
+    and the big edge table never moves; the only shuffle per iteration is the
+    map-side-combined contribution sum. Leave it False when #nodes is too
+    large to broadcast (beyond ~100M nodes); the join then shuffles on the
+    node key and AQE picks the strategy."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     e = (
         edges.join(deg, "src")
         .select("src", "dst", "d")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    pr = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("pr")
+    )
     for i in range(iterations):
-        contrib = e.join(pr, e["src"] == pr["node"]).select(
+        rhs = F.broadcast(pr) if broadcast_ranks else pr
+        contrib = e.join(rhs, e["src"] == rhs["node"]).select(
             "dst", (F.col("pr") / F.col("d")).alias("c")
         )
         pr = contrib.groupBy("dst").agg(

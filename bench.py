@@ -29,21 +29,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
-    # Warmup: spin up executors/codegen on the smallest query once, and load
-    # the pyspark.ml JVM classes (KMeans classloading alone is 5-7 s cold and
-    # was the dominant run-to-run variance in ann_ivf_topk's timing).
+    # Warmup: spin up executors/codegen on the smallest query once. (The ivf
+    # quantizer no longer uses pyspark.ml, so no ml classload warmup needed.)
     warm = next(iter(specs.values()))
     warm.fn(spark, sf_dir).count()
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        tiny = spark.createDataFrame(
-            [([0.0, 0.0],), ([1.0, 1.0],)], ["arr"]
-        ).select(array_to_vector("arr").alias("features"))
-        KMeans(k=2, seed=1, maxIter=1).fit(tiny)
-    except Exception:
-        pass  # ml warmup is best-effort; queries still run without it
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

@@ -1,0 +1,138 @@
+"""Statistical & ordered-aggregate suite: LISTAGG, MIN_BY/MAX_BY, sample
+moments, exact interpolated quantiles.
+
+The reference's ORM layer leans on Postgres aggregate conveniences
+(string_agg of artist genres in the cache read path, min/max over scrape
+timestamps for first-wins — /root/reference/src/shared/db/queries.py); this
+module re-expresses that family as oracle-checked Spark aggregates and adds
+the standard statistical-profile set a warehouse user expects.
+
+All are single-shuffle hash aggregates with map-side partial combine — at
+100 TB the only cost is one exchange on the (low-cardinality) group key, so
+every query here scales linearly with input and never skews (group counts
+are bounded by priority/status domains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_div
+from ..sources import table
+from .catalog import register
+
+
+@register(
+    "agg_listagg_nations",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "listagg", "sql"),
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP) — the ANSI form
+    of Postgres string_agg the reference uses for genre lists. Deterministic
+    because the WITHIN GROUP ordering is total (names unique per region)."""
+    table(spark, sf_dir, "region").createOrReplaceTempView("la_region")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    return spark.sql("""
+        SELECT r_name,
+               COUNT(*) AS n_nations,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM la_region JOIN la_nation ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """)
+
+
+@register(
+    "agg_argminmax_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC,  o_orderkey ASC)  AS rk_lo,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk_hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rk_lo = 1 THEN o_orderkey END) AS cheapest_order,
+           MIN(CASE WHEN rk_hi = 1 THEN o_orderkey END) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "argmin"),
+)
+def agg_argminmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY with a struct ordering key for a deterministic
+    tie-break (price, then key) — the argmin answered with one aggregate
+    instead of the oracle's two window passes. At scale this is the shape to
+    prefer: one partial-aggregable pass, no per-group sort."""
+    orders = table(spark, sf_dir, "orders")
+    tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", tie).alias("cheapest_order"),
+        F.max_by("o_orderkey", tie).alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "stats_moments_lineitem",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           ROUND(VAR_SAMP(l_quantity) + 0.00000001, 4) AS qty_var,
+           ROUND(STDDEV_SAMP(l_discount) + 0.00000001, 4) AS disc_sd,
+           ROUND(CORR(l_quantity, l_extendedprice) + 0.00000001, 4) AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-moment profile (variance / stddev / correlation) per line
+    status. Single-pass co-moment aggregates in both engines; outputs are
+    epsilon-rounded because the merge order of partial moments differs."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_div(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        round_div(F.stddev_samp("l_discount"), 4).alias("disc_sd"),
+        round_div(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "agg_median_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(MEDIAN(o_totalprice) + 0.00000001, 4) AS med_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25) + 0.00000001, 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75) + 0.00000001, 4) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "quantiles"),
+)
+def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median / quartiles per priority (percentile_cont
+    semantics in both engines). Exact percentile is a per-group sort — fine
+    on bounded group counts; unbounded-cardinality profiles should use the
+    approx_percentile sketch instead (see sketch_quantiles_by_type)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_div(F.median("o_totalprice"), 4).alias("med_price"),
+        round_div(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        round_div(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )

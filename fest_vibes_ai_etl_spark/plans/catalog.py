@@ -81,6 +81,7 @@ def _load() -> None:
             skewq,
             snapshots,
             textmining,
+            bloomq,
             statsq,
             tpch_extra,
             tpch_more,

@@ -76,6 +76,7 @@ def _load() -> None:
             pipelineq,
             relational,
             scalar_extra,
+            searchq,
             sessions,
             sketches,
             skewq,

@@ -29,10 +29,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
-    # Warmup: spin up executors/codegen on the smallest query once. (The ivf
-    # quantizer no longer uses pyspark.ml, so no ml classload warmup needed.)
+    # Warmup: spin up executors/codegen on the smallest query once, then the
+    # Python-worker + Arrow machinery (pandas UDF and toPandas paths) so the
+    # alphabetically-first timed query doesn't absorb that one-off cost.
     warm = next(iter(specs.values()))
     warm.fn(spark, sf_dir).count()
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    _warm_udf = pandas_udf(lambda s: s, "long")  # lambda: immune to
+    # `from __future__ import annotations` stringifying the type hints
+    spark.range(1000).select(_warm_udf("id").alias("v")).toPandas()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
@@ -40,6 +46,10 @@ def main() -> None:
         n = spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Queries that persist() intermediates (pagerank edges, PPJoin
+        # signatures, ...) must not tax later queries' GC/memory: each
+        # timing starts from a clean cache.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

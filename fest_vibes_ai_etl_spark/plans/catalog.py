@@ -83,6 +83,7 @@ def _load() -> None:
             snapshots,
             textmining,
             bloomq,
+            cogroupq,
             statsq,
             tpch_extra,
             tpch_more,

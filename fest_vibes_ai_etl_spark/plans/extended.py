@@ -155,6 +155,34 @@ def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           ROUND(PERCENT_RANK() OVER w + 0.00000001, 4) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w + 0.00000001, 4) AS cum_dist,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value — the distribution window family.
+    The ordering is total (price then key), so both distribution functions
+    are tie-free and deterministic; same single shuffle as any one of them."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        round_div(F.percent_rank().over(w), 4).alias("pct_rank"),
+        round_div(F.cume_dist().over(w), 4).alias("cum_dist"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_priciest"),
+    )
+
+
+@register(
     "map_json_props",
     oracle="""
     SELECT event_id,

@@ -92,6 +92,11 @@ def bloom_might_contain(
         hit = (bm[H >> 6] >> (H & 63)) & 1
         return pd.Series(hit.all(axis=1))
 
+    # nondeterministic ONLY to stop InferFiltersFromConstraints from copying
+    # this probe onto the build side of the downstream semi join (the build
+    # side already defines the bitmap — probing it is pure waste); the filter
+    # itself stays exactly where it's placed, right above the probe scan.
+    _probe = _probe.asNondeterministic()
     return _probe(F.array(*_positions(key, num_bits, num_hashes)))
 
 

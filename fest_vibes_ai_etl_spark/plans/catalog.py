@@ -88,6 +88,7 @@ def _load() -> None:
             tpch_extra,
             tpch_more,
             trainprep,
+            variantq,
             zorderq,
         )
         _loaded = True

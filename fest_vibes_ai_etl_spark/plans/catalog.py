@@ -75,6 +75,7 @@ def _load() -> None:
             graph,
             pipelineq,
             relational,
+            samplingq,
             scalar_extra,
             searchq,
             sessions,

@@ -1,0 +1,50 @@
+"""Deterministic hash-Bernoulli sampling — the reproducible TABLESAMPLE.
+
+``TABLESAMPLE``/``df.sample`` draw from a seeded RNG whose stream depends
+on partitioning, so resampling after a repartition (or on another engine)
+yields a different subset. Hashing a stable row key instead makes the
+sample a pure function of the data: reproducible across engines, retries,
+and cluster sizes — which is what a training pipeline needs for holdouts
+(see also corpus_split_assign / corpus_mixture_resample for the group-aware
+and stratified variants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dec_sum
+from ..sources import table
+from .catalog import register
+
+# keep rows whose md5(rowkey) first byte <= 0x28: (0x28+1)/256 ~ 16.0%
+THRESHOLD = "28"
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sampled_price
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 2) <= '{THRESHOLD}'
+    GROUP BY l_returnflag
+    """,
+    tags=("sampling", "deterministic"),
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~16% Bernoulli sample keyed on md5 of the primary key — map-side
+    filter, no shuffle until the verification aggregate; the oracle selects
+    the byte-identical subset."""
+    li = table(spark, sf_dir, "lineitem")
+    rowkey = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    keep = F.substring(F.md5(rowkey.cast("binary")), 1, 2) <= THRESHOLD
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dec_sum(F.col("l_extendedprice")).alias("sampled_price"),
+        )
+    )

@@ -47,3 +47,35 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: str,
+    dim_b: str,
+    bits: int = 16,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` laid out by the Morton interleave of two dimensions
+    (``functions/zorder.py``): range-partition on the key so each file owns
+    a contiguous Z-curve span, sort within files so row groups subdivide it.
+    Every file/row-group then has a bounded min/max *rectangle* over BOTH
+    dims, and parquet stats prune selective predicates on either — the
+    multi-column layout the reference gets from two separate b-tree indexes
+    (tests/test_zorder.py asserts the resulting row-group spans). Columns
+    must already be bucketed into [0, 2^bits); the key is dropped from the
+    stored schema."""
+    from pyspark.sql import functions as F
+
+    from ..functions.zorder import morton_key
+
+    keyed = df.withColumn("_zkey", morton_key(F.col(dim_a), F.col(dim_b), bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

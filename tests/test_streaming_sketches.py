@@ -1,0 +1,58 @@
+"""Streaming HLL sketch maintenance: stream ≡ batch, replay convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.sources import table
+from fest_vibes_ai_etl_spark.streaming.sketch_rollup import (
+    latest_sketches,
+    start_sketch_maintenance,
+)
+
+
+def _estimates(df):
+    return {
+        r.day.isoformat(): r.est
+        for r in df.select(
+            "day", F.hll_sketch_estimate("user_sketch").cast("long").alias("est")
+        ).collect()
+    }
+
+
+def _run_stream(spark, src_dir, sketch_root, checkpoint):
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src_dir)
+    )
+    q = start_sketch_maintenance(stream, sketch_root, checkpoint)
+    q.awaitTermination(120)
+
+
+def test_streaming_sketches_match_batch(spark, tmp_path):
+    ev = table(spark, SF_DIR, "events").select("ts", "user_id")
+    src = str(tmp_path / "src")
+    # three separate files -> three micro-batches folding into the table
+    ev.filter(F.col("user_id") % 3 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("user_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("user_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "sketches")
+    _run_stream(spark, src, root, str(tmp_path / "ckpt1"))
+    streamed = _estimates(latest_sketches(spark, root))
+
+    batch = _estimates(
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("user_sketch"))
+    )
+    assert streamed == batch and len(batch) > 0
+
+    # at-least-once replay converges: reprocess everything under a fresh
+    # checkpoint into the SAME table — union of already-seen users is a
+    # no-op, estimates unchanged
+    _run_stream(spark, src, root, str(tmp_path / "ckpt2"))
+    assert _estimates(latest_sketches(spark, root)) == batch

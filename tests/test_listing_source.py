@@ -41,3 +41,28 @@ def test_feeds_the_parse_chain(spark):
     assert all(r.venue_name.startswith("Venue ") for r in rows)
     assert all(r.artist_name.startswith("Artist ") for r in rows)
     assert all(r.genres and r.time_text.endswith("pm") for r in rows)
+
+
+def test_streaming_reader_one_date_per_batch(spark, tmp_path):
+    spark.dataSource.register(ListingDataSource)
+    stream = (
+        spark.readStream.format("festvibes_listing")
+        .option("start_date", "2025-03-01")
+        .option("days", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("listing_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT fetch_date, html FROM listing_stream").collect()
+    finally:
+        q.stop()
+    assert {r.fetch_date for r in rows} == {"2025-03-01", "2025-03-02", "2025-03-03"}
+    # streamed pages byte-identical to the batch read of the same dates
+    batch = {(r.fetch_date, r.html) for r in _read(spark, days=3).collect()}
+    assert {(r.fetch_date, r.html) for r in rows} == batch

@@ -82,6 +82,7 @@ def _load() -> None:
             sketches,
             skewq,
             snapshots,
+            sqlsurface,
             textmining,
             bloomq,
             cogroupq,

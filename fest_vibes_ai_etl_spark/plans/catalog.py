@@ -90,6 +90,7 @@ def _load() -> None:
             tpch_extra,
             tpch_more,
             trainprep,
+            udtfq,
             variantq,
             zorderq,
         )

@@ -93,3 +93,17 @@ def test_backfill_gate_failures_do_not_retry():
 
 def test_module_doc_cites_reference():
     assert "service.py" in orchestrate.__doc__
+
+
+def test_observation_metrics_piggyback_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.pipeline.metrics import with_row_observer
+
+    df = spark.range(100).withColumn("flag", F.col("id") % 4 == 0)
+    observed, obs = with_row_observer(
+        df, "probe", F.sum(F.col("flag").cast("int")).alias("n_flagged")
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = obs.get
+    assert got["rows"] == 100 and got["n_flagged"] == 25

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from fest_vibes_ai_etl_spark.pipeline.driver import run_pipeline  # noqa: E402
 from fest_vibes_ai_etl_spark.pipeline.fixtures import bronze_fixture  # noqa: E402
+from fest_vibes_ai_etl_spark.pipeline.metrics import with_row_observer  # noqa: E402
 from fest_vibes_ai_etl_spark.schemas import EVENT_DTO  # noqa: E402
 from fest_vibes_ai_etl_spark.session import get_spark  # noqa: E402
 from fest_vibes_ai_etl_spark.sources.lakehouse import write_partitioned  # noqa: E402
@@ -57,21 +58,25 @@ def main() -> int:
     layers = run_pipeline(spark, bronze, dates, with_embeddings=not args.no_embeddings)
 
     out = args.out.rstrip("/")
+    observers = {}
     for name in ("events", "artists", "venues", "genres", "quarantine"):
         if name in layers:
+            # metrics piggyback on the write action — no separate count pass
+            observed, observers[name] = with_row_observer(layers[name], name)
             part = "event_date" if name == "events" else None
             if part:
-                write_partitioned(layers[name], f"{out}/silver/{name}", [part])
+                write_partitioned(observed, f"{out}/silver/{name}", [part])
             else:
-                layers[name].write.mode("overwrite").parquet(f"{out}/silver/{name}")
+                observed.write.mode("overwrite").parquet(f"{out}/silver/{name}")
     gold = layers["cache_payload"].withColumn(
         "event_date", F.to_date(F.regexp_extract("cache_key", r"events:(.*)$", 1))
     )
+    gold, observers["cache_payload"] = with_row_observer(gold, "cache_payload")
     write_partitioned(gold, f"{out}/gold/cache_payload", ["event_date"])
 
-    n_events = spark.read.parquet(f"{out}/silver/events").count()
-    n_gold = spark.read.parquet(f"{out}/gold/cache_payload").count()
-    print(f"pipeline complete: {n_events} silver events, {n_gold} gold documents -> {out}")
+    counts = {name: obs.get["rows"] for name, obs in observers.items()}
+    summary = ", ".join(f"{name}={n}" for name, n in counts.items())
+    print(f"pipeline complete ({summary}) -> {out}")
     return 0
 
 

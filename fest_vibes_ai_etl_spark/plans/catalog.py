@@ -83,6 +83,7 @@ def _load() -> None:
             skewq,
             snapshots,
             sqlsurface,
+            temporalq,
             textmining,
             bloomq,
             cogroupq,

@@ -67,3 +67,35 @@ def test_ngram_jaccard_uses_cached_signature(spark):
     assert plan.count("InMemoryTableScan") == 4
     pairs.count()  # materialize, then drop the operator-persisted signature
     spark.catalog.clearCache()
+
+
+def test_bloom_probe_only_on_probe_side(spark):
+    # the bloom probe UDF must gate the fact scan, and constraint inference
+    # must NOT copy it onto the build (supplier) side of the semi join
+    q = catalog.queries()["bloom_semi_join_revenue"]
+    plan = _plan(q(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("(", " ").replace(")", " ") or "LeftSemi" in plan
+
+
+def test_bm25_stats_broadcast_no_udf(spark):
+    q = catalog.queries()["search_bm25_topk"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # df table broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_pagerank_edges_cached_ranks_broadcast(spark):
+    q = catalog.queries()["graph_pagerank_suppliers"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan  # persisted edge+degree invariant
+    # every iteration joins edges against a BROADCAST rank table
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_zorder_key_is_pure_expression(spark):
+    q = catalog.queries()["zorder_bucket_bounds"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "Python" not in plan  # bitwise column expr only, codegen-eligible
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)

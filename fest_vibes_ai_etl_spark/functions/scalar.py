@@ -29,12 +29,24 @@ def extract_performance_time(text_col: Column) -> Column:
 
 def performance_timestamp(date_col: Column, time_text_col: Column) -> Column:
     """Combine a yyyy-MM-dd date with an extracted h:mma time into a timestamp
-    (reference localizes to America/Chicago; we keep session-TZ semantics and
-    document the TZ at the session level)."""
+    (session-TZ naive form; see performance_timestamp_utc for the reference's
+    localized semantics)."""
     return F.to_timestamp(
         F.concat_ws(" ", date_col.cast("string"), extract_performance_time(time_text_col)),
         "yyyy-MM-dd h:mma",
     )
+
+
+def performance_timestamp_utc(
+    date_col: Column, time_text_col: Column, tz: str = "America/Chicago"
+) -> Column:
+    """The reference's exact F2 semantics: the venue's wall-clock time is
+    America/Chicago local (pytz localize —
+    /root/reference/src/extractor/service.py time handling); interpret the
+    parsed naive timestamp in that zone and convert to UTC. DST is resolved
+    by the JVM tzdb, so a summer 8pm is UTC-5 and a winter 8pm is UTC-6 —
+    asserted in tests/test_pipeline.py."""
+    return F.to_utc_timestamp(performance_timestamp(date_col, time_text_col), tz)
 
 
 # --- F3: lenient timestamp parse with fallback chain ----------------------

@@ -131,3 +131,22 @@ def test_performance_time_parsing(spark):
     )
     out = [r.ts.strftime("%H:%M") for r in df.collect()]
     assert out == ["20:00", "09:30", "00:00"]
+
+
+def test_performance_timestamp_utc_dst_aware(spark):
+    import datetime as dt
+
+    from fest_vibes_ai_etl_spark.functions import scalar
+
+    df = spark.createDataFrame(
+        [("2025-07-04", "8:00pm"), ("2025-01-04", "8:00pm")], "d string, t string"
+    )
+    out = {
+        r.d: r.utc
+        for r in df.select(
+            "d", scalar.performance_timestamp_utc(F.col("d"), F.col("t")).alias("utc")
+        ).collect()
+    }
+    # Chicago is UTC-5 in July (CDT), UTC-6 in January (CST)
+    assert out["2025-07-04"] == dt.datetime(2025, 7, 5, 1, 0)
+    assert out["2025-01-04"] == dt.datetime(2025, 1, 5, 2, 0)

@@ -136,3 +136,38 @@ def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_div(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
         round_div(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+@register(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 100.0 THEN 21
+                ELSE CAST(FLOOR(value / 5.0) + 1 AS INT) END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value) + 0.00000001, 4) AS lo,
+           ROUND(MAX(value) + 0.00000001, 4) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via WIDTH_BUCKET (20 buckets over [0,100) plus
+    the under/overflow buckets 0 and 21) — the single-pass distribution
+    profile; pairs with sketch_quantiles_by_type for the adaptive-bin
+    version. DuckDB has no width_bucket, so the oracle spells out the same
+    floor arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20)).cast("int").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_div(F.min("value"), 4).alias("lo"),
+            round_div(F.max("value"), 4).alias("hi"),
+        )
+    )

@@ -20,12 +20,14 @@ from pyspark.sql.streaming import StreamingQuery
 from ..schemas import EVENT_DTO
 
 
-def read_bronze_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+def read_bronze_stream(
+    spark: SparkSession, bronze_dir: str, max_files: int = 8
+) -> DataFrame:
     """File-source stream of EventDTO JSON with the explicit schema — new
     files (one per scrape date in deployment) become micro-batches."""
     return (
         spark.readStream.schema(EVENT_DTO)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files)
         .json(bronze_dir)
     )
 
@@ -101,14 +103,23 @@ def correlated_event_pairs(
     right: DataFrame,
     join_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair events from two live streams on venue
+    """Stream-stream join: pair events from two live streams on venue
     within an event-time window (|t_L − t_R| ≤ ``join_window``) — the shape
     of click↔purchase / listing↔update correlation. BOTH sides carry a
     watermark and the join condition bounds event time on both sides, which
     is what lets Spark evict buffered state: without the time bound the
     buffers grow with the stream. State is O(events-per-window), the
-    scale-safety property."""
+    scale-safety property.
+
+    ``how="leftOuter"`` additionally emits unmatched left rows with NULL
+    right columns — but only once the watermark passes their join window
+    (the row is provably unmatchable), and the emission happens in a LATER
+    micro-batch than the watermark advance. A tail of unmatched rows
+    therefore needs one more batch after end-of-data to surface
+    (tests/test_streaming.py drives two availableNow runs over one
+    checkpoint to prove it)."""
     l = left.select(
         F.col("event_data.wwoz_event_href").alias("l_href"),
         F.col("venue_data.name").alias("l_venue"),
@@ -125,6 +136,7 @@ def correlated_event_pairs(
         & (F.col("l_href") < F.col("r_href"))
         & (F.col("r_time") >= F.col("l_time") - F.expr(f"INTERVAL {join_window}"))
         & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {join_window}")),
+        how,
     )
 
 

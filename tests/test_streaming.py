@@ -194,3 +194,64 @@ def test_stream_stream_time_bounded_join(spark, tmpdirs):
     # the invalid-but-same-venue-same-time rows (/events/900 at 20:00) pair
     # with /events/456 (20:00, same venue, within the window)
     assert ("/events/456", "/events/900") in got
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, tmpdirs):
+    """leftOuter stream-stream join: unmatched left rows surface with NULL
+    right columns once the watermark proves them unmatchable — which takes a
+    micro-batch AFTER the watermark-advancing data, so the test runs two
+    availableNow passes over one checkpoint."""
+    import os
+    import time as _time
+
+    left_dir, right_dir = tmpdirs / "oj_left", tmpdirs / "oj_right"
+    out_dir, ckpt = str(tmpdirs / "oj_out"), str(tmpdirs / "oj_ckpt")
+    _write_bronze_json(spark, left_dir)  # data rows, perf times 19:00-21:30
+    _write_bronze_json(spark, right_dir)
+
+    def _write_horizon(d: Path, fname: str, day: int) -> None:
+        """One far-future row (advances the event-time watermark past every
+        data row's join window; matches nothing — unique venue)."""
+        df = spark.createDataFrame(bronze_rows()[:1], EVENT_DTO)
+        row = json.loads(df.toJSON().collect()[0])
+        row["event_data"]["wwoz_event_href"] = f"/events/horizon{day}"
+        row["venue_data"]["name"] = "Horizon Hall"
+        row["performance_time"] = f"2025-03-{day:02d}T20:00:00.000Z"
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / fname
+        p.write_text(json.dumps(row))
+        later = _time.time() + day  # strictly increasing mtimes => the file
+        os.utime(p, (later, later))  # source orders batches data-then-horizon
+
+    def _run_once() -> None:
+        left = ingest.read_bronze_stream(spark, str(left_dir), max_files=1)
+        right = ingest.read_bronze_stream(spark, str(right_dir), max_files=1)
+        q = (
+            ingest.correlated_event_pairs(left, right, join_window="1 hour", how="leftOuter")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_horizon(left_dir, "zz_horizon2.json", 2)
+    _write_horizon(right_dir, "zz_horizon2.json", 2)
+    _run_once()
+    # second pass: one more batch so state behind the watermark is evicted
+    _write_horizon(left_dir, "zz_horizon3.json", 3)
+    _write_horizon(right_dir, "zz_horizon3.json", 3)
+    _run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_href = {}
+    for r in rows:
+        by_href.setdefault(r.l_href, set()).add(r.r_href)
+    # matched pair still produced (inner behavior preserved)
+    assert "/events/900" in by_href.get("/events/456", set())
+    # unmatched left rows emitted exactly as NULL-padded outer rows
+    assert by_href.get("/events/458") == {None}
+    # highest href at its venue: no r_href can sort after it => never matches
+    assert by_href.get("/events/901") == {None}

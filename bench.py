@@ -39,6 +39,14 @@ def main() -> None:
     _warm_udf = pandas_udf(lambda s: s, "long")  # lambda: immune to
     # `from __future__ import annotations` stringifying the type hints
     spark.range(1000).select(_warm_udf("id").alias("v")).toPandas()
+    # The first timed query (alphabetical: ann_ivf_topk) is the most
+    # warmup-sensitive — exercise its exact code path on the smallest SF so
+    # executor-side numpy imports / window codegen don't land on its timer.
+    if "ann_ivf_topk" in specs:
+        try:
+            specs["ann_ivf_topk"].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

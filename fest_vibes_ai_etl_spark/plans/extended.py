@@ -333,3 +333,42 @@ def higher_order_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_sum"
         ),
     )
+
+
+@register(
+    "map_lambda_suite",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, CAST(n * 100 AS BIGINT) AS scaled
+    FROM counts
+    WHERE n >= 2
+    """,
+    tags=("map", "lambda", "higher-order"),
+)
+def map_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (the one lambda family the array suite
+    doesn't cover): per-user type→count maps via map_from_entries, values
+    rescaled with transform_values, rare types dropped with map_filter,
+    exploded back to rows for the relational oracle. All codegen'd map
+    expressions — the map never leaves the JVM."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    shaped = mapped.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("type_counts", lambda _, v: v * 100),
+            lambda _, v: v >= 200,
+        ).alias("m"),
+    )
+    return shaped.select(
+        "user_id", F.explode("m").alias("event_type", "scaled")
+    )

@@ -85,6 +85,7 @@ def _load() -> None:
             sqlsurface,
             temporalq,
             textmining,
+            topkq,
             bloomq,
             cogroupq,
             statsq,

@@ -70,6 +70,7 @@ def _load() -> None:
             behavior,
             corpus,
             dq,
+            erq,
             extended,
             funnel,
             graph,

@@ -1,0 +1,242 @@
+"""Entity-resolution & ordered-analytics suite: blocked fuzzy matching,
+pareto frontier (skyline), Markov transition matrices, statistical
+outliers, and gaps-and-islands.
+
+The reference resolves entities by exact natural key (artist ``name``,
+venue ``(name, full_address)`` — /root/reference/src/shared/db/database.py:151-177)
+and its crawl dedups hrefs with an in-run set
+(/root/reference/src/extractor/service.py:29,199-204). The natural
+warehouse-scale generalization is *fuzzy* resolution: block candidates on
+a cheap key, score survivors with an edit metric. The remaining queries
+are the ordered-analytics family a cache-backed events service
+(SURVEY §3.4 read path) feeds: what users do next (transitions), what's
+anomalous (outliers), and how activity clusters in time (islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_div
+from ..operators.skyline import pareto_frontier_2d
+from ..sources import table
+from .catalog import register
+
+
+@register(
+    "er_blocked_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_brand,
+           COUNT(*) AS n_fuzzy_pairs,
+           SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                    THEN 1 ELSE 0 END) AS n_exact_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.p_brand
+    """,
+    tags=("er", "fuzzy", "join"),
+)
+def er_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: candidate pairs share a blocking key
+    (brand), survivors have edit distance ≤ 3. Blocking is what makes
+    fuzzy ER feasible at scale — the self-join shuffles on the block key
+    only, so candidate generation is Σ|block|² instead of n²; skewed
+    blocks would get AQE skew-split. Generalizes the reference's
+    exact-name upsert identity (src/loader/service.py:324-422) to
+    near-match resolution."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    lev = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("a_key") < F.col("b_key"))
+        .where(lev <= 3)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_fuzzy_pairs"),
+            F.sum(F.when(lev == 0, 1).otherwise(0)).alias("n_exact_pairs"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("skyline", "window"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts where no other part is both cheaper-or-equal
+    and bigger-or-equal (strictly better somewhere) — minimize
+    p_retailprice, maximize p_size. The oracle is the quadratic
+    NOT EXISTS; the Spark plan is the linear sweep in
+    operators/skyline.py (two hash aggs + a prefix max, no crossJoin),
+    which survives a 100× scale-up where the nested loop cannot."""
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(parts, minimize="p_retailprice", maximize="p_size")
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY prev_type)
+                 + 0.00000001, 4) AS row_share
+    FROM t
+    """,
+    tags=("behavior", "window", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count of (previous type → type) steps plus the row-normalized
+    transition probability. One user-keyed window (lag) + one 25-row
+    aggregate; the normalizing window runs on the 25-row result, not the
+    fact table. Deterministic ordering: (epoch micros, event_id) on both
+    engines — the two-key tiebreak behavior.py uses for the NANOS
+    timestamps."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return t.withColumn(
+        "row_share",
+        round_div(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row),
+            4,
+        ),
+    )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma,
+             COUNT(*) AS n_total
+      FROM events GROUP BY event_type
+    ),
+    o AS (
+      SELECT e.event_type, COUNT(*) AS n_outliers
+      FROM events e JOIN s ON e.event_type = s.event_type
+      WHERE ABS(e.value - s.mu) > 2 * s.sigma
+      GROUP BY e.event_type
+    )
+    SELECT s.event_type, s.n_total, o.n_outliers,
+           ROUND(CAST(o.n_outliers AS DOUBLE) / s.n_total
+                 + 0.00000001, 4) AS outlier_share
+    FROM s JOIN o ON s.event_type = o.event_type
+    """,
+    tags=("stats", "quality"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier census (|value − μ| > 2σ): the sigma-rule
+    anomaly gate a monitoring job runs over the fact table. Two passes —
+    a tiny stats aggregate broadcast back onto the scan (no fact-table
+    shuffle for the join), then a 5-row count. At 100 TB both scans
+    stream; nothing is held per-group."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_total"),
+    )
+    outliers = (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        stats.select("event_type", "n_total")
+        .join(outliers, "event_type")
+        .withColumn(
+            "outlier_share",
+            round_div(F.col("n_outliers").cast("double") / F.col("n_total"), 4),
+        )
+    )
+
+
+@register(
+    "orders_gap_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey,
+             d - CAST(ROW_NUMBER() OVER (
+                        PARTITION BY o_custkey ORDER BY d
+                      ) AS INTEGER) AS anchor
+      FROM d
+    ),
+    lens AS (
+      SELECT o_custkey, anchor, COUNT(*) AS island_len
+      FROM isl GROUP BY o_custkey, anchor
+    )
+    SELECT island_len, COUNT(*) AS n_islands,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM lens GROUP BY island_len
+    """,
+    tags=("window", "islands"),
+)
+def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive ordering days per customer
+    via the date-minus-row_number anchor trick, rolled into a histogram
+    of island lengths. The window is customer-keyed (bounded groups);
+    everything downstream aggregates tiny intermediates."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = o.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    lens = isl.groupBy("o_custkey", "anchor").agg(
+        F.count("*").alias("island_len")
+    )
+    return lens.groupBy("island_len").agg(
+        F.count("*").alias("n_islands"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -63,3 +63,60 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected graph, given canonical
+    edges ``(a, b)`` with ``a < b``, distinct.
+
+    Returns one row: ``n_nodes, n_edges, n_wedges, n_triangles``.
+
+    Enumeration uses the degree-ordered orientation (compact-forward):
+    every edge points from its lower-(degree, id) endpoint to the higher
+    one, wedges are pairs of out-edges from one node, and a wedge closes
+    iff its (v, w) pair is itself an oriented edge. Orientation does not
+    change which triangles exist — each is counted exactly once from its
+    lowest-ranked vertex — but it bounds the wedge intermediate by
+    O(m^1.5) instead of Σd² (hub nodes rank last, so almost nothing fans
+    out of them). All three steps are node- or pair-keyed shuffles; no
+    crossJoin anywhere.
+    """
+    both = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # Total order for orientation: (degree, id) packed into one long so the
+    # comparison and the join keys stay 8-byte.
+    key = (F.col("d") * F.lit(1 << 32) + F.col("node")).alias("k")
+    dk = deg.select("node", "d", key).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ka = dk.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    kb = dk.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    oriented = (
+        edges.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.least("ka", "kb").alias("src"),
+            F.greatest("ka", "kb").alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = (
+        dk.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(n_tri)
+    )
+    return summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_div
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_stats
+from ..operators.trainprep import hash_fraction
 from ..sources import table
 from .catalog import register
 
@@ -110,3 +111,81 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("node"),
         "score",
     ).orderBy(F.desc("score"), "node")
+
+
+SAMPLE_P = 0.10  # DOULION edge-sampling rate; estimate scales by p^-3
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ),
+    e AS (
+      SELECT a, b FROM pairs
+      WHERE ('0x' || substr(md5('tri-v1:' || CAST(a AS VARCHAR) || ':'
+                            || CAST(b AS VARCHAR)), 1, 6))::BIGINT
+            / 16777216.0 < 0.10
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) u
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           (SELECT t * 1000 FROM tri) AS est_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+                 + 0.00000001, 4) AS clustering
+    """,
+    tags=("graph", "triangles", "sampling"),
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-supply graph (edge = two
+    suppliers shipped lines of the same order), DOULION-sparsified: each
+    canonical edge is kept iff its salted md5 fraction < p=0.10 — the
+    deterministic, engine-portable form of Tsourakakis et al.'s
+    edge-sampling estimator (exact count on the sampled graph; t/p³
+    estimates the full graph, surfaced as est_triangles). Enumeration is
+    operators/graph.triangle_stats: degree-ordered orientation bounds the
+    wedge intermediate at O(m^1.5); every step shuffles on node/pair keys
+    (pair generation itself is order-keyed — per-order fanout is bounded
+    by order size). The oracle counts the same sampled graph with the
+    plain a<b three-way join."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    pairs = (
+        li.join(l2, (li["l_orderkey"] == l2["r_orderkey"])
+                & (li["l_suppkey"] < l2["r_suppkey"]))
+        .select(F.col("l_suppkey").alias("a"), F.col("r_suppkey").alias("b"))
+        .distinct()
+    )
+    pair_key = F.concat(
+        F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+    )
+    kept = pairs.where(hash_fraction(pair_key, "tri-v1:") < SAMPLE_P)
+    stats = triangle_stats(kept)
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.col("n_triangles") * 1000).alias("est_triangles"),
+        round_div(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+        ).alias("clustering"),
+    )

@@ -76,3 +76,23 @@ def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_heavy_hitter_tokens",
+    tags=("sketch", "approx", "frequency"),
+)
+def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter tokens over the document corpus: top-10
+    candidates with their merged lower-bound counts and the global
+    undercount bound (operators/freqsketch.py). k=48 exceeds the corpus
+    vocabulary, so the sketch sits in its graceful-exact regime (D=0,
+    counts exact) while still paying only k·#partitions shuffle rows; the
+    lossy regime (k below vocabulary — est ≤ true ≤ est+D, completeness
+    above D) is pinned in tests/test_sketches.py. Rows-only: estimates
+    under decrement pressure depend on partition boundaries, so no SQL
+    oracle reproduces them."""
+    from ..operators.freqsketch import heavy_hitter_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(docs, "text", k=48, topn=10)

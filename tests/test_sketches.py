@@ -59,3 +59,50 @@ def test_approx_percentile_rank_error(spark):
             lo, hi = bisect.bisect_left(vals, got), bisect.bisect_right(vals, got)
             target = q * n
             assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (etype, q, got)
+
+
+def _exact_token_counts(spark):
+    import re
+    from collections import Counter
+
+    pat = re.compile(r"[a-z0-9']+")
+    c = Counter()
+    for r in table(spark, SF_DIR, "documents").select("text").collect():
+        if r.text:
+            c.update(pat.findall(r.text.lower()))
+    return c
+
+
+def test_misra_gries_sandwich_bound(spark):
+    from fest_vibes_ai_etl_spark.operators.freqsketch import (
+        heavy_hitter_candidates,
+        token_mg_summaries,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    true = _exact_token_counts(spark)
+    cands = heavy_hitter_candidates(token_mg_summaries(docs, "text", k=8)).collect()
+    assert cands, "sketch produced no candidates"
+    D = cands[0].max_undercount
+    assert D > 0, "k=8 over a 31-word vocabulary must trigger decrements"
+    for r in cands:
+        assert r.est_count <= true[r.item] <= r.est_count + D, (r.item, r.est_count, true[r.item], D)
+    # Completeness: any token the sketch dropped has true count <= D.
+    kept = {r.item for r in cands}
+    for tok, n in true.items():
+        if tok not in kept:
+            assert n <= D, (tok, n, D)
+
+
+def test_misra_gries_exact_when_k_exceeds_vocab(spark):
+    from fest_vibes_ai_etl_spark.operators.freqsketch import (
+        heavy_hitter_candidates,
+        token_mg_summaries,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    true = _exact_token_counts(spark)
+    cands = heavy_hitter_candidates(token_mg_summaries(docs, "text", k=64)).collect()
+    assert cands[0].max_undercount == 0
+    got = {r.item: r.est_count for r in cands}
+    assert got == dict(true)

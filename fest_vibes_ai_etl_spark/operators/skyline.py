@@ -39,7 +39,12 @@ def pareto_frontier_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame
     w_in = Window.partitionBy("_pid").orderBy(x).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    with_prev = parts.withColumn("_prev_in_part", F.max("_gmax").over(w_in))
+    # Feeds both the offsets aggregate and the bounds join — Catalyst does
+    # not CSE shared subtrees across join sides, so persist the (distinct-x
+    # sized, small) table rather than re-running the groupBy from the scan.
+    with_prev = parts.withColumn(
+        "_prev_in_part", F.max("_gmax").over(w_in)
+    ).persist()
 
     # Exclusive prefix max across partitions: #partitions rows, broadcast.
     w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -99,3 +99,32 @@ def test_zorder_key_is_pure_expression(spark):
     plan = _plan(q(spark, SF_DIR))
     assert "Python" not in plan  # bitwise column expr only, codegen-eligible
     assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+
+def test_skyline_no_cartesian_offsets_broadcast(spark):
+    q = catalog.queries()["pareto_frontier_parts"]
+    plan = _plan(q(spark, SF_DIR))
+    # linear sweep: no nested-loop dominance check anywhere, and the
+    # per-partition prefix-max offsets join back as a broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # both prefix-max consumers must read the persisted distinct-x table
+    # (explain prints the cached lineage's FileScan, so count cache scans)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_er_pairs_join_on_block_key(spark):
+    q = catalog.queries()["er_blocked_fuzzy_pairs"]
+    plan = _plan(q(spark, SF_DIR))
+    # candidate generation must be an equi-join on the blocking key, never
+    # a cartesian with a levenshtein residual
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_triangle_wedge_join_no_cartesian(spark):
+    q = catalog.queries()["graph_triangle_census"]
+    plan = _plan(q(spark, SF_DIR))
+    # wedge build + closure probe are pair-keyed hash joins; the only
+    # cross joins are the three 1-row summary combines
+    assert plan.count("CartesianProduct") == 0

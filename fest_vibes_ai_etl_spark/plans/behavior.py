@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 from ..functions.rounding import round_div
 from ..sources import table
 from .catalog import register
@@ -46,7 +48,7 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     seq = ev.select(
-        "user_id", "value", "event_id", F.unix_micros("ts").alias("t")
+        "user_id", "value", "event_id", epoch_us("ts").alias("t")
     ).withColumn("t_next", F.lead("t").over(w))
     seg = seq.filter(F.col("t_next").isNotNull()).select(
         "user_id", "value", (F.col("t_next") - F.col("t")).alias("dt")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 from ..operators import quality
 from ..sources import table
 from .catalog import register
@@ -150,7 +152,7 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
             "n_events",
         )
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 from ..functions.rounding import round_div
 from ..operators.skyline import pareto_frontier_2d
 from ..sources import table
@@ -29,8 +31,8 @@ from .catalog import register
     oracle="""
     SELECT a.p_brand,
            COUNT(*) AS n_fuzzy_pairs,
-           SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
-                    THEN 1 ELSE 0 END) AS n_exact_pairs
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pairs
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
@@ -129,7 +131,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — the two-key tiebreak behavior.py uses for the NANOS
     timestamps."""
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("t")
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("t")
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(

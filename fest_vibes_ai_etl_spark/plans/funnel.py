@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 from ..functions.rounding import round_div
 from ..sources import table
 from .catalog import register
@@ -59,7 +61,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier, so the expensive side is always the first scan (which AQE
     reuses partitioning for)."""
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("t")
+        "user_id", "event_type", epoch_us("ts").alias("t")
     )
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -123,7 +125,7 @@ def events_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     xy = ev.select(
         "user_id",
-        ((F.unix_micros("ts") - F.lit(EPOCH_2024_US)) / F.lit(86400000000.0)).alias("x"),
+        ((epoch_us("ts") - F.lit(EPOCH_2024_US)) / F.lit(86400000000.0)).alias("x"),
         F.col("value").alias("y"),
     )
     return xy.groupBy("user_id").agg(

@@ -145,7 +145,13 @@ _LISTING_HTML = """
     "tests/test_htmlparse.py against the reference's own parse fixture.",
 )
 def extractor_parse_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from ..operators.htmlparse import parse_listing_html
 
     pages = spark.createDataFrame([(_LISTING_HTML, "2025-03-01")], "html string, d string")
-    return parse_listing_html(pages, "html", "d").orderBy("wwoz_event_href")
+    parsed = parse_listing_html(pages, "html", "d")
+    # The driver's rows-only canonicalizer sorts a pandas frame, which dies on
+    # raw array cells (unhashable list) — serialize the array column to JSON
+    # in the *catalog projection only*; the operator keeps its typed schema.
+    return parsed.withColumn("genres", F.to_json("genres")).orderBy("wwoz_event_href")

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 from ..functions.rounding import round_div
 from ..sources import table
 from .catalog import register
@@ -54,7 +56,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     # unix_micros, not cast-to-long: the cast truncates to whole seconds and
     # mis-flags gaps that straddle the 30-min boundary at sub-second offsets
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    gap_us = epoch_us(F.col("ts")) - epoch_us(prev)
     new_session = F.when(prev.isNull() | (gap_us > GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)

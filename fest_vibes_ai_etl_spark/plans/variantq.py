@@ -23,7 +23,7 @@ from .catalog import register
     SELECT event_type AS vtype,
            COUNT(*) AS n,
            ROUND(AVG(ROUND(value, 2)) + 0.00000001, 4) AS avg_val,
-           SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE ROUND(value, 2) > 50.0
     GROUP BY event_type

@@ -38,13 +38,33 @@ _BUILD_CONFS = {
 }
 
 
+# Confs that could not be set on an externally-provided session, keyed by
+# conf name → error string. Inspected by tests and surfaced via warnings so a
+# silent conf failure can't mask a semantic divergence again (the round-1
+# TIMESTAMP_NTZ bug shipped precisely because this dict didn't exist).
+CONF_FAILURES: dict[str, str] = {}
+
+
 def configure(spark: SparkSession) -> SparkSession:
-    """Assert runtime-settable confs on an existing session (driver-provided)."""
+    """Assert runtime-settable confs on an existing session (driver-provided).
+
+    Failures are recorded in :data:`CONF_FAILURES` and warned once rather than
+    swallowed; callers that depend on a conf (e.g. UTC session TZ for
+    NTZ-cast identity) can check it, and sources fall back to dtype
+    inspection instead of assuming the conf stuck (sources/tables.py)."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf not settable on this session build — defaults are fine
+        except Exception as exc:  # startup-only conf on a live session
+            if k not in CONF_FAILURES:
+                import warnings
+
+                CONF_FAILURES[k] = str(exc)
+                warnings.warn(
+                    f"could not set {k}={v} on provided SparkSession: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     _ship_package(spark)
     return spark
 

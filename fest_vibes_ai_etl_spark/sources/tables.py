@@ -27,19 +27,38 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to canonical ``TimestampType`` across
+    every physical form the testdata has shipped in:
+
+    - ``bigint``: parquet TIMESTAMP(NANOS) read via legacy.parquet.nanosAsLong
+      → integer-divide to µs (``div`` keeps long arithmetic; ``/`` would
+      round-trip through double and lose precision above 2^53).
+    - ``timestamp_ntz``: parquet ``timestamp[us]`` with isAdjustedToUTC=false
+      (Spark 4 reads it as TIMESTAMP_NTZ, on which ``unix_micros`` and
+      ``withWatermark`` both throw) → cast to TIMESTAMP. The session TZ is
+      pinned to UTC (session.configure), so the NTZ→LTZ cast is a value
+      identity and matches DuckDB's naive-timestamp oracle semantics.
+    - ``timestamp``: already canonical.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — filters/projections
     applied by callers reach the scan via Catalyst pushdown.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 has no native
-    type for; it is read as nanos-since-epoch (legacy.parquet.nanosAsLong)
-    and converted to a µs TimestampType with integer division (``div`` keeps
-    long arithmetic — ``/`` would round-trip through double and lose
-    precision above 2^53)."""
+    ``events.ts`` is normalized to canonical ``TimestampType`` regardless of
+    the parquet physical type (see :func:`normalize_event_ts`)."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
@@ -66,11 +85,19 @@ def events_time_range(
 
     configure(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") != "bigint":  # already µs timestamps
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":  # TIMESTAMP(NANOS): filter raw longs, then convert
         return raw.filter(
-            (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
-            & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
-        )
+            (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":  # filter in NTZ so the range pushes to the
+        # scan (comparing against a cast column would sit above a Project),
+        # then cast once — identity under the UTC session TZ.
+        return raw.filter(
+            (F.col("ts") >= F.lit(start_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_iso).cast("timestamp_ntz"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.filter(
-        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") < F.lit(ns(end_iso)))
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        (F.col("ts") >= F.lit(start_iso).cast("timestamp"))
+        & (F.col("ts") < F.lit(end_iso).cast("timestamp"))
+    )

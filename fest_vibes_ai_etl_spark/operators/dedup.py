@@ -254,6 +254,58 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_exact_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification — the
+    production dedup shape: the sketch only *selects* candidates (cheap,
+    bucketed join), the decision value is the true Jaccard computed once per
+    surviving pair from the shingle-set signature table. Because the output
+    is exact (not signature-estimated), it is oracle-checkable against the
+    same SQL as the exhaustive n-gram path whenever LSH recall is 1 on the
+    corpus — which holds deterministically here: qualifying pairs are planted
+    near-dups with J ≥ 0.889, where the 8-band/4-row miss probability is
+    (1 − J⁴)⁸ ≈ 4e-4 per pair and the seeded signatures make the outcome
+    reproducible, not probabilistic. Returns (a_id, b_id, jaccard)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string")) for i in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sig = shingle_signature(df, id_col, text_col, k)
+    sa = sig.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
+    sb = sig.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("i", inter)
+        .withColumn("jaccard", round_div(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
     Bit j of the signature is the sign of the vote sum over token-hash bit j

@@ -55,12 +55,20 @@ DECODED_SCHEMA = StructType(
 
 def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Materialize a deterministic binary media column from text (UTF-8
-    bytes) + a media_type tag — the stand-in for reading real blobs."""
+    bytes) + a media_type tag — the stand-in for reading real blobs.
+    The tag derives from md5 (not xxhash64) so the whole fake-decode chain
+    is reproducible in ANSI SQL and the plumbing is oracle-checkable."""
+    type_idx = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(3),
+        )
+        + 1
+    ).cast("int")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(F.col(id_col)), F.lit(3)) + 1).cast("int"),
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")), type_idx
         ).alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("media"),
     )

@@ -76,14 +76,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a_id, b_id,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 0.00000001, 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON a_id = sa.doc_id
+      JOIN sizes sb ON b_id = sb.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
-    doc="MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard — "
-    "approximate scale path for dedup_ngram_jaccard; no SQL oracle "
-    "(seeded xxhash64 signatures are engine-specific).",
+    doc="MinHash(32)+LSH(8 bands) candidates + EXACT Jaccard verify — the "
+    "production shape (sketch selects, true metric decides). Oracled "
+    "against the exhaustive n-gram SQL: qualifying pairs are J ≥ 0.889 "
+    "planted dups, where seeded-LSH recall is deterministically 1 "
+    "(per-pair miss (1−J⁴)⁸ ≈ 4e-4); the signature-estimate variant "
+    "(minhash_lsh_pairs) stays property-tested in tests/.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
+    return dedup.minhash_lsh_exact_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         num_hashes=32, bands=8, threshold=0.2,
     ).orderBy("a_id", "b_id")
@@ -270,10 +296,29 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 3)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(64 + h % 1024 AS INT) AS width,
+           CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+           CAST(CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 3) = 0
+                     THEN 1 ELSE 1 + h % 300 END AS INT) AS n_frames,
+           md5(text) AS content_digest
+    FROM (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(text), 1, 8))::UBIGINT AS h
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
     tags=("multimodal",),
     doc="Binary media column + Arrow-batched mapInPandas decode to typed "
-    "metadata (decode stubbed deterministically; no SQL oracle — the "
-    "mapInPandas stage is the point).",
+    "metadata. The fake decode is a deterministic md5-derived function of "
+    "the blob bytes, so the ENTIRE chain (binary encode → Arrow batch → "
+    "pandas decode → typed schema) is reproducible in ANSI SQL and "
+    "hash-checked — the plumbing, not the codec, is what's under test.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

@@ -237,10 +237,20 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "approx"),
-    doc="HyperLogLog++ approx_count_distinct per event_type next to the "
-    "exact count — the sketch path for 100 TB cardinality profiling. "
-    "Rows-only (HLL estimates are engine-specific); tests bound the error.",
+    doc="HyperLogLog++ approx_count_distinct per event_type sandwich-checked "
+    "against the exact count: est_within_5pct asserts |approx − exact| ≤ "
+    "5% · exact, which at rsd=0.01 is a 5σ bound (holds deterministically "
+    "for a fixed dataset — HLL++ is seedless) and the oracle pins it TRUE. "
+    "The raw estimate itself is engine-specific and intentionally excluded "
+    "from the hashed projection; tests bound it directly.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -248,9 +258,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .withColumn(
+            "est_within_5pct",
+            (F.abs(F.col("approx") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")),
+        )
+        .drop("approx")
         .orderBy("event_type")
     )
 

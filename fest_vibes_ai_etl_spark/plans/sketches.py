@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_div
 from ..sources import table
 from .catalog import register
 
@@ -36,6 +37,12 @@ def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
 
 @register(
     "sketch_hll_daily_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
     tags=("sketch", "approx", "hll"),
     bench=True,
 )
@@ -43,36 +50,83 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per day via DataSketches HLL (lgK=12 ⇒ <1% typical
     error). Map-side partial sketches mean the shuffle carries one sketch
     per (partition, day) — constant bytes per group no matter how many
-    events or users, which is the whole point at 100 TB."""
+    events or users, which is the whole point at 100 TB. Sandwich-oracled:
+    the sketch estimate must sit within 5% of the exact count (≈6σ at
+    lgK=12 — deterministic for fixed data, DataSketches HLL is seedless);
+    the raw estimate is engine-specific and excluded from the projection."""
     events = table(spark, sf_dir, "events")
+    approx = daily_user_sketches(events).select(
+        "day", F.hll_sketch_estimate("user_sketch").alias("approx_users")
+    )
+    exact = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
     return (
-        daily_user_sketches(events)
-        .select("day", F.hll_sketch_estimate("user_sketch").alias("approx_users"))
+        approx.join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
         .orderBy("day")
     )
 
 
 @register(
     "sketch_quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5) + 0.000001, 2)  AS p50_exact,
+           ROUND(quantile_cont(value, 0.95) + 0.000001, 2) AS p95_exact,
+           TRUE AS p50_in_rank_band,
+           TRUE AS p95_in_rank_band
+    FROM events GROUP BY event_type
+    """,
     tags=("sketch", "approx", "quantile"),
 )
 def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p95/p99 of event value per event_type via approx_percentile —
+    """p50/p95 of event value per event_type via approx_percentile —
     bounded-memory quantiles with mergeable partial state (vs exact
-    percentile_disc, which needs a per-group sort). accuracy=10000 keeps
-    rank error ≤ 1/10000."""
-    events = table(spark, sf_dir, "events")
-    pct = F.approx_percentile(
-        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+    percentile, which needs a per-group sort). accuracy=10000 keeps rank
+    error ≤ 1/10000. Sandwich-oracled: the sketch value must land between
+    the exact quantiles at q∓0.002 (20× the rank-error bound — holds
+    deterministically, the Greenwald-Khanna-style summary is seedless),
+    pinned TRUE by the oracle next to the exact p50/p95 values themselves."""
+    from pyspark.sql.functions import broadcast
+
+    events = table(spark, sf_dir, "events").select("event_type", "value")
+    approx = events.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("a")
     )
+    # Rank-band check — the actual GK guarantee is on RANK, not value: the
+    # estimate is a data point whose rank is within ε·n of q·n. Verify by
+    # re-ranking the estimate against the group (one broadcast join + one
+    # conditional-count agg): fraction(v < est) ≤ q+band AND
+    # fraction(v ≤ est) ≥ q−band, band = 0.01 ≫ ε = 1e-4.
+    j = events.join(broadcast(approx), "event_type")
+    n = F.count(F.lit(1))
+
+    def in_band(idx: int, q: float, band: float = 0.01):
+        a = F.col("a")[idx]
+        below = F.sum(F.when(F.col("value") < a, 1).otherwise(0))
+        at_or_below = F.sum(F.when(F.col("value") <= a, 1).otherwise(0))
+        return (below / n <= q + band) & (at_or_below / n >= q - band)
+
+    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
     return (
-        events.groupBy("event_type")
-        .agg(pct.alias("p"))
-        .select(
-            "event_type",
-            F.col("p")[0].alias("p50"),
-            F.col("p")[1].alias("p95"),
-            F.col("p")[2].alias("p99"),
+        j.groupBy("event_type")
+        .agg(
+            round_div(exact[0], 2).alias("p50_exact"),
+            round_div(exact[1], 2).alias("p95_exact"),
+            in_band(0, 0.5).alias("p50_in_rank_band"),
+            in_band(1, 0.95).alias("p95_in_rank_band"),
         )
         .orderBy("event_type")
     )
@@ -80,6 +134,17 @@ def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS item
+      FROM documents
+    ),
+    counts AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS est_count FROM toks GROUP BY item
+    )
+    SELECT item, est_count, CAST(0 AS BIGINT) AS max_undercount
+    FROM counts ORDER BY est_count DESC, item LIMIT 10
+    """,
     tags=("sketch", "approx", "frequency"),
 )
 def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,9 +154,10 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, so the sketch sits in its graceful-exact regime (D=0,
     counts exact) while still paying only k·#partitions shuffle rows; the
     lossy regime (k below vocabulary — est ≤ true ≤ est+D, completeness
-    above D) is pinned in tests/test_sketches.py. Rows-only: estimates
-    under decrement pressure depend on partition boundaries, so no SQL
-    oracle reproduces them."""
+    above D) is pinned in tests/test_sketches.py. Because D=0 here the
+    merged counts are EXACT and the plain token-count SQL is a valid
+    oracle; under decrement pressure (k < vocab) estimates depend on
+    partition boundaries and only the bound-style check would apply."""
     from ..operators.freqsketch import heavy_hitter_tokens
 
     docs = table(spark, sf_dir, "documents")

@@ -14,9 +14,15 @@ from fest_vibes_ai_etl_spark.sources import table
 
 
 def test_hll_daily_estimate_within_bounds(spark):
-    qs = catalog.queries()
-    approx = {r.day: r.approx_users for r in qs["sketch_hll_daily_users"](spark, SF_DIR).collect()}
+    # raw estimate bound (the catalog query folds this into est_within_5pct;
+    # here the actual numeric estimate is checked against the exact count)
     events = table(spark, SF_DIR, "events")
+    approx = {
+        r.day: r.approx_users
+        for r in daily_user_sketches(events)
+        .select("day", F.hll_sketch_estimate("user_sketch").alias("approx_users"))
+        .collect()
+    }
     exact = {
         r.day: r.n
         for r in events.groupBy(F.to_date("ts").alias("day"))
@@ -26,6 +32,10 @@ def test_hll_daily_estimate_within_bounds(spark):
     assert set(approx) == set(exact)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
+    # and the catalog projection must report every day in-band
+    qs = catalog.queries()
+    rows = qs["sketch_hll_daily_users"](spark, SF_DIR).collect()
+    assert all(r.est_within_5pct for r in rows)
 
 
 def test_hll_sketches_merge_to_coarser_grain(spark):
@@ -44,10 +54,19 @@ def test_hll_sketches_merge_to_coarser_grain(spark):
 
 
 def test_approx_percentile_rank_error(spark):
-    qs = catalog.queries()
-    approx = {r.event_type: (r.p50, r.p95, r.p99)
-              for r in qs["sketch_quantiles_by_type"](spark, SF_DIR).collect()}
+    # raw rank-error bound on the estimates themselves (the catalog query
+    # folds the same check into p50/p95_in_rank_band booleans)
     events = table(spark, SF_DIR, "events")
+    approx = {
+        r.event_type: (r.p[0], r.p[1], r.p[2])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+            ).alias("p")
+        )
+        .collect()
+    }
     for etype, (p50, p95, p99) in approx.items():
         vals = sorted(
             r.value for r in events.filter(F.col("event_type") == etype).select("value").collect()
@@ -59,6 +78,9 @@ def test_approx_percentile_rank_error(spark):
             lo, hi = bisect.bisect_left(vals, got), bisect.bisect_right(vals, got)
             target = q * n
             assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (etype, q, got)
+    qs = catalog.queries()
+    rows = qs["sketch_quantiles_by_type"](spark, SF_DIR).collect()
+    assert all(r.p50_in_rank_band and r.p95_in_rank_band for r in rows)
 
 
 def _exact_token_counts(spark):

@@ -274,7 +274,13 @@ def minhash_lsh_exact_pairs(
     (1 − J⁴)⁸ ≈ 4e-4 per pair and the seeded signatures make the outcome
     reproducible, not probabilistic. Returns (a_id, b_id, jaccard)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # Both signature tables are read twice (each side of a self-join);
+    # persisted so the tokenize→shingle→hash scan runs once, same as the
+    # PPJoin path — at 100 TB these ARE the dedup index and would be staged
+    # to parquet rather than recomputed per side.
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -292,7 +298,7 @@ def minhash_lsh_exact_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sig = shingle_signature(df, id_col, text_col, k)
+    sig = shingle_signature(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sig.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
     sb = sig.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -306,19 +312,32 @@ def minhash_lsh_exact_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+def md5_token_hash60(t):
+    """60-bit token hash from the first 15 md5 hex chars — fits the signed
+    positive range of BIGINT in BOTH Spark and DuckDB, making SimHash built
+    on it reproducible in ANSI SQL (xxhash64 is Spark-only)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 64, token_hash=None
+) -> DataFrame:
+    """(id, simhash: bigint) — ``nbits``-bit SimHash over whitespace tokens.
     Bit j of the signature is the sign of the vote sum over token-hash bit j
     (token multiplicity counts). Map-side only: token hashes are one array
     transform; each bit's vote is 2·|set bits| − |tokens| via a filter-size,
-    so no token rows are ever exploded or shuffled."""
+    so no token rows are ever exploded or shuffled. Default token hash is
+    xxhash64 (fastest, engine-specific); pass ``md5_token_hash60`` with
+    nbits=60 for the SQL-reproducible variant."""
+    if token_hash is None:
+        token_hash = F.xxhash64
     hashes = df.select(
         F.col(id_col).alias("id"),
-        F.transform(T.tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(T.tokens(F.col(text_col)), lambda t: token_hash(t)).alias("hs"),
     ).filter(F.size("hs") > 0)
     n = F.size("hs")
     sig = None
-    for j in range(64):
+    for j in range(nbits):
         set_bits = F.size(
             F.filter("hs", lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
         )
@@ -330,19 +349,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    nbits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming`` (< 16-bit
-    chunk count), using 4-chunk pigeonhole bucketing so the candidate join is
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming`` (< chunk
+    count), using 4-chunk pigeonhole bucketing so the candidate join is
     equi- not cross-."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    cw = nbits // 4  # chunk width; hamming ≤ 3 < 4 chunks ⇒ one chunk equal
+    mask = (1 << cw) - 1
+    sigs = simhash_signatures(df, id_col, text_col, nbits=nbits, token_hash=token_hash)
     chunked = sigs.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask))
                     for c in range(4)
                 ]
             )

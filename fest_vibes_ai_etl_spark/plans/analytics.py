@@ -117,13 +117,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN 2 * SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END)
+                       > COUNT(*) THEN 1 ELSE 0 END AS v
+      FROM th, (SELECT UNNEST(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(SUM(v * (CAST(1 AS BIGINT) << bit)) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY a_id, b_id
+    """,
     tags=("dedup", "simhash"),
-    doc="SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk pigeonhole "
-    "bucketing; no SQL oracle (xxhash64 token hashes are engine-specific).",
+    doc="SimHash-60 near-dup pairs (hamming ≤ 3) via 15-bit chunk pigeonhole "
+    "bucketing. Token hashes are md5-derived (60 bits = 15 hex chars, "
+    "signed-positive in both engines) so the per-bit vote, the packed "
+    "signature and the hamming filter are all reproducible in ANSI SQL — "
+    "the exhaustive pair scan is the oracle, the chunk-bucketed equi-join "
+    "is the scale path. The xxhash64-64-bit variant (fastest) remains the "
+    "operator default, property-tested in tests/.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3,
+        nbits=60, token_hash=dedup.md5_token_hash60,
     ).orderBy("a_id", "b_id")
 
 

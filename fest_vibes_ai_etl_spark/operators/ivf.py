@@ -159,10 +159,25 @@ def _warehouse_root() -> str:
 
 
 def index_path(sf_dir: str, k: int, seed: int, max_iter: int, fit_sample: int) -> str:
+    """Keyed by (sf basename, params, SOURCE FINGERPRINT): the fingerprint
+    folds in the embeddings parquet's size+mtime so a regenerated dataset
+    can never silently serve a stale index — it simply keys a fresh build."""
+    import hashlib
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    return os.path.join(_warehouse_root(), f"{tag}_k{k}_s{seed}_i{max_iter}_f{fit_sample}")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = ""
+    try:
+        st = os.stat(src)
+        stamp = "_" + hashlib.sha1(
+            f"{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()[:10]
+    except OSError:
+        pass
+    return os.path.join(
+        _warehouse_root(), f"{tag}_k{k}_s{seed}_i{max_iter}_f{fit_sample}{stamp}"
+    )
 
 
 def load_or_build_index(
@@ -199,7 +214,12 @@ def load_or_build_index(
         corpus, id_col=id_col, vec_col=vec_col, k=k, seed=seed,
         max_iter=max_iter, fit_sample=fit_sample,
     )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(assigned_dir)
+    # repartition by cell before the partitioned write: one tidy file per
+    # cell instead of (shuffle.partitions × cells) shards — at 100 TB the
+    # small-file explosion, not the write itself, is what kills the probe.
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(assigned_dir)
     os.makedirs(path, exist_ok=True)
     tmp = centers_file + ".tmp"
     with open(tmp, "w") as fh:

@@ -1,0 +1,157 @@
+"""Incremental NEAR-dup dedup against everything ever ingested.
+
+The training-corpus upgrade of ``incremental_dedup``: new documents are
+dropped not only when byte-identical to history but when their n-gram
+Jaccard similarity to ANY stored document reaches the threshold — the
+cross-batch version of ``dedup.minhash_lsh_exact_pairs`` (sketch selects,
+true metric decides).
+
+State = the corpus itself. Each stored row carries its MinHash signature
+(``sig``, num_hashes longs) and its shingle-set signature (``sh`` sorted
+hashes + ``n``), so probing history is:
+
+  batch bands  ⋈  history bands (derived from stored sig — equi join)
+      → candidate (batch_id, hist_id) pairs
+      → exact Jaccard from the two shingle arrays
+      → drop batch docs with J ≥ threshold
+
+No second state store to race with the data write, so replay is convergent
+by construction: a replayed batch finds its own rows in history at J = 1
+and appends nothing.
+
+At 100 TB the history probe reads only (doc_id, sig) — parquet column
+pruning keeps the wide text/shingle columns untouched until the (small)
+verify join — and the corpus would be written bucketed by band hash so the
+candidate join is bucket-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_signatures(df: DataFrame, id_col: str, text_col: str,
+                     k: int, num_hashes: int) -> DataFrame:
+    """Attach (fp, sig, sh, n) to every row. Docs too short to shingle
+    (< k tokens) carry empty sig/sh and fall back to exact-only dedup."""
+    from ..operators.dedup import minhash_signatures, shingle_signature
+
+    base = df.withColumn("fp", F.md5(F.col(text_col).cast("binary")))
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).withColumnRenamed(
+        "id", id_col
+    )
+    sh = shingle_signature(df, id_col, text_col, k).withColumnRenamed("id", id_col)
+    return (
+        base.join(sigs, id_col, "left")
+        .join(sh, id_col, "left")
+        .withColumn("sig", F.coalesce("sig", F.array().cast("array<bigint>")))
+        .withColumn("sh", F.coalesce("sh", F.array().cast("array<bigint>")))
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+
+
+def _band_hashes(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    rows = num_hashes // bands
+    return sig_df.filter(F.size("sig") > 0).select(
+        F.col(id_col).alias("bid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def _near_dup_ids(
+    probe: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    self_pairs_ordered: bool,
+) -> DataFrame:
+    """ids of ``probe`` rows whose exact Jaccard vs some ``target`` row is
+    ≥ threshold. When probe IS target (``self_pairs_ordered``), only pairs
+    a<b count, so the lowest id of each dup group survives."""
+    pb = _band_hashes(probe, id_col, num_hashes, bands)
+    tb = _band_hashes(target, id_col, num_hashes, bands)
+    cond = (pb["band"] == tb["band"]) & (pb["band_hash"] == tb["band_hash"])
+    if self_pairs_ordered:
+        cond = cond & (tb["bid"] < pb["bid"])
+    cand = (
+        pb.join(tb, cond)
+        .select(pb["bid"].alias("p_id"), tb["bid"].alias("t_id"))
+        .dropDuplicates(["p_id", "t_id"])
+    )
+    ps = probe.select(F.col(id_col).alias("p_id"), F.col("sh").alias("sh_p"), F.col("n").alias("n_p"))
+    ts = target.select(F.col(id_col).alias("t_id"), F.col("sh").alias("sh_t"), F.col("n").alias("n_t"))
+    inter = F.size(F.array_intersect("sh_p", "sh_t"))
+    return (
+        cand.join(ps, "p_id")
+        .join(ts, "t_id")
+        .withColumn("i", inter)
+        .filter(F.col("i") / (F.col("n_p") + F.col("n_t") - F.col("i")) >= threshold)
+        .select(F.col("p_id").alias(id_col))
+        .distinct()
+    )
+
+
+def start_incremental_near_dedup(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    available_now: bool = True,
+):
+    """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
+    that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
+    previously stored row, carrying (fp, sig, sh, n) alongside the data."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = _with_signatures(
+            batch_df.dropDuplicates([id_col]), id_col, text_col, k, num_hashes
+        ).persist()
+        try:
+            hist = spark.read.parquet(corpus_dir).persist()
+            hist.count()
+        except Exception:  # first batch: no corpus yet
+            hist = None
+        # exact dedup (within batch, then vs history)
+        fresh = fresh.dropDuplicates(["fp"])
+        if hist is not None:
+            fresh = fresh.join(hist.select("fp"), "fp", "left_anti")
+        # near dedup WITHIN the batch: lowest id of each near-dup pair wins
+        batch_victims = _near_dup_ids(
+            fresh, fresh, id_col, num_hashes, bands, threshold, self_pairs_ordered=True
+        )
+        fresh = fresh.join(batch_victims, id_col, "left_anti")
+        # near dedup vs HISTORY
+        if hist is not None:
+            hist_victims = _near_dup_ids(
+                fresh, hist, id_col, num_hashes, bands, threshold,
+                self_pairs_ordered=False,
+            )
+            fresh = fresh.join(hist_victims, id_col, "left_anti")
+        fresh.write.mode("append").parquet(corpus_dir)
+        fresh.unpersist()
+        if hist is not None:
+            hist.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,69 @@
+"""Incremental NEAR-dup corpus dedup: cross-batch near-duplicate removal
+(MinHash-LSH candidates + exact Jaccard decision, history = corpus) and
+replay convergence."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.operators import dedup
+from fest_vibes_ai_etl_spark.sources import table
+from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+    start_incremental_near_dedup,
+)
+
+THRESHOLD = 0.2
+
+
+def _run(spark, src, corpus, ckpt):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_near_dedup(stream, corpus, ckpt, threshold=THRESHOLD)
+    q.awaitTermination(180)
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    # overlapping slices: exact dups across batches AND planted near-dups
+    # split across batch boundaries (the documents table contains pairs with
+    # J >= 0.889 — see dedup_ngram_jaccard)
+    docs.filter("doc_id < 200").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 150 AND doc_id < 350").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 300").coalesce(1).write.mode("append").parquet(src)
+
+    _run(spark, src, corpus, str(tmp_path / "ckpt1"))
+    stored = spark.read.parquet(corpus)
+    n0 = stored.count()
+
+    # invariant 1: no two stored docs are exact duplicates
+    assert stored.select("fp").distinct().count() == n0
+
+    # invariant 2: no two stored docs are near-duplicates — the exhaustive
+    # exact-Jaccard pair scan over the stored corpus must come up empty
+    leftover = dedup.ngram_jaccard_pairs(
+        stored, "doc_id", "text", k=3, threshold=THRESHOLD
+    ).count()
+    assert leftover == 0, f"{leftover} near-dup pairs survived"
+
+    # invariant 3: every original doc is represented — it survived, or some
+    # stored doc is its exact or near duplicate (no over-deletion): compare
+    # against the batch survivor count from the same operator family
+    batch_pairs = dedup.minhash_lsh_exact_pairs(
+        docs, "doc_id", "text", k=3, threshold=THRESHOLD
+    )
+    victims = {r.b_id for r in batch_pairs.collect()}
+    exact_groups = docs.count() - docs.select("text").distinct().count()
+    # stored size can differ from the batch greedy count only through
+    # transitive/group effects; it must sit between (unique texts - near
+    # pairs) and unique texts
+    n_unique = docs.select("text").distinct().count()
+    assert n0 <= n_unique
+    assert n0 >= n_unique - len(victims) - exact_groups
+
+    # replay under a fresh checkpoint appends nothing (convergent)
+    _run(spark, src, corpus, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(corpus).count() == n0

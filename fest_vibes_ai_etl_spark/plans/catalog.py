@@ -10,7 +10,14 @@ hashes, so:
 - floating-point aggregates are rounded identically on both sides;
 - emitted timestamps are truncated to seconds on both sides (the synthetic
   ``events.ts`` carries sub-microsecond nanos that Spark truncates to µs but
-  DuckDB preserves).
+  DuckDB preserves);
+- integer aggregates are width-pinned: DuckDB types SUM-of-integer as
+  HUGEINT (int128), which its pandas bridge renders as float64 and breaks
+  the value hash — every oracle SUM over an integer expression must be
+  ``CAST(SUM(...) AS BIGINT)``;
+- rows-only (no-oracle) queries must not emit raw array/map/struct columns:
+  the driver's canonicalizer sorts a pandas frame and dies on unhashable
+  cells — ``to_json`` them in the catalog projection.
 """
 
 from __future__ import annotations

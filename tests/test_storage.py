@@ -116,3 +116,17 @@ def test_compact_partitions(spark, tmp_path):
         F.count("*"), F.avg("id")
     ).collect()[0] == total_before
     assert {f.name for f in (tmp_path / "frag" / "p=1").iterdir()} == files_p1
+
+
+def test_ivf_probe_uses_dynamic_partition_pruning(spark):
+    """The persisted IVF index probe must read only the probed cells' files:
+    the cell-partitioned scan carries a dynamic-pruning subquery fed by the
+    per-query nprobe cell selection, and the query path contains no
+    toPandas/fit (load_or_build_index split)."""
+    from fest_vibes_ai_etl_spark.plans.catalog import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["ann_ivf_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "ivf_index" in plan  # scans the persisted artifact, not a re-fit

@@ -396,3 +396,26 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def choose_minhash_params(
+    jaccard_threshold: float,
+    target_miss: float = 1e-3,
+    rows_per_band: int = 4,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """(num_hashes, bands) such that a pair AT the Jaccard threshold is
+    missed with probability ≤ ``target_miss``: per-hash collision
+    probability IS the Jaccard similarity, so miss = (1 − J^r)^b. Fixing
+    r trades recall for candidate volume (smaller r = more candidates);
+    the bands count is solved from the target. The catalog's 32-hash /
+    8-band setting corresponds to the planted-dup regime (J ≥ 0.889),
+    where miss ≈ 4e-4."""
+    import math
+
+    band_p = jaccard_threshold**rows_per_band
+    if band_p >= 1.0:
+        return rows_per_band, 1
+    bands = math.ceil(math.log(target_miss) / math.log(1.0 - band_p))
+    bands = max(1, min(bands, max_hashes // rows_per_band))
+    return bands * rows_per_band, bands

@@ -169,3 +169,36 @@ def lsh_near_duplicate_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def rhp_collision_prob(cosine_threshold: float) -> float:
+    """Per-bit signature agreement probability for two vectors at the given
+    cosine: 1 − θ/π (Goemans-Williamson). The whole banded-LSH design rests
+    on this one number."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cosine_threshold))) / math.pi
+
+
+def choose_rhp_params(
+    cosine_threshold: float,
+    target_miss: float = 1e-6,
+    rows_per_band: int = 2,
+    max_bits: int = 512,
+) -> tuple[int, int]:
+    """(bits, bands) such that a pair AT the threshold is missed with
+    probability ≤ ``target_miss``: miss = (1 − p^r)^b with p the per-bit
+    collision probability. Fixing r (bucket granularity = 2^r per band)
+    and solving for b keeps candidate volume predictable; lower thresholds
+    need more bands, capped at ``max_bits`` total. The catalog's 0.45 /
+    bits=64 / bands=32 setting is exactly this function's output at
+    target_miss=3e-8 (and a strict superset of the 1e-6 answer, 52/26)."""
+    import math
+
+    p = rhp_collision_prob(cosine_threshold)
+    band_p = p**rows_per_band
+    if band_p >= 1.0:
+        return rows_per_band, 1
+    bands = math.ceil(math.log(target_miss) / math.log(1.0 - band_p))
+    bands = max(1, min(bands, max_bits // rows_per_band))
+    return bands * rows_per_band, bands

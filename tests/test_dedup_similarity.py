@@ -153,3 +153,44 @@ def test_ngram_jaccard_degree_cap_drops_stop_shingles(spark):
     # (1 shared of 11 union → jaccard 0.0909)
     uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.05)
     assert {(r.a_id, r.b_id) for r in uncapped.collect()} > {(1, 2)}
+
+
+def test_choose_rhp_params_recovers_catalog_setting():
+    from fest_vibes_ai_etl_spark.operators.similarity import (
+        choose_rhp_params,
+        rhp_collision_prob,
+    )
+
+    # Goemans-Williamson: p = 1 - theta/pi
+    assert abs(rhp_collision_prob(1.0) - 1.0) < 1e-12
+    assert abs(rhp_collision_prob(0.0) - 0.5) < 1e-12
+    assert abs(rhp_collision_prob(-1.0) - 0.0) < 1e-12
+    # the catalog's 0.45-threshold setting is the 3e-8-miss solution
+    assert choose_rhp_params(0.45, target_miss=3e-8) == (64, 32)
+    # tighter thresholds need fewer bands
+    b_low = choose_rhp_params(0.45, 1e-6)[1]
+    b_high = choose_rhp_params(0.95, 1e-6)[1]
+    assert b_high < b_low
+    # miss bound actually holds for the returned params
+    import math
+
+    for t in (0.45, 0.8, 0.95):
+        bits, bands = choose_rhp_params(t, 1e-6)
+        p = rhp_collision_prob(t)
+        miss = (1 - p ** (bits // bands)) ** bands
+        assert miss <= 1e-6 * (1 + 1e-9), (t, miss)
+
+
+def test_choose_minhash_params_recovers_catalog_setting():
+    from fest_vibes_ai_etl_spark.operators.dedup import choose_minhash_params
+
+    # planted-dup regime (J >= 0.889): the catalog's 32/8 setting
+    assert choose_minhash_params(0.889, target_miss=1e-3) == (32, 8)
+    # the bound holds for the returned params
+    for j in (0.6, 0.889):
+        nh, bands = choose_minhash_params(j, 1e-3)
+        miss = (1 - j ** (nh // bands)) ** bands
+        assert miss <= 1e-3 * (1 + 1e-9), (j, miss)
+    # low thresholds hit the hash cap rather than exploding
+    nh, bands = choose_minhash_params(0.2, 1e-3)
+    assert nh <= 256

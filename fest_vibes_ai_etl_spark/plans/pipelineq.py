@@ -155,3 +155,127 @@ def extractor_parse_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw array cells (unhashable list) — serialize the array column to JSON
     # in the *catalog projection only*; the operator keeps its typed schema.
     return parsed.withColumn("genres", F.to_json("genres")).orderBy("wwoz_event_href")
+
+
+@register(
+    "pipeline_gold_flat",
+    oracle="""
+    WITH bronze(a_name, a_desc, a_genres, a_href, a_site,
+                v_name, v_addr, e_date, e_href, e_desc,
+                e_genres, e_related, perf, scrape) AS (VALUES
+      ('Ellis Marsalis Quartet', 'lorum ipsum', ['Jazz','Blues'], '/artists/789', NULL,
+       'Snug Harbor', '626 Frenchmen St, New Orleans, LA 70116',
+       '2025-03-01', '/events/456', 'evening set',
+       ['Jazz'], ['Kermit Ruffins'],
+       TIMESTAMP '2025-03-01 20:00:00', TIMESTAMP '2025-02-28 12:00:00'),
+      ('Kermit Ruffins', 'lorum ipsum', ['Jazz'], '/artists/101', NULL,
+       'Snug Harbor', '626 Frenchmen St, New Orleans, LA 70116',
+       '2025-03-01', '/events/457', NULL,
+       [], [], TIMESTAMP '2025-03-01 21:30:00', TIMESTAMP '2025-02-28 12:00:00'),
+      ('Galactic', 'lorum ipsum', ['Funk'], '/artists/202', NULL,
+       'Tipitina''s Outdoor Stage', '501 Napoleon Ave, New Orleans, LA 70115',
+       '2025-03-01', '/events/458', 'funk night',
+       ['Funk'], [], TIMESTAMP '2025-03-01 19:00:00', TIMESTAMP '2025-02-28 12:00:00'),
+      ('Ellis Marsalis Quartet', 'lorum ipsum', ['Jazz','Blues','Soul'], '/artists/789', NULL,
+       'Snug Harbor', '626 Frenchmen St, New Orleans, LA 70116',
+       '2025-03-01', '/events/456', 'evening set (updated)',
+       ['Jazz','Soul'], [],
+       TIMESTAMP '2025-03-01 20:00:00', TIMESTAMP '2025-02-28 18:00:00'),
+      ('', 'lorum ipsum', [], NULL, NULL,
+       'Snug Harbor', '626 Frenchmen St, New Orleans, LA 70116',
+       '2025-03-01', '/events/900', NULL, [], [],
+       TIMESTAMP '2025-03-01 20:00:00', TIMESTAMP '2025-02-28 12:00:00'),
+      ('Trombone Shorty', 'lorum ipsum', ['Funk'], NULL, NULL,
+       'Snug Harbor', '626 Frenchmen St, New Orleans, LA 70116',
+       NULL, '/events/901', NULL, [], [],
+       TIMESTAMP '2025-03-01 20:00:00', TIMESTAMP '2025-02-28 12:00:00'),
+      ('Rebirth Brass Band', 'lorum ipsum', ['Brass'], '/artists/303', NULL,
+       'Maple Leaf Bar', '8316 Oak St, New Orleans, LA 70118',
+       '2025-03-02', '/events/459', NULL,
+       ['Brass'], [], TIMESTAMP '2025-03-02 22:00:00', TIMESTAMP '2025-02-28 12:00:00')
+    ),
+    valid AS (
+      SELECT * FROM bronze
+      WHERE trim(a_name) <> '' AND trim(v_name) <> ''
+        AND e_date IS NOT NULL AND trim(e_date) <> ''
+    ),
+    fact AS (  -- first-wins per event href: latest scrape
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY e_href ORDER BY scrape DESC, perf ASC) AS rn
+        FROM valid WHERE e_href IS NOT NULL
+      ) WHERE rn = 1 AND e_date = '2025-03-01'
+    ),
+    artist_win AS (  -- merged artist row: latest scrape wins per name
+      SELECT * FROM (
+        SELECT trim(a_name) AS name, a_desc, a_href, a_site, scrape,
+               ROW_NUMBER() OVER (
+                 PARTITION BY trim(a_name) ORDER BY scrape DESC, a_href ASC) AS rn
+        FROM valid
+      ) WHERE rn = 1
+    ),
+    a_genres AS (  -- union of genre arrays across ALL valid rows per artist
+      SELECT name, string_agg(g, ',' ORDER BY g) AS artist_genres FROM (
+        SELECT DISTINCT trim(a_name) AS name, trim(UNNEST(a_genres)) AS g FROM valid
+      ) WHERE g <> '' GROUP BY name
+    ),
+    e_genres AS (  -- per event href; empty event genres inherit artist genres (P5)
+      SELECT e_href, string_agg(g, ',' ORDER BY g) AS event_genres FROM (
+        SELECT DISTINCT e_href,
+               trim(UNNEST(CASE WHEN len(e_genres) > 0 THEN e_genres
+                                ELSE a_genres END)) AS g
+        FROM valid WHERE e_href IS NOT NULL
+      ) WHERE g <> '' GROUP BY e_href
+    ),
+    related AS (  -- distinct related edges, self-edges removed
+      SELECT name, string_agg(r, ',' ORDER BY r) AS related_artists FROM (
+        SELECT DISTINCT trim(a_name) AS name, trim(UNNEST(e_related)) AS r FROM valid
+      ) WHERE r <> '' AND r <> name GROUP BY name
+    )
+    SELECT f.e_href AS event_href,
+           trim(f.a_name) AS artist_name,
+           COALESCE(ag.artist_genres, '') AS artist_genres,
+           COALESCE(r.related_artists, '') AS related_artists,
+           trim(f.v_name) AS venue_name,
+           f.v_addr AS venue_address,
+           COALESCE(eg.event_genres, '') AS event_genres,
+           f.e_desc AS event_description,
+           strftime(f.perf, '%Y-%m-%d %H:%M:%S') AS performance_time,
+           CAST(CASE WHEN datediff('day', DATE '2025-03-01', CAST(f.e_date AS DATE)) < 0 THEN 604800
+                WHEN datediff('day', DATE '2025-03-01', CAST(f.e_date AS DATE)) = 0 THEN 3600
+                WHEN datediff('day', DATE '2025-03-01', CAST(f.e_date AS DATE)) <= 7 THEN 43200
+                ELSE 86400 END AS INT) AS ttl_seconds
+    FROM fact f
+    LEFT JOIN artist_win aw ON aw.name = trim(f.a_name)
+    LEFT JOIN a_genres ag ON ag.name = trim(f.a_name)
+    LEFT JOIN e_genres eg ON eg.e_href = f.e_href
+    LEFT JOIN related r ON r.name = trim(f.a_name)
+    ORDER BY event_href
+    """,
+    tags=("pipeline", "gold", "flagship"),
+    doc="The flagship §3.4 pipeline (validate → normalize → gold) with a "
+    "FLAT projection so the driver hash-checks it: the oracle re-derives "
+    "the same answer from the bronze fixture as a VALUES CTE in pure SQL — "
+    "first-wins-by-latest-scrape event identity, merged artist rows, "
+    "genre-union bridges with P5 propagation, self-edge-free related "
+    "artists, and TTL tiers — independently of the Spark implementation. "
+    "The nested-JSON cache payload variant stays rows-only "
+    "(pipeline_gold_event_documents); engine-specific surrogate ids are "
+    "deliberately excluded from the projection.",
+)
+def pipeline_gold_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bronze = bronze_fixture(spark)
+    silver = normalize.normalize(bronze)
+    g = gold.events_for_date(silver, "2025-03-01", ref_date="2025-03-01")
+    return g.select(
+        F.col("event_data.wwoz_event_href").alias("event_href"),
+        F.col("artist_data.name").alias("artist_name"),
+        F.array_join(F.col("artist_data.genres"), ",").alias("artist_genres"),
+        F.array_join(F.col("artist_data.related_artists"), ",").alias("related_artists"),
+        F.col("venue_data.name").alias("venue_name"),
+        F.col("venue_data.full_address").alias("venue_address"),
+        F.array_join(F.col("event_data.genres"), ",").alias("event_genres"),
+        F.col("event_data.description").alias("event_description"),
+        F.date_format("performance_time", "yyyy-MM-dd HH:mm:ss").alias("performance_time"),
+        F.col("ttl_seconds").cast("int").alias("ttl_seconds"),
+    ).orderBy("event_href")

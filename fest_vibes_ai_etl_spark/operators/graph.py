@@ -120,3 +120,33 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .crossJoin(n_tri)
     )
     return summary.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Level-synchronous BFS from ``sources`` (node) over directed
+    ``edges`` (src, dst): returns (node, dist) with the hop count of the
+    SHORTEST path, up to ``max_hops``.
+
+    Per level: one equi-join frontier⋈edges + distinct + anti-join against
+    everything already reached — the textbook distributed BFS. The frontier
+    and the visited set are localCheckpointed each level (lineage would
+    otherwise double per hop, same discipline as the connected-components
+    loop). The visited anti-join makes level h emit exactly the nodes whose
+    BFS distance IS h, so no MIN-reduction pass is needed at the end."""
+    dist = sources.select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(edges["dst"].alias("node"), F.lit(h).alias("dist"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

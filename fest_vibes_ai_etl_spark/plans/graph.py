@@ -189,3 +189,68 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
         ).alias("clustering"),
     )
+
+
+BFS_HOPS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, dist) AS (
+      SELECT CAST(2 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BFS_HOPS}
+    ),
+    d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           CAST(dist AS INT) AS dist
+    FROM d
+    ORDER BY dist, node
+    """,
+    tags=("graph", "iterative", "bfs"),
+    doc="Level-synchronous BFS shortest-hop distances from customer 1 over "
+    "the symmetrized customer–supplier graph, capped at 3 hops — the third "
+    "iterative graph algorithm next to PageRank and connected components. "
+    "The oracle is a recursive CTE whose UNION-dedup recursion computes the "
+    "same frontier expansion; MIN(dist) collapses any longer rediscoveries "
+    "the CTE admits that the Spark anti-join prunes eagerly.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_distances
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    src = spark.range(1).select(F.lit(2).cast("long").alias("node"))
+    d = bfs_distances(edges, src, max_hops=BFS_HOPS)
+    return d.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            (F.col("node") / 2).cast("long").cast("string"),
+        ).alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dist", "node")

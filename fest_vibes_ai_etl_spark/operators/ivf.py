@@ -131,12 +131,15 @@ def ivf_topk(
     cand = assigned.join(broadcast(q_cells), "cell_id").filter(
         F.col(id_col) != F.col("query_id")
     )
-    scored = cand.withColumn("cos6", F.round(V.cosine(F.col("qv"), F.col(vec_col)), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.col(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", F.col(id_col).alias("vec_id"), F.round("cos6", 4).alias("cosine"), "rk")
+    scored = cand.withColumn(
+        "cos6", F.round(V.cosine(F.col("qv"), F.col(vec_col)), 6)
+    ).select("query_id", F.col(id_col).alias("vec_id"), "cos6")
+    # map-side pruned ranking: only topk·|Q| rows per partition reach the
+    # shuffle, not the full probed-candidate set (operators/topk.py).
+    from .topk import topk_per_group
+
+    return topk_per_group(scored, ["query_id"], "cos6", "vec_id", topk).select(
+        "query_id", "vec_id", F.round("cos6", 4).alias("cosine"), "rk"
     )
 
 

@@ -19,7 +19,7 @@ HNSW; the scale-correct designs are:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -37,7 +37,14 @@ def topk_cosine(
     """Exact cosine top-k of ``corpus`` for each row of ``queries``.
     Returns (query_id, vec_id, cosine, rk). Deterministic tie-break on id;
     ranking is on a 6-decimal-rounded score so results are reproducible
-    across summation orders."""
+    across summation orders.
+
+    The corpus scan is embarrassingly parallel (queries broadcast, cosine
+    JVM-side); the final ranking goes through ``topk_per_group``'s map-side
+    prune, so only k·|Q| rows per input partition reach the ranking shuffle
+    — not the |corpus|·|Q| scored rows a bare window would move."""
+    from .topk import topk_per_group
+
     q = broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
@@ -46,17 +53,13 @@ def topk_cosine(
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos6", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "vec_id", "cos6")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("cos6", round_to).alias("cosine"),
-            "rk",
-        )
+    return topk_per_group(scored, ["query_id"], "cos6", "vec_id", k).select(
+        "query_id",
+        "vec_id",
+        F.round("cos6", round_to).alias("cosine"),
+        "rk",
     )
 
 

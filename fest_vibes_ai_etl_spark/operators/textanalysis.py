@@ -100,8 +100,6 @@ def tfidf_top_terms(
     aggregate for df, a window for the per-doc top-k. Ranking uses the
     ROUNDED score (4 dp, epsilon-nudged) with the term as tie-break so the
     ordering is reproducible bit-for-bit across engines and cluster sizes."""
-    from pyspark.sql import Window
-
     toks = df.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("tk"))
     tf = (
         toks.select("id", F.explode("tk").alias("term"))
@@ -123,12 +121,13 @@ def tfidf_top_terms(
             "score", round_div(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
         )
     )
-    w = Window.partitionBy("id").orderBy(F.desc("score"), "term")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("id", "term", "score", "rk")
-    )
+    # map-side-pruned ranking (operators/topk.py): per input partition only
+    # topk rows per doc reach the shuffle, identical result to the window.
+    from .topk import topk_per_group
+
+    return topk_per_group(
+        scored.select("id", "term", "score"), ["id"], "score", "term", topk
+    ).select("id", "term", "score", "rk")
 
 
 # deterministic, dialect-portable PII patterns (Java regex ≡ RE2 subset)

@@ -134,3 +134,57 @@ def events_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_div(F.regr_intercept("y", "x"), 4).alias("intercept"),
         round_div(F.corr("y", "x"), 4).alias("corr_vt"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value) + 0.00000001, 2) AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+    tags=("funnel", "attribution", "window"),
+    doc="Last-touch attribution: each purchase is credited to the user's "
+    "most recent preceding non-purchase event type (ignore-nulls "
+    "last_value over the user's event-time order; purchases with no "
+    "prior touch credit 'direct'), then revenue rolls up per channel. "
+    "One window shuffle on user_id + one aggregation — the standard "
+    "marketing-attribution pattern, event-time ordered so replays and "
+    "backfills credit identically.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = ev.withColumn("touch", touch)
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            round_div(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -147,3 +147,72 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("retained_users"))
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS freq,
+             SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT quantile_cont(freq, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med,
+             quantile_cont(epoch_us(last_ts), 0.5) AS r_med
+      FROM rfm
+    )
+    SELECT CASE WHEN epoch_us(last_ts) >= r_med THEN 'recent' ELSE 'stale' END
+             AS recency,
+           CASE WHEN freq >= f_med THEN 'high' ELSE 'low' END AS frequency,
+           CASE WHEN monetary >= m_med THEN 'high' ELSE 'low' END AS monetary,
+           COUNT(*) AS n_users,
+           ROUND(AVG(freq) + 0.00000001, 2) AS avg_events
+    FROM rfm, th
+    GROUP BY 1, 2, 3
+    ORDER BY recency, frequency, monetary
+    """,
+    tags=("behavior", "segmentation", "rfm"),
+    doc="RFM (recency/frequency/monetary) user segmentation via BROADCAST "
+    "MEDIAN THRESHOLDS: one per-user aggregate, one 1-row exact-percentile "
+    "aggregate broadcast back, one bucketing pass — no global ntile window "
+    "(which would single-reducer the user table to assign ranks). Spark's "
+    "exact `percentile` and DuckDB's quantile_cont interpolate identically, "
+    "so the segment boundaries — and therefore the hash — agree.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.max(epoch_us("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("monetary"),
+    )
+    th = rfm.agg(
+        F.percentile("freq", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+        F.percentile("last_us", F.lit(0.5)).alias("r_med"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        rfm.crossJoin(broadcast(th))
+        .select(
+            F.when(F.col("last_us") >= F.col("r_med"), "recent")
+            .otherwise("stale")
+            .alias("recency"),
+            F.when(F.col("freq") >= F.col("f_med"), "high").otherwise("low").alias("frequency"),
+            F.when(F.col("monetary") >= F.col("m_med"), "high").otherwise("low").alias("monetary"),
+            "freq",
+        )
+        .groupBy("recency", "frequency", "monetary")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            round_div(F.avg("freq"), 2).alias("avg_events"),
+        )
+        .orderBy("recency", "frequency", "monetary")
+    )

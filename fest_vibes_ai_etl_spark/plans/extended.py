@@ -388,3 +388,73 @@ def map_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped.select(
         "user_id", F.explode("m").alias("event_type", "scaled")
     )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM basket),
+    part_freq AS (
+      SELECT l_partkey, COUNT(*) AS pf FROM basket GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           ROUND(support * n.n_orders / (fa.pf * fb.pf) + 0.00000001, 4) AS lift
+    FROM pairs
+    JOIN part_freq fa ON part_a = fa.l_partkey
+    JOIN part_freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+    tags=("analytics", "basket", "selfjoin"),
+    doc="Market-basket pair mining: co-occurrence support and lift "
+    "(P(a,b)/(P(a)P(b))) for part pairs within an order. The self-join is "
+    "keyed on the basket id, so candidate pairs are Σ|basket|² — bounded "
+    "by basket size (≈4-7 lines/order), not corpus size; per-part "
+    "frequencies broadcast into the lift computation and the global "
+    "top-25 is a TakeOrdered, not a full sort.",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    basket = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pf = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pf"))
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    fa = pf.select(F.col("l_partkey").alias("part_a"), F.col("pf").alias("pf_a"))
+    fb = pf.select(F.col("l_partkey").alias("part_b"), F.col("pf").alias("pf_b"))
+    return (
+        pairs.join(broadcast(fa), "part_a")
+        .join(broadcast(fb), "part_b")
+        .crossJoin(broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            round_div(
+                F.col("support") * F.col("n_orders") / (F.col("pf_a") * F.col("pf_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(25)
+    )

@@ -419,9 +419,11 @@ def map_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Market-basket pair mining: co-occurrence support and lift "
     "(P(a,b)/(P(a)P(b))) for part pairs within an order. The self-join is "
     "keyed on the basket id, so candidate pairs are Σ|basket|² — bounded "
-    "by basket size (≈4-7 lines/order), not corpus size; per-part "
-    "frequencies broadcast into the lift computation and the global "
-    "top-25 is a TakeOrdered, not a full sort.",
+    "by basket size (≈4-7 lines/order), not corpus size; the part-"
+    "frequency joins are left to AQE (part cardinality scales with the "
+    "fact at 100 TB, so a hard broadcast hint would be wrong — AQE "
+    "broadcasts only when the built side is actually small) and the "
+    "global top-25 is a TakeOrdered, not a full sort.",
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -444,8 +446,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = pf.select(F.col("l_partkey").alias("part_a"), F.col("pf").alias("pf_a"))
     fb = pf.select(F.col("l_partkey").alias("part_b"), F.col("pf").alias("pf_b"))
     return (
-        pairs.join(broadcast(fa), "part_a")
-        .join(broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(broadcast(n))
         .select(
             "part_a",

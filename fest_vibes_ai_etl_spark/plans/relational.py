@@ -174,7 +174,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
@@ -244,7 +244,7 @@ def join_left_with_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
         .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -367,7 +367,7 @@ def q_order_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(items, orders.o_orderkey == items.l_orderkey)

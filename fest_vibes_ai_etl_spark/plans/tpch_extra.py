@@ -100,7 +100,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -176,7 +176,7 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             round_div(
                 100.0
@@ -209,13 +209,13 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly representable halves, so no cross-engine rounding hazard."""
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = table(spark, sf_dir, "lineitem")
-    brand_li = li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    brand_li = li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     part_avg = (
         brand_li.groupBy(F.col("l_partkey").alias("avg_pk"))
         .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
     )
     return (
-        brand_li.join(broadcast(part_avg), F.col("l_partkey") == F.col("avg_pk"))
+        brand_li.join(part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2))
@@ -257,9 +257,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(broadcast(big), "l_orderkey")
+        li.join(big, "l_orderkey")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
@@ -307,7 +307,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 35)
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

@@ -112,8 +112,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(eur_supp), li.l_suppkey == eur_supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(eur_supp, li.l_suppkey == eur_supp.s_suppkey)
         .select("p_partkey", "p_name", "l_extendedprice", "s_acctbal", "s_name", "n_name")
     )
     min_price = offers.groupBy(F.col("p_partkey").alias("mp_pk")).agg(
@@ -121,7 +121,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offers.join(
-            broadcast(min_price),
+            min_price,
             (offers.p_partkey == F.col("mp_pk"))
             & (offers.l_extendedprice == F.col("min_price")),
         )
@@ -184,12 +184,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
         .join(broadcast(region), F.col("c_rkey") == region.r_regionkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
         .agg(
@@ -234,8 +234,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -278,7 +278,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     part_value = (
-        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -426,7 +426,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -462,8 +462,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -500,7 +500,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     heavy = (
-        li.join(broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(red_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -512,7 +512,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(heavy, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
@@ -590,7 +590,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        sole_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -96,7 +96,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying part, the European supplier(s) offering its minimum price.
     The correlated MIN decorrelates into one per-part aggregate over the
     SAME filtered join — built once, aggregated, and joined back on
-    (partkey, price). Dims all broadcast; the fact is scanned once per side
+    (partkey, price). Bounded dims (nation/region) broadcast by hint; the
+    SF-scaling sides are left to AQE. The fact is scanned once per side
     of the join-back (the aggregate side is tiny)."""
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
@@ -162,7 +163,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8 shape: one supplier nation's share of PROMO revenue into the
     AMERICA market, per year — a 7-table join where every dimension
-    broadcasts and only the two fact joins (lineitem⋈orders on orderkey,
+    joins small-side (AQE decides; bounded dims by hint) and only the two
+    fact joins (lineitem⋈orders on orderkey,
     ⋈customer on custkey) shuffle. The share is a conditional-sum ratio in
     DECIMAL (numerator and denominator in one aggregate pass)."""
     li = table(spark, sf_dir, "lineitem")
@@ -223,7 +225,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9 shape: profit on 'red' product lines by supplier nation and
     order year (retailprice·qty·0.1 stands in for ps_supplycost — no
     partsupp table in the driver data). The LIKE filter prunes part before
-    its broadcast; only lineitem⋈orders shuffles."""
+    its small-side join (AQE-decided); only lineitem⋈orders shuffles."""
     part = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
@@ -450,7 +452,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q16 shape (lineitem as the part↔supplier association): distinct
     suppliers per part attribute combo, excluding a NOT IN supplier set —
-    the exclusion is a broadcast anti-join (the subquery is provably
+    the exclusion is a small-side anti-join (the subquery is provably
     non-null here, so NOT IN ≡ anti-join without the null trap)."""
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -491,7 +493,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20 shape: nested IN chains — suppliers in two nations who
     shipped >50 units of 'red…' parts in 1997. part IN-list → semi-join
     into lineitem, grouped HAVING → semi-join into supplier. Each IN level
-    becomes one broadcast semi-join; nothing scans twice."""
+    becomes one small-side semi-join (AQE-decided); nothing scans twice."""
     red_parts = table(spark, sf_dir, "part").filter(
         F.col("p_name").startswith("red")
     ).select("p_partkey")

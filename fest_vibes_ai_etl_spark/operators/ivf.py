@@ -229,3 +229,65 @@ def load_or_build_index(
         json.dump(centers, fh)
     os.replace(tmp, centers_file)
     return spark.read.parquet(assigned_dir), centers
+
+
+def assign_to_centers(vectors: DataFrame, centers: list[list[float]],
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign (id, vec) rows to the EXISTING coarse quantizer's cells — the
+    incremental index-add path (FAISS ``add`` without ``train``): vectors
+    are L2-normalized and argmax-assigned in one Arrow-batched pass against
+    the frozen centroid matrix. Returns (id, vec, cell_id)."""
+    norm = vectors.select(
+        F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Cm = np.asarray(centers, dtype=np.float64)
+        Xb = np.vstack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(Xb @ Cm.T, axis=1).astype("int32"))
+
+    return norm.select(
+        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cell_id")
+    )
+
+
+def start_incremental_index_add(
+    vectors: DataFrame,
+    index_dir: str,
+    centers: list[list[float]],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming index maintenance: each micro-batch of new vectors is
+    assigned to the frozen quantizer's cells and appended to the
+    cell-partitioned ``assigned`` table that ``ivf_topk`` probes — new
+    vectors become searchable at the next probe with NO index rebuild
+    (periodic re-train is a separate offline decision, exactly FAISS's
+    add-vs-train split). Already-present ids are dropped per batch by an
+    anti-join on the stored id column, so replays converge. The partitioned
+    append touches only the cells the batch lands in."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
+        try:
+            seen = spark.read.parquet(index_dir).select(id_col)
+            assigned = assigned.join(seen, id_col, "left_anti")
+        except Exception:
+            pass  # first batch: no index yet
+        assigned.repartition("cell_id").write.mode("append").partitionBy(
+            "cell_id"
+        ).parquet(index_dir)
+
+    writer = (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

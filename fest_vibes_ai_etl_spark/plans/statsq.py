@@ -213,3 +213,58 @@ def agg_geomean_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("o_orderkey").alias("n_orders"),
         F.round(geo("o_totalprice") + F.lit(0.000001), 2).alias("geo_price"),
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN 0.6745 * ABS(d.value - d.med) / NULLIF(m.mad, 0)
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(0.6745 * ABS(d.value - d.med) / NULLIF(m.mad, 0))
+                 + 0.00000001, 4) AS max_robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("stats", "outliers", "robust"),
+    doc="Robust outlier detection via the Median Absolute Deviation: "
+    "robust-z = 0.6745·|v − median| / MAD, flagged above 3.5 (the Iglewicz-"
+    "Hoaglin rule). Unlike the stddev z-score (events_value_outliers), the "
+    "breakdown point is 50% — a few extreme values cannot mask themselves "
+    "by inflating the scale estimate. Two per-group percentile aggregates "
+    "broadcast back through joins; both engines interpolate the median "
+    "identically so the flags and the max score hash-match.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    rz = 0.6745 * F.col("adev") / F.nullif(F.col("mad"), F.lit(0))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(rz > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            round_div(F.max(rz), 4).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )

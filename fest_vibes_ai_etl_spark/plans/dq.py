@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_div
 from ..functions.scalar import epoch_us
 
 from ..operators import quality
@@ -155,4 +156,67 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             epoch_us(F.col("w.start")).alias("session_start_us"),
             "n_events",
         )
+    )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT t.day::DATE AS day FROM bounds,
+             UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(day)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, ty.event_type,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           ROUND(AVG(COALESCE(d.n, 0)) OVER (
+             PARTITION BY ty.event_type ORDER BY s.day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 0.00000001, 2)
+             AS ma7
+    FROM spine s CROSS JOIN types ty
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = ty.event_type
+    ORDER BY ty.event_type, s.day
+    """,
+    tags=("dq", "gapfill", "timeseries"),
+    doc="Date-spine gap filling + 7-day moving average: the complete "
+    "(day × event_type) grid is generated with sequence/explode (a few "
+    "thousand rows even at decades of retention — the spine NEVER scales "
+    "with the fact), daily counts left-join onto it, and missing days "
+    "surface as explicit zeros so the moving average is computed over the "
+    "true calendar, not just observed days. The window partitions by type "
+    "over the tiny spine — no fact-sized window anywhere.",
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    grid = spine.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .withColumn("n", F.coalesce(F.col("n_raw"), F.lit(0)).cast("long"))
+        .withColumn("ma7", round_div(F.avg("n").over(w), 2))
+        .select("day", "event_type", "n", "ma7")
+        .orderBy("event_type", "day")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_div
+from ..functions.scalar import epoch_us
 from ..sources import table
 from .catalog import register
 
@@ -267,4 +268,111 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_div(F.max(rz), 4).alias("max_robust_z"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(CASE WHEN e.value > b.q3 THEN 3
+                     WHEN e.value > b.q2 THEN 2
+                     WHEN e.value > b.q1 THEN 1
+                     ELSE 0 END AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(e.value), 2) AS lo,
+           ROUND(MAX(e.value), 2) AS hi
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1, 2 ORDER BY e.event_type, bucket
+    """,
+    tags=("stats", "histogram", "equidepth"),
+    doc="Equi-depth (quartile) histogram per event type: exact interpolated "
+    "boundaries from one per-group percentile aggregate broadcast back, "
+    "then a single bucketing pass — the optimizer-statistics shape "
+    "(equi-depth beats equi-width under skew because every bucket carries "
+    "the same row weight). Boundary doubles interpolate identically in "
+    "both engines, so bucket assignment — and the hash — agree exactly.",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.5)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") > F.col("q3"), 3)
+        .when(F.col("value") > F.col("q2"), 2)
+        .when(F.col("value") > F.col("q1"), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        ev.join(broadcast(b), "event_type")
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "events_user_gap_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, quantile_cont(gap_us, 0.5) AS med_gap_us
+      FROM seq WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           ROUND(quantile_cont(med_gap_us, 0.5) / 3600e6 + 0.00000001, 3)
+             AS p50_median_gap_h,
+           ROUND(quantile_cont(med_gap_us, 0.9) / 3600e6 + 0.00000001, 3)
+             AS p90_median_gap_h
+    FROM per_user
+    """,
+    tags=("behavior", "gaps", "two-level-agg"),
+    doc="Inter-event cadence: per-user median gap between consecutive "
+    "events (lag window keyed on user), then the population p50/p90 of "
+    "those medians — the two-level aggregation that answers 'how often do "
+    "typical vs heavy users act'. The second level runs over one row per "
+    "user, so only the first window touches fact-sized data.",
+)
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "gap_us", epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    ).filter(F.col("gap_us").isNotNull())
+    per_user = seq.groupBy("user_id").agg(
+        F.percentile("gap_us", F.lit(0.5)).alias("med_gap_us")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        round_div(F.percentile("med_gap_us", F.lit(0.5)) / 3600e6, 3).alias(
+            "p50_median_gap_h"
+        ),
+        round_div(F.percentile("med_gap_us", F.lit(0.9)) / 3600e6, 3).alias(
+            "p90_median_gap_h"
+        ),
     )

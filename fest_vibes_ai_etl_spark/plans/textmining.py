@@ -196,3 +196,70 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training chunk generator as a declared 1⇒N map-side query."""
     docs = table(spark, sf_dir, "documents")
     return textanalysis.chunk_documents(docs, "doc_id", "text", size=20, stride=10)
+
+
+@register(
+    "text_charlm_scores",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, substr(t, i, 2) AS g
+      FROM norm, UNNEST(generate_series(1, strlen(t) - 1)) AS u(i)
+    ),
+    freq AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM freq
+    ),
+    scored AS (
+      SELECT gr.doc_id,
+             -log2((f.c + 1) / (tot.n + tot.v)) AS nll
+      FROM grams gr JOIN freq f ON gr.g = f.g CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nll) + 0.00000001, 4) AS avg_nll_bits
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "charlm"),
+    doc="Character-bigram language-model scoring — the cheap perplexity "
+    "proxy for corpus quality filtering: corpus-wide bigram frequencies "
+    "with add-one smoothing give each document its average negative "
+    "log2-likelihood per bigram (gibberish and boilerplate score high/low "
+    "vs the corpus register). Two passes: one explode→count for the model "
+    "(|V| rows shuffle — bounded by 27², never corpus-sized), one "
+    "join-back scoring pass. A real LM filter swaps the frequency table "
+    "for trained weights; the dataflow is identical.",
+)
+def text_charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z ]", " ").alias("t"),
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("double").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    from pyspark.sql.functions import broadcast
+
+    nll = -F.log2((F.col("c") + 1) / (F.col("n") + F.col("v")))
+    return (
+        grams.join(broadcast(freq), "g")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_div(F.avg("nll"), 4).alias("avg_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -188,3 +188,129 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, MIN(ts) AS first_purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)) / 3600e6
+               AS hours
+      FROM s JOIN p ON s.user_id = p.user_id
+      WHERE p.first_purchase_ts >= s.signup_ts
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5) + 0.00000001, 3) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9) + 0.00000001, 3) AS p90_hours,
+           ROUND(MAX(hours) + 0.00000001, 3) AS max_hours
+    FROM conv
+    """,
+    tags=("funnel", "conversion", "latency"),
+    doc="Time-to-convert: hours from first signup to first purchase per "
+    "user, summarized as population percentiles — two per-user MIN "
+    "aggregates joined on the user key (both shuffles carry one row per "
+    "user), then a percentile over the converted set. The standard "
+    "activation-latency metric next to the ordered funnel.",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("first_purchase_ts") >= F.col("signup_ts"))
+        .select(
+            ((epoch_us("first_purchase_ts") - epoch_us("signup_ts")) / 3600e6).alias(
+                "hours"
+            )
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        round_div(F.percentile("hours", F.lit(0.5)), 3).alias("p50_hours"),
+        round_div(F.percentile("hours", F.lit(0.9)), 3).alias("p90_hours"),
+        round_div(F.max("hours"), 3).alias("max_hours"),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, c.cohort_week,
+             CAST(datediff('day', c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+               AS week_offset,
+             e.value
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT cohort_week, week_offset, SUM(value) AS wk_rev
+      FROM rev GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           ROUND(SUM(wk_rev) OVER (
+             PARTITION BY cohort_week ORDER BY week_offset
+             ROWS UNBOUNDED PRECEDING) + 0.00000001, 2) AS cum_revenue
+    FROM wk ORDER BY cohort_week, week_offset
+    """,
+    tags=("behavior", "cohort", "ltv"),
+    doc="Cohort lifetime value: cumulative purchase revenue per signup-week "
+    "cohort by week offset. The fact joins the one-row-per-user cohort "
+    "table, aggregates to the (cohort × offset) grid — a few hundred rows "
+    "at ANY corpus size — and the cumulative window runs over that tiny "
+    "grid, never the fact.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "value",
+        )
+    )
+    wk = rev.groupBy("cohort_week", "week_offset").agg(F.sum("value").alias("wk_rev"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk.withColumn("cum_revenue", round_div(F.sum("wk_rev").over(w), 2))
+        .select("cohort_week", "week_offset", "cum_revenue")
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -33,6 +33,13 @@ VIRGIN_QUERIES = [
     "multimodal_decode_meta",
     "approx_distinct_users",
     "q1_pricing_summary",
+    # round-2 event-time additions — every one touches ts under default confs
+    "events_max_concurrency",
+    "events_attribution_last_touch",
+    "events_rfm_segments",
+    "events_daily_gapfill",
+    "events_user_gap_stats",
+    "events_time_to_convert",
 ]
 
 

@@ -155,6 +155,7 @@ def events_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY channel
     """,
     tags=("funnel", "attribution", "window"),
+    bench=True,
     doc="Last-touch attribution: each purchase is credited to the user's "
     "most recent preceding non-purchase event type (ignore-nulls "
     "last_value over the user's event-time order; purchases with no "

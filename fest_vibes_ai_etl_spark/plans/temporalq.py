@@ -98,6 +98,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily ORDER BY day
     """,
     tags=("temporal", "sweepline", "interval"),
+    bench=True,
     doc="Peak concurrency of 30-minute activity intervals per day via a "
     "SWEEP LINE: +1/-1 boundary events, a running sum ordered by time "
     "(ends before starts on ties — an interval closing exactly when "

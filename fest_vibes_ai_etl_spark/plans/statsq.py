@@ -376,3 +376,142 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_median_gap_h"
         ),
     )
+
+
+@register(
+    "supplier_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey AS nationkey, l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nationkey, SUM(r) AS t FROM rev GROUP BY nationkey)
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM((r / t) * (r / t)) + 0.00000001, 4) AS hhi
+    FROM rev JOIN tot USING (nationkey) JOIN nation ON nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nation
+    """,
+    tags=("stats", "concentration", "hhi"),
+    doc="Supplier revenue concentration per nation via the Herfindahl-"
+    "Hirschman index (sum of squared market shares; 1/n = perfectly even, "
+    "1.0 = monopoly). Aggregation-of-aggregation: per-supplier revenue, "
+    "per-nation totals joined back on the (tiny) nation key, one squared-"
+    "share sum — the supplier-grain intermediate is the only fact-derived "
+    "shuffle.",
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum("v").alias("r"))
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("r").alias("t"))
+    share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    return (
+        rev.join(tot, "nationkey")
+        .join(broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            round_div(F.sum(share2), 4).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "parts_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT r, SUM(r) OVER (ORDER BY r DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+               AS cum_r,
+             SUM(r) OVER () AS tot,
+             COUNT(*) OVER () AS n_parts
+      FROM rev
+    )
+    SELECT CAST(MIN(n_parts) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN cum_r - r < 0.8 * tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS parts_for_80pct,
+           ROUND(CAST(SUM(CASE WHEN cum_r - r < 0.8 * tot THEN 1 ELSE 0 END)
+                      AS DOUBLE) / MIN(n_parts) + 0.00000001, 4)
+             AS pareto_fraction
+    FROM ranked
+    """,
+    tags=("stats", "pareto", "abc"),
+    doc="Pareto/ABC analysis: how many parts carry 80% of revenue. The "
+    "cumulative share runs over the PER-PART aggregate (not the fact) with "
+    "the two-phase distributed prefix sum — range-partitioned sort on "
+    "revenue, per-partition cumsum, broadcast partition offsets — so even "
+    "a billion-part catalog never meets a single-reducer window. A part is "
+    "counted if the cumulative revenue BEFORE it is still under the 80% "
+    "line (the boundary part that crosses the line is included).",
+)
+def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("v").alias("r"))
+    # two-phase distributed prefix sum over revenue-descending order
+    sorted_rev = (
+        rev.repartitionByRange(F.desc("r"), F.asc("l_partkey"))
+        .sortWithinPartitions(F.desc("r"), F.asc("l_partkey"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = F.sum("r").over(
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("r"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = sorted_rev.withColumn("_local", local)
+    offsets = (
+        with_local.groupBy("_pid")
+        .agg(F.sum("r").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    totals = rev.agg(
+        F.sum("r").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    ranked = (
+        with_local.join(broadcast(offsets), "_pid")
+        .withColumn("cum_r", F.col("_local") + F.col("_offset"))
+        .crossJoin(broadcast(totals))
+    )
+    return ranked.agg(
+        F.min("n_parts").cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("cum_r") - F.col("r") < 0.8 * F.col("tot"), 1).otherwise(0))
+        .cast("long")
+        .alias("parts_for_80pct"),
+        round_div(
+            F.sum(
+                F.when(F.col("cum_r") - F.col("r") < 0.8 * F.col("tot"), 1).otherwise(0)
+            )
+            / F.min("n_parts"),
+            4,
+        ).alias("pareto_fraction"),
+    )

@@ -515,3 +515,164 @@ def parts_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pareto_fraction"),
     )
+
+
+@register(
+    "events_ab_test_analysis",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT a.variant,
+             COUNT(*) AS n,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS x
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.variant
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(x AS BIGINT) AS n_converted,
+           ROUND(CAST(x AS DOUBLE) / n + 0.00000001, 4) AS cr,
+           ROUND((x + 1.9208) / (n + 3.8416)
+                 - 1.96 * sqrt(x * (n - x) / CAST(n AS DOUBLE) + 0.9604) / (n + 3.8416)
+                 + 0.00000001, 4) AS wilson_lo,
+           ROUND((x + 1.9208) / (n + 3.8416)
+                 + 1.96 * sqrt(x * (n - x) / CAST(n AS DOUBLE) + 0.9604) / (n + 3.8416)
+                 + 0.00000001, 4) AS wilson_hi
+    FROM cells ORDER BY variant
+    """,
+    tags=("stats", "abtest", "experiment"),
+    doc="A/B experiment readout: users deterministically assigned by "
+    "user_id parity, conversion = any purchase, per-variant conversion "
+    "rate with the 95% WILSON score interval (z=1.96; well-behaved at "
+    "small n and extreme rates, unlike the normal approximation). One "
+    "distinct-users pass, one left-semi-style conversion join on the user "
+    "key, arithmetic identical in both engines.",
+)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().withColumn(
+        "variant", (F.col("user_id") % 2).cast("int")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("x"),
+        )
+    )
+    n, x = F.col("n"), F.col("x")
+    center = (x + 1.9208) / (n + 3.8416)
+    halfw = 1.96 * F.sqrt(x * (n - x) / n.cast("double") + 0.9604) / (n + 3.8416)
+    return cells.select(
+        "variant",
+        n.cast("long").alias("n_users"),
+        x.cast("long").alias("n_converted"),
+        round_div(x.cast("double") / n, 4).alias("cr"),
+        round_div(center - halfw, 4).alias("wilson_lo"),
+        round_div(center + halfw, 4).alias("wilson_hi"),
+    ).orderBy("variant")
+
+
+@register(
+    "events_ks_statistic",
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+    b AS (SELECT value FROM events WHERE event_type = 'view'),
+    na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b),
+    pts AS (
+      SELECT value, 1 AS is_a, 0 AS is_b FROM a
+      UNION ALL
+      SELECT value, 0, 1 FROM b
+    ),
+    ecdf AS (
+      SELECT value,
+             SUM(is_a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(is_b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+      FROM pts
+    )
+    SELECT ROUND(MAX(ABS(ca / na.n - cb / nb.n)) + 0.00000001, 4) AS ks_d,
+           CAST(MIN(na.n) AS BIGINT) AS n_a,
+           CAST(MIN(nb.n) AS BIGINT) AS n_b
+    FROM ecdf, na, nb
+    """,
+    tags=("stats", "ks", "distribution"),
+    doc="Two-sample Kolmogorov-Smirnov statistic between the click and "
+    "view value distributions: D = max |ECDF_a − ECDF_b|, evaluated at "
+    "every observed value via the union-tag running counts. The running "
+    "sums use the two-phase distributed prefix (range-partitioned sort, "
+    "local cumsum, broadcast offsets) — same pattern as the sweep line — "
+    "so the ECDF never funnels through one reducer. Max over within-tie "
+    "orderings is permutation-invariant at tie boundaries because D is "
+    "taken AFTER the full tie run on both engines' total orders.",
+)
+def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "view").select("value")
+    na = a.agg(F.count(F.lit(1)).cast("double").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+    pts = a.select("value", F.lit(1).alias("is_a"), F.lit(0).alias("is_b")).unionByName(
+        b.select("value", F.lit(0).alias("is_a"), F.lit(1).alias("is_b"))
+    )
+    srt = (
+        pts.repartitionByRange(F.col("value"), F.col("is_a"))
+        .sortWithinPartitions("value", "is_a")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy("value", "is_a").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_local = srt.withColumn("_la", F.sum("is_a").over(wloc)).withColumn(
+        "_lb", F.sum("is_b").over(wloc)
+    )
+    offs = (
+        with_local.groupBy("_pid")
+        .agg(F.sum("is_a").alias("_na"), F.sum("is_b").alias("_nb"))
+        .withColumn(
+            "_oa",
+            F.coalesce(
+                F.sum("_na").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_ob",
+            F.coalesce(
+                F.sum("_nb").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_oa", "_ob")
+    )
+    ecdf = (
+        with_local.join(broadcast(offs), "_pid")
+        .withColumn("ca", F.col("_la") + F.col("_oa"))
+        .withColumn("cb", F.col("_lb") + F.col("_ob"))
+        .crossJoin(broadcast(na))
+        .crossJoin(broadcast(nb))
+    )
+    return ecdf.agg(
+        round_div(F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))), 4).alias("ks_d"),
+        F.min("n_a").cast("long").alias("n_a"),
+        F.min("n_b").cast("long").alias("n_b"),
+    )

@@ -242,3 +242,46 @@ def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type)    OVER w AS nxt,
+             LEAD(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+           COUNT(*) AS n
+    FROM seq WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+    """,
+    tags=("behavior", "paths", "sequence"),
+    doc="Clickstream path mining: the 15 most frequent 3-step event-type "
+    "sequences across users — two LEADs over the user's event-time order "
+    "(one window shuffle on user_id), a concatenated path key, and a "
+    "TakeOrdered top-15. The generalization of the transition matrix from "
+    "bigrams to k-grams of behavior.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt").isNotNull() & F.col("nxt2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )

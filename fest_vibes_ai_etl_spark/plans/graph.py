@@ -254,3 +254,71 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("node"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("dist", "node")
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS n_directed_edges,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           ROUND(AVG(d) + 0.00000001, 4) AS avg_degree,
+           ROUND((SELECT corr(da.d, db.d)
+                  FROM edges e JOIN deg da ON e.src = da.node
+                               JOIN deg db ON e.dst = db.node)
+                 + 0.00000001, 4) AS assortativity
+    FROM deg
+    """,
+    tags=("graph", "degree", "stats"),
+    doc="Degree statistics + degree assortativity of the symmetrized "
+    "customer-supplier graph: assortativity is the Pearson correlation of "
+    "endpoint degrees over edges (negative = hubs link to leaves, the "
+    "typical bipartite-projection signature). One degree aggregate, two "
+    "joins of the edge list against it, one corr() — every intermediate is "
+    "node- or edge-sized, and corr's partial state is a constant-size "
+    "moment tuple, so the final aggregate is map-side combinable.",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    assort = (
+        edges.join(da, "src").join(db, "dst").agg(F.corr("da", "db").alias("c"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("n_directed_edges"),
+            F.max("d").cast("long").alias("max_degree"),
+            round_div(F.avg("d"), 4).alias("avg_degree"),
+        )
+        .crossJoin(broadcast(assort))
+        .withColumn("assortativity", round_div(F.col("c"), 4))
+        .drop("c")
+    )

@@ -138,11 +138,27 @@ _LISTING_HTML = """
 
 @register(
     "extractor_parse_listing",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2025-03-01', 'Preservation Hall', '/venues/456',
+       'Preservation Hall Jazz Band', '/events/101',
+       '["Traditional Jazz"]', '8:00pm'),
+      ('2025-03-01', 'Snug Harbor', '/venues/123',
+       'Ellis Marsalis Quartet', '/events/456', '["Jazz"]', '8:00pm'),
+      ('2025-03-01', 'Snug Harbor', '/venues/123',
+       'Kermit Ruffins', '/events/789', '["Jazz","Blues"]', '10:30pm')
+    ) AS t(event_date, venue_name, wwoz_venue_href, artist_name,
+           wwoz_event_href, genres, time_text)
+    ORDER BY wwoz_event_href
+    """,
     tags=("extractor", "parse", "udtf"),
     doc="P1-P5/U5: listing-HTML page rows → parsed event rows via "
     "mapInPandas (1 page ⇒ N events), time text extracted F1-style. "
-    "Rows-only (HTML parsing has no SQL oracle); semantics pinned in "
-    "tests/test_htmlparse.py against the reference's own parse fixture.",
+    "The oracle is a GOLDEN expectation, not an independent derivation "
+    "(SQL cannot parse HTML): the input page is a static literal, so the "
+    "expected rows are pinned verbatim and the driver value-hashes the "
+    "parser against them. Parser semantics vs the reference's own fixture "
+    "are separately pinned in tests/test_htmlparse.py.",
 )
 def extractor_parse_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

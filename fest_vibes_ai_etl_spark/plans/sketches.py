@@ -162,3 +162,51 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return heavy_hitter_tokens(docs, "text", k=48, topn=10)
+
+
+@register(
+    "sketch_hll_rollup_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS union_eq_direct,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "hll", "mergeable"),
+    doc="The MERGEABILITY property made driver-visible: per-(type, day) HLL "
+    "partial sketches are unioned up to per-type estimates WITHOUT "
+    "rescanning the fact, and the query asserts (a) the rolled-up estimate "
+    "equals the direct whole-range sketch bit-for-bit (DataSketches HLL "
+    "union is exact over partials at the same lgK) and (b) both sit within "
+    "5% of the exact count. At 100 TB this is the property that turns a "
+    "persisted daily sketch table into free arbitrary-range distinct "
+    "counts; the oracle pins both booleans TRUE next to the exact counts.",
+)
+def sketch_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        rolled.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("est_union") == F.col("est_direct")).alias("union_eq_direct"),
+            (
+                F.abs(F.col("est_direct") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -245,6 +245,8 @@ def assign_to_centers(vectors: DataFrame, centers: list[list[float]],
     def _assign(vs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(vs) == 0:  # empty Arrow batch: np.vstack raises on ()
+            return pd.Series([], dtype="int32")
         Cm = np.asarray(centers, dtype=np.float64)
         Xb = np.vstack(vs.to_numpy()).astype(np.float64)
         return pd.Series(np.argmax(Xb @ Cm.T, axis=1).astype("int32"))
@@ -273,13 +275,21 @@ def start_incremental_index_add(
     append touches only the cells the batch lands in."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
-        try:
+        # "First batch" is decided by an explicit existence probe, not by
+        # swallowing read errors: a corrupt footer / transient IO failure on
+        # an EXISTING index must propagate, or a replayed batch would skip
+        # the id anti-join and append duplicates — breaking the replays-
+        # converge contract exactly when the index is unhealthy.
+        if os.path.isdir(index_dir) and any(
+            not name.startswith((".", "_spark_metadata"))
+            for name in os.listdir(index_dir)
+        ):
             seen = spark.read.parquet(index_dir).select(id_col)
             assigned = assigned.join(seen, id_col, "left_anti")
-        except Exception:
-            pass  # first batch: no index yet
         assigned.repartition("cell_id").write.mode("append").partitionBy(
             "cell_id"
         ).parquet(index_dir)

@@ -15,6 +15,7 @@ are bounded by priority/status domains).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -196,19 +197,23 @@ def agg_geomean_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic rewrite exp(avg(ln x)) (the oracle's form, one codegen'd
     hash agg) and reserve the UDAF for genuinely non-algebraic logic.
     The closure is defined in-function so cloudpickle ships it by value
-    (executors don't import this package)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    (executors don't import this package). Type-hint style (Series ->
+    scalar == GROUPED_AGG) — the string-constant PandasUDFType API is
+    deprecated and warns since Spark 3."""
+    from pyspark.sql.functions import pandas_udf
 
-    def _geo(s):
+    @pandas_udf("double")
+    def geo(s: pd.Series) -> float:
         import numpy as np
 
         return float(np.exp(np.log(s.to_numpy(dtype="float64")).mean()))
 
-    geo = pandas_udf(_geo, "double", PandasUDFType.GROUPED_AGG)
     # Spark disallows mixing pandas and JVM aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
     # aggregate too.
-    cnt = pandas_udf(lambda s: len(s), "long", PandasUDFType.GROUPED_AGG)
+    @pandas_udf("long")
+    def cnt(s: pd.Series) -> int:
+        return len(s)
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         cnt("o_orderkey").alias("n_orders"),
@@ -588,19 +593,20 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ks_statistic",
     oracle="""
-    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
-    b AS (SELECT value FROM events WHERE event_type = 'view'),
-    na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
-    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b),
-    pts AS (
-      SELECT value, 1 AS is_a, 0 AS is_b FROM a
-      UNION ALL
-      SELECT value, 0, 1 FROM b
+    WITH pts AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ka,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS kb
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY value
     ),
+    na AS (SELECT CAST(SUM(ka) AS DOUBLE) AS n FROM pts),
+    nb AS (SELECT CAST(SUM(kb) AS DOUBLE) AS n FROM pts),
     ecdf AS (
       SELECT value,
-             SUM(is_a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
-             SUM(is_b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+             SUM(ka) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(kb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
       FROM pts
     )
     SELECT ROUND(MAX(ABS(ca / na.n - cb / nb.n)) + 0.00000001, 4) AS ks_d,
@@ -610,32 +616,37 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("stats", "ks", "distribution"),
     doc="Two-sample Kolmogorov-Smirnov statistic between the click and "
-    "view value distributions: D = max |ECDF_a − ECDF_b|, evaluated at "
-    "every observed value via the union-tag running counts. The running "
+    "view value distributions, tie-safe: both samples are first grouped "
+    "to DISTINCT values with per-value a/b counts, then the ECDFs are "
+    "cumulative sums over those distinct values — the textbook two-sample "
+    "KS evaluation points. Because every window row is a unique value, "
+    "the running sums are permutation-invariant (no within-tie "
+    "intermediate excursions can differ between engines). The cumulative "
     "sums use the two-phase distributed prefix (range-partitioned sort, "
     "local cumsum, broadcast offsets) — same pattern as the sweep line — "
-    "so the ECDF never funnels through one reducer. Max over within-tie "
-    "orderings is permutation-invariant at tie boundaries because D is "
-    "taken AFTER the full tie run on both engines' total orders.",
+    "so the ECDF never funnels through one reducer.",
 )
 def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     ev = table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("value")
-    b = ev.filter(F.col("event_type") == "view").select("value")
-    na = a.agg(F.count(F.lit(1)).cast("double").alias("n_a"))
-    nb = b.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
-    pts = a.select("value", F.lit(1).alias("is_a"), F.lit(0).alias("is_b")).unionByName(
-        b.select("value", F.lit(0).alias("is_a"), F.lit(1).alias("is_b"))
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("is_a"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("is_b"),
+        )
     )
+    na = pts.agg(F.sum("is_a").cast("double").alias("n_a"))
+    nb = pts.agg(F.sum("is_b").cast("double").alias("n_b"))
     srt = (
-        pts.repartitionByRange(F.col("value"), F.col("is_a"))
-        .sortWithinPartitions("value", "is_a")
+        pts.repartitionByRange(F.col("value"))
+        .sortWithinPartitions("value")
         .withColumn("_pid", F.spark_partition_id())
     )
-    wloc = Window.partitionBy("_pid").orderBy("value", "is_a").rowsBetween(
+    wloc = Window.partitionBy("_pid").orderBy("value").rowsBetween(
         Window.unboundedPreceding, 0
     )
     with_local = srt.withColumn("_la", F.sum("is_a").over(wloc)).withColumn(

@@ -238,7 +238,7 @@ def text_charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "doc_id",
         F.regexp_replace(F.lower("text"), "[^a-z ]", " ").alias("t"),
-    )
+    ).filter(F.length("t") >= 2)
     grams = norm.select(
         "doc_id",
         F.explode(

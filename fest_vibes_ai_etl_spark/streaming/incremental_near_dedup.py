@@ -127,8 +127,12 @@ def start_incremental_near_dedup(
             hist.count()
         except Exception:  # first batch: no corpus yet
             hist = None
-        # exact dedup (within batch, then vs history)
-        fresh = fresh.dropDuplicates(["fp"])
+        # exact dedup (within batch, then vs history): survivor must be
+        # deterministic — min(doc_id) per fingerprint, consistent with the
+        # lowest-id-wins rule for near-dups — or two runs over identical
+        # input could persist different corpus contents.
+        keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
+        fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         if hist is not None:
             fresh = fresh.join(hist.select("fp"), "fp", "left_anti")
         # near dedup WITHIN the batch: lowest id of each near-dup pair wins

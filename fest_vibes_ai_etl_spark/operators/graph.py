@@ -42,13 +42,21 @@ def pagerank(
     and the big edge table never moves; the only shuffle per iteration is the
     map-side-combined contribution sum. Leave it False when #nodes is too
     large to broadcast (beyond ~100M nodes); the join then shuffles on the
-    node key and AQE picks the strategy."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e = (
-        edges.join(deg, "src")
-        .select("src", "dst", "d")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    node key and AQE picks the strategy.
+
+    An input that already carries a ``d`` (out-degree) column — e.g. the
+    prepare-phase edge store built by ``plans.graph.load_or_build_cs_edges``
+    — skips the degree aggregation+join entirely: the loop invariant then
+    comes straight off parquet with zero build shuffles."""
+    if "d" in edges.columns:
+        e = edges.select("src", "dst", "d").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        e = (
+            edges.join(deg, "src")
+            .select("src", "dst", "d")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     pr = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("pr")
     )

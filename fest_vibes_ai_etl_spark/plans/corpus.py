@@ -162,22 +162,50 @@ def _ivf_prepare(spark: SparkSession, sf_dir: str) -> None:
 
 @register(
     "ann_ivf_topk",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ge_030
+    FROM embeddings WHERE vec_id < 10
+    """,
     tags=("similarity", "ivf", "approx"),
     bench=True,
     prepare=_ivf_prepare,
-    doc="IVF approximate top-k PROBE: seeded KMeans coarse cells persisted "
-    "partitioned-by-cell (one-off build via load_or_build_index; bench times "
-    "the probe only), nprobe=4 of k=16 probed per query, exact cosine rerank "
-    "within. Engine-specific clustering → rows-only; recall vs brute force "
-    "bounded in tests; the full-probe regime is oracled separately "
-    "(ann_ivf_topk_fullprobe).",
+    doc="IVF approximate top-k PROBE with a SANDWICH oracle (the "
+    "approx_distinct_users pattern): the nprobe=4-of-16 probe runs for "
+    "real, its top-5 sets are compared against the exact full-probe "
+    "(nprobe=k) ground truth computed in the same plan, and the output "
+    "asserts (a) every query returned a full k results and (b) macro "
+    "recall@5 ≥ 0.30 — ABOVE the 0.25 blind scan fraction, so the oracle "
+    "fails if the quantizer stops concentrating neighbors (measured "
+    "0.44–0.56 across sf0.001–0.1). The oracle pins both claims in SQL, "
+    "closing the driver's last no_oracle hole; per-neighbor output stays "
+    "available via operators/ivf.ivf_topk and the hash-green exact twin "
+    "ann_ivf_topk_fullprobe.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
     emb = table(spark, sf_dir, "embeddings")
     assigned, centers = _ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=4).orderBy(
-        "query_id", "rk"
+    probe = ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=4)
+    exact = ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=16)
+    hits = probe.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    totals = probe.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        totals.crossJoin(broadcast(n_hits))
+        .select(
+            "n_queries",
+            "n_results",
+            (F.col("n_hits") >= 0.30 * F.col("n_results")).alias("recall_ge_030"),
+        )
     )
 
 

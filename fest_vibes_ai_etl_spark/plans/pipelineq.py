@@ -96,13 +96,85 @@ def first_wins_latest_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOLD_PAYLOADS = [
+    # (payload, ttl, sort_ts, event_id) — byte-exact cache documents for the
+    # three valid 2025-03-01 fixture events, in performance_time order.
+    (
+        '{"artist_data":{"name":"Galactic","description":"lorum ipsum",'
+        '"genres":["Funk"],"related_artists":[],"wwoz_artist_href":"/artists/202"},'
+        "\"venue_data\":{\"name\":\"Tipitina''s Outdoor Stage\",\"thoroughfare\":\"501 Napoleon Ave\","
+        '"phone_number":"504-555-0100","locality":"New Orleans","state":"LA",'
+        '"postal_code":"70115","full_address":"501 Napoleon Ave, New Orleans, LA 70115",'
+        '"is_active":true,"wwoz_venue_href":"/venues/124","latitude":29.9511,'
+        '"longitude":-90.0715},"event_data":{"event_date":"2025-03-01",'
+        '"wwoz_event_href":"/events/458","description":"funk night","genres":["Funk"]},'
+        '"performance_time":"2025-03-01T19:00:00.000Z",'
+        '"scrape_time":"2025-02-28T12:00:00.000Z"}',
+        3600,
+        "2025-03-01 19:00:00",
+        1334471606980787506,
+    ),
+    (
+        '{"artist_data":{"name":"Ellis Marsalis Quartet","description":"lorum ipsum",'
+        '"genres":["Blues","Jazz","Soul"],"related_artists":["Kermit Ruffins"],'
+        '"wwoz_artist_href":"/artists/789"},"venue_data":{"name":"Snug Harbor",'
+        '"thoroughfare":"626 Frenchmen St","phone_number":"504-555-0100",'
+        '"locality":"New Orleans","state":"LA","postal_code":"70116",'
+        '"full_address":"626 Frenchmen St, New Orleans, LA 70116","is_active":true,'
+        '"wwoz_venue_href":"/venues/123","latitude":29.9511,"longitude":-90.0715},'
+        '"event_data":{"event_date":"2025-03-01","wwoz_event_href":"/events/456",'
+        '"description":"evening set (updated)","genres":["Jazz","Soul"]},'
+        '"performance_time":"2025-03-01T20:00:00.000Z",'
+        '"scrape_time":"2025-02-28T18:00:00.000Z"}',
+        3600,
+        "2025-03-01 20:00:00",
+        -776199073862872697,
+    ),
+    (
+        '{"artist_data":{"name":"Kermit Ruffins","description":"lorum ipsum",'
+        '"genres":["Jazz"],"related_artists":[],"wwoz_artist_href":"/artists/101"},'
+        '"venue_data":{"name":"Snug Harbor","thoroughfare":"626 Frenchmen St",'
+        '"phone_number":"504-555-0100","locality":"New Orleans","state":"LA",'
+        '"postal_code":"70116","full_address":"626 Frenchmen St, New Orleans, LA 70116",'
+        '"is_active":true,"wwoz_venue_href":"/venues/123","latitude":29.9511,'
+        '"longitude":-90.0715},"event_data":{"event_date":"2025-03-01",'
+        '"wwoz_event_href":"/events/457","genres":["Jazz"]},'
+        '"performance_time":"2025-03-01T21:30:00.000Z",'
+        '"scrape_time":"2025-02-28T12:00:00.000Z"}',
+        3600,
+        "2025-03-01 21:30:00",
+        2098145884565310154,
+    ),
+]
+
+
+def _gold_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('events:2025-03-01', '{p}', {ttl}, TIMESTAMP '{ts}', CAST({eid} AS BIGINT))"
+        for p, ttl, ts, eid in _GOLD_PAYLOADS
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS t(cache_key, payload, ttl_seconds, sort_ts, event_id)
+    ORDER BY sort_ts, event_id
+    """
+
+
 @register(
     "pipeline_gold_event_documents",
+    oracle=_gold_oracle(),
     tags=("pipeline", "gold", "flagship"),
     doc="End-to-end EventDTO pipeline on the deterministic bronze fixture: "
     "validate → normalize to silver star schema → §3.4 gold query (4-way "
-    "join + collect_lists + TTL) → cache payload. Rows-only check; exact "
-    "semantics asserted in tests/test_pipeline.py.",
+    "join + collect_lists + TTL) → cache payload. The oracle is a GOLDEN "
+    "expectation (the extractor_parse_listing pattern): the bronze fixture "
+    "is static, so the exact serialized cache documents — the reference's "
+    "actual cache contract, src/cache_manager/service.py:66-113 + "
+    "src/shared/utils/helpers.py:17-53 — are pinned byte-for-byte, "
+    "including JSON key order, null-field omission, TTL tier, and the "
+    "latest-scrape-wins merge of the duplicate /events/456 row. Pipeline "
+    "semantics are additionally asserted in tests/test_pipeline.py.",
 )
 def pipeline_gold_event_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze = bronze_fixture(spark)

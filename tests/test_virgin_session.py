@@ -40,6 +40,14 @@ VIRGIN_QUERIES = [
     "events_daily_gapfill",
     "events_user_gap_stats",
     "events_time_to_convert",
+    # round-3 additions: newly-oracled / restructured queries whose output
+    # depends on conf-sensitive machinery (to_json timestamp rendering, the
+    # persisted graph/IVF stores, tie-safe distinct-value windows)
+    "pipeline_gold_event_documents",
+    "ann_ivf_topk",
+    "events_ks_statistic",
+    "graph_pagerank_suppliers",
+    "text_charlm_scores",
 ]
 
 

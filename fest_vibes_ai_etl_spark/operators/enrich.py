@@ -81,6 +81,56 @@ def fake_embed_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def real_embed_batch_factory(
+    model_name: str = "all-MiniLM-L6-v2",
+) -> Callable[[pd.Series], pd.Series] | None:
+    """Sentence-transformers seam (reference src/loader/service.py:42-52):
+    returns a batched encoder closure when the package is importable, else
+    None — the caller falls back to the deterministic stub. The model loads
+    LAZILY, ONCE per executor worker process, inside the closure (the only
+    sane shape for model inference under mapInPandas: amortize the load
+    across every Arrow batch the worker sees). Vectors are L2-normalized to
+    match the reference's cosine-ready storage; null/empty text degrades to
+    null exactly like the stub (service.py:77-83)."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        return None
+
+    cache: dict[str, object] = {}
+
+    def encode(texts: pd.Series) -> pd.Series:
+        from sentence_transformers import SentenceTransformer
+
+        model = cache.get("model")
+        if model is None:
+            model = cache["model"] = SentenceTransformer(model_name)
+        out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        mask = texts.notna() & texts.astype(str).str.strip().ne("")
+        if mask.any():
+            vecs = model.encode(
+                texts[mask].astype(str).tolist(), normalize_embeddings=True
+            )
+            # index-aligned object Series: a plain list-of-lists assignment
+            # would be broadcast element-wise by pandas and flatten the rows
+            out[mask] = pd.Series(
+                [[float(x) for x in v] for v in vecs],
+                index=texts.index[mask],
+                dtype=object,
+            )
+        return out
+
+    return encode
+
+
+def default_encoder() -> Callable[[pd.Series], pd.Series]:
+    """The engine's embedding backend: the real sentence-transformers
+    encoder when the package is present (drop-in real outside this
+    sandbox), the deterministic stub otherwise. Parity tests pin the stub;
+    the seam itself is tested both ways via dependency injection."""
+    return real_embed_batch_factory() or fake_embed_batch
+
+
 # --- geocode with cache gating ---------------------------------------------
 
 

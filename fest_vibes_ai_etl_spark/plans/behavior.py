@@ -151,6 +151,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rfm_segments",
+    bench=True,
     oracle="""
     WITH rfm AS (
       SELECT user_id,

@@ -246,6 +246,7 @@ def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_top_paths",
+    bench=True,
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,

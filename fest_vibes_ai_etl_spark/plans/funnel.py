@@ -253,6 +253,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cohort_ltv",
+    bench=True,
     oracle="""
     WITH cohorts AS (
       SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week

@@ -592,6 +592,7 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ks_statistic",
+    bench=True,
     oracle="""
     WITH pts AS (
       SELECT value,

@@ -68,3 +68,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def running_user_totals_apws(events: DataFrame) -> DataFrame:
+    """The SAME running-totals semantics on the ``applyInPandasWithState``
+    predecessor API, which speaks the plain Arrow protocol (no protobuf
+    state worker). Twin purpose: (a) a drop-in for Spark < 4 deployments,
+    (b) the executable semantic reference the tws test falls back to when
+    protobuf is absent — both paths must emit identical cumulative rows on
+    the same fixture. State per key is the same constant-size (cnt, total)
+    tuple."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("total", DoubleType())]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # self-contained: executor worker process
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

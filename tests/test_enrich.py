@@ -97,3 +97,50 @@ def test_embed_unit_norm(spark):
     emb = enrich.embed_column(df, "txt", "emb").first().emb
     norm = sum(v * v for v in emb) ** 0.5
     assert abs(norm - 1.0) < 1e-3
+
+
+def test_default_encoder_falls_back_to_stub():
+    """No sentence-transformers in this container → the seam resolves to the
+    deterministic stub."""
+    assert enrich.real_embed_batch_factory() is None
+    assert enrich.default_encoder() is enrich.fake_embed_batch
+
+
+def test_default_encoder_real_branch_via_injection(monkeypatch):
+    """Inject a fake sentence_transformers module: the seam must pick the
+    real branch, lazy-load the model exactly once, L2-normalize, and
+    degrade null/empty text to null — the same contract as the stub."""
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    loads = []
+
+    class FakeModel:
+        def __init__(self, name):
+            loads.append(name)
+
+        def encode(self, texts, normalize_embeddings=False):
+            vecs = []
+            for t in texts:
+                v = np.arange(1, 5, dtype="float64") * (len(t) or 1)
+                if normalize_embeddings:
+                    v = v / np.linalg.norm(v)
+                vecs.append(v)
+            return np.vstack(vecs)
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = FakeModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    enc = enrich.default_encoder()
+    assert enc is not enrich.fake_embed_batch
+
+    out = enc(pd.Series(["abc", None, "", "hello"]))
+    assert out[1] is None and out[2] is None
+    assert abs(sum(x * x for x in out[0]) - 1.0) < 1e-6
+    assert len(out[3]) == 4
+    enc(pd.Series(["again"]))
+    assert loads == ["all-MiniLM-L6-v2"]  # one lazy load, reused across batches

@@ -68,7 +68,7 @@ def pagerank(
         pr = contrib.groupBy("dst").agg(
             (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("pr")
         ).select(F.col("dst").alias("node"), "pr")
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
             pr = pr.localCheckpoint(eager=True)
     return pr
 

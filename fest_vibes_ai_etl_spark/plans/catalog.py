@@ -110,6 +110,7 @@ def _load() -> None:
             trainprep,
             udtfq,
             variantq,
+            vectorml,
             zorderq,
         )
         _loaded = True

@@ -22,6 +22,47 @@ THRESHOLD = "28"
 
 
 @register(
+    "sample_stratified_fixed_n",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_returnflag,
+             l_orderkey * 10 + l_linenumber AS rowkey,
+             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, rowkey, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h DESC, rowkey) AS rk
+      FROM keyed
+    )
+    SELECT l_returnflag, rowkey, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 100 ORDER BY l_returnflag, rk
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+)
+def sample_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-n-per-stratum sample (n=100 per returnflag) by md5 hash rank —
+    the deterministic reservoir: the same rows are drawn on any engine, any
+    partitioning, any cluster size. Ranking goes through topk_per_group's
+    map-side prune, so only n·|strata| rows per input partition reach the
+    shuffle — a reservoir sample of a 100 TB fact moves MBs, not the fact."""
+    from ..operators.topk import topk_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    rowkey = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rowkey")
+    keyed = li.select("l_returnflag", rowkey).select(
+        "l_returnflag",
+        "rowkey",
+        F.md5(F.col("rowkey").cast("string").cast("binary")).alias("h"),
+    )
+    return (
+        topk_per_group(keyed, ["l_returnflag"], "h", "rowkey", 100)
+        .select("l_returnflag", "rowkey", "rk")
+        .orderBy("l_returnflag", "rk")
+    )
+
+
+@register(
     "sample_hash_bernoulli",
     oracle=f"""
     SELECT l_returnflag,

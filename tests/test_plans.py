@@ -87,11 +87,23 @@ def test_bm25_stats_broadcast_no_udf(spark):
 
 
 def test_pagerank_edges_cached_ranks_broadcast(spark):
-    q = catalog.queries()["graph_pagerank_suppliers"]
-    plan = _plan(q(spark, SF_DIR))
+    # The iteration body (checkpointing disabled so the lineage is visible):
+    # the persisted edge+degree invariant feeds every round, and each round
+    # joins edges against a BROADCAST rank table — the edges never move.
+    from fest_vibes_ai_etl_spark.operators.graph import pagerank
+    from fest_vibes_ai_etl_spark.plans.graph import load_or_build_cs_edges
+
+    edges = load_or_build_cs_edges(spark, SF_DIR)
+    plan = _plan(pagerank(edges, iterations=3, checkpoint_every=0))
     assert "InMemoryTableScan" in plan  # persisted edge+degree invariant
-    # every iteration joins edges against a BROADCAST rank table
     assert plan.count("BroadcastHashJoin") >= 3
+    # The catalog query checkpoints each round (eager localCheckpoint), so
+    # its final plan must start from the truncated rank table — broadcast
+    # rounds never re-derive iteration lineage (VERDICT r2 item 1).
+    q = catalog.queries()["graph_pagerank_suppliers"]
+    plan2 = _plan(q(spark, SF_DIR))
+    assert "ExistingRDD" in plan2
+    spark.catalog.clearCache()
 
 
 def test_zorder_key_is_pure_expression(spark):

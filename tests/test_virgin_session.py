@@ -48,6 +48,11 @@ VIRGIN_QUERIES = [
     "events_ks_statistic",
     "graph_pagerank_suppliers",
     "text_charlm_scores",
+    # round-3 vector-ML family: literal-codebook argmin/argmax, array
+    # slices, expr lambdas, Arrow Gram partials — all under default confs
+    "pq_codes_stats",
+    "quality_classifier_hashed",
+    "embedding_covariance_topk",
 ]
 
 

@@ -208,6 +208,64 @@ def pq_encode(
     return df.select(*df.columns, code.alias("code"), recon.alias("recon_dist"))
 
 
+def pq_reconstruct(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Adds (recon array<double>): the PQ-decompressed vector — each
+    subspace replaced by its nearest codeword (same rounded argmin as
+    ``pq_encode``). dist(query, recon) is exactly the asymmetric-distance
+    (ADC) score of Jégou et al. 2011 §III — the compressed-domain scan: at
+    serving time the corpus side is m codes, not d floats, and the scan
+    reads the 4-byte codes while only the (few) queries stay full-width.
+    Still a pure literal-codebook map: zero shuffle, zero Python."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def sub_dist(s: int, c: list[float]) -> Column:
+        sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        sq = F.zip_with(
+            sl,
+            _lit_vec(c),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+    def best_code(s: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(sub_dist(s, c), round_to).alias("d"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(codebooks[s])
+            ]
+        )
+        return F.array_min(scored)["cid"]
+
+    def sub_recon(s: int) -> Column:
+        cb = F.array(*[_lit_vec(c) for c in codebooks[s]])
+        return F.element_at(cb, best_code(s) + 1)
+
+    recon = F.flatten(F.array(*[sub_recon(s) for s in range(m)]))
+    return df.select(*df.columns, recon.alias("recon"))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

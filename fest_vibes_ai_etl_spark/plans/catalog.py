@@ -91,6 +91,7 @@ def _load() -> None:
             graph,
             pipelineq,
             relational,
+            retrievalq,
             samplingq,
             scalar_extra,
             searchq,

@@ -1,0 +1,220 @@
+"""Retrieval-stack queries: hybrid lexical+vector fusion and the
+PQ compressed-domain ANN scan — the serving-side reads of an embedding
+corpus (operators/search.py supplies BM25, operators/vectorml.py the PQ
+machinery; corpus convention: ``documents.doc_id`` ≡ ``embeddings.vec_id``).
+
+Scale stances:
+
+- **RRF hybrid fusion** (Cormack et al. 2009): each retriever returns its
+  own top-N (both already shuffle-pruned: BM25 postings pruned to query
+  terms, cosine ranking through the map-side top-k), and the fusion joins
+  two N-row tables — driver-trivial no matter the corpus size. Rank-based
+  fusion also sidesteps score-scale calibration between BM25 and cosine,
+  which is why it's the default hybrid in production search stacks.
+- **ADC top-k** (Jégou et al. 2011 §III): the corpus side of the distance
+  is computed from PQ codes only — at serving scale the scan reads m small
+  codes (4 B/vector) instead of d floats (256 B/vector), a 64× I/O cut
+  with zero shuffle added. Here the reconstruction is inlined as a
+  literal-codebook map so the whole scored scan stays in codegen; the
+  exact-distance twin (`ann_topk_cosine`) measures the recall cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_div
+from ..operators import vectorml
+from ..operators.search import bm25_topk, build_postings
+from ..operators.topk import topk_per_group
+from ..sources import table
+from .catalog import register
+from .searchq import TERMS, _TERMS_SQL
+
+RRF_K = 60
+FUSE_N = 50
+FUSE_TOP = 10
+QVEC = 0  # query vector for the dense leg
+
+_BM25_SQL = f"""toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM( LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+                  + 0.00000001, 4) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    bm_rk AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+      FROM bm QUALIFY rk <= {FUSE_N}
+    ),
+    vec_rk AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id) AS INT) AS rk
+      FROM (
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = {QVEC}
+      ) QUALIFY rk <= {FUSE_N}
+    )"""
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_SQL},
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.vec_id) AS id,
+             ROUND(COALESCE(1.0 / ({RRF_K} + b.rk), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + v.rk), 0.0) + 0.00000001, 6) AS rrf6,
+             b.rk AS bm25_rk, v.rk AS cos_rk
+      FROM bm_rk b FULL OUTER JOIN vec_rk v ON b.doc_id = v.vec_id
+    )
+    SELECT id, rrf6, bm25_rk, cos_rk,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf6 DESC, id) AS INT) AS rk
+    FROM fused QUALIFY rk <= {FUSE_TOP} ORDER BY rk
+    """,
+    tags=("search", "hybrid", "rrf", "vector"),
+    doc="Reciprocal-rank fusion of the BM25 lexical top-50 and the cosine "
+    "dense top-50 (rrf = Σ 1/(60+rank)) — rank-based, so no score-scale "
+    "calibration between retrievers; each leg is already shuffle-pruned "
+    "and the fusion itself joins two 50-row tables.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    postings, doclen = build_postings(docs)
+    from pyspark.sql import Window
+
+    bm = bm25_topk(postings, doclen, TERMS, topn=FUSE_N).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("bm25_rk"),
+    )
+    from ..operators.similarity import topk_cosine
+
+    vec = topk_cosine(emb, emb.filter(F.col("vec_id") == QVEC), k=FUSE_N).select(
+        "vec_id", F.col("rk").alias("cos_rk")
+    )
+    fused = bm.join(vec, bm["doc_id"] == vec["vec_id"], "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("id"),
+        round_div(
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rk")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("cos_rk")), F.lit(0.0)),
+            6,
+        ).alias("rrf6"),
+        "bm25_rk",
+        "cos_rk",
+    )
+    w = Window.orderBy(F.desc("rrf6"), "id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= FUSE_TOP)
+        .orderBy("rk")
+    )
+
+
+PQ_M = 4
+PQ_K = 8
+DIM = 64
+ADC_QUERIES = 5
+ADC_TOP = 5
+_DSUB = DIM // PQ_M
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, t.s, seeds.cid,
+             ROUND(list_distance(
+               CAST(e.embedding[t.s*{_DSUB}+1 : t.s*{_DSUB}+{_DSUB}] AS DOUBLE[]),
+               seeds.c[t.s*{_DSUB}+1 : t.s*{_DSUB}+{_DSUB}]), 6) AS d
+      FROM embeddings e, UNNEST(range(0, {PQ_M})) AS t(s), seeds
+    ),
+    best AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    recon AS (
+      SELECT b.vec_id,
+             flatten(list(se.c[b.s*{_DSUB}+1 : b.s*{_DSUB}+{_DSUB}] ORDER BY b.s)) AS r
+      FROM best b JOIN seeds se ON se.cid = b.cid
+      GROUP BY b.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {ADC_QUERIES}
+    ),
+    adc AS (
+      SELECT q.query_id, r.vec_id,
+             ROUND(list_distance(q.qv, r.r), 6) AS adc6
+      FROM q CROSS JOIN recon r
+      WHERE r.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, adc6, CAST(rk AS INT) AS rk FROM (
+      SELECT query_id, vec_id, adc6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc6, vec_id) AS rk
+      FROM adc
+    ) WHERE rk <= {ADC_TOP} ORDER BY query_id, rk
+    """,
+    tags=("similarity", "pq", "adc", "compression"),
+    bench=True,
+    doc="Asymmetric-distance (ADC) top-5: queries stay full-width, the "
+    "corpus is scanned through its PQ reconstruction (4 B of codes per "
+    "vector at serving time vs 256 B of floats — a 64× scan-I/O cut). "
+    "The whole encode+reconstruct+distance pipeline is a literal-codebook "
+    "codegen map; only ADC_TOP·|Q| rows reach the ranking shuffle.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    books = vectorml.subspace_codebooks(emb, PQ_M, PQ_K, DIM)
+    recon = vectorml.pq_reconstruct(emb, books).select("vec_id", "recon")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < ADC_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        recon.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(vectorml.l2_distance(F.col("qv"), F.col("recon")), 6).alias(
+                "adc6"
+            ),
+        )
+        .withColumn("neg", -F.col("adc6"))  # rank ascending via the desc top-k
+    )
+    return (
+        topk_per_group(scored, ["query_id"], "neg", "vec_id", ADC_TOP)
+        .select("query_id", "vec_id", "adc6", "rk")
+        .orderBy("query_id", "rk")
+    )

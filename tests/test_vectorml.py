@@ -114,6 +114,26 @@ def test_semdedup_monotone_rule(spark):
     assert out[1]["n_members"] == 1 and out[1]["n_pruned"] == 0
 
 
+def test_pq_reconstruct_is_pure_map(emb):
+    books = vectorml.subspace_codebooks(emb, 4, 8, 64)
+    plan = _plan(vectorml.pq_reconstruct(emb, books))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pq_reconstruct_matches_encode(emb):
+    # recon must be exactly the codewords selected by pq_encode: decoding
+    # recon slice-by-slice against the codebook reproduces the code string
+    books = vectorml.subspace_codebooks(emb, 4, 8, 64)
+    enc = {r["vec_id"]: r["code"] for r in vectorml.pq_encode(emb, books).collect()}
+    for r in vectorml.pq_reconstruct(emb, books).collect():
+        got = []
+        for s in range(4):
+            sub = list(r["recon"][s * 16 : (s + 1) * 16])
+            got.append(str(books[s].index(sub)))
+        assert "-".join(got) == enc[r["vec_id"]], r["vec_id"]
+
+
 def test_semdedup_pair_join_is_cluster_keyed(emb, centers):
     plan = _plan(vectorml.semantic_dedup(emb, centers))
     # the near-dup comparison must be an equi-join on cluster_id, never a

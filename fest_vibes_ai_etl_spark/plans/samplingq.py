@@ -89,3 +89,61 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("l_extendedprice")).alias("sampled_price"),
         )
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_orderkey * 10 + l_linenumber AS rowkey,
+             l_quantity AS w,
+             ROUND(POWER(
+               ((('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 6))::BIGINT + 1)
+                / 16777217.0),
+               1.0 / l_quantity), 9) AS k9
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT rowkey, w, k9,
+             ROW_NUMBER() OVER (ORDER BY k9 DESC, rowkey) AS rk
+      FROM keyed
+    )
+    SELECT rowkey, w, k9, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 100 ORDER BY rk
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+    doc="Efraimidis-Spirakis A-Res weighted reservoir (n=100, weight = "
+    "l_quantity): key = u^(1/w) with u an md5-derived 24-bit uniform, keep "
+    "the n largest keys. Deterministic across engines and partitionings "
+    "(the RNG is the data); the key is ranked at 9 decimals with a rowkey "
+    "tie-break so a 1-ulp pow() divergence between libms cannot reorder "
+    "the sample. Same map-side top-k prune as the stratified sampler: "
+    "the shuffle sees n rows per input partition, never the fact.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling is the training-mixture primitive (sample documents
+    proportional to quality/length): A-Res turns it into an order statistic,
+    which distributes as a top-k — no sequential reservoir state needed."""
+    from ..operators.topk import topk_per_group
+
+    li = table(spark, sf_dir, "lineitem")
+    rowkey = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rowkey")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("rowkey").cast("string").cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 16777217.0
+    keyed = li.select(rowkey, F.col("l_quantity").alias("w")).select(
+        "rowkey",
+        "w",
+        F.round(F.pow(u, 1.0 / F.col("w")), 9).alias("k9"),
+        F.lit(0).alias("_g"),
+    )
+    return (
+        topk_per_group(keyed, ["_g"], "k9", "rowkey", 100)
+        .select("rowkey", "w", "k9", "rk")
+        .orderBy("rk")
+    )

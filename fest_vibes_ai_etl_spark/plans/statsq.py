@@ -688,3 +688,172 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_a").cast("long").alias("n_a"),
         F.min("n_b").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring (the ML-observability staples)
+# ---------------------------------------------------------------------------
+
+PSI_CUT = "2024-01-16"
+PSI_BINS = 10
+
+
+@register(
+    "events_psi_value_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value, CAST(ts AS DATE) < DATE '{PSI_CUT}' AS is_ref
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, MIN(value) AS lo,
+             GREATEST(MAX(value) - MIN(value), 1e-300) AS width
+      FROM ev WHERE is_ref GROUP BY event_type
+    ),
+    binned AS (
+      SELECT ev.event_type, ev.is_ref,
+             LEAST(GREATEST(CAST(FLOOR((ev.value - s.lo) / (s.width / {PSI_BINS})) AS INT), 0), {PSI_BINS - 1}) AS bin
+      FROM ev JOIN stats s USING (event_type)
+    ),
+    cells AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS tgt_n
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, SUM(ref_n) AS ref_tot, SUM(tgt_n) AS tgt_tot
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(MAX(t.ref_tot) AS BIGINT) AS n_ref,
+           CAST(MAX(t.tgt_tot) AS BIGINT) AS n_tgt,
+           ROUND(SUM(
+             ((c.ref_n + 0.5) / (t.ref_tot + {PSI_BINS} * 0.5)
+              - (c.tgt_n + 0.5) / (t.tgt_tot + {PSI_BINS} * 0.5))
+             * LN(((c.ref_n + 0.5) / (t.ref_tot + {PSI_BINS} * 0.5))
+                  / ((c.tgt_n + 0.5) / (t.tgt_tot + {PSI_BINS} * 0.5)))
+           ) + 0.00000001, 6) AS psi
+    FROM cells c JOIN tot t USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    tags=("stats", "drift", "psi"),
+    doc="Population-stability index of the value distribution, first half "
+    "of the month (reference) vs second (target), per event type: 10 "
+    "equal-width bins fit on the reference, add-half smoothing. The "
+    "monitoring gate a production scoring pipeline runs per feature per "
+    "day; one binning pass + two bounded aggregates, no shuffle wider "
+    "than (type, bin).",
+)
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.to_date("ts") < F.lit(PSI_CUT).cast("date")).alias("is_ref"),
+    )
+    stats = (
+        ev.filter("is_ref")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.greatest(
+                F.max("value") - F.min("value"), F.lit(1e-300)
+            ).alias("width"),
+        )
+    )
+    binned = ev.join(broadcast(stats), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("lo")) / (F.col("width") / PSI_BINS)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("tgt_n"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + PSI_BINS * 0.5)
+    q = (F.col("tgt_n") + 0.5) / (F.col("tgt_tot") + PSI_BINS * 0.5)
+    return (
+        cells.join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("ref_tot").cast("long").alias("n_ref"),
+            F.max("tgt_tot").cast("long").alias("n_tgt"),
+            round_div(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_chi2_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY event_type, dayofweek(ts) + 1
+    ),
+    rt AS (SELECT event_type, SUM(o) AS row_tot FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS col_tot FROM obs GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT obs.o, rt.row_tot * ct.col_tot / n.n AS e,
+             rt.row_tot, ct.col_tot
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e) + 0.00000001, 4) AS chi2,
+           CAST((SELECT COUNT(*) - 1 FROM rt) * (SELECT COUNT(*) - 1 FROM ct) AS INT) AS dof,
+           ROUND(SQRT(SUM((o - e) * (o - e) / e)
+                 / ((SELECT MAX(n) FROM n)
+                    * LEAST((SELECT COUNT(*) - 1 FROM rt), (SELECT COUNT(*) - 1 FROM ct))))
+                 + 0.00000001, 4) AS cramers_v
+    FROM terms
+    """,
+    tags=("stats", "chi2", "independence"),
+    doc="Chi-squared independence test of event_type x day-of-week with "
+    "Cramér's V effect size — the categorical-drift / feature-association "
+    "probe. Contingency cells are one hash aggregate; marginals are "
+    "broadcast back onto the (bounded, |types|x7) cell table.",
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    nr = rt.agg((F.count(F.lit(1)) - 1).alias("r1"))
+    nc = ct.agg((F.count(F.lit(1)) - 1).alias("c1"))
+    terms = (
+        obs.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("e", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return (
+        terms.agg(chi2.alias("_chi2"), F.max("n").alias("_n"))
+        .crossJoin(broadcast(nr))
+        .crossJoin(broadcast(nc))
+        .select(
+            round_div(F.col("_chi2"), 4).alias("chi2"),
+            (F.col("r1") * F.col("c1")).cast("int").alias("dof"),
+            round_div(
+                F.sqrt(F.col("_chi2") / (F.col("_n") * F.least("r1", "c1"))), 4
+            ).alias("cramers_v"),
+        )
+    )

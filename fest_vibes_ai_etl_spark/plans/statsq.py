@@ -746,53 +746,20 @@ PSI_BINS = 10
     "than (type, bin).",
 )
 def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
+    from ..operators import drift
 
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         (F.to_date("ts") < F.lit(PSI_CUT).cast("date")).alias("is_ref"),
     )
-    stats = (
-        ev.filter("is_ref")
-        .groupBy("event_type")
-        .agg(
-            F.min("value").alias("lo"),
-            F.greatest(
-                F.max("value") - F.min("value"), F.lit(1e-300)
-            ).alias("width"),
-        )
-    )
-    binned = ev.join(broadcast(stats), "event_type").select(
-        "event_type",
-        "is_ref",
-        F.least(
-            F.greatest(
-                F.floor((F.col("value") - F.col("lo")) / (F.col("width") / PSI_BINS)).cast("int"),
-                F.lit(0),
-            ),
-            F.lit(PSI_BINS - 1),
-        ).alias("bin"),
-    )
+    stats = drift.fit_reference(ev.filter("is_ref"), bins=PSI_BINS)
+    binned = drift.bin_values(ev, stats, bins=PSI_BINS)
     cells = binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("tgt_n"),
     )
-    tot = cells.groupBy("event_type").agg(
-        F.sum("ref_n").alias("ref_tot"), F.sum("tgt_n").alias("tgt_tot")
-    )
-    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + PSI_BINS * 0.5)
-    q = (F.col("tgt_n") + 0.5) / (F.col("tgt_tot") + PSI_BINS * 0.5)
-    return (
-        cells.join(broadcast(tot), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("ref_tot").cast("long").alias("n_ref"),
-            F.max("tgt_tot").cast("long").alias("n_tgt"),
-            round_div(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
-        )
-        .orderBy("event_type")
-    )
+    return drift.psi_from_cells(cells, bins=PSI_BINS).orderBy("event_type")
 
 
 @register(

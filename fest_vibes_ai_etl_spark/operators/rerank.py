@@ -1,0 +1,133 @@
+"""Cross-encoder reranking — the third stage of the retrieval stack
+(retrieve → fuse → rerank), and the second model seam beside the
+sentence-transformers bi-encoder (operators/enrich.py:real_embed_batch_factory).
+
+A cross-encoder scores (query, document) PAIRS jointly — far more accurate
+than bi-encoder cosine, far too expensive to run over a corpus. The scale
+contract is therefore: retrieval narrows to k candidates per query
+(BM25/ANN, both shuffle-pruned), and ONLY those k·|Q| pairs reach the
+model. The mapInPandas scorer amortizes model load once per executor
+worker and scores one Arrow batch of pairs at a time.
+
+Sandbox note: no model weights are downloadable here, so the default
+scorer is a deterministic md5-keyed stub — the Spark-side plumbing
+(candidate join, batch scoring, rank) is real and oracle-checked, and
+``real_cross_encoder_factory`` drops in sentence-transformers'
+CrossEncoder when the package is importable (same guard-import seam as
+the bi-encoder)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField
+
+Scorer = Callable[[pd.Series, pd.Series], pd.Series]
+
+
+def fake_cross_score_batch(queries: pd.Series, docs: pd.Series) -> pd.Series:
+    """Deterministic pair scorer: an md5-derived uniform in [0, 1) keyed on
+    ``query + '|' + doc`` — reproducible in ANSI SQL, so the whole rerank
+    pipeline is value-verifiable. Null/empty text scores null (the
+    degrade-to-null convention of the embed seam)."""
+    import hashlib
+
+    out = []
+    for q, d in zip(queries, docs):
+        if q is None or d is None:
+            out.append(None)
+            continue
+        h = hashlib.md5((str(q) + "|" + str(d)).encode()).hexdigest()[:8]
+        out.append(int(h, 16) / 4294967296.0)
+    return pd.Series(out, dtype="float64")
+
+
+def real_cross_encoder_factory(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+) -> Scorer | None:
+    """Returns a batched CrossEncoder scorer when sentence-transformers is
+    importable, else None (caller falls back to the stub). The model loads
+    lazily once per executor worker inside the closure."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        return None
+
+    cache: dict[str, object] = {}
+
+    def score(queries: pd.Series, docs: pd.Series) -> pd.Series:
+        from sentence_transformers import CrossEncoder
+
+        model = cache.get("model")
+        if model is None:
+            model = cache["model"] = CrossEncoder(model_name)
+        out = pd.Series([None] * len(queries), index=queries.index, dtype=object)
+        mask = queries.notna() & docs.notna()
+        if mask.any():
+            pairs = list(zip(queries[mask].astype(str), docs[mask].astype(str)))
+            out[mask] = pd.Series(
+                [float(s) for s in model.predict(pairs)],
+                index=queries.index[mask],
+                dtype=object,
+            )
+        return out
+
+    return score
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query_col: str,
+    doc_text_col: str,
+    group_col: str,
+    id_col: str,
+    scorer: Scorer | None = None,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every candidate (query, doc) pair and keep the top-k per
+    ``group_col`` by the rounded score (id tie-break). The input is the
+    RETRIEVED candidate set — k_retrieve·|Q| rows, never a corpus — so the
+    expensive model touches only what retrieval let through.
+
+    ``scorer=None`` uses a closure-inlined copy of the md5 stub (stdlib
+    imports inside, no module references — executors never need this
+    package importable, the multimodal.decode_media convention for
+    driver-facing paths); pass ``real_cross_encoder_factory()`` (or any
+    batched scorer) to use a model."""
+    out_schema = type(candidates.schema)(
+        [*candidates.schema.fields, StructField("ce_score", DoubleType())]
+    )
+
+    def run(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _stub(queries, docs):
+            out = []
+            for q, d in zip(queries, docs):
+                if q is None or d is None:
+                    out.append(None)
+                    continue
+                h = _hashlib.md5((str(q) + "|" + str(d)).encode()).hexdigest()[:8]
+                out.append(int(h, 16) / 4294967296.0)
+            return _pd.Series(out, dtype="float64")
+
+        fn = scorer if scorer is not None else _stub
+        for pdf in batches:
+            pdf["ce_score"] = fn(pdf[query_col], pdf[doc_text_col])
+            yield pdf
+
+    scored = candidates.mapInPandas(run, schema=out_schema).withColumn(
+        "score6", F.round("ce_score", round_to)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score6"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("ce_score")
+    )

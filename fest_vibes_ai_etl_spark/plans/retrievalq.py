@@ -218,3 +218,125 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "adc6", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+RERANK_QUERY = " ".join(TERMS)  # "merge hash window"
+RERANK_CAND = 50
+RERANK_TOP = 10
+
+
+@register(
+    "retrieval_rerank_pipeline",
+    oracle=f"""
+    WITH {_BM25_SQL},
+    cand AS (
+      SELECT b.doc_id, d.text
+      FROM bm_rk b JOIN documents d USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND((('0x' || substr(md5('{RERANK_QUERY}' || '|' || text), 1, 8))::BIGINT
+                    / 4294967296.0), 6) AS score6
+      FROM cand
+    )
+    SELECT doc_id, score6, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, score6,
+             ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {RERANK_TOP} ORDER BY rk
+    """,
+    tags=("search", "rerank", "cross-encoder"),
+    doc="Retrieve-then-rerank: BM25 narrows the corpus to 50 candidates, "
+    "and ONLY those (query, doc) pairs reach the cross-encoder scorer "
+    "(mapInPandas, model loaded once per worker — stubbed md5 scorer in "
+    "this sandbox, sentence-transformers CrossEncoder via "
+    "operators/rerank.py:real_cross_encoder_factory outside it). The "
+    "expensive model's cost is k_retrieve·|Q|, never corpus-sized.",
+)
+def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.rerank import rerank_topk
+
+    docs = table(spark, sf_dir, "documents")
+    postings, doclen = build_postings(docs)
+    cand = (
+        bm25_topk(postings, doclen, TERMS, topn=RERANK_CAND)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "text", F.lit(RERANK_QUERY).alias("q"), F.lit(0).alias("_g")
+        )
+    )
+    return (
+        rerank_topk(cand, "q", "text", "_g", "doc_id", k=RERANK_TOP)
+        .select("doc_id", "score6", "rk")
+        .orderBy("rk")
+    )
+
+
+HN_ANCHORS = 10
+HN_K = 5
+
+
+@register(
+    "trainprep_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id, a.label AS anchor_label,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+      FROM embeddings a JOIN embeddings c
+        ON c.vec_id <> a.vec_id AND c.label <> a.label
+      WHERE a.vec_id < {HN_ANCHORS}
+    )
+    SELECT anchor_id, anchor_label, neg_id, ROUND(cos6, 4) AS cosine,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT anchor_id, anchor_label, neg_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos6 DESC, neg_id) AS rk
+      FROM scored
+    ) WHERE rk <= {HN_K} ORDER BY anchor_id, rk
+    """,
+    tags=("trainprep", "vector", "negatives"),
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    "top-5 most-cosine-similar vectors with a DIFFERENT label — the "
+    "near-miss negatives that actually move an embedding model. Anchors "
+    "broadcast, corpus never shuffles, ranking through the map-side "
+    "top-k prune: the shuffle sees k·|anchors| rows.",
+)
+def trainprep_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vector as V
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("av"),
+        )
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(anchors)
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.round(V.cosine(F.col("av"), F.col("embedding")), 6).alias("cos6"),
+        )
+    )
+    return (
+        topk_per_group(scored, ["anchor_id"], "cos6", "neg_id", HN_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.round("cos6", 4).alias("cosine"),
+            "rk",
+        )
+        .orderBy("anchor_id", "rk")
+    )

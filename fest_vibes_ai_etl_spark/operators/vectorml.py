@@ -65,20 +65,37 @@ def _lit_vec(c: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in c])
 
 
+def _lit_codebook(centers: list[list[float]]) -> Column:
+    """One literal array<array<double>> column. Materializing the codebook
+    ONCE and indexing it with higher-order lambdas keeps the expression
+    tree O(k·dim) total; inlining a copy per comparison branch (the naive
+    expansion) makes it O(k²·dim) and costs seconds of driver-side
+    analysis/codegen before a single row is read. Built as ONE parsed SQL
+    string: constructing k·dim literals through the Python Column API is
+    k·dim py4j round-trips (≈1 s per 500 literals of pure driver overhead);
+    one expr() call is a single parse. ``repr(float)`` is the shortest
+    round-trip form, so the parsed double is bit-identical."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centers
+    )
+    return F.expr(f"array({inner})")
+
+
 def best_centroid(vec: Column, centers: list[list[float]], round_to: int = 6) -> Column:
     """struct(cos6, cluster_id) of the max-cosine centroid for ``vec``,
     ties broken toward the lowest centroid id. Pure column expression over
     a literal codebook: array_min over per-centroid (-cos6, id) structs —
     struct comparison is lexicographic, so the min is (max cosine, then
     lowest id). No join, no shuffle, no Python."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-F.round(V.cosine(vec, _lit_vec(c)), round_to)).alias("negc"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    cb = _lit_codebook(centers)
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+        lambda i: F.struct(
+            (-F.round(V.cosine(vec, F.element_at(cb, i.cast("int") + 1)), round_to)).alias(
+                "negc"
+            ),
+            i.cast("int").alias("cid"),
+        ),
     )
     best = F.array_min(scored)
     return F.struct(
@@ -168,6 +185,41 @@ def subspace_codebooks(
     return [[c[s * dsub : (s + 1) * dsub] for c in seeds] for s in range(m)]
 
 
+def _pq_bests(
+    vec: Column,
+    codebooks: list[list[list[float]]],
+    round_to: int = 6,
+) -> Column:
+    """array<struct<d,cid>> — per subspace, the (rounded Euclidean
+    distance, codeword id) of the nearest codeword, lowest id on ties.
+    The nested codebook is ONE literal (see _lit_codebook); both loops are
+    higher-order lambdas, so the tree stays O(m·k·dsub) nodes."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = F.array(*[_lit_codebook(book) for book in codebooks])
+
+    def sub_dist(sub: Column, cw: Column) -> Column:
+        sq = F.zip_with(
+            sub, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+    def per_sub(s: Column) -> Column:
+        sub = F.slice(vec, s.cast("int") * dsub + 1, dsub)
+        book = F.element_at(cb, s.cast("int") + 1)
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                F.round(sub_dist(sub, F.element_at(book, j.cast("int") + 1)), round_to).alias("d"),
+                j.cast("int").alias("cid"),
+            ),
+        )
+        return F.array_min(scored)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -178,33 +230,15 @@ def pq_encode(
     nearest-codeword (Euclidean, rounded argmin, lowest-id tie-break) and
     the summed sub-distances (the PQ reconstruction error). Literal
     codebooks ⇒ pure map, zero shuffle."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-
-    def sub_dist(s: int, c: list[float]) -> Column:
-        sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        sq = F.zip_with(
-            sl,
-            _lit_vec(c),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
-
-    def best(s: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(sub_dist(s, c), round_to).alias("d"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, c in enumerate(codebooks[s])
-            ]
-        )
-        return F.array_min(scored)
-
-    bests = [best(s) for s in range(m)]
-    code = F.concat_ws("-", *[b["cid"].cast("string") for b in bests])
-    recon = sum([b["d"] for b in bests[1:]], bests[0]["d"])
+    bests = _pq_bests(F.col(vec_col), codebooks, round_to)
+    code = F.array_join(
+        F.transform(bests, lambda b: b["cid"].cast("string")), "-"
+    )
+    recon = F.aggregate(
+        F.transform(bests, lambda b: b["d"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return df.select(*df.columns, code.alias("code"), recon.alias("recon_dist"))
 
 
@@ -222,35 +256,119 @@ def pq_reconstruct(
     reads the 4-byte codes while only the (few) queries stay full-width.
     Still a pure literal-codebook map: zero shuffle, zero Python."""
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-
-    def sub_dist(s: int, c: list[float]) -> Column:
-        sl = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        sq = F.zip_with(
-            sl,
-            _lit_vec(c),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    cb = F.array(*[_lit_codebook(book) for book in codebooks])
+    bests = _pq_bests(F.col(vec_col), codebooks, round_to)
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb, s.cast("int") + 1),
+                F.element_at(bests, s.cast("int") + 1)["cid"] + 1,
+            ),
         )
-        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
-
-    def best_code(s: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(sub_dist(s, c), round_to).alias("d"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, c in enumerate(codebooks[s])
-            ]
-        )
-        return F.array_min(scored)["cid"]
-
-    def sub_recon(s: int) -> Column:
-        cb = F.array(*[_lit_vec(c) for c in codebooks[s]])
-        return F.element_at(cb, best_code(s) + 1)
-
-    recon = F.flatten(F.array(*[sub_recon(s) for s in range(m)]))
+    )
     return df.select(*df.columns, recon.alias("recon"))
+
+
+def pq_codes_column(
+    vec: Column, codebooks: list[list[list[float]]], round_to: int = 6
+) -> Column:
+    """array<int> — the m per-subspace codeword ids (the stored PQ codes)."""
+    return F.transform(_pq_bests(vec, codebooks, round_to), lambda b: b["cid"])
+
+
+def recon_from_codes(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<double> — decompress stored PQ codes back to the codeword
+    concatenation (the ADC corpus side). A per-row literal-codebook lookup:
+    the scan reads m small ints per vector, never the original floats."""
+    m = len(codebooks)
+    cb = F.array(*[_lit_codebook(book) for book in codebooks])
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb, s.cast("int") + 1),
+                F.element_at(codes, s.cast("int") + 1) + 1,
+            ),
+        )
+    )
+
+
+_PQ_WAREHOUSE: str | None = None
+
+
+def _pq_warehouse_root() -> str:
+    global _PQ_WAREHOUSE
+    if _PQ_WAREHOUSE is None:
+        import os
+
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _PQ_WAREHOUSE = os.path.join(repo, "spark-warehouse", "pq_codes")
+    return _PQ_WAREHOUSE
+
+
+def pq_store_path(sf_dir: str, m: int, k: int) -> str:
+    """Keyed by (sf basename, params, source fingerprint) — the
+    operators/ivf.py convention: a regenerated dataset keys a fresh build,
+    never a stale read."""
+    import hashlib
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = ""
+    try:
+        st = os.stat(src)
+        stamp = "_" + hashlib.sha1(
+            f"{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()[:10]
+    except OSError:
+        pass
+    return os.path.join(_pq_warehouse_root(), f"{tag}_m{m}_k{k}{stamp}")
+
+
+def load_or_build_pq_codes(
+    spark,
+    corpus: DataFrame,
+    sf_dir: str,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Build/probe split for the compressed corpus (the IVF-index pattern):
+    the one-off encode pass persists (id, codes array<int>) — m small ints
+    per vector, the 64× smaller serving artifact — plus codebooks.json;
+    every later call is a metadata load and the probe path reads CODES
+    ONLY. At 100 TB this is the point of PQ: the ANN tier scans the 1.6 TB
+    code table, not the 100 TB float corpus."""
+    import json
+    import os
+
+    path = pq_store_path(sf_dir, m, k)
+    books_file = os.path.join(path, "codebooks.json")
+    codes_dir = os.path.join(path, "codes")
+    if os.path.exists(books_file) and os.path.exists(
+        os.path.join(codes_dir, "_SUCCESS")
+    ):
+        with open(books_file) as fh:
+            books = json.load(fh)
+        return spark.read.parquet(codes_dir), books
+
+    books = subspace_codebooks(corpus, m, k, dim, id_col, vec_col)
+    codes = corpus.select(
+        F.col(id_col), pq_codes_column(F.col(vec_col), books).alias("codes")
+    )
+    codes.repartition(1).write.mode("overwrite").parquet(codes_dir)
+    os.makedirs(path, exist_ok=True)
+    tmp = books_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(books, fh)
+    os.replace(tmp, books_file)
+    return spark.read.parquet(codes_dir), books
 
 
 def l2_distance(a: Column, b: Column) -> Column:

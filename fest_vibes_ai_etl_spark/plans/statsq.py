@@ -824,3 +824,113 @@ def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "events_dow_seasonal_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(ts) + 1 AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    season AS (
+      SELECT event_type, dow, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+      FROM daily GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           ROUND(s.mu + 0.00000001, 4) AS expected,
+           ROUND(CASE WHEN s.sd > 0 THEN (d.n - s.mu) / s.sd END + 0.00000001, 4) AS z,
+           COALESCE(ABS(CASE WHEN s.sd > 0 THEN (d.n - s.mu) / s.sd END) >= 2.0, FALSE) AS is_outlier
+    FROM daily d JOIN season s USING (event_type, dow)
+    ORDER BY event_type, day
+    """,
+    tags=("stats", "anomaly", "seasonal"),
+    doc="Seasonality-aware volume anomalies: per (event_type, day-of-week) "
+    "mean/stddev baseline, daily counts flagged at |z| >= 2 — the 'is "
+    "today's traffic weird FOR A TUESDAY' monitor, which a flat threshold "
+    "gets wrong twice a week. Two bounded aggregates; the baseline "
+    "broadcast back onto the (type, day) table.",
+)
+def events_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    season = daily.groupBy("event_type", "dow").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd"))
+    return (
+        daily.join(broadcast(season), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            round_div(F.col("mu"), 4).alias("expected"),
+            round_div(z, 4).alias("z"),
+            F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "events_forecast_backtest_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.day, a.n, f.n AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           ROUND(AVG(ABS(n - forecast) / n) + 0.00000001, 4) AS mape,
+           ROUND(AVG(ABS(n - forecast)) + 0.00000001, 4) AS mae
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("stats", "forecast", "backtest"),
+    doc="Backtest of the seasonal-naive forecast (predict today = same "
+    "weekday last week): per-type MAPE/MAE over every day with a "
+    "7-day-old ancestor. The baseline every real forecasting model must "
+    "beat — and the pipeline shape (as-of self-join on the date key, "
+    "bounded per-type aggregate) is the same harness a real model's "
+    "backtest uses.",
+)
+def events_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("day").alias("fday"),
+        F.col("n").alias("forecast"),
+    )
+    joined = daily.join(
+        f,
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("fday") == F.date_sub(F.col("day"), 7)),
+    ).select("event_type", "day", "n", "forecast")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_div(F.avg(F.abs(F.col("n") - F.col("forecast")) / F.col("n")), 4).alias("mape"),
+            round_div(F.avg(F.abs(F.col("n") - F.col("forecast"))), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

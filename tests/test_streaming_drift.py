@@ -59,6 +59,7 @@ def test_streamed_psi_matches_batch_and_replays(spark, tmp_path):
         r["event_type"]: (r["n_ref"], r["n_tgt"], r["psi"])
         for r in streamed_psi(spark, str(log_root), rcells).collect()
     }
+    catalog.queries()  # populate the lazy registry
     want = {
         r["event_type"]: (r["n_ref"], r["n_tgt"], r["psi"])
         for r in catalog.REGISTRY["events_psi_value_drift"]
@@ -77,3 +78,43 @@ def test_streamed_psi_matches_batch_and_replays(spark, tmp_path):
         for r in streamed_psi(spark, str(log_root), rcells).collect()
     }
     assert again == want
+
+
+def test_psi_is_zero_when_target_equals_reference(spark):
+    from fest_vibes_ai_etl_spark.operators import drift
+
+    cells = spark.createDataFrame(
+        [("a", 0, 10, 10), ("a", 1, 5, 5), ("b", 0, 7, 7)],
+        "event_type string, bin int, ref_n long, tgt_n long",
+    )
+    out = {r["event_type"]: r["psi"] for r in drift.psi_from_cells(cells).collect()}
+    # identical cells → ref_tot == tgt_tot → p == q exactly → psi == 0.0
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_bin_values_drops_unseen_categories(spark):
+    from fest_vibes_ai_etl_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    tgt = spark.createDataFrame(
+        [("a", 1.5), ("zz", 9.0)], "event_type string, value double"
+    )
+    stats = drift.fit_reference(ref)
+    binned = drift.bin_values(tgt, stats)
+    # 'zz' has no reference geometry — inner join drops it (an unseen
+    # category has no distribution to drift FROM; surface it separately)
+    assert [r["event_type"] for r in binned.collect()] == ["a"]
+
+
+def test_degenerate_reference_bins_to_zero(spark):
+    from fest_vibes_ai_etl_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0)], "event_type string, value double"
+    )
+    stats = drift.fit_reference(ref)
+    binned = drift.bin_values(ref, stats)
+    # constant reference → width floored at 1e-300, every value in bin 0
+    assert {r["bin"] for r in binned.collect()} == {0}

@@ -140,3 +140,57 @@ def test_semdedup_pair_join_is_cluster_keyed(emb, centers):
     # cartesian/all-pairs product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_store_build_once_then_load(spark, emb, tmp_path, monkeypatch):
+    # second call must be a metadata load, not a rebuild
+    from fest_vibes_ai_etl_spark.operators import vectorml as vm
+    import os
+
+    monkeypatch.setattr(vm, "_PQ_WAREHOUSE", str(tmp_path / "pq"))
+    codes1, books1 = vm.load_or_build_pq_codes(spark, emb, SF_DIR, 4, 8, 64)
+    path = vm.pq_store_path(SF_DIR, 4, 8)
+    success = os.path.join(path, "codes", "_SUCCESS")
+    mtime = os.path.getmtime(success)
+    codes2, books2 = vm.load_or_build_pq_codes(spark, emb, SF_DIR, 4, 8, 64)
+    assert os.path.getmtime(success) == mtime  # not rewritten
+    assert books1 == books2
+    a = {r["vec_id"]: list(r["codes"]) for r in codes1.collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in codes2.collect()}
+    assert a == b
+
+
+def test_adc_triangle_inequality(emb):
+    # |d(q,x) - d(q,recon(x))| <= d(x,recon(x)) = recon_dist (+ rounding
+    # slack): the ADC error is bounded by the quantization error — the
+    # invariant that makes compressed-domain ranking trustworthy
+    books = vectorml.subspace_codebooks(emb, 4, 8, 64)
+    enc = vectorml.pq_encode(emb, books).select("vec_id", "embedding", "recon_dist")
+    rec = vectorml.pq_reconstruct(emb, books).select(
+        "vec_id", "recon"
+    )
+    q = [r for r in emb.filter(F.col("vec_id") == 0).collect()][0]["embedding"]
+    qv = np.asarray(q, dtype="float64")
+    joined = {r["vec_id"]: r for r in enc.join(rec, "vec_id").collect()}
+    for vid, r in joined.items():
+        x = np.asarray(r["embedding"], dtype="float64")
+        rx = np.asarray(r["recon"], dtype="float64")
+        true_d = float(np.linalg.norm(qv - x))
+        adc_d = float(np.linalg.norm(qv - rx))
+        # recon_dist is a sum of per-subspace ROUNDED distances; the true
+        # quantization error sqrt(sum d_s^2) <= sum d_s, so the bound holds
+        # with a small rounding slack
+        assert abs(true_d - adc_d) <= r["recon_dist"] + 1e-4, vid
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    from fest_vibes_ai_etl_spark.plans import catalog
+
+    catalog.queries()  # populate the lazy registry
+    sample = catalog.REGISTRY["sample_weighted_reservoir"].fn(spark, SF_DIR)
+    avg_sample_w = sample.agg(F.avg("w")).collect()[0][0]
+    li = table(spark, SF_DIR, "lineitem")
+    avg_pop_w = li.agg(F.avg("l_quantity")).collect()[0][0]
+    # Efraimidis-Spirakis draws proportional-to-weight: the sampled rows'
+    # mean weight must sit clearly above the population mean
+    assert avg_sample_w > avg_pop_w * 1.2

@@ -220,3 +220,68 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "n", "ma7")
         .orderBy("event_type", "day")
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+             CAST(MIN({c}) AS VARCHAR) AS min_val,
+             CAST(MAX({c}) AS VARCHAR) AS max_val
+      FROM lineitem""")
+    union = "\n      UNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n    ) ORDER BY column_name"
+
+
+@register(
+    "table_stats_profile",
+    oracle=_profile_oracle(),
+    tags=("dq", "stats", "analyze"),
+    doc="ANALYZE-style column statistics (rows, nulls, exact NDV, min/max "
+    "as strings) for the fact table — what a cost-based optimizer and a "
+    "data-contract monitor both consume. ONE scan total: Spark plans the "
+    "multi-distinct aggregate as its own expansion; the oracle spells the "
+    "same stats as per-column scans. At corpus scale swap exact NDV for "
+    "the HLL sketch (plans/sketches.py) — same output contract, constant "
+    "memory.",
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+                "AS (column_name, n, n_null, ndv, min_val, max_val)"
+            )
+        )
+        .orderBy("column_name")
+    )

@@ -241,3 +241,97 @@ def ann_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=16).orderBy(
         "query_id", "rk"
     )
+
+
+@register(
+    "corpus_split_dedup_aware",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i) + 0.00000001, 4) >= 0.2
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp,
+             CASE WHEN (('0x' || substr(md5('split-v1:' || CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT / 16777216.0) < 0.8 THEN 'train'
+                  WHEN (('0x' || substr(md5('split-v1:' || CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT / 16777216.0) < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    straddle AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling FROM (
+        SELECT comp FROM assigned GROUP BY comp HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT comp) AS n_clusters,
+           MAX(s.n_straddling) AS n_straddling_clusters
+    FROM assigned CROSS JOIN straddle s
+    GROUP BY split ORDER BY split
+    """,
+    tags=("corpus", "trainprep", "dedup", "leakage"),
+    doc="Near-dup-aware train/val/test split: documents are keyed by their "
+    "TRANSITIVE near-dup cluster id (min-label connected components over "
+    "Jaccard pairs; singletons key on themselves), then hash-assigned — so "
+    "two near-duplicate documents can NEVER straddle train and eval, the "
+    "leak that group-aware splitting by source alone misses. The "
+    "n_straddling_clusters column is computed from the data (not pinned) "
+    "and must be 0 by construction on both engines.",
+)
+def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.trainprep import assign_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    comp = cluster.connected_components(pairs)
+    assigned = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("comp"),
+        )
+        .withColumn("split", assign_split(F.col("comp")))
+    )
+    straddle = (
+        assigned.groupBy("comp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddling"))
+    )
+    return (
+        assigned.crossJoin(broadcast(straddle))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("comp").alias("n_clusters"),
+            F.max("n_straddling").cast("long").alias("n_straddling_clusters"),
+        )
+        .orderBy("split")
+    )

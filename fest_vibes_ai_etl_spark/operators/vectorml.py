@@ -58,6 +58,11 @@ def seed_centroids(
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"seed_centroids: corpus has only {len(rows)} rows with "
+            f"{id_col} < {k}; need {k} seed vectors"
+        )
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
@@ -338,6 +343,7 @@ def load_or_build_pq_codes(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_files: int = 1,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Build/probe split for the compressed corpus (the IVF-index pattern):
     the one-off encode pass persists (id, codes array<int>) — m small ints
@@ -362,7 +368,10 @@ def load_or_build_pq_codes(
     codes = corpus.select(
         F.col(id_col), pq_codes_column(F.col(vec_col), books).alias("codes")
     )
-    codes.repartition(1).write.mode("overwrite").parquet(codes_dir)
+    # n_files sizes the code table's layout: the fixture corpus fits one
+    # tidy file; a 100 TB corpus (~1.6 TB of codes at m=4) should pass
+    # n_files ≈ code_bytes / 512 MB so probe scans stream well-sized files.
+    codes.repartition(n_files).write.mode("overwrite").parquet(codes_dir)
     os.makedirs(path, exist_ok=True)
     tmp = books_file + ".tmp"
     with open(tmp, "w") as fh:
@@ -413,9 +422,11 @@ def gram_matrix(
 
     def partials(batches):
         for pdf in batches:
-            if pdf.empty:
+            vs = pdf[vec_col].dropna()  # null vectors carry no mass; an
+            # all-null Arrow batch must not reach np.vstack (raises on empty)
+            if len(vs) == 0:
                 continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            X = np.vstack(vs.to_numpy()).astype("float64")
             yield pd.DataFrame(
                 {
                     "n": [X.shape[0]],

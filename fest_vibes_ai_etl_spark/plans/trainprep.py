@@ -290,3 +290,78 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn(
         "keep", (F.col("dup_word_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.05)
     )
+
+
+TEMP_ALPHA = 0.7
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    raw AS (
+      SELECT lang, n, POWER(n / (SELECT t FROM tot), {TEMP_ALPHA} - 1.0) AS boost
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, n,
+             ROUND(boost / (SELECT MAX(boost) FROM raw) + 0.00000001, 6) AS rate
+      FROM raw
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r USING (lang)
+      WHERE {HASH_FRAC_SQL.format(key="'temp-v1:' || CAST(d.doc_id AS VARCHAR)")}
+            < r.rate
+    ),
+    k AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang),
+    ktot AS (SELECT CAST(SUM(n_kept) AS DOUBLE) AS t FROM k)
+    SELECT r.lang, CAST(r.n AS BIGINT) AS n_before, k.n_kept, r.rate,
+           ROUND(CAST(k.n_kept AS DOUBLE) / (SELECT t FROM ktot) + 0.00000001, 4) AS share_kept
+    FROM rates r JOIN k USING (lang) ORDER BY r.lang
+    """,
+    tags=("trainprep", "mixture", "temperature"),
+    doc="Temperature-balanced language sampling (the mT5/XLM-R recipe): "
+    "keep-rate_l ∝ p_l^(α-1) with α=0.7, normalized so the rarest "
+    "language keeps everything — downsample-only, which a hash-threshold "
+    "filter realizes exactly. Rates are ROUNDED to 6 decimals on both "
+    "engines before the keep comparison so a 1-ulp pow() divergence "
+    "cannot flip a row's membership. Rates broadcast; the keep decision "
+    "is map-side — zero shuffle until the report aggregate.",
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    raw = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n", F.pow(F.col("n") / F.col("t"), TEMP_ALPHA - 1.0).alias("boost")
+    )
+    mx = raw.agg(F.max("boost").alias("mb"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n",
+        F.round(F.col("boost") / F.col("mb") + 1e-8, 6).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(
+            trainprep.hash_fraction(F.col("doc_id"), "temp-v1:") < F.col("rate")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    ktot = kept.agg(F.sum("n_kept").cast("double").alias("t"))
+    return (
+        rates.join(kept, "lang")
+        .crossJoin(F.broadcast(ktot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_before"),
+            "n_kept",
+            "rate",
+            round_div(F.col("n_kept").cast("double") / F.col("t"), 4).alias(
+                "share_kept"
+            ),
+        )
+        .orderBy("lang")
+    )

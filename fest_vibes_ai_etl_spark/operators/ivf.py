@@ -95,20 +95,19 @@ def build_ivf_index(
     return assigned, centers
 
 
-def ivf_topk(
+def probe_candidates(
     assigned: DataFrame,
     centers: list[list[float]],
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    topk: int = 5,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: each query scans only its ``nprobe``
-    closest cells (by centroid cosine), exact rerank within. The centroid
-    table rides along as a tiny broadcast-joined DataFrame, not a literal
-    array expression — k·d inline literals force Janino to compile a
-    megabyte of generated code per run (measured ~2 s at 16×64)."""
+    """(query_id, qv, <assigned cols>) — each query's candidate rows from
+    its ``nprobe`` closest cells (by centroid cosine), self-matches
+    excluded. The cell-gating half of IVF, shared by the exact-rerank probe
+    (``ivf_topk``) and the compressed-domain IVF-PQ probe (ADC ranking over
+    the candidates' PQ codes)."""
     spark = assigned.sparkSession
     centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -128,8 +127,27 @@ def ivf_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "qv", "cell_id")
     )
-    cand = assigned.join(broadcast(q_cells), "cell_id").filter(
+    return assigned.join(broadcast(q_cells), "cell_id").filter(
         F.col(id_col) != F.col("query_id")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: each query scans only its ``nprobe``
+    closest cells (by centroid cosine), exact rerank within. The centroid
+    table rides along as a tiny broadcast-joined DataFrame, not a literal
+    array expression — k·d inline literals force Janino to compile a
+    megabyte of generated code per run (measured ~2 s at 16×64)."""
+    cand = probe_candidates(
+        assigned, centers, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
     scored = cand.withColumn(
         "cos6", F.round(V.cosine(F.col("qv"), F.col(vec_col)), 6)

@@ -285,3 +285,50 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000.0) AS INT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(MAX(n) AS BIGINT) AS max_group_size
+    FROM groups
+    """,
+    tags=("dq", "privacy", "k-anonymity"),
+    doc="k-anonymity audit over the quasi-identifier tuple (nation, market "
+    "segment, account-balance band): how many equivalence classes fall "
+    "below k=5, and how many rows those classes re-identify. The "
+    "release-gate a privacy review runs before sharing a derived table; "
+    "one hash aggregate over the quasi-identifier key, then a bounded "
+    "summary — same cost shape as any GROUP BY at 100 TB.",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0)).cast("long").alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).cast("long").alias(
+            "rows_at_risk"
+        ),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.max("n").cast("long").alias("max_group_size"),
+    )

@@ -140,3 +140,39 @@ def test_triangle_wedge_join_no_cartesian(spark):
     # wedge build + closure probe are pair-keyed hash joins; the only
     # cross joins are the three 1-row summary combines
     assert plan.count("CartesianProduct") == 0
+
+
+def test_adc_probe_reads_codes_not_embeddings(spark):
+    # the ADC probe must scan the persisted code store — no embeddings
+    # column read anywhere on the corpus side (that's the 64× I/O story)
+    q = catalog.queries()["ann_pq_adc_topk"]
+    df = q(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln]
+    code_scans = [ln for ln in scans if "pq_codes" in ln or "codes" in ln]
+    assert code_scans, plan  # corpus side comes from the code store
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_single_python_stage(spark):
+    # exactly one Arrow-batched Python stage (the cross-encoder scorer) —
+    # candidate building and ranking stay JVM-side
+    q = catalog.queries()["retrieval_rerank_pipeline"]
+    plan = _plan(q(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_psi_baseline_is_broadcast(spark):
+    q = catalog.queries()["events_psi_value_drift"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # bin geometry broadcast onto the scan
+    assert "SortMergeJoin" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_temperature_mixture_no_wide_shuffle_before_filter(spark):
+    q = catalog.queries()["corpus_mixture_temperature"]
+    plan = _plan(q(spark, SF_DIR))
+    # the keep decision joins a broadcast rate table; the fact must not
+    # shuffle before the filter
+    assert "BroadcastHashJoin" in plan

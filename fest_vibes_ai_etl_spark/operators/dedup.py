@@ -112,6 +112,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
     persist: bool = True,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs, PPJoin-style.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4.
@@ -133,8 +134,11 @@ def ngram_jaccard_pairs(
     recompute the tokenize→shingle→sort scan 4×. At 100 TB this table is the
     dedup index — persisting (or staging to parquet) it is the intended
     physical design; ContextCleaner drops the cache when the plan is GC'd.
+    Pass ``sig`` (id, sh, n — e.g. from ``load_or_build_signature_store``) to
+    start from the staged index and skip the build entirely.
     """
-    sig = shingle_signature(df, id_col, text_col, k, max_shingle_df)
+    if sig is None:
+        sig = shingle_signature(df, id_col, text_col, k, max_shingle_df)
     if persist:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     tp = max(threshold - 1e-3, 0.0)
@@ -419,3 +423,65 @@ def choose_minhash_params(
     bands = math.ceil(math.log(target_miss) / math.log(1.0 - band_p))
     bands = max(1, min(bands, max_hashes // rows_per_band))
     return bands * rows_per_band, bands
+
+
+# --- persisted signature store: build once, dedup many ---------------------
+
+_SIG_WAREHOUSE: str | None = None
+
+
+def _sig_warehouse_root() -> str:
+    global _SIG_WAREHOUSE
+    if _SIG_WAREHOUSE is None:
+        import os
+
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _SIG_WAREHOUSE = os.path.join(repo, "spark-warehouse", "shingle_sig")
+    return _SIG_WAREHOUSE
+
+
+def signature_store_path(sf_dir: str, table_name: str, k: int) -> str:
+    """Keyed by (sf basename, source table, k, source fingerprint) — the
+    ivf/pq store convention: a regenerated dataset keys a fresh build."""
+    import hashlib
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    src = os.path.join(sf_dir, f"{table_name}.parquet")
+    stamp = ""
+    try:
+        st = os.stat(src)
+        stamp = "_" + hashlib.sha1(
+            f"{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()[:10]
+    except OSError:
+        pass
+    return os.path.join(_sig_warehouse_root(), f"{tag}_{table_name}_k{k}{stamp}")
+
+
+def load_or_build_signature_store(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    table_name: str = "documents",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PPJoin shingle-signature table (id, sh, n) staged to parquet —
+    the dedup INDEX of the corpus, built once per (sf, table, k, source
+    fingerprint) and shared by every Jaccard consumer (pair mining,
+    transitive clustering, dedup-aware splitting). At 100 TB the
+    tokenize→shingle→hash→sort scan is the dominant dedup cost; staging it
+    amortizes that scan across every dedup-family job on the cluster, the
+    same build/probe economics as the IVF and PQ stores."""
+    import os
+
+    path = signature_store_path(sf_dir, table_name, k)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    sig = shingle_signature(df, id_col, text_col, k)
+    sig.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

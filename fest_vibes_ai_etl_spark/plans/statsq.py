@@ -934,3 +934,97 @@ def events_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+CHURN_QUIET_DAYS = 7
+
+
+@register(
+    "events_survival_curve",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day, MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events),
+    durations AS (
+      SELECT s.user_id,
+             CASE WHEN s.last_day <= b.end_day - INTERVAL {CHURN_QUIET_DAYS} DAY
+                  THEN CAST(s.last_day - s.first_day AS INT) ELSE CAST(b.end_day - s.first_day AS INT) END AS t,
+             CASE WHEN s.last_day <= b.end_day - INTERVAL {CHURN_QUIET_DAYS} DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans s CROSS JOIN bounds b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM durations),
+    per_t AS (
+      SELECT t,
+             CAST(COUNT(*) AS BIGINT) AS n_at_t,
+             CAST(SUM(churned) AS BIGINT) AS d_events
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_at_t, d_events,
+             (SELECT n FROM tot)
+               - COALESCE(SUM(n_at_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+           ROUND(EXP(SUM(LN(1.0 - d_events / n_risk))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 + 0.00000001, 4) AS survival
+    FROM risk WHERE n_risk > 0 ORDER BY t
+    """,
+    tags=("stats", "survival", "churn"),
+    doc="Kaplan-Meier survival curve of time-to-churn: a user churns when "
+    "their last event sits >= 7 quiet days before the observation end "
+    "(otherwise right-censored at the window edge — the distinction naive "
+    "churn rates get wrong). S(t) = prod(1 - d_i/n_i) computed as "
+    "exp(running sum of logs) over the ~|distinct days| risk table — the "
+    "heavy work is one per-user span aggregate; everything after is "
+    "bounded by the calendar, not the fact.",
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
+    churned = F.col("last_day") <= F.date_sub(F.col("end_day"), CHURN_QUIET_DAYS)
+    durations = spans.crossJoin(broadcast(bounds)).select(
+        "user_id",
+        F.when(
+            churned, F.datediff("last_day", "first_day")
+        ).otherwise(F.datediff("end_day", "first_day")).cast("int").alias("t"),
+        F.when(churned, 1).otherwise(0).alias("churned"),
+    )
+    tot = durations.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    per_t = durations.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("churned").alias("d_events"),
+    )
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        per_t.crossJoin(broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n") - F.coalesce(F.sum("n_at_t").over(w_prior), F.lit(0.0)),
+        )
+        .filter(F.col("n_risk") > 0)
+    )
+    return risk.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        round_div(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d_events") / F.col("n_risk"))).over(w_run)
+            ),
+            4,
+        ).alias("survival"),
+    ).orderBy("t")

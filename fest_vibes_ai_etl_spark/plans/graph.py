@@ -447,3 +447,97 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+LP_ROUNDS = 2
+LP_TOP = 20
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round: each node takes the most
+    frequent label among its neighbors, ties to the smallest label."""
+    return f"""{out} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, p.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY COUNT(*) DESC, p.label) AS rk
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst, p.label
+      ) WHERE rk = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    sizes AS (
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM l2 GROUP BY label
+    )
+    SELECT CASE WHEN community % 2 = 0 THEN 'c' || CAST(community // 2 AS VARCHAR)
+                ELSE 's' || CAST(community // 2 AS VARCHAR) END AS community,
+           n_members,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_members DESC, community) AS INT) AS rk
+    FROM sizes QUALIFY rk <= {LP_TOP} ORDER BY rk
+    """,
+    tags=("graph", "iterative", "community"),
+    doc="Synchronous label propagation (2 rounds, Raghavan et al. 2007 made "
+    "deterministic: most-frequent neighbor label, ties to the smallest) — "
+    "community detection as distinct from connectivity: LP splits a "
+    "connected graph into dense neighborhoods where components cannot. "
+    "Each round is one groupBy(node, label) count + one per-node argmax "
+    "through the map-side top-k prune; the edge table comes from the "
+    "prepare-phase store and never rebuilds. The oracle unrolls the same "
+    "rounds as CTEs (the pagerank pattern).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.topk import topk_per_group
+
+    edges = load_or_build_cs_edges(spark, sf_dir).select("src", "dst")
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LP_ROUNDS):
+        counted = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # per-node argmax label via the pruned top-k: order is
+        # (cnt DESC, label ASC) — exactly the deterministic mode tie-break
+        picked = topk_per_group(counted, ["node"], "cnt", "label", 1)
+        labels = picked.select("node", "label").localCheckpoint(eager=True)
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.orderBy(F.desc("n_members"), "community")
+    return (
+        sizes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= LP_TOP)
+        .select(
+            F.concat(
+                F.when(F.col("community") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+                (F.col("community") / 2).cast("long").cast("string"),
+            ).alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

@@ -1028,3 +1028,85 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("survival"),
     ).orderBy("t")
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, t.n_days,
+             CAST(t.n_days * SUM(d.n) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) * t.total
+             AS BIGINT) AS t_scaled
+      FROM daily d JOIN tot t USING (event_type)
+    )
+    SELECT event_type, day AS cp_day,
+           ROUND(CAST(ABS(t_scaled) AS DOUBLE) / n_days + 0.00000001, 4) AS cusum_peak,
+           CAST(n_days AS INT) AS n_days
+    FROM (
+      SELECT event_type, day, t_scaled, n_days,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(t_scaled) DESC, day) AS rk
+      FROM walk
+    ) WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("stats", "changepoint", "cusum"),
+    doc="CUSUM change-point detection on daily volume per event type: the "
+    "cumulative deviation from the period mean peaks at the most likely "
+    "level-shift day. The statistic is computed SCALED BY n_days so every "
+    "intermediate stays a BIGINT — the argmax is exact integer arithmetic "
+    "on both engines, no float-order exposure; only the reported peak "
+    "magnitude divides back to double. One daily aggregate + windows over "
+    "calendar-bounded rows.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w_run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_idx = Window.partitionBy("event_type").orderBy("day")
+    walk = daily.join(broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (
+            F.col("n_days") * F.sum("n").over(w_run)
+            - F.row_number().over(w_idx) * F.col("total")
+        ).cast("long").alias("t_scaled"),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("t_scaled")).desc(), "day"
+    )
+    return (
+        walk.withColumn("rk", F.row_number().over(w_peak))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            round_div(F.abs(F.col("t_scaled")).cast("double") / F.col("n_days"), 4).alias(
+                "cusum_peak"
+            ),
+            F.col("n_days").cast("int").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -365,3 +365,89 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+NEG_USERS = 20
+NEG_K = 5
+
+
+@register(
+    "trainprep_negative_interactions",
+    oracle=f"""
+    WITH users AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < {NEG_USERS}
+    ),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < {NEG_USERS}
+    ),
+    cand AS (
+      SELECT u.c_custkey, p.p_partkey,
+             md5(CAST(u.c_custkey AS VARCHAR) || ':' || CAST(p.p_partkey AS VARCHAR)) AS h
+      FROM users u CROSS JOIN part p
+      LEFT JOIN seen s ON s.c_custkey = u.c_custkey AND s.l_partkey = p.p_partkey
+      WHERE s.c_custkey IS NULL
+    )
+    SELECT c_custkey, p_partkey, CAST(rk AS INT) AS rk FROM (
+      SELECT c_custkey, p_partkey,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY h DESC, p_partkey) AS rk
+      FROM cand
+    ) WHERE rk <= {NEG_K} ORDER BY c_custkey, rk
+    """,
+    tags=("trainprep", "negatives", "recommender"),
+    doc="Negative sampling for implicit-feedback training (BPR/ALS-style): "
+    "per user, k items the user has NOT interacted with, drawn by md5 hash "
+    "rank — deterministic across engines, retries, and partitionings (the "
+    "RNG is the data). The user sample broadcasts, the anti-join removes "
+    "positives, and ranking goes through the map-side top-k prune: only "
+    "k·|users| rows reach the shuffle no matter the catalog size.",
+)
+def trainprep_negative_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.topk import topk_per_group
+
+    users = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < NEG_USERS)
+        .select("c_custkey")
+    )
+    seen = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < NEG_USERS)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+        .join(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("c_custkey", "l_partkey")
+        .distinct()
+    )
+    parts = table(spark, sf_dir, "part").select("p_partkey")
+    seen_k = seen.select(
+        F.col("c_custkey").alias("s_cust"), F.col("l_partkey").alias("s_part")
+    )
+    cand = (
+        parts.crossJoin(broadcast(users))
+        .join(
+            broadcast(seen_k),
+            (F.col("c_custkey") == F.col("s_cust"))
+            & (F.col("p_partkey") == F.col("s_part")),
+            "left_anti",
+        )
+        .select(
+            "c_custkey",
+            "p_partkey",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("c_custkey").cast("string"), F.col("p_partkey").cast("string")
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    return (
+        topk_per_group(cand, ["c_custkey"], "h", "p_partkey", NEG_K)
+        .select("c_custkey", "p_partkey", "rk")
+        .orderBy("c_custkey", "rk")
+    )

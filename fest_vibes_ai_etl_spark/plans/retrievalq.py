@@ -351,3 +351,133 @@ def trainprep_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+EVAL_Q = 10
+EVAL_K = 10
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, t.s, seeds.cid,
+             ROUND(list_distance(
+               CAST(e.embedding[t.s*{_DSUB}+1 : t.s*{_DSUB}+{_DSUB}] AS DOUBLE[]),
+               seeds.c[t.s*{_DSUB}+1 : t.s*{_DSUB}+{_DSUB}]), 6) AS d
+      FROM embeddings e, UNNEST(range(0, {PQ_M})) AS t(s), seeds
+    ),
+    best AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    recon AS (
+      SELECT b.vec_id,
+             flatten(list(se.c[b.s*{_DSUB}+1 : b.s*{_DSUB}+{_DSUB}] ORDER BY b.s)) AS r
+      FROM best b JOIN seeds se ON se.cid = b.cid
+      GROUP BY b.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {EVAL_Q}
+    ),
+    approx AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT q.query_id, r.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_distance(q.qv, r.r), 6), r.vec_id) AS rk
+        FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id
+      ) WHERE rk <= {EVAL_K}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_distance(q.qv, CAST(c.embedding AS DOUBLE[])), 6), c.vec_id) AS rk
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+      ) WHERE rk <= {EVAL_K}
+    ),
+    idcg AS (
+      SELECT SUM(1.0 / LOG2(t.i + 1.0)) AS v FROM UNNEST(range(1, {EVAL_K + 1})) AS t(i)
+    )
+    SELECT a.query_id,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS hits,
+           ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL
+                          THEN 1.0 / LOG2(a.rk + 1.0) ELSE 0.0 END)
+                 / (SELECT v FROM idcg) + 0.00000001, 4) AS ndcg
+    FROM approx a LEFT JOIN exact e USING (query_id, vec_id)
+    GROUP BY a.query_id ORDER BY a.query_id
+    """,
+    tags=("search", "eval", "ndcg"),
+    prepare=_pq_prepare,
+    doc="Offline retrieval evaluation: nDCG@10 of the PQ compressed-domain "
+    "(ADC) ranking against exact-L2 ground truth, binary relevance — the "
+    "recall/quality report every ANN deployment runs before trading "
+    "accuracy for scan I/O. Both rankings come from the same plan; the "
+    "ground-truth join is k·|Q| rows, so the eval costs one extra exact "
+    "scan over the query sample, never the corpus squared.",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import broadcast
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, books = vectorml.load_or_build_pq_codes(spark, emb, sf_dir, PQ_M, PQ_K, DIM)
+    recon = codes.select(
+        "vec_id", vectorml.recon_from_codes(F.col("codes"), books).alias("recon")
+    )
+    q = broadcast(
+        emb.filter(F.col("vec_id") < EVAL_Q).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+
+    def topk(scored):
+        return topk_per_group(
+            scored.withColumn("neg", -F.col("d6")), ["query_id"], "neg", "vec_id", EVAL_K
+        ).select("query_id", "vec_id", "rk")
+
+    approx = topk(
+        recon.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(vectorml.l2_distance(F.col("qv"), F.col("recon")), 6).alias("d6"),
+        )
+    )
+    exact = topk(
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(vectorml.l2_distance(F.col("qv"), F.col("embedding")), 6).alias("d6"),
+        )
+    ).select("query_id", "vec_id", F.lit(1).alias("rel"))
+    idcg = sum(1.0 / math.log2(i + 1.0) for i in range(1, EVAL_K + 1))
+    return (
+        approx.join(exact, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("rel").cast("long").alias("hits"),
+            round_div(
+                F.sum(
+                    F.when(
+                        F.col("rel").isNotNull(), 1.0 / F.log2(F.col("rk") + 1.0)
+                    ).otherwise(0.0)
+                )
+                / F.lit(idcg),
+                4,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -266,6 +266,7 @@ def minhash_lsh_exact_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    verify_sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification — the
     production dedup shape: the sketch only *selects* candidates (cheap,
@@ -302,7 +303,11 @@ def minhash_lsh_exact_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sig = shingle_signature(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = (
+        verify_sig
+        if verify_sig is not None
+        else shingle_signature(df, id_col, text_col, k)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sa = sig.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
     sb = sig.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

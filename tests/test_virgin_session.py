@@ -53,6 +53,11 @@ VIRGIN_QUERIES = [
     "pq_codes_stats",
     "quality_classifier_hashed",
     "embedding_covariance_topk",
+    # round-3 event-time additions (the conf-sensitive class): date
+    # arithmetic + censoring cutoffs must hold under default session TZ
+    "events_survival_curve",
+    "events_cusum_changepoint",
+    "events_psi_value_drift",
 ]
 
 

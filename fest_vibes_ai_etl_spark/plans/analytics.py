@@ -429,3 +429,64 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         round_div(F.avg(F.col("dp") / (F.col("nv") * F.col("nc"))), 4).alias("mean_cohesion"),
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> lower(x) IN ('the','and','of','is','a')))      AS s_en,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','los')))     AS s_es,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','les','des','est')))    AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist')))  AS s_de,
+        len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS declared,
+             CASE WHEN GREATEST(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                  WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                  WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                  WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                  WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                  ELSE 'zh' END AS detected
+      FROM s
+    ),
+    decl_tot AS (SELECT declared, COUNT(*) AS n_declared FROM pred GROUP BY declared)
+    SELECT p.declared, p.detected,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(d.n_declared) + 0.00000001, 4) AS frac_of_declared
+    FROM pred p JOIN decl_tot d USING (declared)
+    GROUP BY p.declared, p.detected
+    ORDER BY p.declared, p.detected
+    """,
+    tags=("text", "langid", "labels", "dq"),
+    doc="Label-quality audit: confusion matrix of the DECLARED lang column "
+    "vs the marker-word detector — the mislabeled-language sweep a "
+    "multilingual corpus runs before trusting its metadata for mixture "
+    "sampling (a wrong lang label silently skews the temperature mix). "
+    "One detection scan + a bounded (declared × detected) aggregate.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = table(spark, sf_dir, "documents")
+    pred = textanalysis.language_id(docs, "doc_id", "text").join(
+        docs.select("doc_id", F.col("lang").alias("declared")), "doc_id"
+    )
+    decl_tot = pred.groupBy("declared").agg(F.count(F.lit(1)).alias("n_declared"))
+    return (
+        pred.join(broadcast(decl_tot), "declared")
+        .groupBy("declared", F.col("pred_lang").alias("detected"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_div(
+                F.count(F.lit(1)).cast("double") / F.max("n_declared"), 4
+            ).alias("frac_of_declared"),
+        )
+        .orderBy("declared", "detected")
+    )

@@ -181,21 +181,15 @@ def _warehouse_root() -> str:
 
 def index_path(sf_dir: str, k: int, seed: int, max_iter: int, fit_sample: int) -> str:
     """Keyed by (sf basename, params, SOURCE FINGERPRINT): the fingerprint
-    folds in the embeddings parquet's size+mtime so a regenerated dataset
-    can never silently serve a stale index — it simply keys a fresh build."""
-    import hashlib
+    covers the embeddings parquet's full file listing (name/size/mtime per
+    data file) so a regenerated dataset can never silently serve a stale
+    index — it simply keys a fresh build. An unstattable source raises."""
     import os
 
+    from ..fingerprint import source_fingerprint
+
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stamp = ""
-    try:
-        st = os.stat(src)
-        stamp = "_" + hashlib.sha1(
-            f"{st.st_size}:{int(st.st_mtime)}".encode()
-        ).hexdigest()[:10]
-    except OSError:
-        pass
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return os.path.join(
         _warehouse_root(), f"{tag}_k{k}_s{seed}_i{max_iter}_f{fit_sample}{stamp}"
     )

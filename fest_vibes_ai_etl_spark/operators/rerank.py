@@ -45,25 +45,34 @@ def fake_cross_score_batch(queries: pd.Series, docs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+# Per-worker model cache. A closure-local dict would be pickled with the
+# task and deserialized fresh per task, reloading the model every task
+# (advisor round-3 finding); a module-level global keyed by model name
+# survives Python worker reuse (spark.python.worker.reuse defaults true),
+# so the load genuinely amortizes once per executor worker.
+_CE_MODELS: dict[str, object] = {}
+
+
 def real_cross_encoder_factory(
     model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
 ) -> Scorer | None:
     """Returns a batched CrossEncoder scorer when sentence-transformers is
     importable, else None (caller falls back to the stub). The model loads
-    lazily once per executor worker inside the closure."""
+    lazily once per executor worker via the module-level ``_CE_MODELS``
+    cache (a closure dict would reload per task — it rides the pickle)."""
     try:
         import sentence_transformers  # noqa: F401
     except ImportError:
         return None
 
-    cache: dict[str, object] = {}
-
     def score(queries: pd.Series, docs: pd.Series) -> pd.Series:
         from sentence_transformers import CrossEncoder
 
-        model = cache.get("model")
+        from fest_vibes_ai_etl_spark.operators import rerank as _mod
+
+        model = _mod._CE_MODELS.get(model_name)
         if model is None:
-            model = cache["model"] = CrossEncoder(model_name)
+            model = _mod._CE_MODELS[model_name] = CrossEncoder(model_name)
         out = pd.Series([None] * len(queries), index=queries.index, dtype=object)
         mask = queries.notna() & docs.notna()
         if mask.any():

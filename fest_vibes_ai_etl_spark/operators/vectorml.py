@@ -317,20 +317,14 @@ def _pq_warehouse_root() -> str:
 def pq_store_path(sf_dir: str, m: int, k: int) -> str:
     """Keyed by (sf basename, params, source fingerprint) — the
     operators/ivf.py convention: a regenerated dataset keys a fresh build,
-    never a stale read."""
-    import hashlib
+    never a stale read. The fingerprint covers the full parquet file
+    listing and raises on an unstattable source (no silent shared key)."""
     import os
 
+    from ..fingerprint import source_fingerprint
+
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stamp = ""
-    try:
-        st = os.stat(src)
-        stamp = "_" + hashlib.sha1(
-            f"{st.st_size}:{int(st.st_mtime)}".encode()
-        ).hexdigest()[:10]
-    except OSError:
-        pass
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return os.path.join(_pq_warehouse_root(), f"{tag}_m{m}_k{k}{stamp}")
 
 
@@ -443,11 +437,23 @@ def gram_matrix(
     )
     # groupBy idx sums partials; n/colsum ride along via first() of the
     # per-partial constants aggregated separately to avoid double counting.
-    sums = cells.groupBy("idx").agg(F.sum("v").alias("s"))
+    # Float folds run over SORTED partials (sort_array before aggregate) so
+    # the summation order — and therefore the last-ulp of the result — does
+    # not depend on which partition's partial arrives first (collect_list
+    # order is nondeterministic). Residual exposure: the partials themselves
+    # shift if the PARTITION BOUNDARIES change (different maxPartitionBytes /
+    # batch size), which can still move a value within an ulp; the catalog
+    # queries built on this round to 6 decimals, leaving ≥2 float64 digits
+    # of margin above that boundary.
+    sums = cells.groupBy("idx").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("v")), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("s")
+    )
     totals = part.agg(
         F.sum("n").alias("n"),
         F.aggregate(
-            F.collect_list("colsum"),
+            F.sort_array(F.collect_list("colsum")),
             F.array(*[F.lit(0.0)] * dim),
             lambda acc, c: F.zip_with(acc, c, lambda x, y: x + y),
         ).alias("colsum"),

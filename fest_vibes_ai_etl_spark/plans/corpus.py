@@ -176,33 +176,74 @@ def _ivf_prepare(spark: SparkSession, sf_dir: str) -> None:
     _ivf_index(spark, sf_dir)
 
 
+# Eval-scale gate for the recall sandwiches below: ground truth costs an
+# exact scan per query (full-probe / full-ADC), which is an EVAL workload,
+# never a serving path. The gate fails loudly rather than letting a
+# sandwich onto a production-scale corpus (round-3 verdict watch item).
+SANDWICH_MAX_CORPUS_ROWS = 5_000_000
+
+
+def _sandwich_gate(corpus: DataFrame) -> None:
+    n = corpus.count()
+    if n > SANDWICH_MAX_CORPUS_ROWS:
+        raise ValueError(
+            f"recall-sandwich ground truth scans the corpus per query; "
+            f"{n} rows exceeds the eval gate of {SANDWICH_MAX_CORPUS_ROWS}. "
+            "Run recall evals on a sampled corpus slice, not production data."
+        )
+
+
 @register(
     "ann_ivf_topk",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(5 * COUNT(*) AS BIGINT) AS n_results,
-           TRUE AS recall_ge_030
+           CAST(5 * COUNT(*) AS BIGINT) AS n_results
     FROM embeddings WHERE vec_id < 10
     """,
     tags=("similarity", "ivf", "approx"),
     bench=True,
     prepare=_ivf_prepare,
-    doc="IVF approximate top-k PROBE with a SANDWICH oracle (the "
-    "approx_distinct_users pattern): the nprobe=4-of-16 probe runs for "
-    "real, its top-5 sets are compared against the exact full-probe "
-    "(nprobe=k) ground truth computed in the same plan, and the output "
-    "asserts (a) every query returned a full k results and (b) macro "
-    "recall@5 ≥ 0.30 — ABOVE the 0.25 blind scan fraction, so the oracle "
-    "fails if the quantizer stops concentrating neighbors (measured "
-    "0.44–0.56 across sf0.001–0.1). The oracle pins both claims in SQL, "
-    "closing the driver's last no_oracle hole; per-neighbor output stays "
-    "available via operators/ivf.ivf_topk and the hash-green exact twin "
-    "ann_ivf_topk_fullprobe.",
+    doc="IVF approximate top-k PROBE — the serving path alone: persisted "
+    "cell-partitioned index scan, DPP-pruned to the nprobe=4 probed cells, "
+    "zero quantizer re-derivation (plan-locked in test_storage.py). The "
+    "oracle pins the SQL-expressible contract (every query returns a full "
+    "k results); result VALUES are quantizer-dependent so per-neighbor "
+    "correctness is pinned by the hash-green exact twin "
+    "ann_ivf_topk_fullprobe, and measured recall@5 (0.44-0.56 across "
+    "sf0.001-0.1, floor 0.30 > the 0.25 blind 4-of-16 fraction) moved to "
+    "ann_ivf_recall_eval + tests/test_cluster_ivf.py — a recall dip there "
+    "reads as the eval metric it is, not a correctness failure "
+    "(advisor round-3: data-dependent thresholds don't belong in oracles).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centers = _ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    probe = ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=4)
+    return probe.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+    )
+
+
+@register(
+    "ann_ivf_recall_eval",
+    tags=("similarity", "ivf", "eval", "sandwich"),
+    prepare=_ivf_prepare,
+    doc="Measured recall@5 of the nprobe=4-of-16 IVF probe against the "
+    "exact full-probe (nprobe=k) ground truth computed in the same plan. "
+    "No SQL oracle BY DESIGN: the value is quantizer- and data-dependent "
+    "(measured 0.44-0.56 across sf0.001-0.1); the 0.30 floor — above the "
+    "0.25 blind scan fraction — is asserted in tests/test_cluster_ivf.py "
+    "with that documented margin. Gated to eval-scale corpora "
+    "(SANDWICH_MAX_CORPUS_ROWS): ground truth costs an exact scan per "
+    "query and must never run against a production-scale table.",
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     emb = table(spark, sf_dir, "embeddings")
+    _sandwich_gate(emb)
     assigned, centers = _ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     probe = ivf.ivf_topk(assigned, centers, queries, topk=5, nprobe=4)
@@ -214,14 +255,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_results"),
     )
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        totals.crossJoin(broadcast(n_hits))
-        .select(
-            "n_queries",
-            "n_results",
-            (F.col("n_hits") >= 0.30 * F.col("n_results")).alias("recall_ge_030"),
-        )
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return totals.crossJoin(broadcast(n_hits)).select(
+        "n_queries",
+        "n_results",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_results"), 4).alias("recall_at_5"),
     )
 
 
@@ -366,8 +405,7 @@ def _ivfpq_prepare(spark: SparkSession, sf_dir: str) -> None:
     "ann_ivfpq_topk",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(5 * COUNT(*) AS BIGINT) AS n_results,
-           TRUE AS recall_ge_028
+           CAST(5 * COUNT(*) AS BIGINT) AS n_results
     FROM embeddings WHERE vec_id < 10
     """,
     tags=("similarity", "ivf", "pq", "approx"),
@@ -376,15 +414,25 @@ def _ivfpq_prepare(spark: SparkSession, sf_dir: str) -> None:
     "persisted artifacts: the IVF index gates each query to its nprobe=4 "
     "cells, and ranking inside the probed cells is ASYMMETRIC DISTANCE "
     "over the stored PQ codes (the corpus side reads 4 B of codes per "
-    "candidate, never the floats). Sandwich oracle in the ann_ivf_topk "
-    "style: the probe's top-5 is compared against the full-corpus ADC "
-    "scan computed in the same plan — recall isolates the IVF gating "
-    "under the SAME quantizer — and must clear 0.28, above the 0.25 blind "
-    "4-of-16 scan fraction (measured 0.30-0.46 across sf0.001-0.1).",
+    "candidate, never the floats). The oracle pins the SQL-expressible "
+    "contract (full k results per query); measured recall vs the "
+    "full-corpus ADC scan (0.30-0.46 across sf0.001-0.1, floor 0.28 > the "
+    "0.25 blind 4-of-16 fraction) lives in ann_ivfpq_recall_eval + "
+    "tests/test_cluster_ivf.py so a data-dependent recall dip on a new "
+    "seed or scale factor reads as an eval miss, not a correctness bug.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
+    probe = _ivfpq_probe_topk(spark, sf_dir)
+    return probe.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+    )
 
+
+def _ivfpq_adc_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ machinery: (emb, assigned, centers, recon, queries,
+    adc_topk) — the probe query and the recall eval compose from the same
+    pieces so the eval measures exactly the served ranking."""
     from ..operators.topk import topk_per_group
 
     emb = table(spark, sf_dir, "embeddings")
@@ -407,6 +455,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id"
         )
 
+    return emb, assigned, centers, queries, adc_topk
+
+
+def _ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, assigned, centers, queries, adc_topk = _ivfpq_adc_parts(spark, sf_dir)
+    return adc_topk(
+        ivf.probe_candidates(assigned, centers, queries, nprobe=4).select(
+            "query_id", "qv", "vec_id"
+        )
+    )
+
+
+@register(
+    "ann_ivfpq_recall_eval",
+    tags=("similarity", "ivf", "pq", "eval", "sandwich"),
+    prepare=_ivfpq_prepare,
+    doc="Measured recall@5 of the IVF-PQ probe against the full-corpus ADC "
+    "scan under the SAME quantizer — isolates the IVF cell-gating loss "
+    "from PQ compression loss. No SQL oracle by design (quantizer- and "
+    "data-dependent; measured 0.30-0.46 across sf0.001-0.1, floor 0.28 "
+    "asserted in tests/test_cluster_ivf.py). Gated to eval-scale corpora "
+    "via SANDWICH_MAX_CORPUS_ROWS.",
+)
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb, assigned, centers, queries, adc_topk = _ivfpq_adc_parts(spark, sf_dir)
+    _sandwich_gate(emb)
     probe = adc_topk(
         ivf.probe_candidates(assigned, centers, queries, nprobe=4).select(
             "query_id", "qv", "vec_id"
@@ -423,9 +499,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("query_id").cast("long").alias("n_queries"),
         F.count(F.lit(1)).cast("long").alias("n_results"),
     )
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     return totals.crossJoin(broadcast(n_hits)).select(
         "n_queries",
         "n_results",
-        (F.col("n_hits") >= 0.28 * F.col("n_results")).alias("recall_ge_028"),
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_results"), 4).alias("recall_at_5"),
     )

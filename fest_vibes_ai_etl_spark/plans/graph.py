@@ -27,21 +27,16 @@ def _cs_edges_path(sf_dir: str) -> str:
     basename, SOURCE FINGERPRINT of orders+lineitem size/mtime) under the
     repo spark-warehouse — same discipline as operators/ivf.index_path: a
     regenerated dataset keys a fresh build, never serves stale edges."""
-    import hashlib
     import os
+
+    from ..fingerprint import source_fingerprint
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    stamp = ""
-    parts = []
-    for t in ("orders", "lineitem"):
-        try:
-            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
-            parts.append(f"{st.st_size}:{int(st.st_mtime)}")
-        except OSError:
-            pass
-    if parts:
-        stamp = "_" + hashlib.sha1(";".join(parts).encode()).hexdigest()[:10]
+    stamp = "_" + source_fingerprint(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    )
     return os.path.join(repo, "spark-warehouse", "cs_graph", f"{tag}{stamp}")
 
 

@@ -130,3 +130,31 @@ def test_ivf_probe_uses_dynamic_partition_pruning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "ivf_index" in plan  # scans the persisted artifact, not a re-fit
+
+
+def test_source_fingerprint_listing_and_loud_failure(tmp_path):
+    """Store keys must track the actual parquet file listing (names+sizes):
+    rewriting one part file inside a directory dataset changes the key even
+    when the directory stat doesn't, and an unstattable source raises
+    instead of silently producing a shared unstamped key (advisor round-3)."""
+    import time
+
+    import pytest as _pytest
+
+    from fest_vibes_ai_etl_spark.fingerprint import source_fingerprint
+
+    d = tmp_path / "emb.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaaa")
+    (d / "_SUCCESS").write_bytes(b"")
+    fp1 = source_fingerprint(str(d))
+    (d / "part-0.parquet").write_bytes(b"bbbbbb")  # size change, dir stat same-ish
+    fp2 = source_fingerprint(str(d))
+    assert fp1 != fp2
+    # same size, different mtime also re-keys (regenerated dataset)
+    time.sleep(1.1)
+    (d / "part-0.parquet").write_bytes(b"cccccc")
+    assert source_fingerprint(str(d)) != fp2
+    with _pytest.raises(OSError):
+        source_fingerprint(str(tmp_path / "missing.parquet"))
+    assert source_fingerprint(str(tmp_path / "missing.parquet"), missing_ok=True) == "missingsrc"

@@ -81,6 +81,10 @@ def fake_embed_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Per-worker sentence-transformers cache (see encode() inside the factory).
+_ST_MODELS: dict[str, object] = {}
+
+
 def real_embed_batch_factory(
     model_name: str = "all-MiniLM-L6-v2",
 ) -> Callable[[pd.Series], pd.Series] | None:
@@ -97,14 +101,17 @@ def real_embed_batch_factory(
     except ImportError:
         return None
 
-    cache: dict[str, object] = {}
-
     def encode(texts: pd.Series) -> pd.Series:
         from sentence_transformers import SentenceTransformer
 
-        model = cache.get("model")
+        from fest_vibes_ai_etl_spark.operators import enrich as _mod
+
+        # Module-level cache: a closure dict rides the task pickle and would
+        # reload the model per task; the module global survives Python
+        # worker reuse (same fix as rerank._CE_MODELS).
+        model = _mod._ST_MODELS.get(model_name)
         if model is None:
-            model = cache["model"] = SentenceTransformer(model_name)
+            model = _mod._ST_MODELS[model_name] = SentenceTransformer(model_name)
         out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
         mask = texts.notna() & texts.astype(str).str.strip().ne("")
         if mask.any():

@@ -50,10 +50,74 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pred_lang) via marker-word argmax with fixed tie precedence."""
-    toks = T.tokens(F.col(text_col))
-    return df.select(F.col(id_col), T.lang_id(toks).alias("pred_lang"))
+# Per-worker language-ID model cache (module-level so Python worker reuse
+# amortizes the load once per worker — a closure dict would reload per task).
+_LANGID_MODELS: dict[str, object] = {}
+
+
+def real_langid_factory(model_path: str = "lid.176.ftz"):
+    """Batched fastText language classifier when the ``fasttext`` package is
+    importable, else None (caller keeps the marker-word heuristic — the
+    in-sandbox default AND the oracle). Same guard-import seam as the
+    sentence-transformers embedder (operators/enrich.py) and cross-encoder
+    (operators/rerank.py): the production dependency drops in without
+    touching the Spark plumbing, and the stub pins the plumbing's
+    correctness. Returns labels like 'en'; null/empty text degrades to
+    'und' (matching the heuristic's no-marker output)."""
+    try:
+        import fasttext  # noqa: F401
+    except ImportError:
+        return None
+
+    import pandas as pd
+
+    def classify(texts: "pd.Series") -> "pd.Series":
+        import fasttext
+
+        from fest_vibes_ai_etl_spark.operators import textanalysis as _mod
+
+        model = _mod._LANGID_MODELS.get(model_path)
+        if model is None:
+            model = _mod._LANGID_MODELS[model_path] = fasttext.load_model(model_path)
+        out = pd.Series(["und"] * len(texts), index=texts.index, dtype=object)
+        mask = texts.notna() & texts.astype(str).str.strip().ne("")
+        if mask.any():
+            labels, _probs = model.predict(
+                [t.replace("\n", " ") for t in texts[mask].astype(str)]
+            )
+            out[mask] = [lbl[0].replace("__label__", "") for lbl in labels]
+        return out
+
+    return classify
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str, classifier=None
+) -> DataFrame:
+    """(id, pred_lang). Default: marker-word argmax with fixed tie
+    precedence — a pure column expression (JVM-side, oracle-reproducible).
+    Pass ``classifier`` (a batched ``pd.Series -> pd.Series`` of labels,
+    e.g. ``real_langid_factory()``) to run a model instead via mapInPandas —
+    Arrow-batched, never row-at-a-time."""
+    if classifier is None:
+        toks = T.tokens(F.col(text_col))
+        return df.select(F.col(id_col), T.lang_id(toks).alias("pred_lang"))
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = df.select(F.col(id_col), F.col(text_col))
+    id_field = src.schema.fields[0]
+    out_schema = StructType(
+        [StructField(id_col, id_field.dataType), StructField("pred_lang", StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield type(pdf)(
+                {id_col: pdf[id_col], "pred_lang": classifier(pdf[text_col])}
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

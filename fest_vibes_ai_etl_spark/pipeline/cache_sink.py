@@ -75,6 +75,57 @@ def export_to_cache(
         client = client_factory() if client_factory else DictCacheClient(namespace)
         for row in rows:
             client.setex(row.cache_key, int(row.ttl_seconds), row.document)
+        flush = getattr(client, "flush", None)
+        if flush is not None:  # pipelined clients buffer writes (Redis)
+            flush()
 
     docs.foreachPartition(write_partition)
     return docs.count()
+
+
+def redis_client_factory(
+    url: str = "redis://localhost:6379/0", pipeline_size: int = 100
+):
+    """Real Redis wiring behind the ``CacheClient`` seam: returns a zero-arg
+    factory producing a pipelined Redis client with the DictCacheClient
+    surface (setex/get/flush), or None when the ``redis`` package is not
+    importable (this sandbox) — the same guard-import convention as the
+    model seams. One factory call per partition = one connection per
+    partition; SETEX carries the TTL exactly as the reference's cache
+    manager does (/root/reference/src/shared/cache/redis_cache.py:98-137),
+    and writes batch through a non-transactional pipeline of
+    ``pipeline_size`` commands so a 10k-key export is ~100 round trips,
+    not 10k."""
+    try:
+        import redis  # noqa: F401
+    except ImportError:
+        return None
+
+    def factory():
+        import redis as _redis
+
+        class RedisCacheClient:
+            def __init__(self):
+                self._r = _redis.Redis.from_url(url)
+                self._pipe = self._r.pipeline(transaction=False)
+                self._pending = 0
+
+            def setex(self, key: str, ttl: int, value: str) -> None:
+                self._pipe.setex(key, ttl, value)
+                self._pending += 1
+                if self._pending >= pipeline_size:
+                    self.flush()
+
+            def flush(self) -> None:
+                if self._pending:
+                    self._pipe.execute()
+                    self._pending = 0
+
+            def get(self, key: str):
+                self.flush()
+                v = self._r.get(key)
+                return v.decode() if isinstance(v, bytes) else v
+
+        return RedisCacheClient()
+
+    return factory

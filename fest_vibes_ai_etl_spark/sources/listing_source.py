@@ -12,12 +12,17 @@ contract engine-natively, batch AND streaming:
   the continuously-running crawl and the bounded backfill are one source,
   and ``readBetweenOffsets`` makes recovery replays deterministic.
 
-The container has no network, so ``fetch`` synthesizes a deterministic
-listing page per date (seeded by the date — stable grammar from the
-reference's own test fixtures). That is the ONLY stand-in: schema, option
-handling, partition planning, offsets, and the row-generator protocol are
-exactly what a production deployment keeps when it swaps ``fetch`` for the
-real HTTP GET + retry policy.
+Two fetch modes, selected by ``.option("fetch", ...)``:
+
+- ``synthetic`` (default): deterministic listing page per date (seeded by
+  the date — stable grammar from the reference's own test fixtures). The
+  test/sandbox default; this container has no network.
+- ``http``: live GET against ``base_url + endpoint + ?date=`` with the
+  reference extractor's fetch semantics (30 s timeout, 10-redirect cap,
+  error taxonomy — /root/reference/src/extractor/service.py:58-116) mapped
+  into row values (status, error_type) so a bad date degrades to a
+  quarantinable row instead of failing the whole backfill. Unit-tested
+  against a local httpd fixture (tests/test_listing_source.py).
 
 The whole source is defined inside a factory and exported as a by-VALUE
 picklable class: Spark runs Python data sources in separate planner/worker
@@ -76,20 +81,95 @@ def make_listing_datasource():
             )
         return f'<div class="livewire-listing">{"".join(panels)}</div>'
 
+    def http_fetch(url: str, timeout: float, max_redirects: int, headers: dict):
+        """Live HTTP GET with the reference extractor's fetch semantics
+        (/root/reference/src/extractor/service.py:58-116): 30 s total
+        timeout, redirect cap, and its error taxonomy — mapped into ROW
+        VALUES (status, error_type, html) instead of raised exceptions, so
+        one bad date degrades to a quarantinable row rather than failing a
+        3650-partition backfill (the orchestrator's continue-past-date
+        contract, pipeline/orchestrate.py):
+
+        - 200            → (200, None, body)
+        - HTTP status n  → (n,   'HTTP_ERROR',  '')
+        - unreachable/DNS→ (503, 'URL_ERROR',   '')
+        - too many redirects → (200, None, reference's literal degrade page
+          — it RETURNS an error div instead of raising, and the parser then
+          reports NO_EVENTS; service.py:101-116)
+        - timeout/other  → (500, 'FETCH_ERROR', '')
+        """
+        import urllib.error
+        import urllib.request
+
+        class _CappedRedirect(urllib.request.HTTPRedirectHandler):
+            max_repeats = max_redirects
+            max_redirections = max_redirects
+
+        opener = urllib.request.build_opener(_CappedRedirect)
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with opener.open(req, timeout=timeout) as resp:
+                if resp.status != 200:
+                    return resp.status, "HTTP_ERROR", ""
+                charset = resp.headers.get_content_charset() or "utf-8"
+                return 200, None, resp.read().decode(charset, errors="replace")
+        except urllib.error.HTTPError as e:
+            if "redirect" in str(e.reason).lower():
+                return (
+                    200,
+                    None,
+                    "<html><body><div class='error'>Too many redirects"
+                    "</div></body></html>",
+                )
+            return e.code, "HTTP_ERROR", ""
+        except urllib.error.URLError as e:
+            if isinstance(getattr(e, "reason", None), TimeoutError):
+                return 500, "FETCH_ERROR", ""
+            return 503, "URL_ERROR", ""
+        except TimeoutError:
+            return 500, "FETCH_ERROR", ""
+        except Exception:
+            return 500, "FETCH_ERROR", ""
+
     def opts(options):
         return (
             options.get("start_date", "2025-03-01"),
             int(options.get("days", 1)),
             int(options.get("venues_per_page", 3)),
             int(options.get("events_per_venue", 2)),
+            options.get("fetch", "synthetic"),
+            options.get("base_url", "https://example.invalid"),
+            options.get("endpoint", "/calendar/livewire-music"),
+            float(options.get("timeout_sec", 30)),
+            int(options.get("max_redirects", 10)),
+            float(options.get("min_interval_ms", 0)),
+            options.get("user_agent", "Mozilla/5.0 (festvibes-spark)"),
         )
 
-    def rows_for(start: str, lo: int, hi: int, n_venues: int, n_events: int):
+    def rows_for(o, lo: int, hi: int):
+        """One (date, url, status, error_type, html) row per date in
+        [lo, hi). ``min_interval_ms`` rate-limits consecutive fetches
+        WITHIN this generator (multi-date partitions / offset replays);
+        cross-partition concurrency is bounded by the scheduler — cap
+        simultaneous fetch tasks with executor/core limits the way the
+        reference caps its Step Function fan-out at MaxConcurrency=5."""
+        import time
+
+        (start, _days, n_venues, n_events, mode, base_url, endpoint,
+         timeout, max_redirects, interval_ms, ua) = o
         d0 = dt.date.fromisoformat(start)
-        for i in range(lo, hi):
+        for j, i in enumerate(range(lo, hi)):
             d = (d0 + dt.timedelta(days=i)).isoformat()
-            url = f"https://example.invalid/calendar?date={d}"
-            yield (d, url, 200, fetch(d, n_venues, n_events))
+            url = f"{base_url}{endpoint}?date={d}"
+            if mode == "http":
+                if j and interval_ms > 0:
+                    time.sleep(interval_ms / 1000.0)
+                status, err, html = http_fetch(
+                    url, timeout, max_redirects, {"User-Agent": ua}
+                )
+                yield (d, url, status, err, html)
+            else:
+                yield (d, url, 200, None, fetch(d, n_venues, n_events))
 
     class DatePartition(InputPartition):
         def __init__(self, index: int):
@@ -97,20 +177,19 @@ def make_listing_datasource():
 
     class ListingReader(DataSourceReader):
         def __init__(self, options):
-            self.start, self.days, self.n_venues, self.n_events = opts(options)
+            self.o = opts(options)
+            self.days = self.o[1]
 
         def partitions(self):
             return [DatePartition(i) for i in range(self.days)]
 
         def read(self, partition):
-            return rows_for(
-                self.start, partition.index, partition.index + 1,
-                self.n_venues, self.n_events,
-            )
+            return rows_for(self.o, partition.index, partition.index + 1)
 
     class ListingStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
-            self.start, self.days, self.n_venues, self.n_events = opts(options)
+            self.o = opts(options)
+            self.days = self.o[1]
 
         def initialOffset(self) -> dict:
             return {"consumed": 0}
@@ -124,15 +203,12 @@ def make_listing_datasource():
             # advancing: a materialized LIST, not a generator — the prefetch
             # cache copy.copy()s it when the batch is served
             return (
-                list(rows_for(self.start, lo, lo + 1, self.n_venues, self.n_events)),
+                list(rows_for(self.o, lo, lo + 1)),
                 {"consumed": lo + 1},
             )
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            return rows_for(
-                self.start, start["consumed"], end["consumed"],
-                self.n_venues, self.n_events,
-            )
+            return rows_for(self.o, start["consumed"], end["consumed"])
 
     class ListingDataSource(DataSource):
         @classmethod
@@ -140,7 +216,10 @@ def make_listing_datasource():
             return "festvibes_listing"
 
         def schema(self) -> str:
-            return "fetch_date string, url string, status int, html string"
+            return (
+                "fetch_date string, url string, status int, "
+                "error_type string, html string"
+            )
 
         def reader(self, schema) -> ListingReader:
             return ListingReader(self.options)

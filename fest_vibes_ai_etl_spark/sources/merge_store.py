@@ -68,3 +68,178 @@ def merge_into_partitioned(
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a merge loses the version CAS ``max_attempts`` times."""
+
+
+class VersionedParquetTable:
+    """MERGE with optimistic concurrency over plain parquet — manifest-CAS.
+
+    ``merge_into_partitioned`` above assumes a single writer (partition-
+    overwrite discipline). The reference instead survives 5 concurrent
+    Lambda writers via Postgres row locks + deadlock retry with exponential
+    backoff (/root/reference/src/loader/service.py:862-902). This class is
+    the lakehouse-native equivalent — the Iceberg/Delta commit protocol
+    reduced to its core, on the filesystem the sandbox has:
+
+    - Table state is an immutable MANIFEST: partition value → data
+      directory. Manifests live in ``_commits/v{N}.json``.
+    - A merge stages its output under ``data/{uuid}/`` (hive-partitioned),
+      then COMMITS by creating ``_commits/v{N+1}.json`` with
+      ``O_CREAT|O_EXCL`` — the filesystem's compare-and-swap (the same
+      put-if-absent pattern as the cache-export sink's manifest publish,
+      sources/cache_export_sink.py). Exactly one of two racing writers
+      creates that name; the loser deletes its staging, re-reads the NEW
+      table state, recomputes its merge, and retries with the reference's
+      backoff schedule (0.1·2^attempt + jitter).
+    - Readers resolve the latest manifest and see an atomic snapshot;
+      replaced partitions' old directories become garbage collected by
+      ``vacuum()``.
+
+    On S3/HDFS the CAS primitive becomes conditional-PUT / atomic-create,
+    which is exactly how Delta's commit service and Iceberg's catalog swap
+    work — the protocol here is scale-portable even though the test bed is
+    a local filesystem."""
+
+    def __init__(self, path: str, partition_col: str):
+        import os
+
+        self.path = path
+        self.partition_col = partition_col
+        self._commits = os.path.join(path, "_commits")
+        self._data = os.path.join(path, "data")
+
+    # -- state ---------------------------------------------------------
+    def latest(self) -> tuple[int, dict]:
+        """(version, manifest). Version 0 = empty table, ``{}`` manifest."""
+        import json
+        import os
+
+        try:
+            names = sorted(
+                n for n in os.listdir(self._commits)
+                if n.startswith("v") and n.endswith(".json")
+            )
+        except OSError:
+            return 0, {}
+        if not names:
+            return 0, {}
+        latest = names[-1]
+        with open(os.path.join(self._commits, latest)) as f:
+            return int(latest[1:-5]), json.load(f)
+
+    def read(self, spark: SparkSession, partition_values=None) -> DataFrame | None:
+        """Snapshot read of the latest manifest (optionally pruned to
+        ``partition_values``). Returns None for an empty table. Dirs are
+        grouped by staging root so Spark re-derives the hive partition
+        column via basePath; one union per root, AQE coalesces."""
+        import os
+
+        _v, manifest = self.latest()
+        if partition_values is not None:
+            wanted = {str(v) for v in partition_values}
+            manifest = {k: d for k, d in manifest.items() if k in wanted}
+        if not manifest:
+            return None
+        by_root: dict[str, list[str]] = {}
+        for entry in manifest.values():
+            d = os.path.join(self.path, entry["dir"])
+            by_root.setdefault(os.path.dirname(d), []).append(d)
+        out = None
+        for root, dirs in sorted(by_root.items()):
+            df = spark.read.option("basePath", root).parquet(*sorted(dirs))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    # -- write ---------------------------------------------------------
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        coalesce_cols: Sequence[str] | None = None,
+        overwrite_cols: Sequence[str] = (),
+        keep_if_null_cols: Sequence[str] = (),
+        max_attempts: int = 4,
+        _pre_commit_hook=None,
+    ) -> int:
+        """Upsert ``source`` and commit via version CAS; returns the
+        committed version. ``_pre_commit_hook(attempt)`` is a test seam
+        that runs between staging and CAS (to force deterministic races).
+        Raises :class:`ConcurrentWriteError` after ``max_attempts`` lost
+        races."""
+        import json
+        import os
+        import random
+        import shutil
+        import time
+        import uuid
+
+        pcol = self.partition_col
+        touched = [r[0] for r in source.select(pcol).distinct().collect()]
+        for attempt in range(max_attempts):
+            version, manifest = self.latest()
+            target_slice = self.read(spark, partition_values=touched)
+            if target_slice is None:
+                merged = source
+            else:
+                merged = merge_coalesce(
+                    target_slice,
+                    source,
+                    keys=keys,
+                    coalesce_cols=coalesce_cols,
+                    overwrite_cols=overwrite_cols,
+                    keep_if_null_cols=keep_if_null_cols,
+                )
+            stage_id = uuid.uuid4().hex[:12]
+            stage_root = os.path.join(self._data, stage_id)
+            merged.write.partitionBy(pcol).parquet(stage_root)
+            staged_parts = {
+                d.split("=", 1)[1]: {"dir": f"data/{stage_id}/{d}"}
+                for d in os.listdir(stage_root)
+                if d.startswith(f"{pcol}=")
+            }
+            new_manifest = {**manifest, **staged_parts}
+            if _pre_commit_hook is not None:
+                _pre_commit_hook(attempt)
+            os.makedirs(self._commits, exist_ok=True)
+            commit_path = os.path.join(self._commits, f"v{version + 1:012d}.json")
+            body = json.dumps(new_manifest, sort_keys=True)
+            try:
+                fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # Lost the race: another writer committed v+1 after we read
+                # v. Our merged output is based on stale state — discard and
+                # recompute against the new snapshot (reference backoff
+                # schedule, loader/service.py:889-893).
+                shutil.rmtree(stage_root, ignore_errors=True)
+                time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            return version + 1
+        raise ConcurrentWriteError(
+            f"merge lost the version CAS {max_attempts} times at {self.path}"
+        )
+
+    def vacuum(self) -> int:
+        """Delete staging roots no longer referenced by the LATEST manifest;
+        returns the number removed. Run only when no reader may hold an
+        older snapshot (same contract as Delta VACUUM's retention window)."""
+        import os
+        import shutil
+
+        _v, manifest = self.latest()
+        live = {e["dir"].split("/", 2)[1] for e in manifest.values()}
+        removed = 0
+        try:
+            roots = os.listdir(self._data)
+        except OSError:
+            return 0
+        for r in roots:
+            if r not in live:
+                shutil.rmtree(os.path.join(self._data, r), ignore_errors=True)
+                removed += 1
+        return removed

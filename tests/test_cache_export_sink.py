@@ -65,3 +65,59 @@ def test_stream_write_per_epoch_manifests(spark, tmp_path):
     back = cache_export_sink.read_cache_export(spark, out)
     assert back.count() == 30
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(30))
+
+
+def test_redis_client_factory_guard_and_pipeline(monkeypatch):
+    """redis isn't installed here, so the factory must return None; with a
+    fake redis module injected, the produced client must SETEX through a
+    non-transactional pipeline, auto-flush at pipeline_size, and flush
+    before reads (reference redis_cache.py:98-137 semantics)."""
+    import sys
+    import types
+
+    from fest_vibes_ai_etl_spark.pipeline import cache_sink
+
+    if "redis" not in sys.modules:
+        assert cache_sink.redis_client_factory() is None
+
+    calls = {"executed": 0, "store": {}}
+
+    class FakePipe:
+        def __init__(self):
+            self.buf = []
+
+        def setex(self, k, ttl, v):
+            self.buf.append((k, ttl, v))
+
+        def execute(self):
+            calls["executed"] += 1
+            for k, ttl, v in self.buf:
+                calls["store"][k] = (ttl, v)
+            self.buf.clear()
+
+    class FakeRedis:
+        @classmethod
+        def from_url(cls, url):
+            return cls()
+
+        def pipeline(self, transaction):
+            assert transaction is False
+            return FakePipe()
+
+        def get(self, k):
+            v = calls["store"].get(k)
+            return v[1].encode() if v else None
+
+    fake = types.ModuleType("redis")
+    fake.Redis = FakeRedis
+    monkeypatch.setitem(sys.modules, "redis", fake)
+
+    factory = cache_sink.redis_client_factory(pipeline_size=3)
+    assert factory is not None
+    client = factory()
+    for i in range(7):
+        client.setex(f"events:2025-03-0{i}", 3600, f"[{i}]")
+    assert calls["executed"] == 2  # two full batches of 3 auto-flushed
+    assert client.get("events:2025-03-06") == "[6]"  # get() flushes the tail
+    assert calls["executed"] == 3
+    assert calls["store"]["events:2025-03-01"] == (3600, "[1]")

@@ -92,10 +92,24 @@ def _canon_cell(v):
         return str(bool(v))
     if isinstance(v, (np.integer, int)):
         return str(int(v))
-    if isinstance(v, pd.Timestamp):
-        return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        # pandas has no date dtype: DuckDB's .df() bridges DATE columns to
+        # midnight datetime64[ns] while Spark's toPandas() yields
+        # datetime.date objects. Midnight-naive collapses to the date form —
+        # the same collapse the driver's canonicalizer applies (these
+        # columns hash-matched in rounds 1-3); a non-midnight time still
+        # mismatches a date on the other side.
+        if isinstance(v, pd.Timestamp):
+            v = v.tz_localize(None) if v.tzinfo else v
+        else:
+            v = v.replace(tzinfo=None)
+        if (
+            v.hour == v.minute == v.second == 0
+            and getattr(v, "microsecond", 0) == 0
+            and getattr(v, "nanosecond", 0) == 0
+        ):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, bytes):
@@ -116,7 +130,7 @@ def _canon_frame(pdf):
     return list(pdf.columns), rows
 
 
-ALL_QUERIES = sorted(catalog.REGISTRY)
+ALL_QUERIES = sorted(catalog.queries())  # queries() loads the plan modules
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)

@@ -66,3 +66,102 @@ def test_streaming_reader_one_date_per_batch(spark, tmp_path):
     # streamed pages byte-identical to the batch read of the same dates
     batch = {(r.fetch_date, r.html) for r in _read(spark, days=3).collect()}
     assert {(r.fetch_date, r.html) for r in rows} == batch
+
+
+def test_http_fetch_mode_against_local_httpd(spark):
+    """Live-HTTP mode: reference fetch semantics (timeout/redirect-cap/error
+    taxonomy — service.py:58-116) exercised against a local httpd. One row
+    per date; failures degrade to (status, error_type) row values."""
+    import http.server
+    import threading
+
+    page = (
+        '<div class="livewire-listing"><div class="panel panel-default">'
+        '<h3 class="panel-title"><a href="/venues/1">Venue 1</a></h3>'
+        '<div class="panel-body"><div class="row"><div class="calendar-info">'
+        '<a href="/events/11">Artist 11</a><p>Jazz</p><p>8:30pm</p>'
+        "</div></div></div></div></div>"
+    )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if "2025-03-01" in self.path:
+                body = page.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif "2025-03-02" in self.path:
+                self.send_error(404)
+            else:  # 2025-03-03: redirect loop
+                self.send_response(302)
+                self.send_header("Location", self.path)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        spark.dataSource.register(ListingDataSource)
+        rows = {
+            r.fetch_date: r
+            for r in (
+                spark.read.format("festvibes_listing")
+                .option("start_date", "2025-03-01")
+                .option("days", 3)
+                .option("fetch", "http")
+                .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+                .option("timeout_sec", 10)
+                .load()
+                .collect()
+            )
+        }
+        ok = rows["2025-03-01"]
+        assert (ok.status, ok.error_type) == (200, None)
+        assert "livewire-listing" in ok.html
+        assert rows["2025-03-02"].status == 404
+        assert rows["2025-03-02"].error_type == "HTTP_ERROR"
+        # redirect loop: the reference RETURNS a degrade page, never raises
+        loop = rows["2025-03-03"]
+        assert loop.error_type is None and "Too many redirects" in loop.html
+        # parse chain consumes the live page identically to synthetic mode
+        good = (
+            spark.read.format("festvibes_listing")
+            .option("start_date", "2025-03-01")
+            .option("days", 1)
+            .option("fetch", "http")
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+            .load()
+        )
+        ev = htmlparse.parse_listing_html(good, "html", "fetch_date").collect()
+        assert len(ev) == 1 and ev[0].venue_name == "Venue 1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_fetch_unreachable_is_url_error(spark):
+    """Connection-refused maps to the reference's URL_ERROR/503 class."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()  # nothing listens here now
+    spark.dataSource.register(ListingDataSource)
+    row = (
+        spark.read.format("festvibes_listing")
+        .option("start_date", "2025-03-01")
+        .option("days", 1)
+        .option("fetch", "http")
+        .option("base_url", f"http://127.0.0.1:{port}")
+        .option("timeout_sec", 5)
+        .load()
+        .collect()[0]
+    )
+    assert (row.status, row.error_type, row.html) == (503, "URL_ERROR", "")

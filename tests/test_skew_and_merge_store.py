@@ -87,3 +87,70 @@ def test_merge_into_partitioned(spark, tmproot):
     merge_into_partitioned(spark, path, day2, keys=["k"], partition_col="d")
     rows2 = {r.k: (r.v, r.note, r.d) for r in spark.read.parquet(path).collect()}
     assert rows2 == {k: (r.v, r.note, r.d) for k, r in rows.items()}
+
+
+def _vt_source(spark, rows):
+    return spark.createDataFrame(rows, "k long, p string, v string")
+
+
+def test_versioned_table_merge_and_snapshot_read(spark, tmproot):
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    v1 = t.merge(spark, _vt_source(spark, [(1, "a", "x"), (2, "b", "y")]), keys=["k"])
+    assert v1 == 1
+    # upsert into partition a only; partition b's directory is untouched
+    v2 = t.merge(
+        spark, _vt_source(spark, [(1, "a", "x2"), (3, "a", "z")]), keys=["k"],
+        overwrite_cols=["v"],
+    )
+    assert v2 == 2
+    got = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a", "x2"), (3, "a", "z"), (2, "b", "y")}
+    # pruned read touches only the requested partition
+    assert {r.p for r in t.read(spark, partition_values=["b"]).collect()} == {"b"}
+
+
+def test_versioned_table_two_writer_race_loser_retries(spark, tmproot):
+    """Deterministic two-writer race on the version CAS: writer A stages,
+    then (via the pre-commit seam) writer B commits first; A's O_EXCL
+    create of v2 fails, A discards its stale merge, recomputes against B's
+    committed state, and commits v3. Both writes survive — the reference's
+    concurrent-loader guarantee (loader/service.py:862-902) without
+    Postgres."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "base")]), keys=["k"])
+
+    attempts = []
+
+    def interloper(attempt):
+        attempts.append(attempt)
+        if attempt == 0:  # only on A's first try: B sneaks in a commit
+            t.merge(spark, _vt_source(spark, [(2, "a", "from_B")]), keys=["k"])
+
+    v = t.merge(
+        spark,
+        _vt_source(spark, [(3, "a", "from_A")]),
+        keys=["k"],
+        _pre_commit_hook=interloper,
+    )
+    assert attempts == [0, 1]  # A lost once, then won
+    assert v == 3  # v1 base, v2 B's sneak commit, v3 A's retried commit
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "base"), (2, "from_B"), (3, "from_A")}
+
+
+def test_versioned_table_vacuum_drops_replaced_partitions(spark, tmproot):
+    import os
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "x")]), keys=["k"])
+    t.merge(spark, _vt_source(spark, [(1, "a", "y")]), keys=["k"], overwrite_cols=["v"])
+    assert len(os.listdir(t._data)) == 2
+    assert t.vacuum() == 1
+    assert len(os.listdir(t._data)) == 1
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "y")}

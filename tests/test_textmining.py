@@ -90,3 +90,45 @@ def test_chunking_covers_and_reconstructs(spark):
     flat = textanalysis.chunk_documents(df, "id", "text", size=5, stride=5).collect()
     doc3 = sorted((r for r in flat if r["id"] == 3), key=lambda r: r["chunk_id"])
     assert " ".join(r["chunk_text"] for r in doc3) == rows[2][1]
+
+
+def test_langid_model_seam_stub_classifier(spark):
+    """The classifier path of language_id: mapInPandas plumbing verified
+    with a deterministic stand-in (fasttext isn't in this container — the
+    factory returns None here, pinned below). Schema and null-degrade
+    contract match the heuristic path exactly."""
+    import pandas as pd
+
+    from fest_vibes_ai_etl_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "el gato de la casa"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+
+    def stub(texts: pd.Series) -> pd.Series:
+        out = pd.Series(["und"] * len(texts), index=texts.index, dtype=object)
+        mask = texts.notna() & texts.astype(str).str.strip().ne("")
+        out[mask] = texts[mask].astype(str).str.contains("el ").map(
+            {True: "es", False: "en"}
+        )
+        return out
+
+    got = {
+        r.doc_id: r.pred_lang
+        for r in textanalysis.language_id(docs, "doc_id", "text", classifier=stub).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "und", 4: "und"}
+    heur = textanalysis.language_id(docs, "doc_id", "text")
+    assert heur.columns == ["doc_id", "pred_lang"]  # same surface both ways
+
+
+def test_langid_factory_guard_import():
+    from fest_vibes_ai_etl_spark.operators.textanalysis import real_langid_factory
+
+    try:
+        import fasttext  # noqa: F401
+
+        assert real_langid_factory() is not None
+    except ImportError:
+        assert real_langid_factory() is None

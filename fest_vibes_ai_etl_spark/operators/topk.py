@@ -8,10 +8,15 @@ shuffle at k·|groups|·|partitions| rows — on a 100 TB fact with thousands
 of rows per (group, partition), orders of magnitude less traffic for the
 same exact answer.
 
-Spark has no partial-aggregate hook for window functions, so the prune is
-one Arrow-batched pass (mapInPandas over each input partition); the final
-exact ranking stays the ordinary window. Determinism comes from the same
-total order (value desc, then id) applied in both phases."""
+Spark ≥3.5 performs this prune NATIVELY: the rank-limit pushdown rule
+(``spark.sql.optimizer.windowGroupLimitThreshold``, on by default) inserts
+a JVM-side ``WindowGroupLimit ... Partial`` operator before the exchange
+whenever the plan is ``row_number()/rank() ... <= k`` — check any probe
+plan in EXPLAIN.md. The ``prune=True`` Arrow pass below implements the
+same idea in Python for engines/configs without that rule; stacked on top
+of WindowGroupLimit it is pure overhead (serialize → pandas sort → back),
+so it is OFF by default and the default path is a plain window that the
+optimizer prunes itself."""
 
 from __future__ import annotations
 
@@ -25,11 +30,12 @@ def topk_per_group(
     order_col: str,
     id_col: str,
     k: int,
-    prune: bool = True,
+    prune: bool = False,
 ) -> DataFrame:
-    """Exact top-k rows per group by (order_col DESC, id_col ASC). With
-    ``prune`` (default) a map-side pass drops rows that already lose within
-    their own partition; the result is identical, only the shuffle shrinks."""
+    """Exact top-k rows per group by (order_col DESC, id_col ASC). Spark's
+    own WindowGroupLimit rule prunes map-side (see module docstring);
+    ``prune=True`` adds the explicit Arrow-batched pre-prune for engines
+    without that rule — identical result, only needed off-Spark-3.5+."""
     out = df
     if prune:
         cols = df.columns

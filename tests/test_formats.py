@@ -99,3 +99,52 @@ def test_binary_files_scan_feeds_multimodal_decode(spark, tmpdir):
     assert len(rows) == 2
     assert {r.length for r in rows} == {68, 36}
     assert all(bytes(r.content)[:4] == b"\x89IMG" for r in rows)
+
+
+def test_jdbc_read_options_stride_parallelism():
+    from fest_vibes_ai_etl_spark.sources.jdbc import jdbc_read_options
+
+    o = jdbc_read_options(
+        "jdbc:postgresql://h/db", "events", partition_column="id",
+        lower_bound=0, upper_bound=1_000_000, num_partitions=16,
+    )
+    assert o["partitionColumn"] == "id" and o["numPartitions"] == "16"
+    assert o["lowerBound"] == "0" and o["upperBound"] == "1000000"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_read_options("jdbc:postgresql://h/db", "t", partition_column="id")
+
+
+def test_jdbc_upsert_sql_matches_reference_semantics():
+    """Set-based ON CONFLICT with overwrite + coalesce columns — the
+    reference's per-batch upsert statement family issued once over the
+    staged set."""
+    from fest_vibes_ai_etl_spark.sources.jdbc import upsert_sql
+
+    sql = upsert_sql(
+        "events",
+        ["event_id", "name", "lat", "lon"],
+        keys=["event_id"],
+        staging_table="events_stage",
+        coalesce_cols=["lat", "lon"],
+    )
+    assert sql == (
+        'INSERT INTO events ("event_id", "name", "lat", "lon") '
+        'SELECT "event_id", "name", "lat", "lon" FROM events_stage '
+        'ON CONFLICT ("event_id") DO UPDATE SET "name" = EXCLUDED."name", '
+        '"lat" = COALESCE(EXCLUDED."lat", events."lat"), '
+        '"lon" = COALESCE(EXCLUDED."lon", events."lon")'
+    )
+    # key-only table degrades to DO NOTHING (pure insert-if-absent)
+    assert upsert_sql("t", ["k"], ["k"], "t_stage").endswith("DO NOTHING")
+
+
+def test_jdbc_upsert_degrades_loudly_without_driver(spark):
+    import pytest as _pytest
+
+    from fest_vibes_ai_etl_spark.sources.jdbc import write_jdbc_upsert
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    with _pytest.raises(RuntimeError, match="Planned merge statement"):
+        write_jdbc_upsert(df, "jdbc:postgresql://nohost/db", "t", keys=["k"])

@@ -130,6 +130,12 @@ def test_ivf_probe_uses_dynamic_partition_pruning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "ivf_index" in plan  # scans the persisted artifact, not a re-fit
+    # Zero quantizer re-derivation and zero Python boundary in the probe:
+    # no pandas-UDF assign pass (ArrowEvalPython), no mapInPandas, no
+    # row-at-a-time Python; ranking prunes via the JVM WindowGroupLimit.
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, node
+    assert "WindowGroupLimit" in plan
 
 
 def test_source_fingerprint_listing_and_loud_failure(tmp_path):

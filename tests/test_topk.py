@@ -15,7 +15,10 @@ def test_pruned_equals_unpruned(spark):
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
     pruned = {
-        tuple(r) for r in topk_per_group(ev, ["user_id"], "value", "event_id", 3).collect()
+        tuple(r)
+        for r in topk_per_group(
+            ev, ["user_id"], "value", "event_id", 3, prune=True
+        ).collect()
     }
     plain = {
         tuple(r)
@@ -53,3 +56,16 @@ def test_map_side_prune_reduces_rows(spark):
     assert survivors <= 2 * n_users * 8
     assert survivors < total
     assert pruned.count() <= 2 * n_users
+
+
+def test_default_path_uses_jvm_window_group_limit(spark):
+    """The default (no Python prune) plan must carry Spark's own map-side
+    WindowGroupLimit and NO Python boundary — the reason prune defaults off
+    on Spark >= 3.5."""
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    plan = (
+        topk_per_group(ev, ["user_id"], "value", "event_id", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" not in plan

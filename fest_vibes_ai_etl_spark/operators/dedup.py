@@ -113,35 +113,74 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     persist: bool = True,
     sig: DataFrame | None = None,
+    strategy: str = "count",
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard near-dup pairs, PPJoin-style.
+    """Exact word-k-gram Jaccard near-dup pairs.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4.
 
-    Candidate generation is an inverted-index self-join over each doc's
-    *prefix* only: for Jaccard ≥ t a pair must (a) share a shingle among the
-    first ``n − ⌈t·n⌉ + 1`` of each doc's sorted shingles (prefix-filtering
-    principle) and (b) satisfy the length filter ``t·max(na,nb) ≤ min(na,nb)``
-    — both lossless. Verification is one ``array_intersect`` per distinct
-    candidate pair against the signature table, replacing the old
-    count-per-shared-shingle groupBy (which shuffled one row per shared
-    shingle per pair). The prefix threshold is backed off by 1e-3 so pairs
-    whose true Jaccard sits just under ``threshold`` but rounds up to it
-    (round_div's +1e-8 HALF_UP at 4 decimals) are still generated — the
-    final filter is on the rounded value, same as the oracle.
+    Two physically different plans, identical output (cross-checked in
+    tests/test_dedup_similarity.py):
 
-    ``persist=True`` caches the signature table (MEMORY_AND_DISK): it is read
-    by the prefix explode and both verify joins; uncached, Catalyst would
-    recompute the tokenize→shingle→sort scan 4×. At 100 TB this table is the
-    dedup index — persisting (or staging to parquet) it is the intended
-    physical design; ContextCleaner drops the cache when the plan is GC'd.
-    Pass ``sig`` (id, sh, n — e.g. from ``load_or_build_signature_store``) to
-    start from the staged index and skip the build entirely.
+    - ``strategy="count"`` (default): full inverted-index self-join on the
+      shingle hash with the PPJoin length filter, then ``i`` = map-side-
+      combined COUNT per (a_id, b_id). The decisive property at scale is
+      WHAT the shuffles carry: only 8-byte ids/sizes — the shingle ARRAYS
+      never move (the previous array_intersect verify shuffled both docs'
+      full arrays per candidate, measured 2.3-2.6× slower at sf0.1 across
+      thresholds 0.2-0.5). Join-side row count is Σ_s df(s)² — bounded by
+      ``max_shingle_df`` exactly as before.
+    - ``strategy="ppjoin"``: prefix + positional filtering (candidates only
+      from the first ``n − ⌈t·n⌉ + 1`` sorted shingles) with array_intersect
+      verification. Wins when the threshold is HIGH and docs are LONG: the
+      prefix shrinks to (1−t)·n so Σ_prefix df² collapses while the count
+      path still pays the full Σ df² join — the regime where prefix
+      filtering was invented. At t ≤ 0.5 on this corpus the prefix covers
+      ≥ half of every doc and the strategy only adds array traffic.
+
+    Both are lossless: the length filter keeps every pair with
+    ``t·max(na,nb) ≤ min(na,nb)``, the prefix threshold is backed off by
+    1e-3 so pairs whose true Jaccard rounds up to ``threshold`` (round_div's
+    +1e-8 HALF_UP at 4 decimals) are still generated, and the final filter
+    is on the rounded value, same as the oracle.
+
+    ``persist=True`` caches the signature table (MEMORY_AND_DISK): it is
+    read by both sides of the self-join (and, under ppjoin, the two verify
+    joins); uncached, Catalyst would recompute the tokenize→shingle→sort
+    scan per read. At 100 TB this table is the dedup index — persisting (or
+    staging to parquet) it is the intended physical design. Pass ``sig``
+    (id, sh, n — e.g. from ``load_or_build_signature_store``) to start from
+    the staged index and skip the build entirely.
     """
     if sig is None:
         sig = shingle_signature(df, id_col, text_col, k, max_shingle_df)
     if persist:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     tp = max(threshold - 1e-3, 0.0)
+    if strategy == "count":
+        ex = sig.select("id", "n", F.explode("sh").alias("shingle"))
+        a = ex.select(F.col("id").alias("a_id"), F.col("n").alias("na"), "shingle")
+        b = ex.select(F.col("id").alias("b_id"), F.col("n").alias("nb"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(
+                (F.col("a_id") < F.col("b_id"))
+                # length filter: integer n ≥ real x  ⇔  n ≥ ceil(x)
+                & (F.col("na") >= F.ceil(F.lit(tp) * F.col("nb")))
+                & (F.col("nb") >= F.ceil(F.lit(tp) * F.col("na")))
+            )
+            .groupBy("a_id", "b_id", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                round_div(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+    if strategy != "ppjoin":
+        raise ValueError(f"unknown strategy {strategy!r}")
     p = (F.col("n") - F.ceil(F.lit(tp) * F.col("n")) + 1).cast("int")
     pre = sig.select(
         "id", "n", F.posexplode(F.slice("sh", 1, F.greatest(p, F.lit(1)))).alias("pos", "shingle")
@@ -267,6 +306,7 @@ def minhash_lsh_exact_pairs(
     bands: int = 8,
     threshold: float = 0.2,
     verify_sig: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification — the
     production dedup shape: the sketch only *selects* candidates (cheap,
@@ -279,13 +319,16 @@ def minhash_lsh_exact_pairs(
     (1 − J⁴)⁸ ≈ 4e-4 per pair and the seeded signatures make the outcome
     reproducible, not probabilistic. Returns (a_id, b_id, jaccard)."""
     rows = num_hashes // bands
-    # Both signature tables are read twice (each side of a self-join);
-    # persisted so the tokenize→shingle→hash scan runs once, same as the
-    # PPJoin path — at 100 TB these ARE the dedup index and would be staged
-    # to parquet rather than recomputed per side.
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Both signature tables are read twice (each side of a self-join). A
+    # caller-supplied ``sigs`` is the persisted parquet minhash store
+    # (load_or_build_minhash_store) — already a cheap columnar scan, not
+    # re-persisted (same rule as verify_sig below); a derived-on-the-fly
+    # signature table is persisted so the tokenize→shingle→hash scan runs
+    # once. At 100 TB these ARE the dedup index, staged to parquet.
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -489,5 +532,46 @@ def load_or_build_signature_store(
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
     sig = shingle_signature(df, id_col, text_col, k)
+    sig.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def minhash_store_path(
+    sf_dir: str, table_name: str, k: int, num_hashes: int
+) -> str:
+    """Keyed like signature_store_path, plus the signature width."""
+    import os
+
+    from ..fingerprint import source_fingerprint
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
+    return os.path.join(
+        _sig_warehouse_root(), f"{tag}_{table_name}_mh{num_hashes}_k{k}{stamp}"
+    )
+
+
+def load_or_build_minhash_store(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    table_name: str = "documents",
+    k: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (id, sig) MinHash signature table staged to parquet — the sketch
+    half of the dedup index, sibling of the shingle-set store above. The
+    tokenize→shingle→hash→min scan is the dominant LSH cost at scale;
+    staging it makes every LSH consumer (banding, incremental dedup, this
+    round's benched query) a columnar scan of 8·num_hashes bytes/doc, the
+    same build/probe economics as the IVF and PQ stores."""
+    import os
+
+    path = minhash_store_path(sf_dir, table_name, k, num_hashes)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     sig.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

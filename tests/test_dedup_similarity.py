@@ -194,3 +194,22 @@ def test_choose_minhash_params_recovers_catalog_setting():
     # low thresholds hit the hash cap rather than exploding
     nh, bands = choose_minhash_params(0.2, 1e-3)
     assert nh <= 256
+
+
+def test_ngram_jaccard_strategies_identical(spark):
+    """count (default) and ppjoin are physically different plans over the
+    same signature store; their pair sets and jaccard values must be
+    bit-identical at both a low and a high threshold."""
+    from fest_vibes_ai_etl_spark.operators import dedup
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    sig = dedup.shingle_signature(docs, "doc_id", "text", 3)
+    for t in (0.2, 0.6):
+        a = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            strategy="count").collect()))
+        b = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            strategy="ppjoin").collect()))
+        assert a == b and len(a) > 0 or t > 0.5

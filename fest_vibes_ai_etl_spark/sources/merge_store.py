@@ -130,14 +130,36 @@ class VersionedParquetTable:
         with open(os.path.join(self._commits, latest)) as f:
             return int(latest[1:-5]), json.load(f)
 
-    def read(self, spark: SparkSession, partition_values=None) -> DataFrame | None:
-        """Snapshot read of the latest manifest (optionally pruned to
-        ``partition_values``). Returns None for an empty table. Dirs are
+    def history(self) -> list[int]:
+        """Committed versions, ascending. Every listed version is readable
+        until :meth:`vacuum` runs (vacuum keeps only the latest's roots)."""
+        import os
+
+        try:
+            return sorted(
+                int(n[1:-5])
+                for n in os.listdir(self._commits)
+                if n.startswith("v") and n.endswith(".json")
+            )
+        except OSError:
+            return []
+
+    def _read_manifest(self, version: int) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self._commits, f"v{version:012d}.json")) as f:
+            return json.load(f)
+
+    def _manifest_df(
+        self, spark: SparkSession, manifest: dict, partition_values=None
+    ) -> DataFrame | None:
+        """Materialize a manifest as a DataFrame (optionally pruned to
+        ``partition_values``). Returns None when nothing matches. Dirs are
         grouped by staging root so Spark re-derives the hive partition
         column via basePath; one union per root, AQE coalesces."""
         import os
 
-        _v, manifest = self.latest()
         if partition_values is not None:
             wanted = {str(v) for v in partition_values}
             manifest = {k: d for k, d in manifest.items() if k in wanted}
@@ -152,6 +174,51 @@ class VersionedParquetTable:
             df = spark.read.option("basePath", root).parquet(*sorted(dirs))
             out = df if out is None else out.unionByName(df)
         return out
+
+    def read(self, spark: SparkSession, partition_values=None) -> DataFrame | None:
+        """Snapshot read of the LATEST manifest."""
+        _v, manifest = self.latest()
+        return self._manifest_df(spark, manifest, partition_values)
+
+    def read_version(
+        self, spark: SparkSession, version: int, partition_values=None
+    ) -> DataFrame | None:
+        """Time travel: snapshot read AT ``version`` — manifests are
+        immutable, so an old version stays byte-stable until vacuumed (the
+        Delta/Iceberg ``VERSION AS OF`` contract; readers needing long
+        retention defer vacuum, the same trade as Delta's retention
+        window)."""
+        return self._manifest_df(
+            spark, self._read_manifest(version), partition_values
+        )
+
+    def diff_versions(
+        self, spark: SparkSession, v_old: int, v_new: int,
+        keys: Sequence[str], compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CDC between two committed versions:
+        (*keys, status ∈ added/removed/changed/unchanged) via the
+        hash-compare snapshot diff (operators/diff.py — each side reduces
+        to one 64-bit hash before the join, so wide rows don't widen the
+        shuffle). Manifest-level pruning first: only partitions whose
+        manifest entry CHANGED between the versions are read at all —
+        an unchanged partition points at the same immutable directory and
+        cannot contain a delta, so a 10-partition touch on a 10k-partition
+        table reads 10 partitions, not 10k."""
+        from ..operators.diff import snapshot_diff
+
+        m_old, m_new = self._read_manifest(v_old), self._read_manifest(v_new)
+        changed = [p for p in set(m_old) | set(m_new) if m_old.get(p) != m_new.get(p)]
+        old = self._manifest_df(spark, m_old, partition_values=changed)
+        new = self._manifest_df(spark, m_new, partition_values=changed)
+        if old is None and new is None:
+            schema = ", ".join(f"{k} string" for k in keys) + ", status string"
+            return spark.createDataFrame([], schema)
+        if old is None:
+            return new.select(*keys).withColumn("status", F.lit("added"))
+        if new is None:
+            return old.select(*keys).withColumn("status", F.lit("removed"))
+        return snapshot_diff(old, new, list(keys), list(compare_cols) if compare_cols else None)
 
     # -- write ---------------------------------------------------------
     def merge(
@@ -170,12 +237,9 @@ class VersionedParquetTable:
         that runs between staging and CAS (to force deterministic races).
         Raises :class:`ConcurrentWriteError` after ``max_attempts`` lost
         races."""
-        import json
-        import os
         import random
         import shutil
         import time
-        import uuid
 
         pcol = self.partition_col
         touched = [r[0] for r in source.select(pcol).distinct().collect()]
@@ -193,36 +257,85 @@ class VersionedParquetTable:
                     overwrite_cols=overwrite_cols,
                     keep_if_null_cols=keep_if_null_cols,
                 )
-            stage_id = uuid.uuid4().hex[:12]
-            stage_root = os.path.join(self._data, stage_id)
-            merged.write.partitionBy(pcol).parquet(stage_root)
-            staged_parts = {
-                d.split("=", 1)[1]: {"dir": f"data/{stage_id}/{d}"}
-                for d in os.listdir(stage_root)
-                if d.startswith(f"{pcol}=")
-            }
-            new_manifest = {**manifest, **staged_parts}
+            staged_parts, stage_root = self._stage(merged)
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
-            os.makedirs(self._commits, exist_ok=True)
-            commit_path = os.path.join(self._commits, f"v{version + 1:012d}.json")
-            body = json.dumps(new_manifest, sort_keys=True)
-            try:
-                fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                # Lost the race: another writer committed v+1 after we read
-                # v. Our merged output is based on stale state — discard and
-                # recompute against the new snapshot (reference backoff
-                # schedule, loader/service.py:889-893).
-                shutil.rmtree(stage_root, ignore_errors=True)
-                time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
-                continue
-            with os.fdopen(fd, "w") as f:
-                f.write(body)
-            return version + 1
+            if self._commit_cas(version + 1, {**manifest, **staged_parts}):
+                return version + 1
+            # Lost the race: another writer committed v+1 after we read v.
+            # Our merged output is based on stale state — discard and
+            # recompute against the new snapshot (reference backoff
+            # schedule, loader/service.py:889-893).
+            shutil.rmtree(stage_root, ignore_errors=True)
+            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(
             f"merge lost the version CAS {max_attempts} times at {self.path}"
         )
+
+    def _stage(self, df: DataFrame) -> tuple[dict, str]:
+        """Write ``df`` hive-partitioned under a fresh staging root; returns
+        (manifest fragment, staging root path)."""
+        import os
+        import uuid
+
+        stage_id = uuid.uuid4().hex[:12]
+        stage_root = os.path.join(self._data, stage_id)
+        df.write.partitionBy(self.partition_col).parquet(stage_root)
+        parts = {
+            d.split("=", 1)[1]: {"dir": f"data/{stage_id}/{d}"}
+            for d in os.listdir(stage_root)
+            if d.startswith(f"{self.partition_col}=")
+        }
+        return parts, stage_root
+
+    def _commit_cas(self, version: int, manifest: dict) -> bool:
+        """Atomically publish ``manifest`` as ``version`` iff nobody else
+        has: O_CREAT|O_EXCL on the version filename IS the compare-and-swap
+        (conditional-PUT / atomic-create on S3/HDFS)."""
+        import json
+        import os
+
+        os.makedirs(self._commits, exist_ok=True)
+        commit_path = os.path.join(self._commits, f"v{version:012d}.json")
+        try:
+            fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest, sort_keys=True))
+        return True
+
+    def compact(
+        self, spark: SparkSession, max_attempts: int = 4, _pre_commit_hook=None
+    ) -> int:
+        """OPTIMIZE: rewrite the CURRENT snapshot into one fresh staging
+        root (one tidy directory per partition) and commit it through the
+        same version CAS as merge — concurrent merges serialize against
+        the compaction, and a lost compaction race just re-reads and
+        re-stages. Follow with :meth:`vacuum` to drop superseded roots.
+        At 100 TB this is the small-file / manifest-fragmentation
+        maintenance job every lakehouse table needs (Delta OPTIMIZE /
+        Iceberg rewrite_data_files); returns the committed (or, for an
+        empty table, current) version."""
+        import random
+        import shutil
+        import time
+
+        for attempt in range(max_attempts):
+            version, _manifest = self.latest()
+            current = self.read(spark)
+            if current is None:
+                return version
+            staged_parts, stage_root = self._stage(
+                current.repartition(self.partition_col)
+            )
+            if _pre_commit_hook is not None:
+                _pre_commit_hook(attempt)
+            if self._commit_cas(version + 1, staged_parts):
+                return version + 1
+            shutil.rmtree(stage_root, ignore_errors=True)
+            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
+        raise ConcurrentWriteError(f"compact lost the version CAS at {self.path}")
 
     def vacuum(self) -> int:
         """Delete staging roots no longer referenced by the LATEST manifest;

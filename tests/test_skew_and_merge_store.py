@@ -154,3 +154,43 @@ def test_versioned_table_vacuum_drops_replaced_partitions(spark, tmproot):
     assert t.vacuum() == 1
     assert len(os.listdir(t._data)) == 1
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "y")}
+
+
+def test_versioned_table_time_travel_and_cdc(spark, tmproot):
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "x"), (2, "b", "y")]), keys=["k"])
+    t.merge(
+        spark,
+        _vt_source(spark, [(1, "a", "x2"), (3, "a", "z")]),
+        keys=["k"], overwrite_cols=["v"],
+    )
+    assert t.history() == [1, 2]
+    # VERSION AS OF 1 is byte-stable after the v2 commit
+    v1 = {(r.k, r.v) for r in t.read_version(spark, 1).collect()}
+    assert v1 == {(1, "x"), (2, "y")}
+    # CDC v1 -> v2: partition b unchanged (same manifest entry, never read)
+    diff = {r.k: r.status for r in t.diff_versions(spark, 1, 2, keys=["k"]).collect()}
+    assert diff == {1: "changed", 3: "added"}
+
+
+def test_versioned_table_compact_preserves_and_consolidates(spark, tmproot):
+    import os
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    for i in range(3):  # 3 merges -> 3 staging roots referenced
+        t.merge(spark, _vt_source(spark, [(i, "a", f"v{i}"), (i + 10, "b", "w")]),
+                keys=["k"], overwrite_cols=["v"])
+    before = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
+    v = t.compact(spark)
+    assert v == 4
+    assert {(r.k, r.p, r.v) for r in t.read(spark).collect()} == before
+    # latest manifest references exactly ONE staging root now
+    _v, manifest = t.latest()
+    roots = {e["dir"].split("/")[1] for e in manifest.values()}
+    assert len(roots) == 1
+    assert t.vacuum() == 3  # the three pre-compaction roots
+    assert {(r.k, r.p, r.v) for r in t.read(spark).collect()} == before

@@ -160,6 +160,7 @@ class VersionedParquetTable:
         column via basePath; one union per root, AQE coalesces."""
         import os
 
+        manifest = {k: d for k, d in manifest.items() if not k.startswith("_")}
         if partition_values is not None:
             wanted = {str(v) for v in partition_values}
             manifest = {k: d for k, d in manifest.items() if k in wanted}
@@ -208,7 +209,11 @@ class VersionedParquetTable:
         from ..operators.diff import snapshot_diff
 
         m_old, m_new = self._read_manifest(v_old), self._read_manifest(v_new)
-        changed = [p for p in set(m_old) | set(m_new) if m_old.get(p) != m_new.get(p)]
+        changed = [
+            p
+            for p in set(m_old) | set(m_new)
+            if not p.startswith("_") and m_old.get(p) != m_new.get(p)
+        ]
         old = self._manifest_df(spark, m_old, partition_values=changed)
         new = self._manifest_df(spark, m_new, partition_values=changed)
         if old is None and new is None:
@@ -230,13 +235,22 @@ class VersionedParquetTable:
         overwrite_cols: Sequence[str] = (),
         keep_if_null_cols: Sequence[str] = (),
         max_attempts: int = 4,
+        txn: tuple[str, int] | None = None,
         _pre_commit_hook=None,
     ) -> int:
         """Upsert ``source`` and commit via version CAS; returns the
         committed version. ``_pre_commit_hook(attempt)`` is a test seam
         that runs between staging and CAS (to force deterministic races).
         Raises :class:`ConcurrentWriteError` after ``max_attempts`` lost
-        races."""
+        races.
+
+        ``txn=(app_id, txn_version)`` makes the merge IDEMPOTENT across
+        replays (Delta's txnAppId/txnVersion contract): the manifest records
+        the highest committed txn_version per app_id under the reserved
+        ``_txn`` key, and a merge whose txn_version is already committed
+        returns the current version without writing — the exactly-once
+        primitive the streaming sink (streaming/ingest.py) builds on, since
+        a crashed foreachBatch replays the same (query_id, batch_id)."""
         import random
         import shutil
         import time
@@ -245,6 +259,10 @@ class VersionedParquetTable:
         touched = [r[0] for r in source.select(pcol).distinct().collect()]
         for attempt in range(max_attempts):
             version, manifest = self.latest()
+            if txn is not None:
+                app_id, txn_version = txn
+                if manifest.get("_txn", {}).get(app_id, -1) >= txn_version:
+                    return version  # replayed batch: already committed
             target_slice = self.read(spark, partition_values=touched)
             if target_slice is None:
                 merged = source
@@ -260,7 +278,12 @@ class VersionedParquetTable:
             staged_parts, stage_root = self._stage(merged)
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
-            if self._commit_cas(version + 1, {**manifest, **staged_parts}):
+            new_manifest = {**manifest, **staged_parts}
+            if txn is not None:
+                new_manifest["_txn"] = {
+                    **manifest.get("_txn", {}), txn[0]: txn[1]
+                }
+            if self._commit_cas(version + 1, new_manifest):
                 return version + 1
             # Lost the race: another writer committed v+1 after we read v.
             # Our merged output is based on stale state — discard and
@@ -322,7 +345,7 @@ class VersionedParquetTable:
         import time
 
         for attempt in range(max_attempts):
-            version, _manifest = self.latest()
+            version, manifest = self.latest()
             current = self.read(spark)
             if current is None:
                 return version
@@ -331,7 +354,10 @@ class VersionedParquetTable:
             )
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
-            if self._commit_cas(version + 1, staged_parts):
+            new_manifest = dict(staged_parts)
+            if "_txn" in manifest:  # compaction must not reopen committed txns
+                new_manifest["_txn"] = manifest["_txn"]
+            if self._commit_cas(version + 1, new_manifest):
                 return version + 1
             shutil.rmtree(stage_root, ignore_errors=True)
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
@@ -345,7 +371,11 @@ class VersionedParquetTable:
         import shutil
 
         _v, manifest = self.latest()
-        live = {e["dir"].split("/", 2)[1] for e in manifest.values()}
+        live = {
+            e["dir"].split("/", 2)[1]
+            for k, e in manifest.items()
+            if not k.startswith("_")
+        }
         removed = 0
         try:
             roots = os.listdir(self._data)

@@ -191,3 +191,47 @@ def start_silver_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_versioned_upsert(
+    stream_df: DataFrame,
+    table,
+    keys,
+    checkpoint_dir: str,
+    app_id: str = "versioned-upsert",
+    coalesce_cols=None,
+    overwrite_cols=(),
+    keep_if_null_cols=(),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming MERGE into a ``VersionedParquetTable``.
+
+    foreachBatch + the table's ``txn=(app_id, batch_id)`` idempotence
+    (sources/merge_store.py): checkpointed offsets guarantee at-least-once
+    batch delivery, the manifest's ``_txn`` watermark turns a replayed
+    batch into a no-op commit — together, exactly-once table versions, the
+    Delta ``txnAppId``/``txnVersion`` pattern. Unlike the plain
+    merge-is-idempotent argument (start_silver_maintenance), this also
+    avoids burning a table version per replay, and it stays correct for
+    merge semantics that are NOT naturally idempotent (e.g. a counter
+    accumulate column)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(
+            batch_df.sparkSession,
+            batch_df,
+            keys=keys,
+            coalesce_cols=coalesce_cols,
+            overwrite_cols=overwrite_cols,
+            keep_if_null_cols=keep_if_null_cols,
+            txn=(app_id, batch_id),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,3 +194,67 @@ def test_versioned_table_compact_preserves_and_consolidates(spark, tmproot):
     assert len(roots) == 1
     assert t.vacuum() == 3  # the three pre-compaction roots
     assert {(r.k, r.p, r.v) for r in t.read(spark).collect()} == before
+
+
+def test_versioned_table_txn_idempotent_replay(spark, tmproot):
+    """Delta txnAppId/txnVersion contract: a replayed (app, batch) merge
+    returns the current version without committing; a newer batch commits;
+    compaction preserves the txn watermark."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    v1 = t.merge(spark, _vt_source(spark, [(1, "a", "x")]), keys=["k"], txn=("q", 0))
+    replay = t.merge(
+        spark, _vt_source(spark, [(1, "a", "DIFFERENT")]), keys=["k"],
+        overwrite_cols=["v"], txn=("q", 0),
+    )
+    assert (v1, replay) == (1, 1)  # replay: no new version
+    assert {r.v for r in t.read(spark).collect()} == {"x"}  # replay wrote nothing
+    v2 = t.merge(spark, _vt_source(spark, [(2, "a", "y")]), keys=["k"], txn=("q", 1))
+    assert v2 == 2
+    t.compact(spark)
+    assert t.merge(
+        spark, _vt_source(spark, [(9, "a", "no")]), keys=["k"], txn=("q", 1)
+    ) == 3  # still replay-guarded after compaction
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y")}
+
+
+def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
+    """File stream -> foreachBatch -> versioned merge with txn: restarting
+    the query from the same checkpoint re-delivers nothing new and commits
+    no extra version."""
+    import json
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+    from fest_vibes_ai_etl_spark.streaming.ingest import start_versioned_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"k": 1, "p": "a", "v": "x"}) + "\n"
+        + json.dumps({"k": 2, "p": "b", "v": "y"}) + "\n"
+    )
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    stream = spark.readStream.schema("k long, p string, v string").json(str(src))
+    q = start_versioned_upsert(
+        stream, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
+    )
+    q.awaitTermination(60)
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y")}
+    v_after = t.latest()[0]
+    # restart from the same checkpoint: no new input -> no new version
+    stream2 = spark.readStream.schema("k long, p string, v string").json(str(src))
+    q2 = start_versioned_upsert(
+        stream2, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
+    )
+    q2.awaitTermination(60)
+    assert t.latest()[0] == v_after
+    # new file arrives -> one more version
+    (src / "b2.json").write_text(json.dumps({"k": 3, "p": "a", "v": "z"}) + "\n")
+    stream3 = spark.readStream.schema("k long, p string, v string").json(str(src))
+    q3 = start_versioned_upsert(
+        stream3, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
+    )
+    q3.awaitTermination(60)
+    assert t.latest()[0] == v_after + 1
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y"), (3, "z")}

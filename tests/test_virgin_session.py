@@ -30,6 +30,8 @@ VIRGIN_QUERIES = [
     "asof_join_latest_purchase",
     "range_join_error_window",
     "dedup_minhash_lsh",
+    # round-4: count-strategy Jaccard verify (map-side combined groupBy)
+    "dedup_ngram_jaccard",
     "multimodal_decode_meta",
     "approx_distinct_users",
     "q1_pricing_summary",

@@ -88,6 +88,7 @@ def _load() -> None:
             erq,
             extended,
             funnel,
+            geoq,
             graph,
             pipelineq,
             relational,

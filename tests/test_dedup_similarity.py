@@ -212,4 +212,7 @@ def test_ngram_jaccard_strategies_identical(spark):
         b = sorted(map(tuple, dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=t, sig=sig,
             strategy="ppjoin").collect()))
-        assert a == b and len(a) > 0 or t > 0.5
+        c = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            strategy="auto").collect()))
+        assert a == b == c and len(a) > 0 or t > 0.5

@@ -210,3 +210,115 @@ def sketch_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+KMV_K = 64
+_KMV_HASH = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+_KMV_EST = (
+    f"CASE WHEN cnt < {KMV_K} THEN CAST(cnt AS DOUBLE) "
+    f"ELSE ROUND(63.0 * 1152921504606846976.0 / kth + 0.00000001, 4) END"
+)
+
+
+@register(
+    "sketch_kmv_daily_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, {_KMV_HASH} AS h
+      FROM events
+    ),
+    r AS (
+      SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT day, COUNT(*) AS cnt, MAX(h) AS kth
+      FROM r WHERE rn <= {KMV_K} GROUP BY day
+    ),
+    exact AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT agg.day, {_KMV_EST} AS n_distinct_est, exact.n_exact
+    FROM agg JOIN exact ON agg.day = exact.day
+    ORDER BY agg.day
+    """,
+    tags=("sketch", "kmv", "distinct", "mergeable"),
+    doc="KMV (k-minimum-values, k=64) distinct-user estimate per day next "
+    "to the exact count. Unlike the HLL layer, the sketch is built on the "
+    "PORTABLE md5-60 hash, so the estimate itself is deterministic and the "
+    "oracle replicates the sketch bit-for-bit instead of bounding it — "
+    "the driver hash-checks an approximate operator exactly. The k-set "
+    "build rides the rank-limit pushdown (k rows per day per partition "
+    "reach the shuffle).",
+)
+def sketch_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import kmvsketch
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    kset = kmvsketch.k_smallest_hashes(ev, ["day"], "user_id", KMV_K)
+    est = kmvsketch.kmv_estimate(kset, ["day"], KMV_K)
+    exact = ev.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
+@register(
+    "sketch_kmv_audience_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_HASH} AS h FROM events
+      WHERE event_type = 'click' AND value >= 50
+    ),
+    ak AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM a)
+      WHERE rn <= {KMV_K}
+    ),
+    b AS (
+      SELECT DISTINCT {_KMV_HASH} AS h FROM events
+      WHERE event_type = 'purchase' AND value >= 50
+    ),
+    bk AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM b)
+      WHERE rn <= {KMV_K}
+    ),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ak UNION ALL SELECT h FROM bk)),
+    x AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u)
+      WHERE rn <= {KMV_K}
+    ),
+    stats AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM x),
+    rho AS (
+      SELECT COUNT(*) AS rho_n FROM x
+      WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)
+    )
+    SELECT {_KMV_EST} AS union_est,
+           ROUND(CAST(rho_n AS DOUBLE) / cnt + 0.00000001, 4) AS jaccard_est,
+           ROUND(CAST(rho_n AS DOUBLE) / cnt * {_KMV_EST} + 0.00000001, 4)
+             AS intersection_est
+    FROM stats CROSS JOIN rho
+    """,
+    tags=("sketch", "kmv", "intersection", "audience"),
+    doc="Audience overlap from sketches alone: |clickers-with-value>=50 ∩ "
+    "big-purchasers| estimated via KMV trimmed union + matched-fraction "
+    "— the intersection HLL cannot give without lossy inclusion-"
+    "exclusion (the theta-sketch use case). Deterministic portable hash "
+    "=> the oracle replicates the whole estimate pipeline exactly.",
+)
+def sketch_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import kmvsketch
+
+    ev = table(spark, sf_dir, "events")
+    a = kmvsketch.k_smallest_hashes(
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 50)),
+        [], "user_id", KMV_K,
+    )
+    b = kmvsketch.k_smallest_hashes(
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 50)),
+        [], "user_id", KMV_K,
+    )
+    return kmvsketch.kmv_intersection(a, b, KMV_K)

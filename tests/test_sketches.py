@@ -128,3 +128,41 @@ def test_misra_gries_exact_when_k_exceeds_vocab(spark):
     assert cands[0].max_undercount == 0
     got = {r.item: r.est_count for r in cands}
     assert got == dict(true)
+
+
+def test_kmv_estimate_accuracy_and_exact_regime(spark):
+    """KMV k=64: below k the sketch IS the set (exact); above k the
+    (k-1)/kth-min estimator lands within the ~3/sqrt(k) standard-error
+    envelope on a 5000-distinct-key set."""
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.operators import kmvsketch
+
+    small = spark.range(40).select(F.lit("g").alias("g"), F.col("id"))
+    kset = kmvsketch.k_smallest_hashes(small, ["g"], "id", 64)
+    est = kmvsketch.kmv_estimate(kset, ["g"], 64).collect()[0]
+    assert est.n_distinct_est == 40.0  # exact below k
+
+    big = spark.range(5000).select(F.lit("g").alias("g"), F.col("id"))
+    kset = kmvsketch.k_smallest_hashes(big, ["g"], "id", 64)
+    est = kmvsketch.kmv_estimate(kset, ["g"], 64).collect()[0]
+    assert abs(est.n_distinct_est - 5000) / 5000 < 3 / (64 ** 0.5), est
+
+
+def test_kmv_intersection_tracks_truth(spark):
+    """Overlapping ranges: A=[0,3000), B=[2000,5000); true |A∩B|=1000,
+    |A∪B|=5000. Estimates must land within the KMV error envelope."""
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.operators import kmvsketch
+
+    a = kmvsketch.k_smallest_hashes(
+        spark.range(0, 3000).select(F.col("id")), [], "id", 64
+    )
+    b = kmvsketch.k_smallest_hashes(
+        spark.range(2000, 5000).select(F.col("id")), [], "id", 64
+    )
+    r = kmvsketch.kmv_intersection(a, b, 64).collect()[0]
+    assert abs(r.union_est - 5000) / 5000 < 3 / (64 ** 0.5), r
+    # intersection carries both union error and matched-fraction error
+    assert abs(r.intersection_est - 1000) / 1000 < 0.5, r

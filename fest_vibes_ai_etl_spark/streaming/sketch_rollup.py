@@ -77,3 +77,70 @@ def start_sketch_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- KMV variant: mergeable AND intersectable distinct sets ---------------
+
+
+def latest_kmv(spark: SparkSession, root: str) -> DataFrame:
+    """The newest KMV snapshot: (day, kset array<bigint>) at max version."""
+    snap = spark.read.parquet(root)
+    vmax = snap.agg(F.max("v").alias("m"))
+    return snap.join(F.broadcast(vmax), snap["v"] == vmax["m"]).select("day", "kset")
+
+
+def start_kmv_maintenance(
+    events: DataFrame,
+    kmv_root: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """foreachBatch job maintaining per-day KMV k-sets (operators/
+    kmvsketch.py) as a versioned snapshot table — the intersectable twin of
+    the HLL maintenance above. Per batch: build the batch's per-day k-sets,
+    TRIMMED-UNION them with the stored snapshot (k smallest of the union —
+    idempotent, associative, commutative, so at-least-once replay
+    converges exactly like the HLL path), write version v=batch_id. State
+    per day is ≤ 8·k bytes; estimates and audience intersections come off
+    the snapshot without touching the fact stream."""
+    from ..operators.kmvsketch import k_smallest_hashes
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        day_rows = batch_df.select(F.to_date("ts").alias("day"), "user_id")
+        fresh = (
+            k_smallest_hashes(day_rows, ["day"], "user_id", k)
+            .groupBy("day")
+            .agg(F.sort_array(F.collect_list("h")).alias("kset"))
+        )
+        try:
+            prev = latest_kmv(spark, kmv_root)
+        except Exception:
+            prev = None
+        if prev is not None:
+            merged = (
+                prev.unionByName(fresh)
+                .select("day", F.explode("kset").alias("h"))
+                .distinct()
+                .groupBy("day")
+                .agg(
+                    F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("kset")
+                )
+            )
+        else:
+            merged = fresh
+        (
+            merged.withColumn("v", F.lit(batch_id))
+            .localCheckpoint()  # materialize before overwriting the source
+            .write.mode("append")
+            .partitionBy("v")
+            .parquet(kmv_root)
+        )
+
+    writer = events.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,3 +107,51 @@ def test_streaming_freq_rollup_exact_regime_and_replay(spark, tmp_path):
     # of the same partitions; the merged answer must not change
     run("ckpt2")
     assert _hh(merged_heavy_hitters(spark, root)) == streamed
+
+
+def test_streaming_kmv_matches_batch_and_replay_converges(spark, tmp_path):
+    """KMV maintenance: streamed per-day k-sets equal the batch-built
+    sketch exactly (trimmed union is associative), and at-least-once
+    replay converges."""
+    from fest_vibes_ai_etl_spark.operators import kmvsketch
+    from fest_vibes_ai_etl_spark.streaming.sketch_rollup import (
+        latest_kmv,
+        start_kmv_maintenance,
+    )
+
+    ev = table(spark, SF_DIR, "events").select("ts", "user_id")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("user_id") % 3 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("user_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("user_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_kmv_maintenance(stream, str(tmp_path / "kmv"), ckpt)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    streamed = {
+        r.day.isoformat(): tuple(r.kset)
+        for r in latest_kmv(spark, str(tmp_path / "kmv")).collect()
+    }
+    batch = {
+        r.day.isoformat(): tuple(r.kset)
+        for r in kmvsketch.k_smallest_hashes(
+            ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id", 64
+        )
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("h")).alias("kset"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    run(str(tmp_path / "ck2"))  # replay everything: no-op union
+    streamed2 = {
+        r.day.isoformat(): tuple(r.kset)
+        for r in latest_kmv(spark, str(tmp_path / "kmv")).collect()
+    }
+    assert streamed2 == batch

@@ -19,6 +19,10 @@ _RUNTIME_CONFS = {
     # The synthetic events table stores TIMESTAMP(NANOS), which Spark 4
     # rejects natively; read as long and convert (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The listing DataSource implements pushFilters (fetch_date partition
+    # pruning at the source); Spark 4.1 refuses to use such a reader unless
+    # this runtime conf is on.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # AQE: runtime re-planning — coalesce post-shuffle partitions, convert
     # sort-merge→broadcast when a side turns out small, split skewed joins.
     "spark.sql.adaptive.enabled": "true",

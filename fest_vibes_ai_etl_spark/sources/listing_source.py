@@ -32,13 +32,26 @@ planner. A factory-local class serializes its code and closure instead.
 
 Usage::
 
-    spark.dataSource.register(ListingDataSource)
+    register_listing_source(spark)  # registers + enables filter pushdown
     df = (spark.read.format("festvibes_listing")
           .option("start_date", "2025-03-01").option("days", 7).load())
     stream = spark.readStream.format("festvibes_listing").load()
+
+The batch reader implements ``pushFilters`` (fetch_date partition pruning
+at the source), which Spark 4.1 only allows when the runtime conf
+``spark.sql.python.filterPushdown.enabled`` is true — ``get_spark`` /
+``session.configure`` set it; :func:`register_listing_source` sets it for
+externally-built sessions.
 """
 
 from __future__ import annotations
+
+
+def register_listing_source(spark) -> None:
+    """Register the source and enable the (runtime-settable) Python filter
+    pushdown conf its reader requires."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ListingDataSource)
 
 
 def make_listing_datasource():
@@ -179,11 +192,78 @@ def make_listing_datasource():
         def __init__(self, options):
             self.o = opts(options)
             self.days = self.o[1]
+            self._pushed = []
+
+        def pushFilters(self, filters):
+            """Partition pruning at the SOURCE (Spark 4.1 Python DataSource
+            filter pushdown): predicates on ``fetch_date`` are captured and
+            applied in ``partitions()``, so a date-filtered read of a
+            3650-day backfill plans (and FETCHES, in http mode) only the
+            matching dates. Every filter is still returned — Spark
+            re-applies them post-scan, so partial handling is always safe;
+            the pushdown's win is skipped fetch work, not skipped
+            evaluation."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            for f in filters:
+                if getattr(f, "attribute", None) == ("fetch_date",) and isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        In,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                ):
+                    self._pushed.append(f)
+            return filters
+
+        def _keep(self, date_str: str) -> bool:
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            for f in self._pushed:
+                v = f.value
+                if isinstance(f, EqualTo) and not date_str == v:
+                    return False
+                if isinstance(f, GreaterThan) and not date_str > v:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not date_str >= v:
+                    return False
+                if isinstance(f, LessThan) and not date_str < v:
+                    return False
+                if isinstance(f, LessThanOrEqual) and not date_str <= v:
+                    return False
+                if isinstance(f, In) and date_str not in v:
+                    return False
+            return True
 
         def partitions(self):
-            return [DatePartition(i) for i in range(self.days)]
+            d0 = dt.date.fromisoformat(self.o[0])
+            return [
+                DatePartition(i)
+                for i in range(self.days)
+                if self._keep((d0 + dt.timedelta(days=i)).isoformat())
+            ]
 
         def read(self, partition):
+            if partition is None:  # fully pruned: Spark calls read(None)
+                return iter(())
             return rows_for(self.o, partition.index, partition.index + 1)
 
     class ListingStreamReader(SimpleDataSourceStreamReader):

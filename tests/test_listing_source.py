@@ -2,12 +2,17 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from fest_vibes_ai_etl_spark.operators import htmlparse
-from fest_vibes_ai_etl_spark.sources.listing_source import ListingDataSource
+from fest_vibes_ai_etl_spark.sources.listing_source import (
+    ListingDataSource,
+    register_listing_source,
+)
 
 
 def _read(spark, days=3):
-    spark.dataSource.register(ListingDataSource)
+    register_listing_source(spark)
     return (
         spark.read.format("festvibes_listing")
         .option("start_date", "2025-03-01")
@@ -44,7 +49,7 @@ def test_feeds_the_parse_chain(spark):
 
 
 def test_streaming_reader_one_date_per_batch(spark, tmp_path):
-    spark.dataSource.register(ListingDataSource)
+    register_listing_source(spark)
     stream = (
         spark.readStream.format("festvibes_listing")
         .option("start_date", "2025-03-01")
@@ -107,7 +112,7 @@ def test_http_fetch_mode_against_local_httpd(spark):
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        spark.dataSource.register(ListingDataSource)
+        register_listing_source(spark)
         rows = {
             r.fetch_date: r
             for r in (
@@ -153,7 +158,7 @@ def test_http_fetch_unreachable_is_url_error(spark):
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()  # nothing listens here now
-    spark.dataSource.register(ListingDataSource)
+    register_listing_source(spark)
     row = (
         spark.read.format("festvibes_listing")
         .option("start_date", "2025-03-01")
@@ -165,3 +170,26 @@ def test_http_fetch_unreachable_is_url_error(spark):
         .collect()[0]
     )
     assert (row.status, row.error_type, row.html) == (503, "URL_ERROR", "")
+
+
+def test_fetch_date_filter_pushdown_prunes_partitions(spark):
+    """A fetch_date predicate must prune SOURCE partitions (and therefore
+    fetches): 10 planned dates filtered to 3 -> 3 input partitions. String
+    comparison on ISO dates is order-correct; Spark still re-applies the
+    filter post-scan, so results stay exact for any predicate shape."""
+    df = _read(spark, days=10).filter(
+        (F.col("fetch_date") >= "2025-03-04") & (F.col("fetch_date") < "2025-03-07")
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert {r.fetch_date for r in df.collect()} == {
+        "2025-03-04", "2025-03-05", "2025-03-06"
+    }
+    # IN-list pushdown
+    df2 = _read(spark, days=10).filter(
+        F.col("fetch_date").isin("2025-03-02", "2025-03-09")
+    )
+    assert df2.rdd.getNumPartitions() == 2
+    assert {r.fetch_date for r in df2.collect()} == {"2025-03-02", "2025-03-09"}
+    # an empty match plans zero partitions and returns zero rows
+    df3 = _read(spark, days=10).filter(F.col("fetch_date") == "1999-01-01")
+    assert df3.count() == 0

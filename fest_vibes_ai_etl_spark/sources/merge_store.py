@@ -278,6 +278,34 @@ class VersionedParquetTable:
             staged_parts, stage_root = self._stage(merged)
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
+            committed = self._commit_or_rebase(
+                version, manifest, staged_parts, touched, txn
+            )
+            if committed is not None:
+                return committed
+            # Logical conflict: the winner rewrote one of OUR partitions, so
+            # the staged merge is stale — discard and recompute against the
+            # new snapshot (reference backoff schedule,
+            # loader/service.py:889-893).
+            shutil.rmtree(stage_root, ignore_errors=True)
+            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
+        raise ConcurrentWriteError(
+            f"merge lost the version CAS {max_attempts} times at {self.path}"
+        )
+
+    def _commit_or_rebase(
+        self, version: int, manifest: dict, staged_parts: dict,
+        touched, txn: tuple[str, int] | None,
+    ) -> int | None:
+        """CAS-commit ``staged_parts`` on top of ``manifest``; on a lost
+        race, REBASE instead of recompute when the interleaved commits did
+        not touch our partitions (Delta-style logical conflict detection:
+        our merged output was computed from partition states the winner
+        left unchanged, so it is still exactly correct — only the manifest
+        base moves). Returns the committed version, or None when a real
+        conflict requires the caller to recompute."""
+        ours = {str(t) for t in touched}
+        for _rebase in range(8):
             new_manifest = {**manifest, **staged_parts}
             if txn is not None:
                 new_manifest["_txn"] = {
@@ -285,15 +313,17 @@ class VersionedParquetTable:
                 }
             if self._commit_cas(version + 1, new_manifest):
                 return version + 1
-            # Lost the race: another writer committed v+1 after we read v.
-            # Our merged output is based on stale state — discard and
-            # recompute against the new snapshot (reference backoff
-            # schedule, loader/service.py:889-893).
-            shutil.rmtree(stage_root, ignore_errors=True)
-            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
-        raise ConcurrentWriteError(
-            f"merge lost the version CAS {max_attempts} times at {self.path}"
-        )
+            latest_version, latest_manifest = self.latest()
+            if txn is not None and (
+                latest_manifest.get("_txn", {}).get(txn[0], -1) >= txn[1]
+            ):
+                return latest_version  # someone replayed our txn: done
+            if any(
+                latest_manifest.get(p) != manifest.get(p) for p in ours
+            ):
+                return None  # our partitions moved: recompute required
+            version, manifest = latest_version, latest_manifest
+        return None
 
     def _stage(self, df: DataFrame) -> tuple[dict, str]:
         """Write ``df`` hive-partitioned under a fresh staging root; returns

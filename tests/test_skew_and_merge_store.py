@@ -258,3 +258,32 @@ def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
     q3.awaitTermination(60)
     assert t.latest()[0] == v_after + 1
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_versioned_table_disjoint_race_rebases_without_recompute(spark, tmproot):
+    """Two writers on DIFFERENT partitions: the CAS loser detects the
+    winner didn't touch its partitions and REBASES (re-CAS with the new
+    manifest base) instead of recomputing — the merge body runs once
+    (attempts == [0]) and both writes land."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "base")]), keys=["k"])
+
+    attempts = []
+
+    def interloper(attempt):
+        attempts.append(attempt)
+        if attempt == 0:  # B commits to partition b while A targets a
+            t.merge(spark, _vt_source(spark, [(2, "b", "from_B")]), keys=["k"])
+
+    v = t.merge(
+        spark,
+        _vt_source(spark, [(3, "a", "from_A")]),
+        keys=["k"],
+        _pre_commit_hook=interloper,
+    )
+    assert attempts == [0]  # no recompute: rebase handled the lost CAS
+    assert v == 3
+    got = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a", "base"), (3, "a", "from_A"), (2, "b", "from_B")}

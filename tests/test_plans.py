@@ -59,13 +59,25 @@ def test_flagship_dims_broadcast(spark):
 
 def test_ngram_jaccard_uses_cached_signature(spark):
     docs = table(spark, SF_DIR, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    # count strategy (the small-corpus auto pick): both sides of the
+    # inverted-index self-join read the persisted signature
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, strategy="count"
+    )
     plan = _plan(pairs)
-    # all four consumers (prefix a/b, verify sa/sb) read the persisted
-    # signature; the parquet scan lines under each InMemoryTableScan are the
-    # cached plan's printed recipe, not additional executed scans
-    assert plan.count("InMemoryTableScan") == 4
+    assert plan.count("InMemoryTableScan") == 2
     pairs.count()  # materialize, then drop the operator-persisted signature
+    spark.catalog.clearCache()
+    # ppjoin strategy: all four consumers (prefix a/b, verify sa/sb) read
+    # the persisted signature; the parquet scan lines under each
+    # InMemoryTableScan are the cached plan's printed recipe, not
+    # additional executed scans
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, strategy="ppjoin"
+    )
+    plan = _plan(pairs)
+    assert plan.count("InMemoryTableScan") == 4
+    pairs.count()
     spark.catalog.clearCache()
 
 

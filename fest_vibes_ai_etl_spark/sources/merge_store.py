@@ -173,7 +173,11 @@ class VersionedParquetTable:
         out = None
         for root, dirs in sorted(by_root.items()):
             df = spark.read.option("basePath", root).parquet(*sorted(dirs))
-            out = df if out is None else out.unionByName(df)
+            # allowMissingColumns: roots staged before a schema evolution
+            # lack the evolved columns; their rows read as null for them.
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
         return out
 
     def read(self, spark: SparkSession, partition_values=None) -> DataFrame | None:
@@ -295,7 +299,7 @@ class VersionedParquetTable:
 
     def _commit_or_rebase(
         self, version: int, manifest: dict, staged_parts: dict,
-        touched, txn: tuple[str, int] | None,
+        touched, txn: tuple[str, int] | None, drop_parts=(),
     ) -> int | None:
         """CAS-commit ``staged_parts`` on top of ``manifest``; on a lost
         race, REBASE instead of recompute when the interleaved commits did
@@ -305,8 +309,10 @@ class VersionedParquetTable:
         base moves). Returns the committed version, or None when a real
         conflict requires the caller to recompute."""
         ours = {str(t) for t in touched}
+        drop = {str(p) for p in drop_parts}
         for _rebase in range(8):
-            new_manifest = {**manifest, **staged_parts}
+            base = {k: v for k, v in manifest.items() if k not in drop}
+            new_manifest = {**base, **staged_parts}
             if txn is not None:
                 new_manifest["_txn"] = {
                     **manifest.get("_txn", {}), txn[0]: txn[1]
@@ -324,6 +330,62 @@ class VersionedParquetTable:
                 return None  # our partitions moved: recompute required
             version, manifest = latest_version, latest_manifest
         return None
+
+    def delete(
+        self,
+        spark: SparkSession,
+        predicate,
+        max_attempts: int = 4,
+        _pre_commit_hook=None,
+    ) -> tuple[int, int]:
+        """Row-level DELETE (copy-on-write): rewrite ONLY the partitions
+        containing matching rows without the matching rows, commit via the
+        same version CAS (rebase-safe like merge). Returns
+        (committed_version, rows_deleted) — (current, 0) when nothing
+        matches. Rows where the predicate is NULL are KEPT (SQL DELETE
+        semantics: delete where predicate is true).
+
+        Retention note (the GDPR shape): deleted rows remain readable via
+        time travel until :meth:`vacuum` drops the superseded directories —
+        a right-to-be-forgotten pipeline runs delete + vacuum; audit
+        pipelines defer vacuum. Same trade as Delta's VACUUM retention."""
+        import random
+        import shutil
+        import time
+
+        pcol = self.partition_col
+        keep = ~F.coalesce(predicate, F.lit(False))
+        for attempt in range(max_attempts):
+            version, manifest = self.latest()
+            current = self.read(spark)
+            if current is None:
+                return version, 0
+            touched = [
+                r[0]
+                for r in current.filter(F.coalesce(predicate, F.lit(False)))
+                .select(pcol)
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return version, 0
+            target_slice = self.read(spark, partition_values=touched)
+            kept = target_slice.filter(keep)
+            n_deleted = target_slice.count() - kept.count()
+            staged_parts, stage_root = self._stage(kept)
+            if _pre_commit_hook is not None:
+                _pre_commit_hook(attempt)
+            committed = self._commit_or_rebase(
+                version, manifest, staged_parts, touched, None,
+                drop_parts=touched,  # emptied partitions leave the manifest
+            )
+            if committed is not None:
+                return committed, n_deleted
+            shutil.rmtree(stage_root, ignore_errors=True)
+            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
+        raise ConcurrentWriteError(
+            f"delete lost the version CAS {max_attempts} times at {self.path}"
+        )
 
     def _stage(self, df: DataFrame) -> tuple[dict, str]:
         """Write ``df`` hive-partitioned under a fresh staging root; returns
@@ -394,17 +456,21 @@ class VersionedParquetTable:
         raise ConcurrentWriteError(f"compact lost the version CAS at {self.path}")
 
     def vacuum(self) -> int:
-        """Delete staging roots no longer referenced by the LATEST manifest;
-        returns the number removed. Run only when no reader may hold an
-        older snapshot (same contract as Delta VACUUM's retention window)."""
+        """Delete partition DIRECTORIES no longer referenced by the LATEST
+        manifest (then any emptied staging roots); returns the number of
+        directories removed. Per-partition granularity matters for the
+        delete path: a staging root whose partition ``a`` was superseded
+        but whose ``c`` is still live must forget ``a``'s files — GDPR
+        delete+vacuum has to actually remove the bytes, not just the
+        manifest entry. Run only when no reader may hold an older snapshot
+        (same contract as Delta VACUUM's retention window); time travel to
+        vacuumed versions then fails loudly on the missing directory."""
         import os
         import shutil
 
         _v, manifest = self.latest()
         live = {
-            e["dir"].split("/", 2)[1]
-            for k, e in manifest.items()
-            if not k.startswith("_")
+            e["dir"] for k, e in manifest.items() if not k.startswith("_")
         }
         removed = 0
         try:
@@ -412,7 +478,15 @@ class VersionedParquetTable:
         except OSError:
             return 0
         for r in roots:
-            if r not in live:
-                shutil.rmtree(os.path.join(self._data, r), ignore_errors=True)
-                removed += 1
+            root_path = os.path.join(self._data, r)
+            for d in os.listdir(root_path):
+                if not d.startswith(f"{self.partition_col}="):
+                    continue
+                if f"data/{r}/{d}" not in live:
+                    shutil.rmtree(os.path.join(root_path, d), ignore_errors=True)
+                    removed += 1
+            if not any(
+                n.startswith(f"{self.partition_col}=") for n in os.listdir(root_path)
+            ):
+                shutil.rmtree(root_path, ignore_errors=True)
         return removed

@@ -192,7 +192,7 @@ def test_versioned_table_compact_preserves_and_consolidates(spark, tmproot):
     _v, manifest = t.latest()
     roots = {e["dir"].split("/")[1] for e in manifest.values()}
     assert len(roots) == 1
-    assert t.vacuum() == 3  # the three pre-compaction roots
+    assert t.vacuum() == 6  # 2 partition dirs in each of 3 pre-compaction roots
     assert {(r.k, r.p, r.v) for r in t.read(spark).collect()} == before
 
 
@@ -287,3 +287,55 @@ def test_versioned_table_disjoint_race_rebases_without_recompute(spark, tmproot)
     assert v == 3
     got = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
     assert got == {(1, "a", "base"), (3, "a", "from_A"), (2, "b", "from_B")}
+
+
+def test_versioned_table_delete_copy_on_write(spark, tmproot):
+    """Row-level DELETE: only matching partitions rewritten; an emptied
+    partition leaves the manifest; NULL-predicate rows are kept; pre-delete
+    rows stay time-travelable until vacuum (the GDPR delete+vacuum shape)."""
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(
+        spark,
+        _vt_source(spark, [(1, "a", "x"), (2, "a", None), (3, "b", "drop"),
+                           (4, "c", "keep")]),
+        keys=["k"],
+    )
+    v, n = t.delete(spark, F.col("v") == "drop")
+    assert (v, n) == (2, 1)
+    # partition b emptied -> gone from the manifest entirely
+    _v, manifest = t.latest()
+    assert set(k for k in manifest if not k.startswith("_")) == {"a", "c"}
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "x"), (2, None), (4, "keep")}  # NULL-pred row kept
+    # no-match delete is a no-op version-wise
+    assert t.delete(spark, F.col("v") == "absent") == (2, 0)
+    # GDPR: old version still readable, then vacuum forgets it
+    assert {(r.k,) for r in t.read_version(spark, 1).select("k").collect()} == {
+        (1,), (2,), (3,), (4,)
+    }
+    t.vacuum()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read_version(spark, 1).select("k").collect()
+
+
+def test_versioned_table_merge_schema_evolution(spark, tmproot):
+    """A source with a NEW column merges cleanly: old rows carry null for
+    it (merge_coalesce carries source-only/target-only columns through)."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "x"), (9, "c", "old")]), keys=["k"])
+    widened = spark.createDataFrame(
+        [(2, "a", "y", 0.9)], "k long, p string, v string, score double"
+    )
+    t.merge(spark, widened, keys=["k"])
+    # partition c still lives in the pre-evolution root: the snapshot read
+    # unions different per-root schemas (allowMissingColumns)
+    rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert rows == {1: ("x", None), 2: ("y", 0.9), 9: ("old", None)}

@@ -161,3 +161,133 @@ def media_byte_stats_arrow(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media").mapInArrow(
         run, schema="doc_id long, n_bytes long, checksum long"
     )
+
+
+def synth_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic REAL-format media bytes per row — actual parseable
+    containers, not tagged text: a valid PNG (signature + IHDR + zlib IDAT
+    + CRCs), a valid WAV (RIFF via the stdlib ``wave`` module), or a valid
+    YUV4MPEG2 stream (the uncompressed video container ffmpeg/mplayer
+    read). Dimensions/frame counts/sample rates derive from the row's md5
+    so the corpus is reproducible. Everything is stdlib (zlib/struct/wave)
+    — this is the honest upgrade of ``attach_fake_media``: the decode
+    stage below parses these bytes for real."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def png_bytes(w, h, seed):
+            def chunk(tag, body):
+                return (
+                    _struct.pack(">I", len(body)) + tag + body
+                    + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            row = bytes((seed + i) % 256 for i in range(3 * w))
+            raw = b"".join(b"\x00" + row for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def wav_bytes(n_frames, rate):
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(b"\x00\x00" * n_frames)
+            return buf.getvalue()
+
+        def y4m_bytes(w, h, frames):
+            header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1\n".encode()
+            frame = b"FRAME\n" + bytes(w * h * 3 // 2)
+            return header + frame * frames
+
+        def make(doc_id, text):
+            digest = _hashlib.md5(str(doc_id).encode()).hexdigest()
+            h = int(digest[:8], 16)
+            kind = ("image", "audio", "video")[h % 3]
+            if kind == "image":
+                blob = png_bytes(2 + h % 30, 2 + (h >> 8) % 30, h % 256)
+            elif kind == "audio":
+                blob = wav_bytes(100 + h % 500, 8000 + h % 8000)
+            else:
+                blob = y4m_bytes(8, 8, 1 + h % 30)
+            return {"doc_id": doc_id, "media_type": kind, "media": blob}
+
+        for pdf in batches:
+            rows = [make(r[0], r[1]) for r in pdf.itertuples(index=False)]
+            yield _pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def decode_media_headers(df: DataFrame) -> DataFrame:
+    """REAL header-level decode of the media column — no external codec
+    libraries, just format knowledge: PNG IHDR (width/height via struct),
+    WAV via the stdlib ``wave`` reader (frame count; width/height null),
+    YUV4MPEG2 header + FRAME-marker count. Returns DECODED_SCHEMA like the
+    stub path; unparseable blobs yield nulls rather than failing the batch
+    (quarantine-friendly). The model-grade steps (pixel features, spectral
+    features) remain the documented PIL/ffmpeg seam; the CONTAINER layer is
+    now genuinely decoded."""
+    columns = [f.name for f in DECODED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+        import re as _re
+        import struct as _struct
+        import wave as _wave
+
+        import pandas as _pd
+
+        def decode(doc_id, media_type, blob):
+            out = {
+                "doc_id": doc_id,
+                "media_type": media_type,
+                "byte_len": len(blob or b""),
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "content_digest": _hashlib.md5(blob or b"").hexdigest(),
+            }
+            try:
+                if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h = _struct.unpack(">II", blob[16:24])
+                    out.update(width=w, height=h, n_frames=1)
+                elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                    with _wave.open(_io.BytesIO(bytes(blob))) as wv:
+                        out.update(n_frames=wv.getnframes())
+                elif blob[:9] == b"YUV4MPEG2":
+                    head = bytes(blob[: blob.index(b"\n")]).decode()
+                    w = int(_re.search(r" W(\d+)", head).group(1))
+                    h = int(_re.search(r" H(\d+)", head).group(1))
+                    out.update(
+                        width=w, height=h, n_frames=blob.count(b"FRAME\n")
+                    )
+            except Exception:
+                pass  # unparseable blob: metadata stays null, row survives
+            return out
+
+        for pdf in batches:
+            rows = [
+                decode(r.doc_id, r.media_type, r.media)
+                for r in pdf.itertuples(index=False)
+            ]
+            yield _pd.DataFrame(rows, columns=columns)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -500,3 +500,44 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "detected")
     )
+
+
+@register(
+    "multimodal_real_decode_meta",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE hv % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        AS media_type,
+      CASE hv % 3 WHEN 0 THEN CAST(2 + hv % 30 AS INT)
+                  WHEN 1 THEN NULL ELSE 8 END AS width,
+      CASE hv % 3 WHEN 0 THEN CAST(2 + (hv // 256) % 30 AS INT)
+                  WHEN 1 THEN NULL ELSE 8 END AS height,
+      CASE hv % 3 WHEN 0 THEN 1
+                  WHEN 1 THEN CAST(100 + hv % 500 AS INT)
+                  ELSE CAST(1 + hv % 30 AS INT) END AS n_frames
+    FROM h ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+    doc="REAL container decode, oracle-checked end to end: Spark "
+    "synthesizes genuinely parseable media bytes per doc (valid PNG with "
+    "CRCs, RIFF/WAV, YUV4MPEG2 — operators/multimodal.synth_real_media) "
+    "and decode_media_headers recovers width/height/frame-count by "
+    "PARSING THE BYTES; the oracle computes the same metadata in closed "
+    "form from the md5-seeded synthesis parameters. A parser bug (wrong "
+    "offset, wrong endianness, miscounted frames) hash-mismatches "
+    "immediately. Model-grade pixel/spectral features remain the "
+    "documented PIL/ffmpeg seam; the container layer is genuinely decoded.",
+)
+def multimodal_real_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents")
+    media = mm.synth_real_media(docs, "doc_id", "text")
+    return mm.decode_media_headers(media).select(
+        "doc_id", "media_type", "width", "height", "n_frames"
+    ).orderBy("doc_id")

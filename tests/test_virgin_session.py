@@ -32,6 +32,12 @@ VIRGIN_QUERIES = [
     "dedup_minhash_lsh",
     # round-4: count-strategy Jaccard verify (map-side combined groupBy)
     "dedup_ngram_jaccard",
+    # round-4: grid-bucket haversine join (double trig under default confs)
+    "geo_radius_pairs",
+    # round-4: real-container synthesis + header parse through mapInPandas
+    "multimodal_real_decode_meta",
+    # round-4: KMV estimator (portable md5-60 hash + double division)
+    "sketch_kmv_daily_users",
     "multimodal_decode_meta",
     "approx_distinct_users",
     "q1_pricing_summary",

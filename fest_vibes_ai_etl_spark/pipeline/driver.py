@@ -98,3 +98,29 @@ def run_pipeline(
         gold_all = df if gold_all is None else gold_all.unionByName(df)
 
     return {**silver, "quarantine": quarantined, "cache_payload": gold_all}
+
+
+def persist_silver_versioned(
+    spark: SparkSession,
+    layers: dict[str, DataFrame],
+    root: str,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Land the silver EVENTS fact in a CAS-committed
+    ``VersionedParquetTable`` partitioned by event_date — the multi-writer
+    upgrade of the plain partition-overwrite write: concurrent backfills
+    over different date ranges rebase instead of clobbering, a scheduler
+    that double-fires a date is collapsed by ``txn``, and downstream
+    consumers get snapshot isolation + time travel + CDC over the fact.
+    Dims stay on the merge_coalesce path (no natural partition column;
+    their writes are tiny). Returns the committed version."""
+    from ..sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(f"{root}/events", "event_date")
+    return t.merge(
+        spark,
+        layers["events"],
+        keys=["wwoz_event_href"],
+        keep_if_null_cols=["description"],  # J4 semantics
+        txn=txn,
+    )

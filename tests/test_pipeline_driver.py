@@ -68,3 +68,38 @@ def test_export_to_cache_filesystem_client(spark, result):
     assert payload["ttl"] == 3600  # today tier
     names = [d["artist_data"]["name"] for d in docs]
     assert names == ["Galactic", "Ellis Marsalis Quartet", "Kermit Ruffins"]  # W1 order
+
+
+def test_pipeline_persists_into_versioned_table(spark, tmp_path):
+    """End-to-end: bronze -> run_pipeline -> versioned fact table. A
+    re-run with the same txn id is collapsed (no new version); the stored
+    fact equals the computed silver fact."""
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.pipeline.driver import (
+        persist_silver_versioned,
+        run_pipeline,
+    )
+    from fest_vibes_ai_etl_spark.pipeline.fixtures import bronze_fixture
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    layers = run_pipeline(
+        spark, bronze_fixture(spark), dates=["2025-03-01"], with_embeddings=False
+    )
+    root = str(tmp_path / "silver")
+    v1 = persist_silver_versioned(spark, layers, root, txn=("daily", 1))
+    assert v1 == 1
+    # double-fired scheduler run: same txn -> no new version
+    assert persist_silver_versioned(spark, layers, root, txn=("daily", 1)) == 1
+    t = VersionedParquetTable(f"{root}/events", "event_date")
+    stored = {
+        r.wwoz_event_href
+        for r in t.read(spark).select("wwoz_event_href").collect()
+    }
+    computed = {
+        r.wwoz_event_href
+        for r in layers["events"].select("wwoz_event_href").collect()
+    }
+    assert stored == computed and len(stored) > 0
+    # event_date round-trips as the hive partition column
+    assert t.read(spark).filter(F.col("event_date").isNull()).count() == 0

@@ -1110,3 +1110,96 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BOOT_B = 200          # bootstrap replicates
+BOOT_P = 0.632        # deterministic subsample rate ≈ P(Poisson(1) > 0)
+_BOOT_FRAC = (
+    "(('0x' || substr(md5('boot-v1:' || CAST(b AS VARCHAR) || ':' "
+    "|| CAST(event_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0)"
+)
+
+
+@register(
+    "events_bootstrap_mean_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (
+      SELECT b.b,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) + 0.00000001, 4) AS m
+      FROM base, (SELECT UNNEST(generate_series(1, {BOOT_B})) AS b) b
+      WHERE {_BOOT_FRAC} < {BOOT_P}
+      GROUP BY b.b
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM reps
+    ),
+    full_mean AS (
+      SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) + 0.00000001, 4) AS mean_full
+      FROM base
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           (SELECT mean_full FROM full_mean) AS mean_full,
+           (SELECT m FROM ranked WHERE rk = 6) AS ci_lo,
+           (SELECT m FROM ranked WHERE rk = 195) AS ci_hi
+    """,
+    tags=("stats", "bootstrap", "ci", "deterministic"),
+    doc="Bootstrap 95% CI for the mean purchase value — the resampling "
+    "made DETERMINISTIC and therefore exactly oracle-checkable: replicate "
+    "b includes row r iff the portable md5 fraction of (b, event_id) < "
+    "0.632 (the P(Poisson(1)>0) rate that makes Bernoulli subsampling "
+    "approximate the classic with-replacement bootstrap), replicate means "
+    "use exact decimal sums (engine-identical doubles), and the CI bounds "
+    "are rank 6/195 of the 200 sorted replicate means (b tie-break). "
+    "Spark shape: one map-side explode of 200 replicate tags, partial-agg "
+    "combined groupBy — the fact is scanned ONCE for all replicates; at "
+    "100 TB the same plan holds with replicates sharded map-side "
+    "(B·|rows| never materializes, only B·|partitions| partials shuffle).",
+)
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trainprep import hash_fraction
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    tagged = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B)))
+    )
+    key = F.concat_ws(":", F.col("b"), F.col("event_id"))
+    reps = (
+        tagged.filter(hash_fraction(key, "boot-v1:") < BOOT_P)
+        .groupBy("b")
+        .agg(
+            round_div(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("m")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    full_mean = base.agg(
+        round_div(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_full")
+    )
+    lo = ranked.filter(F.col("rk") == 6).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == 195).select(F.col("m").alias("ci_hi"))
+    return (
+        full_mean.withColumn("n_replicates", F.lit(BOOT_B).cast("long"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_replicates", "mean_full", "ci_lo", "ci_hi")
+    )

@@ -1203,3 +1203,96 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .select("n_replicates", "mean_full", "ci_lo", "ci_hi")
     )
+
+
+@register(
+    "events_bootstrap_lift_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    reps AS (
+      SELECT b.b,
+             ROUND(
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type = 'purchase')
+               - CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                      FILTER (WHERE event_type = 'click') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type = 'click')
+               + 0.00000001, 4) AS d
+      FROM base, (SELECT UNNEST(generate_series(1, {BOOT_B})) AS b) b
+      WHERE {_BOOT_FRAC} < {BOOT_P}
+      GROUP BY b.b
+    ),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d, b) AS rk FROM reps
+    ),
+    full_diff AS (
+      SELECT ROUND(
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type = 'purchase')
+               - CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                      FILTER (WHERE event_type = 'click') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE event_type = 'click')
+               + 0.00000001, 4) AS lift
+      FROM base
+    )
+    SELECT (SELECT lift FROM full_diff) AS lift,
+           (SELECT d FROM ranked WHERE rk = 6) AS ci_lo,
+           (SELECT d FROM ranked WHERE rk = 195) AS ci_hi,
+           CASE WHEN (SELECT d FROM ranked WHERE rk = 6) > 0
+                  OR (SELECT d FROM ranked WHERE rk = 195) < 0
+                THEN TRUE ELSE FALSE END AS significant
+    """,
+    tags=("stats", "bootstrap", "abtest", "ci"),
+    doc="Bootstrap 95% CI for the purchase-vs-click mean-value LIFT — the "
+    "A/B answer the point-estimate abtest query can't give alone. Same "
+    "deterministic machinery as events_bootstrap_mean_ci (shared replicate "
+    "membership per row via md5(b, event_id); both groups' means computed "
+    "with FILTERed exact decimal sums inside ONE groupBy, so the fact "
+    "still scans once); 'significant' = the CI excludes zero.",
+)
+def events_bootstrap_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trainprep import hash_fraction
+
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "event_type", "value")
+    )
+    tagged = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(BOOT_B)))
+    )
+    key = F.concat_ws(":", F.col("b"), F.col("event_id"))
+    is_p = F.col("event_type") == "purchase"
+    dec = F.col("value").cast("decimal(18,6)")
+
+    def diff_expr():
+        sp = F.sum(F.when(is_p, dec)).cast("double")
+        np_ = F.sum(F.when(is_p, 1).otherwise(0))
+        sc = F.sum(F.when(~is_p, dec)).cast("double")
+        nc = F.sum(F.when(~is_p, 1).otherwise(0))
+        return round_div(sp / np_ - sc / nc, 4)
+
+    reps = (
+        tagged.filter(hash_fraction(key, "boot-v1:") < BOOT_P)
+        .groupBy("b")
+        .agg(diff_expr().alias("d"))
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.withColumn("rk", F.row_number().over(Window.orderBy("d", "b")))
+    full = base.agg(diff_expr().alias("lift"))
+    lo = ranked.filter(F.col("rk") == 6).select(F.col("d").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == 195).select(F.col("d").alias("ci_hi"))
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "lift", "ci_lo", "ci_hi",
+            ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias("significant"),
+        )
+    )

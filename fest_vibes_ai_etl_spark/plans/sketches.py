@@ -168,22 +168,31 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hll_rollup_users",
     oracle="""
     SELECT event_type,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS union_eq_direct,
-           TRUE AS est_within_5pct
+           COUNT(DISTINCT user_id) AS exact_users
     FROM events GROUP BY event_type
     """,
     tags=("sketch", "hll", "mergeable"),
-    doc="The MERGEABILITY property made driver-visible: per-(type, day) HLL "
-    "partial sketches are unioned up to per-type estimates WITHOUT "
-    "rescanning the fact, and the query asserts (a) the rolled-up estimate "
-    "equals the direct whole-range sketch bit-for-bit (DataSketches HLL "
-    "union is exact over partials at the same lgK) and (b) both sit within "
-    "5% of the exact count. At 100 TB this is the property that turns a "
-    "persisted daily sketch table into free arbitrary-range distinct "
-    "counts; the oracle pins both booleans TRUE next to the exact counts.",
+    doc="Per-type exact distinct users — the SQL-checkable half of the HLL "
+    "rollup story. The estimate-quality claims moved to "
+    "sketch_hll_rollup_eval + tests/test_sketches.py after the sf0.1 "
+    "protocol gate falsified the old oracle's hardcoded booleans: HLL "
+    "union over per-day partials is bit-identical to the direct sketch "
+    "only while sketches stay SPARSE; once partials go dense the union "
+    "estimate legitimately drifts (measured 1488 vs 1494 vs exact 1500 at "
+    "sf0.1 — both within 1%). A data-dependent accuracy property belongs "
+    "in an eval with a tolerance, not hardcoded TRUE in a value oracle "
+    "(the same lesson as the ANN recall oracles this round).",
 )
 def sketch_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .orderBy("event_type")
+    )
+
+
+def _hll_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     daily = (
         events.select("event_type", F.to_date("ts").alias("day"), "user_id")
@@ -197,18 +206,23 @@ def sketch_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est_direct"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    return (
-        rolled.join(direct, "event_type")
-        .select(
-            "event_type",
-            "exact_users",
-            (F.col("est_union") == F.col("est_direct")).alias("union_eq_direct"),
-            (
-                F.abs(F.col("est_direct") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("est_within_5pct"),
-        )
-        .orderBy("event_type")
+    return rolled.join(direct, "event_type").orderBy("event_type")
+
+
+@register(
+    "sketch_hll_rollup_eval",
+    tags=("sketch", "hll", "mergeable", "eval"),
+    doc="Measured union-vs-direct-vs-exact HLL estimates per type. No SQL "
+    "oracle BY DESIGN: the values are sketch-state-dependent (sparse "
+    "partials union exactly; dense ones drift within the HLL error "
+    "envelope). tests/test_sketches.py asserts |union−direct| ≤ 1%·exact "
+    "and both estimates within 5% of exact — tolerances with measured "
+    "margins, the advisor-endorsed home for data-dependent accuracy "
+    "claims.",
+)
+def sketch_hll_rollup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hll_rollup_parts(spark, sf_dir).select(
+        "event_type", "exact_users", "est_union", "est_direct"
     )
 
 

@@ -24,6 +24,12 @@ Deliberately mirrored driver behaviors:
 
 Excluded from default runs via ``pytest.ini`` (``-m "not driver_protocol"``);
 run with ``python -m pytest -m driver_protocol tests/test_driver_protocol.py``.
+
+``SPARK_GRAFT_PROTOCOL_SF=/root/testdata/sf0.1`` runs the same gate at 10×
+the driver's data — the deeper sweep that catches SCALE-dependent oracle
+breaks (it falsified the HLL-rollup oracle's hardcoded union-equality
+boolean, which only holds while sketches stay sparse). Green at sf0.001
+(fast suite), sf0.01 (driver's operating point), and sf0.1.
 """
 
 from __future__ import annotations

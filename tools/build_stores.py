@@ -10,6 +10,7 @@ family starts from a parquet scan with zero build shuffles:
 - PQ code table (ADC compressed-domain scans, IVF-PQ)
 - PPJoin shingle-signature table (exact Jaccard pair mining, transitive
   clustering, dedup-aware splitting)
+- MinHash signature table (LSH banding — the sketch half of the dedup index)
 
 Usage: python tools/build_stores.py [sf_dir]   (default /root/testdata/sf0.1)
 """
@@ -50,6 +51,7 @@ def main() -> None:
         ("ivf_index", lambda: ivf.load_or_build_index(spark, emb, sf_dir, k=16, seed=42)),
         ("pq_codes", lambda: vectorml.load_or_build_pq_codes(spark, emb, sf_dir, 4, 8, 64)),
         ("shingle_sig", lambda: dedup.load_or_build_signature_store(spark, docs, sf_dir)),
+        ("minhash_sig", lambda: dedup.load_or_build_minhash_store(spark, docs, sf_dir)),
     ]
     for name, build in builds:
         t0 = time.time()

@@ -1114,6 +1114,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOOT_B = 200          # bootstrap replicates
 BOOT_P = 0.632        # deterministic subsample rate ≈ P(Poisson(1) > 0)
+# 95% CI bounds as ranks of the sorted replicate metrics — DERIVED from
+# BOOT_B so changing the replicate count cannot silently desync the Spark
+# plan from the literal ranks interpolated into the oracle SQL.
+BOOT_LO_RK = int(0.025 * BOOT_B) + 1   # 6 at B=200
+BOOT_HI_RK = BOOT_B - int(0.025 * BOOT_B)  # 195 at B=200
 _BOOT_FRAC = (
     "(('0x' || substr(md5('boot-v1:' || CAST(b AS VARCHAR) || ':' "
     "|| CAST(event_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0)"
@@ -1144,8 +1149,8 @@ _BOOT_FRAC = (
     )
     SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
            (SELECT mean_full FROM full_mean) AS mean_full,
-           (SELECT m FROM ranked WHERE rk = 6) AS ci_lo,
-           (SELECT m FROM ranked WHERE rk = 195) AS ci_hi
+           (SELECT m FROM ranked WHERE rk = {BOOT_LO_RK}) AS ci_lo,
+           (SELECT m FROM ranked WHERE rk = {BOOT_HI_RK}) AS ci_hi
     """,
     tags=("stats", "bootstrap", "ci", "deterministic"),
     doc="Bootstrap 95% CI for the mean purchase value — the resampling "
@@ -1195,8 +1200,8 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_full")
     )
-    lo = ranked.filter(F.col("rk") == 6).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == 195).select(F.col("m").alias("ci_hi"))
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RK).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RK).select(F.col("m").alias("ci_hi"))
     return (
         full_mean.withColumn("n_replicates", F.lit(BOOT_B).cast("long"))
         .crossJoin(F.broadcast(lo))
@@ -1241,10 +1246,10 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT (SELECT lift FROM full_diff) AS lift,
-           (SELECT d FROM ranked WHERE rk = 6) AS ci_lo,
-           (SELECT d FROM ranked WHERE rk = 195) AS ci_hi,
-           CASE WHEN (SELECT d FROM ranked WHERE rk = 6) > 0
-                  OR (SELECT d FROM ranked WHERE rk = 195) < 0
+           (SELECT d FROM ranked WHERE rk = {BOOT_LO_RK}) AS ci_lo,
+           (SELECT d FROM ranked WHERE rk = {BOOT_HI_RK}) AS ci_hi,
+           CASE WHEN (SELECT d FROM ranked WHERE rk = {BOOT_LO_RK}) > 0
+                  OR (SELECT d FROM ranked WHERE rk = {BOOT_HI_RK}) < 0
                 THEN TRUE ELSE FALSE END AS significant
     """,
     tags=("stats", "bootstrap", "abtest", "ci"),
@@ -1286,8 +1291,8 @@ def events_bootstrap_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = reps.withColumn("rk", F.row_number().over(Window.orderBy("d", "b")))
     full = base.agg(diff_expr().alias("lift"))
-    lo = ranked.filter(F.col("rk") == 6).select(F.col("d").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == 195).select(F.col("d").alias("ci_hi"))
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RK).select(F.col("d").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RK).select(F.col("d").alias("ci_hi"))
     return (
         full.crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))

@@ -74,6 +74,9 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+# NOTE: table/staging identifiers below are TRUSTED caller input (pipeline
+# config, not user data) — only column names are identifier-quoted. Values
+# never appear in the generated SQL: the staged write parameterizes rows.
 def upsert_sql(
     table: str,
     columns: Sequence[str],

@@ -335,6 +335,7 @@ class VersionedParquetTable:
         self,
         spark: SparkSession,
         predicate,
+        partition_values=None,
         max_attempts: int = 4,
         _pre_commit_hook=None,
     ) -> tuple[int, int]:
@@ -344,6 +345,11 @@ class VersionedParquetTable:
         (committed_version, rows_deleted) — (current, 0) when nothing
         matches. Rows where the predicate is NULL are KEPT (SQL DELETE
         semantics: delete where predicate is true).
+
+        ``partition_values`` scopes the match scan to those partitions —
+        pass it whenever the predicate implies a partition range (a full
+        delete otherwise scans the table once to FIND touched partitions,
+        which is inherent for predicates on non-partition columns).
 
         Retention note (the GDPR shape): deleted rows remain readable via
         time travel until :meth:`vacuum` drops the superseded directories —
@@ -357,7 +363,7 @@ class VersionedParquetTable:
         keep = ~F.coalesce(predicate, F.lit(False))
         for attempt in range(max_attempts):
             version, manifest = self.latest()
-            current = self.read(spark)
+            current = self.read(spark, partition_values=partition_values)
             if current is None:
                 return version, 0
             touched = [

@@ -106,3 +106,79 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_archive_docs(
+    spark: SparkSession, path: str, glob: str | None = None, encoding: str = "utf-8"
+) -> DataFrame:
+    """Compressed-corpus ingest: ZIP and GZIP archives → one row per
+    archived text document — the Common-Crawl-dump shape (training corpora
+    ship as millions of compressed containers, not loose text files).
+
+    binaryFile scan → Arrow-batched decompression (stdlib ``zipfile``/
+    ``gzip``, no codec deps): each .zip member becomes a row, each .gz
+    yields one row; anything else (or a corrupt archive) yields a row with
+    null ``text`` and the error class in ``error`` — the quarantine-not-
+    crash convention, so one truncated archive in a million-file sweep
+    costs one null row, not the job. Columns:
+    (archive, member, n_bytes, text, error).
+
+    Scale: decompression parallelism follows the file-partition layout of
+    the binaryFile scan (one archive is one row — set maxPartitionBytes so
+    a partition of archives fits executor memory); members of one archive
+    stay in one task, which is the right locality since ZIP central
+    directories must be read whole."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("archive", StringType()),
+            StructField("member", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("text", StringType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def run(batches):
+        import gzip as _gzip
+        import io as _io
+        import zipfile as _zipfile
+
+        import pandas as _pd
+
+        cols = ["archive", "member", "n_bytes", "text", "error"]
+
+        def rows_for(path_, content):
+            blob = bytes(content)
+            try:
+                if blob[:4] == b"PK\x03\x04":
+                    with _zipfile.ZipFile(_io.BytesIO(blob)) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            data = zf.read(info)
+                            yield (path_, info.filename, len(data),
+                                   data.decode(encoding, errors="replace"), None)
+                elif blob[:2] == b"\x1f\x8b":
+                    data = _gzip.decompress(blob)
+                    yield (path_, None, len(data),
+                           data.decode(encoding, errors="replace"), None)
+                else:
+                    yield (path_, None, len(blob), None, "UNKNOWN_FORMAT")
+            except Exception as exc:
+                yield (path_, None, len(blob), None, type(exc).__name__)
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.extend(rows_for(r.path, r.content))
+            yield _pd.DataFrame(out, columns=cols)
+
+    scan = read_binary_files(spark, path, glob=glob).select("path", "content")
+    return scan.mapInPandas(run, schema=out_schema)

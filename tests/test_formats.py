@@ -148,3 +148,32 @@ def test_jdbc_upsert_degrades_loudly_without_driver(spark):
     df = spark.createDataFrame([(1, "x")], "k long, v string")
     with _pytest.raises(RuntimeError, match="Planned merge statement"):
         write_jdbc_upsert(df, "jdbc:postgresql://nohost/db", "t", keys=["k"])
+
+
+def test_read_archive_docs_zip_gz_and_quarantine(spark, tmp_path):
+    """ZIP members explode to rows, .gz yields one row, garbage
+    quarantines with an error class — all through one binaryFile scan."""
+    import gzip
+    import zipfile
+
+    from fest_vibes_ai_etl_spark.sources.formats import read_archive_docs
+
+    with zipfile.ZipFile(tmp_path / "corpus.zip", "w") as zf:
+        zf.writestr("a/doc1.txt", "alpha beta")
+        zf.writestr("a/doc2.txt", "gamma")
+        zf.writestr("dir/", "")  # directories are skipped
+    with gzip.open(tmp_path / "dump.gz", "wb") as f:
+        f.write("delta epsilon".encode())
+    (tmp_path / "junk.bin").write_bytes(b"not an archive")
+    # truncated zip: magic ok, central directory missing
+    (tmp_path / "broken.zip").write_bytes(b"PK\x03\x04" + b"\x00" * 10)
+
+    rows = read_archive_docs(spark, str(tmp_path)).collect()
+    by_key = {(r.archive.split("/")[-1], r.member): r for r in rows}
+    assert by_key[("corpus.zip", "a/doc1.txt")].text == "alpha beta"
+    assert by_key[("corpus.zip", "a/doc2.txt")].text == "gamma"
+    assert by_key[("dump.gz", None)].text == "delta epsilon"
+    assert by_key[("junk.bin", None)].error == "UNKNOWN_FORMAT"
+    broken = by_key[("broken.zip", None)]
+    assert broken.text is None and broken.error == "BadZipFile"
+    assert len(rows) == 5  # 2 zip members + gz + junk + broken

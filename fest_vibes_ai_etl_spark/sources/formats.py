@@ -182,3 +182,69 @@ def read_archive_docs(
 
     scan = read_binary_files(spark, path, glob=glob).select("path", "content")
     return scan.mapInPandas(run, schema=out_schema)
+
+
+def split_warc_records(
+    df: DataFrame, text_col: str = "text", source_col: str = "archive"
+) -> DataFrame:
+    """Split concatenated WARC/WET content (the Common Crawl text-extract
+    format: ``WARC/1.0`` header blocks, blank line, payload) into one row
+    per record: (source, record_type, target_uri, content, n_chars).
+
+    Composes with :func:`read_archive_docs` — a ``.wet.gz`` dump becomes
+    per-page rows in two stages, both Arrow-batched, no external WARC
+    library. Header parsing is line-oriented and tolerant: records missing
+    a header field carry null for it; ``warcinfo``/metadata records pass
+    through with their type so callers filter to ``conversion`` (WET text)
+    records explicitly rather than silently losing provenance."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("record_type", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("content", StringType()),
+            StructField("n_chars", IntegerType()),
+        ]
+    )
+
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        import pandas as _pd
+
+        cols = ["source", "record_type", "target_uri", "content", "n_chars"]
+
+        def records(src, blob):
+            if not blob:
+                return
+            for chunk in blob.split("WARC/1.0\r\n")[1:] or blob.split("WARC/1.0\n")[1:]:
+                head, _sep, body = (
+                    chunk.partition("\r\n\r\n")
+                    if "\r\n\r\n" in chunk
+                    else chunk.partition("\n\n")
+                )
+                rtype = uri = None
+                for line in head.splitlines():
+                    if line.startswith("WARC-Type:"):
+                        rtype = line.split(":", 1)[1].strip()
+                    elif line.startswith("WARC-Target-URI:"):
+                        uri = line.split(":", 1)[1].strip()
+                body = body.rstrip("\r\n")
+                yield (src, rtype, uri, body, len(body))
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.extend(records(getattr(r, source_col), getattr(r, text_col)))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(
+        F.col(source_col), F.col(text_col)
+    ).mapInPandas(run, schema=out_schema)

@@ -177,3 +177,46 @@ def test_read_archive_docs_zip_gz_and_quarantine(spark, tmp_path):
     broken = by_key[("broken.zip", None)]
     assert broken.text is None and broken.error == "BadZipFile"
     assert len(rows) == 5  # 2 zip members + gz + junk + broken
+
+
+def test_split_warc_records_from_wet_gz(spark, tmp_path):
+    """End-to-end Common-Crawl shape: a .wet.gz dump -> read_archive_docs
+    -> split_warc_records -> per-page rows with type/uri provenance."""
+    import gzip
+
+    from fest_vibes_ai_etl_spark.sources.formats import (
+        read_archive_docs,
+        split_warc_records,
+    )
+
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "\r\n"
+        "software: test\r\n"
+        "\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/a\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello pageA"
+        "\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/b\r\n"
+        "\r\n"
+        "pageB text here"
+        "\r\n\r\n"
+    )
+    with gzip.open(tmp_path / "crawl.wet.gz", "wb") as f:
+        f.write(wet.encode())
+
+    docs = read_archive_docs(spark, str(tmp_path))
+    recs = split_warc_records(docs).collect()
+    by_uri = {r.target_uri: r for r in recs}
+    assert by_uri["https://example.com/a"].content == "hello pageA"
+    assert by_uri["https://example.com/b"].content == "pageB text here"
+    assert by_uri[None].record_type == "warcinfo"
+    conv = [r for r in recs if r.record_type == "conversion"]
+    assert len(conv) == 2 and all(r.n_chars > 0 for r in conv)

@@ -339,3 +339,90 @@ def test_versioned_table_merge_schema_evolution(spark, tmproot):
     # unions different per-root schemas (allowMissingColumns)
     rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
     assert rows == {1: ("x", None), 2: ("y", 0.9), 9: ("old", None)}
+
+
+def test_versioned_table_model_based_random_ops(spark, tmproot):
+    """Model-based check: a seeded random sequence of merge / overwrite-
+    merge / delete / compact / vacuum ops applied to both the table and an
+    in-memory model; after every op the snapshot read must equal the
+    model, and version history must replay via time travel (until vacuum
+    truncates retention). Catches cross-feature interactions no single-
+    feature test sees (e.g. delete-after-compact, evolution mid-history)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    rng = random.Random(42)
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    model: dict[int, tuple[str, str]] = {}  # k -> (p, v)
+    snapshots: dict[int, dict] = {}  # committed version -> model copy
+
+    def read_table():
+        df = t.read(spark)
+        if df is None:
+            return {}
+        return {r.k: (r.p, r.v) for r in df.collect()}
+
+    parts = ["a", "b", "c"]
+    version = 0
+    vacuumed = False
+    for step in range(14):
+        op = rng.choice(["merge", "merge", "overwrite", "delete", "compact", "vacuum"])
+        if op in ("merge", "overwrite"):
+            rows = [
+                (rng.randrange(8), rng.choice(parts), f"s{step}r{i}")
+                for i in range(rng.randrange(1, 4))
+            ]
+            # one row per key (merge_coalesce requires unique source keys)
+            rows = list({k: (k, p, v) for k, p, v in rows}.values())
+            # invariant: a key keeps its first-seen partition (documented
+            # merge-store contract - partition value is part of identity)
+            rows = [
+                (k, model[k][0] if k in model else p, v) for k, p, v in rows
+            ]
+            src = spark.createDataFrame(rows, "k long, p string, v string")
+            new_v = t.merge(
+                spark, src, keys=["k"],
+                overwrite_cols=["v"] if op == "overwrite" else (),
+            )
+            # coalesce semantics: v = COALESCE(source.v, target.v) — a
+            # NON-NULL source value wins on both paths; overwrite differs
+            # only for null source values (none generated here)
+            for k, p, v in rows:
+                model[k] = (p, v)
+            assert new_v == version + 1
+            version = new_v
+        elif op == "delete":
+            victim = rng.choice(parts)
+            new_v, n = t.delete(spark, F.col("p") == victim)
+            expect = {k for k, (p, _v) in model.items() if p == victim}
+            assert n == len(expect), (step, n, expect)
+            if expect:
+                assert new_v == version + 1
+                version = new_v
+                for k in expect:
+                    del model[k]
+            else:
+                assert new_v == version
+        elif op == "compact":
+            new_v = t.compact(spark)
+            if model:
+                assert new_v == version + 1
+                version = new_v
+            else:
+                assert new_v == version
+        else:  # vacuum
+            t.vacuum()
+            vacuumed = True
+        snapshots[version] = dict(model)
+        assert read_table() == model, (step, op)
+    # time travel replays committed history (when retention intact)
+    if not vacuumed:
+        for v, snap in snapshots.items():
+            if v == 0:
+                continue
+            df = t.read_version(spark, v)
+            got = {} if df is None else {r.k: (r.p, r.v) for r in df.collect()}
+            assert got == snap, v

@@ -461,6 +461,36 @@ class VersionedParquetTable:
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(f"compact lost the version CAS at {self.path}")
 
+    def restore(self, version: int, max_attempts: int = 4) -> int:
+        """Delta-style RESTORE: re-commit ``version``'s manifest as the NEW
+        latest version (an undo that preserves history — nothing is
+        deleted, so the mistake remains auditable via time travel). Data
+        directories are immutable and shared, so restore is metadata-only:
+        one manifest write through the same CAS as every commit. The
+        restored manifest keeps the CURRENT ``_txn`` watermarks — rolling
+        back data must not reopen committed stream transactions (a replayed
+        batch would otherwise double-apply after a restore). Fails if the
+        target version's directories were already vacuumed (read it first
+        to check, or just let the next read fail loudly)."""
+        import random
+        import time
+
+        target = {
+            k: v for k, v in self._read_manifest(version).items()
+            if not k.startswith("_")
+        }
+        for attempt in range(max_attempts):
+            current_version, current_manifest = self.latest()
+            if version == current_version:
+                return current_version
+            new_manifest = dict(target)
+            if "_txn" in current_manifest:
+                new_manifest["_txn"] = current_manifest["_txn"]
+            if self._commit_cas(current_version + 1, new_manifest):
+                return current_version + 1
+            time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
+        raise ConcurrentWriteError(f"restore lost the version CAS at {self.path}")
+
     def vacuum(self) -> int:
         """Delete partition DIRECTORIES no longer referenced by the LATEST
         manifest (then any emptied staging roots); returns the number of

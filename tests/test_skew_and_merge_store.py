@@ -426,3 +426,32 @@ def test_versioned_table_model_based_random_ops(spark, tmproot):
             df = t.read_version(spark, v)
             got = {} if df is None else {r.k: (r.p, r.v) for r in df.collect()}
             assert got == snap, v
+
+
+def test_versioned_table_restore_is_metadata_only_undo(spark, tmproot):
+    """RESTORE re-commits an old manifest as a new version: data rolls
+    back, history (including the mistake) stays time-travelable, and txn
+    watermarks survive so a replayed stream batch cannot double-apply
+    after the rollback."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "good")]), keys=["k"], txn=("q", 0))
+    t.merge(
+        spark, _vt_source(spark, [(1, "a", "BAD"), (2, "a", "oops")]),
+        keys=["k"], overwrite_cols=["v"], txn=("q", 1),
+    )
+    v = t.restore(1)
+    assert v == 3 and t.history() == [1, 2, 3]
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "good")}
+    # the mistake remains auditable
+    assert {(r.k, r.v) for r in t.read_version(spark, 2).collect()} == {
+        (1, "BAD"), (2, "oops")
+    }
+    # txn watermark survived the rollback: replaying batch 1 is a no-op
+    assert t.merge(
+        spark, _vt_source(spark, [(9, "a", "replay")]), keys=["k"], txn=("q", 1)
+    ) == 3
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "good")}
+    # restoring the current version is a no-op
+    assert t.restore(3) == 3

@@ -427,7 +427,8 @@ class VersionedParquetTable:
         return True
 
     def compact(
-        self, spark: SparkSession, max_attempts: int = 4, _pre_commit_hook=None
+        self, spark: SparkSession, sort_cols=None, max_attempts: int = 4,
+        _pre_commit_hook=None,
     ) -> int:
         """OPTIMIZE: rewrite the CURRENT snapshot into one fresh staging
         root (one tidy directory per partition) and commit it through the
@@ -437,7 +438,13 @@ class VersionedParquetTable:
         At 100 TB this is the small-file / manifest-fragmentation
         maintenance job every lakehouse table needs (Delta OPTIMIZE /
         Iceberg rewrite_data_files); returns the committed (or, for an
-        empty table, current) version."""
+        empty table, current) version.
+
+        ``sort_cols`` clusters rows within each rewritten partition
+        (OPTIMIZE ... ZORDER BY when passed a Morton key built with
+        functions/zorder.morton_key over bucketed dimensions; plain
+        linear clustering for a single column) — parquet row-group
+        min/max stats then prune point/range reads inside the partition."""
         import random
         import shutil
         import time
@@ -447,9 +454,15 @@ class VersionedParquetTable:
             current = self.read(spark)
             if current is None:
                 return version
-            staged_parts, stage_root = self._stage(
-                current.repartition(self.partition_col)
-            )
+            staged = current.repartition(self.partition_col)
+            if sort_cols:
+                # partition col leads the sort: the parquet writer requires
+                # rows grouped by partition columns and would otherwise
+                # insert its own (clustering-destroying) sort on them.
+                staged = staged.sortWithinPartitions(
+                    self.partition_col, *sort_cols
+                )
+            staged_parts, stage_root = self._stage(staged)
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
             new_manifest = dict(staged_parts)

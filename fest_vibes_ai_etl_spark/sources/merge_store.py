@@ -474,6 +474,30 @@ class VersionedParquetTable:
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(f"compact lost the version CAS at {self.path}")
 
+    def describe_history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY: one row per committed version —
+        (version, n_partitions, partitions_changed vs the previous
+        version, n_txn_apps). Metadata-only (reads manifests, never data);
+        ordered ascending so the newest version is the last row."""
+        rows = []
+        prev: dict = {}
+        for v in self.history():
+            m = self._read_manifest(v)
+            parts = {k: e for k, e in m.items() if not k.startswith("_")}
+            changed = sorted(
+                p for p in set(parts) | set(prev)
+                if parts.get(p) != prev.get(p)
+            )
+            rows.append(
+                (v, len(parts), changed, len(m.get("_txn", {})))
+            )
+            prev = parts
+        return spark.createDataFrame(
+            rows,
+            "version long, n_partitions int, partitions_changed array<string>, "
+            "n_txn_apps int",
+        )
+
     def restore(self, version: int, max_attempts: int = 4) -> int:
         """Delta-style RESTORE: re-commit ``version``'s manifest as the NEW
         latest version (an undo that preserves history — nothing is

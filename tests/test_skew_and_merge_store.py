@@ -484,3 +484,15 @@ def test_compact_with_sort_clusters_rows(spark, tmproot):
                 continue
             ks = pq.read_table(os.path.join(d, f), columns=["k"])["k"].to_pylist()
             assert ks == sorted(ks), f
+
+
+def test_describe_history(spark, tmproot):
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "x"), (2, "b", "y")]), keys=["k"])
+    t.merge(spark, _vt_source(spark, [(3, "a", "z")]), keys=["k"], txn=("q", 0))
+    h = {r.version: r for r in t.describe_history(spark).collect()}
+    assert h[1].n_partitions == 2 and sorted(h[1].partitions_changed) == ["a", "b"]
+    assert h[2].n_partitions == 2 and h[2].partitions_changed == ["a"]
+    assert (h[1].n_txn_apps, h[2].n_txn_apps) == (0, 1)

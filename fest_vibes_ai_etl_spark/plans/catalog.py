@@ -42,6 +42,12 @@ class QuerySpec:
     # index build. Correctness runs execute fn directly; fn must therefore
     # invoke the same build lazily (load-or-build) when the artifact is absent.
     prepare: Callable[[SparkSession, str], None] | None = None
+    # eval_only: measured-metric queries (IVF recall, HLL rollup error) whose
+    # VALUES are data/quantizer-dependent and not SQL-expressible — they stay
+    # registered (pytest asserts their documented floors via REGISTRY) but are
+    # excluded from the driver-facing queries() catalog, where an oracle-less
+    # entry would be indistinguishable from a broken query.
+    eval_only: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -49,18 +55,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
              bench: bool = False, doc: str = "",
-             prepare: Callable[[SparkSession, str], None] | None = None):
+             prepare: Callable[[SparkSession, str], None] | None = None,
+             eval_only: bool = False):
     def deco(fn):
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags,
                                    bench=bench, doc=doc or (fn.__doc__ or ""),
-                                   prepare=prepare)
+                                   prepare=prepare, eval_only=eval_only)
         return fn
     return deco
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {
+        name: spec.fn for name, spec in REGISTRY.items() if not spec.eval_only
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -230,6 +230,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_recall_eval",
     tags=("similarity", "ivf", "eval", "sandwich"),
     prepare=_ivf_prepare,
+    eval_only=True,
     doc="Measured recall@5 of the nprobe=4-of-16 IVF probe against the "
     "exact full-probe (nprobe=k) ground truth computed in the same plan. "
     "No SQL oracle BY DESIGN: the value is quantizer- and data-dependent "
@@ -471,6 +472,7 @@ def _ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivfpq_recall_eval",
     tags=("similarity", "ivf", "pq", "eval", "sandwich"),
     prepare=_ivfpq_prepare,
+    eval_only=True,
     doc="Measured recall@5 of the IVF-PQ probe against the full-corpus ADC "
     "scan under the SAME quantizer — isolates the IVF cell-gating loss "
     "from PQ compression loss. No SQL oracle by design (quantizer- and "

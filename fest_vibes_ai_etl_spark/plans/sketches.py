@@ -212,6 +212,7 @@ def _hll_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_hll_rollup_eval",
     tags=("sketch", "hll", "mergeable", "eval"),
+    eval_only=True,
     doc="Measured union-vs-direct-vs-exact HLL estimates per type. No SQL "
     "oracle BY DESIGN: the values are sketch-state-dependent (sparse "
     "partials union exactly; dense ones drift within the HLL error "

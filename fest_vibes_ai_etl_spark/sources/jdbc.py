@@ -108,9 +108,14 @@ def upsert_sql(
         else:
             sets.append(f"{_q(c)} = EXCLUDED.{_q(c)}")
     action = f"DO UPDATE SET {', '.join(sets)}" if sets else "DO NOTHING"
+    # WHERE TRUE disambiguates the upsert's ON CONFLICT from a join ON for
+    # SQLite's parser (a documented SQLite requirement for
+    # INSERT ... SELECT ... ON CONFLICT); it is a no-op on Postgres, so one
+    # generator serves both the production dialect and the executable
+    # DB-API test path below.
     return (
         f"INSERT INTO {table} ({collist}) "
-        f"SELECT {collist} FROM {staging_table} "
+        f"SELECT {collist} FROM {staging_table} WHERE TRUE "
         f"ON CONFLICT ({conflict}) {action}"
     )
 
@@ -147,18 +152,83 @@ def write_jdbc_upsert(
             .mode("overwrite")
             .save()
         )
+    except Exception as exc:  # driver jar / server absent
+        raise RuntimeError(
+            f"JDBC upsert STAGING WRITE failed — needs a reachable database "
+            f"and driver on the Spark classpath (spark.jars with the "
+            f"Postgres JDBC driver). Planned merge statement: {sql}"
+        ) from exc
+    try:
         jvm = df.sparkSession._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # The merge connection must carry the SAME credentials the staged
+        # write used: build java.util.Properties from `properties`
+        # (user/password/...) instead of the url-only overload — otherwise
+        # the second phase fails auth unless credentials are embedded in
+        # the URL. Spark-reserved writer options (batchsize/driver/...) are
+        # harmless as extra Properties entries; JDBC drivers ignore unknowns.
+        jprops = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            jprops.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             stmt = conn.createStatement()
             stmt.executeUpdate(sql)
             stmt.close()
         finally:
             conn.close()
-    except Exception as exc:  # driver jar / server absent
+    except Exception as exc:
         raise RuntimeError(
-            f"JDBC upsert needs a reachable database and driver on the "
-            f"Spark classpath (spark.jars with the Postgres JDBC driver). "
+            f"JDBC upsert MERGE EXECUTION failed (staging write succeeded; "
+            f"the staged rows remain in {staging} for inspection/retry). "
             f"Planned merge statement: {sql}"
         ) from exc
+    return sql
+
+
+def upsert_via_dbapi(
+    conn,
+    table: str,
+    columns: Sequence[str],
+    rows: Sequence[tuple],
+    keys: Sequence[str],
+    staging_table: str | None = None,
+    update_cols: Sequence[str] | None = None,
+    coalesce_cols: Sequence[str] = (),
+    paramstyle: str = "qmark",
+) -> str:
+    """The SAME two-phase staged upsert, executed over a PEP-249 (DB-API)
+    connection — stage rows into ``staging_table`` with a parameterized
+    executemany, run :func:`upsert_sql`'s merge statement, drop the staging
+    table, commit. Returns the merge SQL executed.
+
+    This is the executable twin of :func:`write_jdbc_upsert`: identical SQL
+    generator, identical staging flow, so the ON CONFLICT semantics
+    (overwrite vs COALESCE-keep, idempotence) are TESTED against a real
+    database engine (sqlite3 ships in the stdlib and speaks the same
+    ``ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`` dialect as
+    Postgres), not just asserted as strings. In deployment this shape also
+    serves driver-side small-dimension upserts where spinning Spark's JDBC
+    writer isn't worth it; fact-scale upserts stay on
+    :func:`write_jdbc_upsert`'s parallel staged write."""
+    staging = staging_table or f"{table}_stage"
+    sql = upsert_sql(
+        table, columns, keys, staging,
+        update_cols=update_cols, coalesce_cols=coalesce_cols,
+    )
+    ph = {"qmark": "?", "format": "%s"}[paramstyle]
+    collist = ", ".join(_q(c) for c in columns)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {staging}")
+    cur.execute(
+        f"CREATE TEMPORARY TABLE {staging} AS "
+        f"SELECT {collist} FROM {table} WHERE 1=0"
+    )
+    cur.executemany(
+        f"INSERT INTO {staging} ({collist}) "
+        f"VALUES ({', '.join([ph] * len(columns))})",
+        list(rows),
+    )
+    cur.execute(sql)
+    cur.execute(f"DROP TABLE {staging}")
+    conn.commit()
     return sql

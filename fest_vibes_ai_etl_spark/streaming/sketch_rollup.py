@@ -11,8 +11,9 @@ idempotent ∪ associative, so at-least-once replay of a micro-batch
 CONVERGES to the same sketch (re-unioning the same users is a no-op). That
 makes the pipeline exactly-once *in effect* with no transactional sink.
 
-Snapshots are versioned partitions (``v=<batch_id>``) so a reader never
-races a writer; readers take the max version. Old versions are pruned
+Snapshots are versioned partitions (``v=<stored vmax + 1>`` — monotone
+across restarts and checkpoint replays) so a reader never races a writer;
+readers take the max version. Old versions are pruned
 opportunistically (keep the last few for time travel / debugging)."""
 
 from __future__ import annotations
@@ -115,10 +116,9 @@ def start_kmv_maintenance(
             .agg(F.sort_array(F.collect_list("h")).alias("kset"))
         )
         try:
-            prev = latest_kmv(spark, kmv_root)
-        except Exception:
-            prev = None
-        if prev is not None:
+            snap = spark.read.parquet(kmv_root)
+            vmax = snap.agg(F.max("v")).collect()[0][0]
+            prev = snap.filter(F.col("v") == vmax).select("day", "kset")
             merged = (
                 prev.unionByName(fresh)
                 .select("day", F.explode("kset").alias("h"))
@@ -128,10 +128,18 @@ def start_kmv_maintenance(
                     F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("kset")
                 )
             )
-        else:
-            merged = fresh
+            next_v = vmax + 1  # monotone across restarts/replays — same
+            # discipline as the HLL twin above: the per-run batch_id resets
+            # on a fresh checkpoint (newest snapshot would never advance)
+            # and a checkpoint REPLAY of the same batch_id would append a
+            # duplicate copy of every row into the existing v partition.
+            # vmax+1 is always a new partition; replay idempotence comes
+            # from the trimmed-union content being convergent, not the
+            # version number.
+        except Exception:  # first batch: no snapshot yet
+            merged, next_v = fresh, 0
         (
-            merged.withColumn("v", F.lit(batch_id))
+            merged.withColumn("v", F.lit(next_v))
             .localCheckpoint()  # materialize before overwriting the source
             .write.mode("append")
             .partitionBy("v")

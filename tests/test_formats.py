@@ -131,7 +131,7 @@ def test_jdbc_upsert_sql_matches_reference_semantics():
     )
     assert sql == (
         'INSERT INTO events ("event_id", "name", "lat", "lon") '
-        'SELECT "event_id", "name", "lat", "lon" FROM events_stage '
+        'SELECT "event_id", "name", "lat", "lon" FROM events_stage WHERE TRUE '
         'ON CONFLICT ("event_id") DO UPDATE SET "name" = EXCLUDED."name", '
         '"lat" = COALESCE(EXCLUDED."lat", events."lat"), '
         '"lon" = COALESCE(EXCLUDED."lon", events."lon")'
@@ -146,8 +146,60 @@ def test_jdbc_upsert_degrades_loudly_without_driver(spark):
     from fest_vibes_ai_etl_spark.sources.jdbc import write_jdbc_upsert
 
     df = spark.createDataFrame([(1, "x")], "k long, v string")
-    with _pytest.raises(RuntimeError, match="Planned merge statement"):
+    with _pytest.raises(RuntimeError, match="STAGING WRITE.*Planned merge"):
         write_jdbc_upsert(df, "jdbc:postgresql://nohost/db", "t", keys=["k"])
+
+
+def test_jdbc_upsert_semantics_execute_on_real_engine():
+    """The staged ON CONFLICT upsert EXECUTED against a real SQL engine
+    (sqlite3, which shares Postgres's ON CONFLICT (keys) DO UPDATE /
+    EXCLUDED dialect): insert, overwrite-vs-COALESCE column semantics, and
+    idempotence — the reference warehouse's per-batch contract
+    (/root/reference/src/shared/db/database.py:131-218), verified against
+    engine behavior rather than asserted as SQL strings."""
+    import sqlite3
+
+    from fest_vibes_ai_etl_spark.sources.jdbc import upsert_via_dbapi
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        'CREATE TABLE events ("event_id" INTEGER PRIMARY KEY, '
+        '"name" TEXT, "lat" REAL, "lon" REAL)'
+    )
+    cols = ["event_id", "name", "lat", "lon"]
+
+    def snapshot():
+        return sorted(conn.execute('SELECT * FROM events').fetchall())
+
+    # phase 1: pure insert
+    upsert_via_dbapi(
+        conn, "events", cols,
+        [(1, "a", 1.0, 2.0), (2, "b", None, None)],
+        keys=["event_id"], coalesce_cols=["lat", "lon"],
+    )
+    assert snapshot() == [(1, "a", 1.0, 2.0), (2, "b", None, None)]
+    # phase 2: conflict — name overwrites (even with NULL? no: overwrite
+    # means EXCLUDED wins verbatim), lat/lon COALESCE-keep when staged NULL
+    upsert_via_dbapi(
+        conn, "events", cols,
+        [(1, "a2", None, 9.0), (3, "c", 5.0, 6.0)],
+        keys=["event_id"], coalesce_cols=["lat", "lon"],
+    )
+    assert snapshot() == [
+        (1, "a2", 1.0, 9.0),  # name overwritten, lat kept, lon updated
+        (2, "b", None, None),
+        (3, "c", 5.0, 6.0),
+    ]
+    # phase 3: idempotence — replaying the same batch changes nothing
+    upsert_via_dbapi(
+        conn, "events", cols,
+        [(1, "a2", None, 9.0), (3, "c", 5.0, 6.0)],
+        keys=["event_id"], coalesce_cols=["lat", "lon"],
+    )
+    assert snapshot() == [
+        (1, "a2", 1.0, 9.0), (2, "b", None, None), (3, "c", 5.0, 6.0),
+    ]
+    conn.close()
 
 
 def test_read_archive_docs_zip_gz_and_quarantine(spark, tmp_path):

@@ -150,8 +150,15 @@ def test_streaming_kmv_matches_batch_and_replay_converges(spark, tmp_path):
     }
     assert streamed == batch and len(batch) > 0
     run(str(tmp_path / "ck2"))  # replay everything: no-op union
-    streamed2 = {
-        r.day.isoformat(): tuple(r.kset)
-        for r in latest_kmv(spark, str(tmp_path / "kmv")).collect()
-    }
+    latest_rows = latest_kmv(spark, str(tmp_path / "kmv")).collect()
+    streamed2 = {r.day.isoformat(): tuple(r.kset) for r in latest_rows}
     assert streamed2 == batch
+    # A fresh-checkpoint replay restarts batch_id at 0 — versions must
+    # STILL advance past the stored vmax (not write under an old v, which
+    # would both duplicate rows inside an existing snapshot partition and
+    # leave latest_kmv stuck on the pre-replay snapshot). One row per day:
+    # duplicated appends into the max-v partition would double these.
+    assert len(latest_rows) == len(batch)
+    snap = spark.read.parquet(str(tmp_path / "kmv"))
+    vs = sorted(r.v for r in snap.select("v").distinct().collect())
+    assert vs == list(range(len(vs))) and len(vs) == 6  # 3 batches x 2 runs

@@ -74,6 +74,152 @@ class ConcurrentWriteError(RuntimeError):
     """Raised when a merge loses the version CAS ``max_attempts`` times."""
 
 
+# --- commit backends: the atomic put-if-absent seam -----------------------
+#
+# The ONLY primitive the commit protocol needs from storage is
+# "publish these bytes under this name iff the name does not exist, and
+# tell me truthfully whether MY bytes own the name now". Everything else
+# (staged parquet data, vacuum) is plain file IO. Extracting it as a seam
+# lets the same protocol run on:
+#   - local FS / HDFS: O_CREAT|O_EXCL (LocalFSCommitBackend, the default);
+#   - S3-style object stores: conditional PUT with If-None-Match:* —
+#     modeled by MemoryObjectStoreCommitBackend, including the one failure
+#     mode conditional PUT adds that O_EXCL cannot produce: an AMBIGUOUS
+#     error (500/timeout) after the write became durable. The contract
+#     resolves it by read-back: manifests embed per-writer staging UUIDs,
+#     so byte-comparing the stored object decides ownership exactly.
+
+
+class LocalFSCommitBackend:
+    """put-if-absent via ``O_CREAT|O_EXCL`` — atomic on POSIX local FS and
+    on HDFS-semantics filesystems (atomic create-no-overwrite)."""
+
+    def list(self, commits_dir: str) -> list[str]:
+        import os
+
+        try:
+            return os.listdir(commits_dir)
+        except OSError:
+            return []
+
+    def get(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+
+class MemoryObjectStoreCommitBackend:
+    """In-memory stand-in for an S3-style object store's conditional PUT
+    (``If-None-Match: *``), for contract-testing the commit protocol
+    against object-store semantics — including injected faults.
+
+    ``inject(*modes)`` queues per-call fault modes consumed FIFO by
+    subsequent ``put_if_absent`` calls:
+
+    - ``"error_before_write"``: transient 5xx before the object becomes
+      durable — retried internally (the SDK-retry shape);
+    - ``"error_after_write"``: the PUT became durable but the client saw a
+      5xx/timeout — the ambiguous case. Resolved by read-back: if the
+      stored bytes are OURS the put succeeded (True), if they are another
+      writer's it lost the race (False). Manifests contain per-writer
+      staging UUIDs, so the byte compare is decisive.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self._faults: list[str] = []
+
+    def inject(self, *modes: str) -> None:
+        self._faults.extend(modes)
+
+    def _next_fault(self) -> str | None:
+        return self._faults.pop(0) if self._faults else None
+
+    def list(self, commits_dir: str) -> list[str]:
+        import os
+
+        prefix = commits_dir.rstrip("/") + "/"
+        with self._lock:
+            return [
+                k[len(prefix):] for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            ]
+
+    def get(self, path: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        while True:
+            fault = self._next_fault()
+            if fault == "error_before_write":
+                continue  # transient pre-durability 5xx: SDK-style retry
+            with self._lock:
+                existing = self._objects.get(path)
+                if existing is None:
+                    self._objects[path] = data
+                    stored_ours = True
+                else:
+                    stored_ours = existing == data
+            if fault == "error_after_write":
+                # client saw an error; durability state is whatever the
+                # store now holds — resolve by read-back compare.
+                with self._lock:
+                    return self._objects.get(path) == data
+            return stored_ours
+
+
+# --- hive partition-path escaping ------------------------------------------
+#
+# Spark writes partition directories as ``col=<escaped value>`` using Hive's
+# escapePathName (ExternalCatalogUtils.escapePathName in the Spark source):
+# ASCII 0x01-0x1F plus ``" # % ' * / : = ? \\ DEL { [ ] ^`` become %XX
+# (uppercase hex); a NULL or empty value becomes __HIVE_DEFAULT_PARTITION__.
+# Manifest keys are derived from those directory names, so every RAW
+# partition value compared against the manifest must pass through the same
+# encoding — timestamps contain ':', and a mismatch would silently read
+# nothing and let a merge overwrite the partition (advisor round-4 finding).
+
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_SPECIALS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)] + list('"#%\'*/:=?\\\x7f{[]^')
+)
+
+
+def _escape_hive_path(s: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_SPECIALS else c for c in s
+    )
+
+
+def _part_key(value) -> str:
+    """Manifest key for a raw partition VALUE — Spark's
+    getPartitionPathString stringification + hive path escaping. Exact for
+    string/int/date partition columns (str() matches Spark's cast-to-string
+    for these); NULL and '' map to the hive default partition."""
+    if value is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(value)
+    return _escape_hive_path(s) if s else _HIVE_DEFAULT_PARTITION
+
+
 class VersionedParquetTable:
     """MERGE with optimistic concurrency over plain parquet — manifest-CAS.
 
@@ -103,66 +249,73 @@ class VersionedParquetTable:
     work — the protocol here is scale-portable even though the test bed is
     a local filesystem."""
 
-    def __init__(self, path: str, partition_col: str):
+    def __init__(self, path: str, partition_col: str, commit_backend=None):
         import os
 
         self.path = path
         self.partition_col = partition_col
         self._commits = os.path.join(path, "_commits")
         self._data = os.path.join(path, "data")
+        self.backend = commit_backend or LocalFSCommitBackend()
+
+    # Strict manifest-name format: exactly v + 12 digits + .json. latest()
+    # sorts LEXICALLY, which orders versions numerically only under fixed
+    # zero-padding — a stray hand-written ``v13.json`` would missort above
+    # ``v000000000014.json``; malformed names are ignored, never trusted.
+    import re as _re
+
+    _COMMIT_RE = _re.compile(r"^v(\d{12})\.json$")
+
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for n in self.backend.list(self._commits):
+            m = self._COMMIT_RE.match(n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     # -- state ---------------------------------------------------------
     def latest(self) -> tuple[int, dict]:
         """(version, manifest). Version 0 = empty table, ``{}`` manifest."""
-        import json
-        import os
-
-        try:
-            names = sorted(
-                n for n in os.listdir(self._commits)
-                if n.startswith("v") and n.endswith(".json")
-            )
-        except OSError:
+        versions = self._commit_versions()
+        if not versions:
             return 0, {}
-        if not names:
-            return 0, {}
-        latest = names[-1]
-        with open(os.path.join(self._commits, latest)) as f:
-            return int(latest[1:-5]), json.load(f)
+        return versions[-1], self._read_manifest(versions[-1])
 
     def history(self) -> list[int]:
         """Committed versions, ascending. Every listed version is readable
         until :meth:`vacuum` runs (vacuum keeps only the latest's roots)."""
-        import os
-
-        try:
-            return sorted(
-                int(n[1:-5])
-                for n in os.listdir(self._commits)
-                if n.startswith("v") and n.endswith(".json")
-            )
-        except OSError:
-            return []
+        return self._commit_versions()
 
     def _read_manifest(self, version: int) -> dict:
         import json
         import os
 
-        with open(os.path.join(self._commits, f"v{version:012d}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self.backend.get(
+                os.path.join(self._commits, f"v{version:012d}.json")
+            )
+        )
 
     def _manifest_df(
-        self, spark: SparkSession, manifest: dict, partition_values=None
+        self, spark: SparkSession, manifest: dict, partition_values=None,
+        _keys=None,
     ) -> DataFrame | None:
         """Materialize a manifest as a DataFrame (optionally pruned to
-        ``partition_values``). Returns None when nothing matches. Dirs are
-        grouped by staging root so Spark re-derives the hive partition
-        column via basePath; one union per root, AQE coalesces."""
+        ``partition_values`` — RAW values, hive-escaped here before the
+        manifest-key compare; internal callers that already hold escaped
+        manifest KEYS pass ``_keys`` instead, never both). Returns None when
+        nothing matches. Dirs are grouped by staging root so Spark
+        re-derives the hive partition column via basePath; one union per
+        root, AQE coalesces."""
         import os
 
         manifest = {k: d for k, d in manifest.items() if not k.startswith("_")}
         if partition_values is not None:
-            wanted = {str(v) for v in partition_values}
+            wanted = {_part_key(v) for v in partition_values}
+            manifest = {k: d for k, d in manifest.items() if k in wanted}
+        elif _keys is not None:
+            wanted = set(_keys)
             manifest = {k: d for k, d in manifest.items() if k in wanted}
         if not manifest:
             return None
@@ -218,8 +371,8 @@ class VersionedParquetTable:
             for p in set(m_old) | set(m_new)
             if not p.startswith("_") and m_old.get(p) != m_new.get(p)
         ]
-        old = self._manifest_df(spark, m_old, partition_values=changed)
-        new = self._manifest_df(spark, m_new, partition_values=changed)
+        old = self._manifest_df(spark, m_old, _keys=changed)
+        new = self._manifest_df(spark, m_new, _keys=changed)
         if old is None and new is None:
             schema = ", ".join(f"{k} string" for k in keys) + ", status string"
             return spark.createDataFrame([], schema)
@@ -256,7 +409,6 @@ class VersionedParquetTable:
         primitive the streaming sink (streaming/ingest.py) builds on, since
         a crashed foreachBatch replays the same (query_id, batch_id)."""
         import random
-        import shutil
         import time
 
         pcol = self.partition_col
@@ -286,12 +438,13 @@ class VersionedParquetTable:
                 version, manifest, staged_parts, touched, txn
             )
             if committed is not None:
+                self._unmark(stage_root)
                 return committed
             # Logical conflict: the winner rewrote one of OUR partitions, so
             # the staged merge is stale — discard and recompute against the
             # new snapshot (reference backoff schedule,
             # loader/service.py:889-893).
-            shutil.rmtree(stage_root, ignore_errors=True)
+            self._abandon(stage_root)
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(
             f"merge lost the version CAS {max_attempts} times at {self.path}"
@@ -308,8 +461,12 @@ class VersionedParquetTable:
         left unchanged, so it is still exactly correct — only the manifest
         base moves). Returns the committed version, or None when a real
         conflict requires the caller to recompute."""
-        ours = {str(t) for t in touched}
-        drop = {str(p) for p in drop_parts}
+        # Conflict detection and manifest drops compare against manifest
+        # KEYS, which are hive-escaped directory names — raw values must go
+        # through the same encoding or a ':'-bearing partition is invisible
+        # to both (silent lost-update).
+        ours = {_part_key(t) for t in touched}
+        drop = {_part_key(p) for p in drop_parts}
         for _rebase in range(8):
             base = {k: v for k, v in manifest.items() if k not in drop}
             new_manifest = {**base, **staged_parts}
@@ -356,7 +513,6 @@ class VersionedParquetTable:
         a right-to-be-forgotten pipeline runs delete + vacuum; audit
         pipelines defer vacuum. Same trade as Delta's VACUUM retention."""
         import random
-        import shutil
         import time
 
         pcol = self.partition_col
@@ -386,21 +542,33 @@ class VersionedParquetTable:
                 drop_parts=touched,  # emptied partitions leave the manifest
             )
             if committed is not None:
+                self._unmark(stage_root)
                 return committed, n_deleted
-            shutil.rmtree(stage_root, ignore_errors=True)
+            self._abandon(stage_root)
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(
             f"delete lost the version CAS {max_attempts} times at {self.path}"
         )
 
+    def _marker(self, stage_root: str) -> str:
+        return stage_root + "._STAGING"
+
     def _stage(self, df: DataFrame) -> tuple[dict, str]:
         """Write ``df`` hive-partitioned under a fresh staging root; returns
-        (manifest fragment, staging root path)."""
+        (manifest fragment, staging root path). A sibling ``._STAGING``
+        marker is dropped BEFORE any data lands: vacuum treats marked roots
+        as live (an in-flight writer between stage and CAS), so a
+        concurrent vacuum cannot delete files a commit is about to
+        reference. The writer removes the marker on commit (root now
+        manifest-referenced) or abandon (root deleted)."""
         import os
         import uuid
 
         stage_id = uuid.uuid4().hex[:12]
         stage_root = os.path.join(self._data, stage_id)
+        os.makedirs(self._data, exist_ok=True)
+        with open(self._marker(stage_root), "w") as f:
+            f.write("in-flight")
         df.write.partitionBy(self.partition_col).parquet(stage_root)
         parts = {
             d.split("=", 1)[1]: {"dir": f"data/{stage_id}/{d}"}
@@ -409,22 +577,34 @@ class VersionedParquetTable:
         }
         return parts, stage_root
 
+    def _unmark(self, stage_root: str) -> None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.remove(self._marker(stage_root))
+
+    def _abandon(self, stage_root: str) -> None:
+        """Discard a staged-but-uncommitted root (lost race): data first,
+        marker last, so a crash between the two leaves a marker that
+        vacuum's retention window eventually reclaims — never an unmarked
+        orphan a concurrent commit might still reference."""
+        import shutil
+
+        shutil.rmtree(stage_root, ignore_errors=True)
+        self._unmark(stage_root)
+
     def _commit_cas(self, version: int, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as ``version`` iff nobody else
-        has: O_CREAT|O_EXCL on the version filename IS the compare-and-swap
-        (conditional-PUT / atomic-create on S3/HDFS)."""
+        has — the backend's put-if-absent IS the compare-and-swap
+        (O_CREAT|O_EXCL locally; conditional PUT on object stores)."""
         import json
         import os
 
-        os.makedirs(self._commits, exist_ok=True)
-        commit_path = os.path.join(self._commits, f"v{version:012d}.json")
-        try:
-            fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(manifest, sort_keys=True))
-        return True
+        return self.backend.put_if_absent(
+            os.path.join(self._commits, f"v{version:012d}.json"),
+            json.dumps(manifest, sort_keys=True).encode(),
+        )
 
     def compact(
         self, spark: SparkSession, sort_cols=None, max_attempts: int = 4,
@@ -446,7 +626,6 @@ class VersionedParquetTable:
         linear clustering for a single column) — parquet row-group
         min/max stats then prune point/range reads inside the partition."""
         import random
-        import shutil
         import time
 
         for attempt in range(max_attempts):
@@ -469,8 +648,9 @@ class VersionedParquetTable:
             if "_txn" in manifest:  # compaction must not reopen committed txns
                 new_manifest["_txn"] = manifest["_txn"]
             if self._commit_cas(version + 1, new_manifest):
+                self._unmark(stage_root)
                 return version + 1
-            shutil.rmtree(stage_root, ignore_errors=True)
+            self._abandon(stage_root)
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(f"compact lost the version CAS at {self.path}")
 
@@ -497,6 +677,59 @@ class VersionedParquetTable:
             "version long, n_partitions int, partitions_changed array<string>, "
             "n_txn_apps int",
         )
+
+    # -- SQL surface -----------------------------------------------------
+    def register_sql(self, spark: SparkSession, name: str) -> None:
+        """Expose the table to ``spark.sql``: temp view ``name`` = the
+        LATEST snapshot at registration time (re-register after writes to
+        advance — view semantics over an immutable manifest snapshot, the
+        same contract as reading a Delta table pinned at a version). Time
+        travel and history go through :meth:`sql`."""
+        df = self.read(spark)
+        if df is None:
+            raise ValueError(
+                f"cannot register empty versioned table at {self.path}"
+            )
+        self._sql_name = name
+        df.createOrReplaceTempView(name)
+
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """Run SQL with the Delta-style extensions warehouse users expect:
+
+        - ``SELECT ... FROM <name> VERSION AS OF <k> ...`` — each
+          referenced version is materialized as a temp view
+          ``<name>__v<k>`` (snapshot of that immutable manifest) and the
+          query is rewritten onto it;
+        - ``DESCRIBE HISTORY <name>`` — the :meth:`describe_history` frame.
+
+        Everything else passes through to ``spark.sql`` unchanged (the
+        plain ``<name>`` view from :meth:`register_sql` resolves there)."""
+        import re
+
+        name = getattr(self, "_sql_name", None)
+        if name is None:
+            raise ValueError("call register_sql(spark, name) first")
+        m = re.fullmatch(
+            rf"\s*DESCRIBE\s+HISTORY\s+{re.escape(name)}\s*;?\s*",
+            query, re.IGNORECASE,
+        )
+        if m:
+            return self.describe_history(spark)
+
+        def _pin(match: re.Match) -> str:
+            v = int(match.group(1))
+            view = f"{name}__v{v}"
+            df = self.read_version(spark, v)
+            if df is None:
+                raise ValueError(f"version {v} of {name} is empty/unknown")
+            df.createOrReplaceTempView(view)
+            return f" {view} "
+
+        rewritten = re.sub(
+            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            _pin, query, flags=re.IGNORECASE,
+        )
+        return spark.sql(rewritten)
 
     def restore(self, version: int, max_attempts: int = 4) -> int:
         """Delta-style RESTORE: re-commit ``version``'s manifest as the NEW
@@ -528,18 +761,28 @@ class VersionedParquetTable:
             time.sleep(0.1 * (2**attempt) + random.uniform(0, 0.05))
         raise ConcurrentWriteError(f"restore lost the version CAS at {self.path}")
 
-    def vacuum(self) -> int:
+    def vacuum(self, staging_retention_s: float = 24 * 3600) -> int:
         """Delete partition DIRECTORIES no longer referenced by the LATEST
         manifest (then any emptied staging roots); returns the number of
         directories removed. Per-partition granularity matters for the
         delete path: a staging root whose partition ``a`` was superseded
         but whose ``c`` is still live must forget ``a``'s files — GDPR
         delete+vacuum has to actually remove the bytes, not just the
-        manifest entry. Run only when no reader may hold an older snapshot
-        (same contract as Delta VACUUM's retention window); time travel to
-        vacuumed versions then fails loudly on the missing directory."""
+        manifest entry.
+
+        Concurrent-WRITER safety: a root carrying a live ``._STAGING``
+        marker belongs to an in-flight writer between stage and CAS — its
+        files are not yet manifest-referenced but its commit may publish
+        any moment, so vacuum must not touch them (deleting them would let
+        the commit land pointing at removed directories: silent data loss).
+        Markers older than ``staging_retention_s`` are crashed/abandoned
+        writers (no merge stages for 24h) and are reclaimed with their
+        roots — the same mtime-retention contract as Delta VACUUM's window.
+        Concurrent READERS of old snapshots remain the caller's contract:
+        run vacuum only when none may hold a pre-latest version."""
         import os
         import shutil
+        import time as _time
 
         _v, manifest = self.latest()
         live = {
@@ -550,8 +793,27 @@ class VersionedParquetTable:
             roots = os.listdir(self._data)
         except OSError:
             return 0
-        for r in roots:
+        now = _time.time()
+        root_dirs = [r for r in roots if not r.endswith("._STAGING")]
+        for r in root_dirs:
             root_path = os.path.join(self._data, r)
+            if not os.path.isdir(root_path):
+                continue
+            marker = self._marker(root_path)
+            if os.path.exists(marker):
+                try:
+                    age = now - os.path.getmtime(marker)
+                except OSError:
+                    continue  # marker vanished: writer just committed/abandoned
+                if age < staging_retention_s:
+                    continue  # in-flight writer — off limits
+                shutil.rmtree(root_path, ignore_errors=True)  # crashed writer
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
+                removed += 1
+                continue
             for d in os.listdir(root_path):
                 if not d.startswith(f"{self.partition_col}="):
                     continue
@@ -562,4 +824,15 @@ class VersionedParquetTable:
                 n.startswith(f"{self.partition_col}=") for n in os.listdir(root_path)
             ):
                 shutil.rmtree(root_path, ignore_errors=True)
+        # orphaned markers (root already gone) past retention
+        for r in roots:
+            if r.endswith("._STAGING"):
+                p = os.path.join(self._data, r)
+                root = p[: -len("._STAGING")]
+                if not os.path.exists(root):
+                    try:
+                        if now - os.path.getmtime(p) >= staging_retention_s:
+                            os.remove(p)
+                    except OSError:
+                        pass
         return removed

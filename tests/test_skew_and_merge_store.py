@@ -20,6 +20,28 @@ def tmproot():
     shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.fixture(params=["localfs", "mock_s3"])
+def make_vt(request):
+    """VersionedParquetTable factory parametrized over commit backends:
+    the default O_CREAT|O_EXCL local-FS CAS and the mock object-store
+    conditional PUT — the race/rebase/model suites must hold under BOTH
+    (the S3 conditional-PUT adapter is the 100-TB deployment's
+    load-bearing bolt)."""
+    from fest_vibes_ai_etl_spark.sources.merge_store import (
+        MemoryObjectStoreCommitBackend,
+        VersionedParquetTable,
+    )
+
+    def _make(path: str, pcol: str):
+        backend = (
+            None if request.param == "localfs"
+            else MemoryObjectStoreCommitBackend()
+        )
+        return VersionedParquetTable(path, pcol, commit_backend=backend)
+
+    return _make
+
+
 def _skewed_fact(spark, n=20000):
     # 90% of rows hit key 7 (the hot key), rest spread over 100 keys
     return spark.range(n).select(
@@ -111,16 +133,14 @@ def test_versioned_table_merge_and_snapshot_read(spark, tmproot):
     assert {r.p for r in t.read(spark, partition_values=["b"]).collect()} == {"b"}
 
 
-def test_versioned_table_two_writer_race_loser_retries(spark, tmproot):
+def test_versioned_table_two_writer_race_loser_retries(spark, tmproot, make_vt):
     """Deterministic two-writer race on the version CAS: writer A stages,
-    then (via the pre-commit seam) writer B commits first; A's O_EXCL
-    create of v2 fails, A discards its stale merge, recomputes against B's
+    then (via the pre-commit seam) writer B commits first; A's put-if-
+    absent of v2 fails, A discards its stale merge, recomputes against B's
     committed state, and commits v3. Both writes survive — the reference's
     concurrent-loader guarantee (loader/service.py:862-902) without
-    Postgres."""
-    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
-
-    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    Postgres. Runs on both commit backends (O_EXCL and conditional PUT)."""
+    t = make_vt(str(tmproot / "vt"), "p")
     t.merge(spark, _vt_source(spark, [(1, "a", "base")]), keys=["k"])
 
     attempts = []
@@ -260,14 +280,14 @@ def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y"), (3, "z")}
 
 
-def test_versioned_table_disjoint_race_rebases_without_recompute(spark, tmproot):
+def test_versioned_table_disjoint_race_rebases_without_recompute(
+    spark, tmproot, make_vt
+):
     """Two writers on DIFFERENT partitions: the CAS loser detects the
     winner didn't touch its partitions and REBASES (re-CAS with the new
     manifest base) instead of recomputing — the merge body runs once
     (attempts == [0]) and both writes land."""
-    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
-
-    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t = make_vt(str(tmproot / "vt"), "p")
     t.merge(spark, _vt_source(spark, [(1, "a", "base")]), keys=["k"])
 
     attempts = []
@@ -341,7 +361,7 @@ def test_versioned_table_merge_schema_evolution(spark, tmproot):
     assert rows == {1: ("x", None), 2: ("y", 0.9), 9: ("old", None)}
 
 
-def test_versioned_table_model_based_random_ops(spark, tmproot):
+def test_versioned_table_model_based_random_ops(spark, tmproot, make_vt):
     """Model-based check: a seeded random sequence of merge / overwrite-
     merge / delete / compact / vacuum ops applied to both the table and an
     in-memory model; after every op the snapshot read must equal the
@@ -352,10 +372,8 @@ def test_versioned_table_model_based_random_ops(spark, tmproot):
 
     from pyspark.sql import functions as F
 
-    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
-
     rng = random.Random(42)
-    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t = make_vt(str(tmproot / "vt"), "p")
     model: dict[int, tuple[str, str]] = {}  # k -> (p, v)
     snapshots: dict[int, dict] = {}  # committed version -> model copy
 

@@ -209,8 +209,15 @@ def upsert_via_dbapi(
     Postgres), not just asserted as strings. In deployment this shape also
     serves driver-side small-dimension upserts where spinning Spark's JDBC
     writer isn't worth it; fact-scale upserts stay on
-    :func:`write_jdbc_upsert`'s parallel staged write."""
-    staging = staging_table or f"{table}_stage"
+    :func:`write_jdbc_upsert`'s parallel staged write.
+
+    The default staging name is ``{table}_dbapi_stage`` — deliberately
+    DISTINCT from :func:`write_jdbc_upsert`'s ``{table}_stage``: the
+    pre-create ``DROP TABLE IF EXISTS`` below would otherwise destroy the
+    permanent staging table that function's failure message promises to
+    leave behind for inspection/retry (on Postgres, DROP resolves the
+    permanent table even when only a temp one is meant)."""
+    staging = staging_table or f"{table}_dbapi_stage"
     sql = upsert_sql(
         table, columns, keys, staging,
         update_cols=update_cols, coalesce_cols=coalesce_cols,

@@ -807,13 +807,35 @@ class VersionedParquetTable:
                     continue  # marker vanished: writer just committed/abandoned
                 if age < staging_retention_s:
                     continue  # in-flight writer — off limits
-                shutil.rmtree(root_path, ignore_errors=True)  # crashed writer
+                # Expired marker. The writer may have CRASHED BETWEEN a
+                # successful _commit_cas AND _unmark (or _unmark's
+                # os.remove failed silently) — in that case the root is
+                # manifest-referenced LIVE data wearing a stale marker,
+                # and rmtree'ing it is exactly the silent-data-loss mode
+                # the marker exists to prevent. Reclaim the root only if
+                # NONE of its partition dirs are live; otherwise drop the
+                # stale marker and fall through to per-partition vacuum.
                 try:
-                    os.remove(marker)
+                    part_dirs = [
+                        d
+                        for d in os.listdir(root_path)
+                        if d.startswith(f"{self.partition_col}=")
+                    ]
                 except OSError:
-                    pass
-                removed += 1
-                continue
+                    continue
+                if any(f"data/{r}/{d}" in live for d in part_dirs):
+                    try:
+                        os.remove(marker)  # stale marker on committed data
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(root_path, ignore_errors=True)  # crashed writer
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
+                    removed += 1
+                    continue
             for d in os.listdir(root_path):
                 if not d.startswith(f"{self.partition_col}="):
                     continue

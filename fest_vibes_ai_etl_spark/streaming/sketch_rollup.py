@@ -20,6 +20,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+
+def _latest_snapshot(spark: SparkSession, root: str):
+    """(vmax, snapshot DataFrame) for a versioned sketch table, or None if
+    the table does not exist yet. Only the MISSING-TABLE case maps to
+    None — any other read failure (corrupt files, permission, schema)
+    propagates, because treating it as 'first batch' would silently write
+    the batch under v=0 while readers keep taking max(v): the batch's
+    contribution would vanish without the job ever failing."""
+    try:
+        snap = spark.read.parquet(root)
+    except AnalysisException:  # [PATH_NOT_FOUND]: genuinely no snapshot yet
+        return None
+    vmax = snap.agg(F.max("v")).collect()[0][0]
+    return vmax, snap
 
 
 def latest_sketches(spark: SparkSession, root: str) -> DataFrame:
@@ -50,9 +66,9 @@ def start_sketch_maintenance(
             .groupBy("day")
             .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("user_sketch"))
         )
-        try:
-            snap = spark.read.parquet(sketch_root)
-            vmax = snap.agg(F.max("v")).collect()[0][0]
+        found = _latest_snapshot(spark, sketch_root)
+        if found is not None:
+            vmax, snap = found
             prev = snap.filter(F.col("v") == vmax).select("day", "user_sketch")
             merged = (
                 prev.unionByName(fresh)
@@ -62,7 +78,7 @@ def start_sketch_maintenance(
             next_v = vmax + 1  # monotone across restarts/replays — not the
             # per-run batch_id, which resets and would collide with an
             # existing snapshot partition
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             merged, next_v = fresh, 0
         (
             merged.withColumn("v", F.lit(next_v))
@@ -102,7 +118,8 @@ def start_kmv_maintenance(
     the HLL maintenance above. Per batch: build the batch's per-day k-sets,
     TRIMMED-UNION them with the stored snapshot (k smallest of the union —
     idempotent, associative, commutative, so at-least-once replay
-    converges exactly like the HLL path), write version v=batch_id. State
+    converges exactly like the HLL path), write version v = stored
+    vmax + 1 (monotone across restarts and checkpoint replays). State
     per day is ≤ 8·k bytes; estimates and audience intersections come off
     the snapshot without touching the fact stream."""
     from ..operators.kmvsketch import k_smallest_hashes
@@ -115,9 +132,9 @@ def start_kmv_maintenance(
             .groupBy("day")
             .agg(F.sort_array(F.collect_list("h")).alias("kset"))
         )
-        try:
-            snap = spark.read.parquet(kmv_root)
-            vmax = snap.agg(F.max("v")).collect()[0][0]
+        found = _latest_snapshot(spark, kmv_root)
+        if found is not None:
+            vmax, snap = found
             prev = snap.filter(F.col("v") == vmax).select("day", "kset")
             merged = (
                 prev.unionByName(fresh)
@@ -136,7 +153,7 @@ def start_kmv_maintenance(
             # vmax+1 is always a new partition; replay idempotence comes
             # from the trimmed-union content being convergent, not the
             # version number.
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             merged, next_v = fresh, 0
         (
             merged.withColumn("v", F.lit(next_v))

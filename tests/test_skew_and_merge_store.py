@@ -176,6 +176,45 @@ def test_versioned_table_vacuum_drops_replaced_partitions(spark, tmproot):
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "y")}
 
 
+def test_vacuum_spares_committed_root_with_stale_marker(spark, tmproot):
+    """A writer that crashes between a successful _commit_cas and _unmark
+    (or whose _unmark os.remove silently fails) leaves an aging ._STAGING
+    marker on a MANIFEST-REFERENCED root. Once the marker passes the
+    retention window, vacuum must recognize the root as live — remove only
+    the stale marker, never the committed bytes — while still reclaiming
+    genuinely abandoned roots (no live partitions) as before."""
+    import os
+
+    from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmproot / "vt"), "p")
+    t.merge(spark, _vt_source(spark, [(1, "a", "x")]), keys=["k"])
+    t.merge(spark, _vt_source(spark, [(2, "b", "y")]), keys=["k"])
+    before = {(r.k, r.p, r.v) for r in t.read(spark).collect()}
+    # simulate the crash: stale, retention-expired marker on a live root
+    _v, manifest = t.latest()
+    roots = {
+        e["dir"].split("/")[1]
+        for k, e in manifest.items()
+        if not k.startswith("_")
+    }
+    victim = sorted(roots)[-1]
+    marker = os.path.join(t._data, victim) + "._STAGING"
+    open(marker, "w").close()
+    os.utime(marker, (1, 1))  # ancient mtime: well past any retention
+    # plus a genuinely abandoned root: marker expired, nothing live in it
+    dead = os.path.join(t._data, "deadbeef_abandoned")
+    os.makedirs(os.path.join(dead, "p=zzz"))
+    open(dead + "._STAGING", "w").close()
+    os.utime(dead + "._STAGING", (1, 1))
+
+    t.vacuum(staging_retention_s=0.0)
+
+    assert not os.path.exists(marker)  # stale marker dropped
+    assert not os.path.exists(dead)  # abandoned root reclaimed
+    assert {(r.k, r.p, r.v) for r in t.read(spark).collect()} == before
+
+
 def test_versioned_table_time_travel_and_cdc(spark, tmproot):
     from fest_vibes_ai_etl_spark.sources.merge_store import VersionedParquetTable
 

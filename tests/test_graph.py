@@ -41,6 +41,49 @@ def test_pagerank_matches_reference_loop(spark, iterations):
         assert got[n] == pytest.approx(want[n], rel=1e-12), n
 
 
+def test_pagerank_tol_early_exit(spark):
+    """On a 2-regular graph (cycle) every node keeps pr=1.0 exactly, so the
+    L1 delta at the first checkpoint is 0 and the loop must stop there
+    instead of burning the remaining rounds; the result still matches the
+    reference loop (which is stationary)."""
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    pr = pagerank(
+        _sym_edges(spark, cyc), iterations=50, checkpoint_every=1, tol=1e-9
+    )
+    assert pr._pagerank_iterations_run == 1
+    got = {r.node: r.pr for r in pr.collect()}
+    assert got == {n: pytest.approx(1.0) for n in "abcd"}
+
+
+def test_pagerank_tol_converges_on_nonstationary_graph(spark):
+    """A non-regular graph converges in finitely many rounds: with a loose
+    tolerance the loop exits before the iteration budget, and the scores it
+    returns match the reference loop run for the SAME number of rounds."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+    pr = pagerank(
+        _sym_edges(spark, pairs), iterations=100, checkpoint_every=2, tol=1e-6
+    )
+    ran = pr._pagerank_iterations_run
+    assert ran < 100
+    got = {r.node: r.pr for r in pr.collect()}
+    want = _reference_pr(pairs, ran)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-9), n
+
+
+def test_pagerank_nodes_seed_matches_distinct(spark):
+    """Seeding initial ranks from an explicit node table is score-identical
+    to deriving the node set from the edges."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+    e = _sym_edges(spark, pairs)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    base = {r.node: r.pr for r in pagerank(e, iterations=3).collect()}
+    seeded = {
+        r.node: r.pr for r in pagerank(e, iterations=3, nodes=nodes).collect()
+    }
+    assert seeded == base
+
+
 def test_pagerank_hub_ranks_highest(spark):
     # star graph: hub touches every spoke -> hub must rank first
     pairs = [("hub", f"s{i}") for i in range(10)]

@@ -100,21 +100,29 @@ def test_bm25_stats_broadcast_no_udf(spark):
 
 def test_pagerank_edges_cached_ranks_broadcast(spark):
     # The iteration body (checkpointing disabled so the lineage is visible):
-    # the persisted edge+degree invariant feeds every round, and each round
-    # joins edges against a BROADCAST rank table — the edges never move.
+    # with persist requested, the edge+degree invariant feeds every round
+    # from cache, and each round joins edges against a BROADCAST rank
+    # table — the edges never move.
     from fest_vibes_ai_etl_spark.operators.graph import pagerank
     from fest_vibes_ai_etl_spark.plans.graph import load_or_build_cs_edges
 
     edges = load_or_build_cs_edges(spark, SF_DIR)
-    plan = _plan(pagerank(edges, iterations=3, checkpoint_every=0))
+    plan = _plan(
+        pagerank(edges, iterations=3, checkpoint_every=0, persist_edges=True)
+    )
     assert "InMemoryTableScan" in plan  # persisted edge+degree invariant
     assert plan.count("BroadcastHashJoin") >= 3
-    # The catalog query checkpoints each round (eager localCheckpoint), so
-    # its final plan must start from the truncated rank table — broadcast
-    # rounds never re-derive iteration lineage (VERDICT r2 item 1).
+    spark.catalog.clearCache()
+    # The catalog query FUSES its 3 rounds into one plan (round-5 verdict
+    # task: fixed per-iteration job cost dominated the wall): all three
+    # broadcast rank joins visible in a single plan, no per-round RDD
+    # checkpoint (ExistingRDD) and no cache materialization pass — the
+    # loop invariant re-scans the tidy prepare-phase parquet store.
     q = catalog.queries()["graph_pagerank_suppliers"]
     plan2 = _plan(q(spark, SF_DIR))
-    assert "ExistingRDD" in plan2
+    assert plan2.count("BroadcastHashJoin") >= 3
+    assert "ExistingRDD" not in plan2
+    assert "InMemoryTableScan" not in plan2
     spark.catalog.clearCache()
 
 

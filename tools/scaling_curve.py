@@ -125,8 +125,16 @@ def main() -> None:
     ap.add_argument("--replicas", default="1,4,16")
     ap.add_argument("--out", default="/tmp/festvibes_scale")
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the default query set to run",
+    )
     args = ap.parse_args()
     replicas = [int(x) for x in args.replicas.split(",")]
+    global QUERIES
+    if args.queries:
+        QUERIES = tuple(q for q in args.queries.split(",") if q)
 
     from fest_vibes_ai_etl_spark.plans.catalog import REGISTRY, queries
     from fest_vibes_ai_etl_spark.session import get_spark

@@ -198,6 +198,14 @@ class MemoryObjectStoreCommitBackend:
 # nothing and let a merge overwrite the partition (advisor round-4 finding).
 
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# Reserved manifest keys (table metadata living alongside partition
+# entries). Membership MUST be exact, never `startswith("_")` — Spark
+# writes NULL partitions as ``__HIVE_DEFAULT_PARTITION__``, which starts
+# with '_': a prefix test made every NULL-partition entry invisible to
+# reads and, far worse, excluded its directory from vacuum's live set
+# (found by the round-6 timestamp-partition round-trip test).
+_RESERVED_KEYS = frozenset({"_txn"})
 _HIVE_SPECIALS = frozenset(
     [chr(c) for c in range(0x01, 0x20)] + list('"#%\'*/:=?\\\x7f{[]^')
 )
@@ -212,11 +220,26 @@ def _escape_hive_path(s: str) -> str:
 def _part_key(value) -> str:
     """Manifest key for a raw partition VALUE — Spark's
     getPartitionPathString stringification + hive path escaping. Exact for
-    string/int/date partition columns (str() matches Spark's cast-to-string
-    for these); NULL and '' map to the hive default partition."""
+    string/int/date/timestamp partition columns; NULL and '' map to the
+    hive default partition.
+
+    Timestamps need more than ``str()``: Spark's cast-to-string TRIMS
+    trailing zeros from the fractional second (``19:00:00.12``) where
+    Python prints the full six digits (``19:00:00.120000``) — verified
+    against actual partitionBy directory names; the mismatch would make a
+    fractional-second partition invisible to conflict detection and
+    partition_values reads (the same silent-loss class as the ':' escaping
+    bug this function fixed in round 5)."""
+    import datetime as _dt
+
     if value is None:
         return _HIVE_DEFAULT_PARTITION
-    s = str(value)
+    if isinstance(value, _dt.datetime):
+        s = value.strftime("%Y-%m-%d %H:%M:%S")
+        if value.microsecond:
+            s += (".%06d" % value.microsecond).rstrip("0")
+    else:
+        s = str(value)
     return _escape_hive_path(s) if s else _HIVE_DEFAULT_PARTITION
 
 
@@ -310,7 +333,7 @@ class VersionedParquetTable:
         root, AQE coalesces."""
         import os
 
-        manifest = {k: d for k, d in manifest.items() if not k.startswith("_")}
+        manifest = {k: d for k, d in manifest.items() if k not in _RESERVED_KEYS}
         if partition_values is not None:
             wanted = {_part_key(v) for v in partition_values}
             manifest = {k: d for k, d in manifest.items() if k in wanted}
@@ -369,7 +392,7 @@ class VersionedParquetTable:
         changed = [
             p
             for p in set(m_old) | set(m_new)
-            if not p.startswith("_") and m_old.get(p) != m_new.get(p)
+            if p not in _RESERVED_KEYS and m_old.get(p) != m_new.get(p)
         ]
         old = self._manifest_df(spark, m_old, _keys=changed)
         new = self._manifest_df(spark, m_new, _keys=changed)
@@ -575,6 +598,16 @@ class VersionedParquetTable:
             for d in os.listdir(stage_root)
             if d.startswith(f"{self.partition_col}=")
         }
+        clash = set(parts) & _RESERVED_KEYS
+        if clash:
+            # A literal string partition value spelling a reserved manifest
+            # key would be silently shadowed by the metadata entry at commit
+            # time (merge-then-vanish). Fail loud instead; data is intact.
+            self._abandon(stage_root)
+            raise ValueError(
+                f"partition value(s) {sorted(clash)} collide with reserved "
+                f"manifest keys; rename the value or the partition scheme"
+            )
         return parts, stage_root
 
     def _unmark(self, stage_root: str) -> None:
@@ -663,7 +696,7 @@ class VersionedParquetTable:
         prev: dict = {}
         for v in self.history():
             m = self._read_manifest(v)
-            parts = {k: e for k, e in m.items() if not k.startswith("_")}
+            parts = {k: e for k, e in m.items() if k not in _RESERVED_KEYS}
             changed = sorted(
                 p for p in set(parts) | set(prev)
                 if parts.get(p) != prev.get(p)
@@ -747,7 +780,7 @@ class VersionedParquetTable:
 
         target = {
             k: v for k, v in self._read_manifest(version).items()
-            if not k.startswith("_")
+            if k not in _RESERVED_KEYS
         }
         for attempt in range(max_attempts):
             current_version, current_manifest = self.latest()
@@ -786,7 +819,7 @@ class VersionedParquetTable:
 
         _v, manifest = self.latest()
         live = {
-            e["dir"] for k, e in manifest.items() if not k.startswith("_")
+            e["dir"] for k, e in manifest.items() if k not in _RESERVED_KEYS
         }
         removed = 0
         try:

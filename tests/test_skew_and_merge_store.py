@@ -133,6 +133,62 @@ def test_versioned_table_merge_and_snapshot_read(spark, tmproot):
     assert {r.p for r in t.read(spark, partition_values=["b"]).collect()} == {"b"}
 
 
+def test_versioned_table_timestamp_partition_column(spark, tmproot, make_vt):
+    """TIMESTAMP-typed partition column round-trip on both commit backends:
+    manifest keys must match Spark's actual directory names, including the
+    case Python's str() gets WRONG — Spark trims trailing zeros from the
+    fractional second (.12, not .120000). Exercises merge (touched-partition
+    keying), partition_values read, upsert-into-existing-partition (conflict
+    detection path), and NULL → __HIVE_DEFAULT_PARTITION__."""
+    import datetime as dt
+    import os
+
+    whole = dt.datetime(2026, 8, 14, 19, 0, 0)
+    trimmed = dt.datetime(2026, 8, 14, 19, 0, 0, 120000)  # dir says .12
+    full = dt.datetime(2026, 8, 14, 19, 0, 0, 123456)
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k long, p timestamp, v string")
+
+    t = make_vt(str(tmproot / "vt_ts"), "p")
+    t.merge(
+        spark,
+        src([(1, whole, "x"), (2, trimmed, "y"), (3, full, "z"), (4, None, "n")]),
+        keys=["k"],
+    )
+    # manifest keys are exactly the directory names Spark wrote
+    _v, manifest = t.latest()
+    for key, entry in manifest.items():
+        if key.startswith("_"):
+            continue
+        assert os.path.isdir(os.path.join(t.path, entry["dir"]))
+        assert os.path.basename(entry["dir"]) == f"p={key}"
+    # partition-pruned reads resolve each raw timestamp (and NULL)
+    for val, want_k in [(whole, 1), (trimmed, 2), (full, 3), (None, 4)]:
+        got = t.read(spark, partition_values=[val]).collect()
+        assert [r.k for r in got] == [want_k], val
+    # upsert into the trailing-zero partition: conflict keying must see it
+    # (a mismatched key would stage a blind overwrite losing row 2's sibling)
+    t.merge(
+        spark, src([(5, trimmed, "y2"), (2, trimmed, "y9")]),
+        keys=["k"], overwrite_cols=["v"],
+    )
+    got = {(r.k, r.v) for r in t.read(spark, partition_values=[trimmed]).collect()}
+    assert got == {(2, "y9"), (5, "y2")}
+    # everything else untouched
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (1, "x"), (2, "y9"), (3, "z"), (4, "n"), (5, "y2")
+    }
+    # vacuum must treat the NULL partition (__HIVE_DEFAULT_PARTITION__,
+    # which starts with '_') as DATA, not as a reserved manifest key —
+    # the prefix-test bug would have deleted row 4's bytes here
+    t.vacuum()
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (1, "x"), (2, "y9"), (3, "z"), (4, "n"), (5, "y2")
+    }
+    assert [r.k for r in t.read(spark, partition_values=[None]).collect()] == [4]
+
+
 def test_versioned_table_two_writer_race_loser_retries(spark, tmproot, make_vt):
     """Deterministic two-writer race on the version CAS: writer A stages,
     then (via the pre-commit seam) writer B commits first; A's put-if-

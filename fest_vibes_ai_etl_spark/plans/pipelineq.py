@@ -72,6 +72,86 @@ def merge_coalesce_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_time_travel_sql",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    v2 AS (
+      SELECT k, p, CASE WHEN k <= 800 THEN v * 2 ELSE v END AS v FROM base
+    )
+    SELECT * FROM (
+      SELECT 1 AS version, p, COUNT(*) AS n,
+             ROUND(SUM(v) + 0.00000001, 2) AS total
+      FROM base GROUP BY p
+      UNION ALL
+      SELECT 2 AS version, p, COUNT(*) AS n,
+             ROUND(SUM(v) + 0.00000001, 2) AS total
+      FROM v2 GROUP BY p
+    ) ORDER BY version, p
+    """,
+    tags=("lakehouse", "time-travel", "sql"),
+)
+def versioned_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel through the versioned table's `VERSION AS OF`
+    rewrite (sources/merge_store.py `sql`): build a two-version table from
+    orders (v1 = base slice, v2 = doubled totals for low keys via an
+    overwrite merge), then aggregate BOTH versions in one statement — the
+    plain name resolves to the auto-refreshed latest view, `VERSION AS OF 1`
+    pins the historical manifest. The oracle replays the merge algebra
+    directly on orders, so every byte of the time-travel read path
+    (manifest resolution, per-version temp views, the rewrite regex) is
+    value-checked. The table itself is staged in a per-run tmpdir: the
+    query is hermetic and re-runnable at any SF (2 small merges ≪ the read
+    under test). Doubling doubles are exact in IEEE754, so v2's sums match
+    the oracle bit-for-bit before rounding."""
+    import shutil
+    import tempfile
+
+    from ..sources.merge_store import VersionedParquetTable
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").alias("v"),
+    )
+    upd = orders.filter(F.col("o_orderkey") <= 800).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        (F.col("o_totalprice") * 2).alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="festvibes_vt_tt_")
+    try:
+        t = VersionedParquetTable(root + "/t", "p")
+        t.merge(spark, base, keys=["k"])
+        t.register_sql(spark, "vt_tt")  # registered at v1 ...
+        t.merge(spark, upd, keys=["k"], overwrite_cols=["v"])
+        # ... and the plain name below must still see v2 (auto-refresh)
+        out = t.sql(
+            spark,
+            """
+            SELECT * FROM (
+              SELECT 1 AS version, p, COUNT(*) AS n,
+                     ROUND(SUM(v) + 0.00000001, 2) AS total
+              FROM vt_tt VERSION AS OF 1 GROUP BY p
+              UNION ALL
+              SELECT 2 AS version, p, COUNT(*) AS n,
+                     ROUND(SUM(v) + 0.00000001, 2) AS total
+              FROM vt_tt GROUP BY p
+            ) ORDER BY version, p
+            """,
+        )
+        # the tmpdir must outlive lazy execution: materialize driver-side
+        # (tiny: 2 versions × ≤5 priorities) and rebuild a local frame
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "first_wins_latest_scrape",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate

@@ -714,16 +714,20 @@ class VersionedParquetTable:
     # -- SQL surface -----------------------------------------------------
     def register_sql(self, spark: SparkSession, name: str) -> None:
         """Expose the table to ``spark.sql``: temp view ``name`` = the
-        LATEST snapshot at registration time (re-register after writes to
-        advance — view semantics over an immutable manifest snapshot, the
-        same contract as reading a Delta table pinned at a version). Time
-        travel and history go through :meth:`sql`."""
+        LATEST snapshot at registration time. A temp view pins the plan it
+        was created from, so RAW ``spark.sql`` reads see that snapshot
+        until re-registration; queries routed through :meth:`sql` never
+        have the problem — it re-pins the view to the CURRENT latest
+        manifest on every call (auto-refresh), which is the contract
+        warehouse users actually expect from a table name. Time travel and
+        history also go through :meth:`sql`."""
         df = self.read(spark)
         if df is None:
             raise ValueError(
                 f"cannot register empty versioned table at {self.path}"
             )
         self._sql_name = name
+        self._sql_version = self.latest()[0]
         df.createOrReplaceTempView(name)
 
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
@@ -735,13 +739,18 @@ class VersionedParquetTable:
           query is rewritten onto it;
         - ``DESCRIBE HISTORY <name>`` — the :meth:`describe_history` frame.
 
-        Everything else passes through to ``spark.sql`` unchanged (the
-        plain ``<name>`` view from :meth:`register_sql` resolves there)."""
+        Everything else passes through to ``spark.sql`` unchanged. The
+        plain ``<name>`` view is refreshed to the LATEST committed version
+        first, so a write that happened after :meth:`register_sql` is
+        visible — the stale-snapshot footgun exists only for raw
+        ``spark.sql`` calls that bypass this method."""
         import re
 
         name = getattr(self, "_sql_name", None)
         if name is None:
             raise ValueError("call register_sql(spark, name) first")
+        if self.latest()[0] != getattr(self, "_sql_version", None):
+            self.register_sql(spark, name)  # auto-refresh to latest
         m = re.fullmatch(
             rf"\s*DESCRIBE\s+HISTORY\s+{re.escape(name)}\s*;?\s*",
             query, re.IGNORECASE,

@@ -134,6 +134,13 @@ class MemoryObjectStoreCommitBackend:
       stored bytes are OURS the put succeeded (True), if they are another
       writer's it lost the race (False). Manifests contain per-writer
       staging UUIDs, so the byte compare is decisive.
+    - ``"stale_list"`` (consumed by ``list``, separate FIFO): the listing
+      omits the lexically-newest commit — real object-store LIST gives no
+      ordering guarantee relative to other writers' in-flight PUTs. The
+      protocol must survive this because the conditional PUT, never the
+      listing, arbitrates: a writer that based its merge on a stale
+      ``latest()`` simply loses the CAS on the version it re-creates and
+      retries against the true head.
     """
 
     def __init__(self):
@@ -142,22 +149,26 @@ class MemoryObjectStoreCommitBackend:
         self._objects: dict[str, bytes] = {}
         self._lock = threading.Lock()
         self._faults: list[str] = []
+        self._list_faults: list[str] = []
 
     def inject(self, *modes: str) -> None:
-        self._faults.extend(modes)
+        for m in modes:
+            (self._list_faults if m == "stale_list" else self._faults).append(m)
 
     def _next_fault(self) -> str | None:
         return self._faults.pop(0) if self._faults else None
 
     def list(self, commits_dir: str) -> list[str]:
-        import os
-
         prefix = commits_dir.rstrip("/") + "/"
         with self._lock:
-            return [
+            names = [
                 k[len(prefix):] for k in self._objects
                 if k.startswith(prefix) and "/" not in k[len(prefix):]
             ]
+            stale = bool(self._list_faults) and self._list_faults.pop(0)
+        if stale and names:
+            names.remove(max(names))  # the newest commit hasn't "surfaced"
+        return names
 
     def get(self, path: str) -> bytes:
         with self._lock:

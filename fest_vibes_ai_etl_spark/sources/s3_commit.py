@@ -1,0 +1,123 @@
+"""S3 conditional-PUT commit backend for the versioned table.
+
+The commit protocol (sources/merge_store.py) needs exactly one primitive
+from storage: atomic put-if-absent with truthful ownership. On S3 that is
+``PutObject`` with ``If-None-Match: *`` (generally available on S3 since
+2024; also supported by GCS XML API and most S3-compatible stores). This
+adapter implements the same backend interface as ``LocalFSCommitBackend`` /
+``MemoryObjectStoreCommitBackend``, so the whole merge/race/rebase suite
+runs unchanged against it — in tests with a stubbed client replaying the
+injected fault modes, in deployment with a real ``boto3`` client
+(guard-imported like every other production seam in this repo).
+
+Failure semantics implemented (the part a naive adapter gets wrong):
+
+- **412 PreconditionFailed** — the name exists: we lost the race, False.
+- **409 ConditionalRequestConflict** — a CONCURRENT conditional writer was
+  mid-flight; S3 asks the caller to retry. Loop: the retry either lands
+  (True) or sees the winner's object via 412 (False).
+- **Ambiguous 5xx/timeout** — the response was lost AFTER the PUT may have
+  become durable. Resolved by read-back: manifests embed per-writer staging
+  UUIDs, so byte-comparing the stored object decides ownership exactly —
+  ours → True, someone else's → False, absent → the PUT never became
+  durable, retry it.
+
+LIST on S3 has no read-after-write ordering guarantee relative to other
+writers' PUTs; the protocol tolerates a stale LIST because the CAS — never
+the listing — arbitrates commits (see the stale_list fault test).
+"""
+
+from __future__ import annotations
+
+# 5xx / throttling codes where S3 leaves durability UNKNOWN: the request
+# may or may not have been applied, so the adapter must read back, never
+# assume. (RequestTimeout is the classic: the body uploaded, the ack died.)
+_AMBIGUOUS_CODES = frozenset(
+    {"InternalError", "500", "503", "SlowDown", "ServiceUnavailable",
+     "RequestTimeout"}
+)
+_LOST_RACE_CODES = frozenset({"PreconditionFailed", "412"})
+_RETRY_RACE_CODES = frozenset({"ConditionalRequestConflict", "409"})
+_MISSING_CODES = frozenset({"NoSuchKey", "404"})
+
+
+def _err_code(exc: Exception) -> str | None:
+    """Error code from a botocore-ClientError-shaped exception (duck-typed:
+    no botocore import, so stub clients work in environments without it)."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        return resp.get("Error", {}).get("Code")
+    return None
+
+
+class S3CommitBackend:
+    """Commit backend over an S3 client (``boto3.client("s3")`` or any
+    object with the same ``put_object/get_object/list_objects_v2``
+    surface). ``bucket`` is the default bucket for plain paths; full
+    ``s3://bucket/key`` paths carry their own."""
+
+    def __init__(self, bucket: str | None = None, client=None):
+        if client is None:
+            import boto3  # guard-import: the production dependency
+
+            client = boto3.client("s3")
+        self.client = client
+        self.bucket = bucket
+
+    def _loc(self, path: str) -> tuple[str, str]:
+        if path.startswith("s3://"):
+            bucket, _, key = path[5:].partition("/")
+            return bucket, key
+        if self.bucket is None:
+            raise ValueError(
+                f"plain path {path!r} needs a default bucket on the backend"
+            )
+        return self.bucket, path.lstrip("/")
+
+    def list(self, commits_dir: str) -> list[str]:
+        bucket, key = self._loc(commits_dir)
+        prefix = key.rstrip("/") + "/"
+        names: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            names.extend(
+                o["Key"][len(prefix):] for o in resp.get("Contents", [])
+            )
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def get(self, path: str) -> bytes:
+        bucket, key = self._loc(path)
+        try:
+            return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except Exception as exc:
+            if _err_code(exc) in _MISSING_CODES:
+                raise FileNotFoundError(path) from exc
+            raise
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        bucket, key = self._loc(path)
+        while True:
+            try:
+                self.client.put_object(
+                    Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+                )
+                return True
+            except Exception as exc:
+                code = _err_code(exc)
+                if code in _LOST_RACE_CODES:
+                    return False
+                if code in _RETRY_RACE_CODES:
+                    continue  # concurrent conditional writer: retry the CAS
+                if code in _AMBIGUOUS_CODES:
+                    # durability unknown — read back and decide by bytes
+                    try:
+                        return self.get(path) == data
+                    except FileNotFoundError:
+                        continue  # never became durable: retry the PUT
+                raise

@@ -20,11 +20,12 @@ def tmproot():
     shutil.rmtree(root, ignore_errors=True)
 
 
-@pytest.fixture(params=["localfs", "mock_s3"])
+@pytest.fixture(params=["localfs", "mock_s3", "boto_s3"])
 def make_vt(request):
     """VersionedParquetTable factory parametrized over commit backends:
-    the default O_CREAT|O_EXCL local-FS CAS and the mock object-store
-    conditional PUT — the race/rebase/model suites must hold under BOTH
+    the default O_CREAT|O_EXCL local-FS CAS, the mock object-store
+    conditional PUT, and the boto3-shaped S3 adapter running against the
+    stubbed client — the race/rebase/model suites must hold under ALL
     (the S3 conditional-PUT adapter is the 100-TB deployment's
     load-bearing bolt)."""
     from fest_vibes_ai_etl_spark.sources.merge_store import (
@@ -33,10 +34,15 @@ def make_vt(request):
     )
 
     def _make(path: str, pcol: str):
-        backend = (
-            None if request.param == "localfs"
-            else MemoryObjectStoreCommitBackend()
-        )
+        if request.param == "localfs":
+            backend = None
+        elif request.param == "mock_s3":
+            backend = MemoryObjectStoreCommitBackend()
+        else:
+            from fest_vibes_ai_etl_spark.sources.s3_commit import S3CommitBackend
+            from tests.test_commit_backends import FakeBotoS3
+
+            backend = S3CommitBackend(bucket="test-bucket", client=FakeBotoS3())
         return VersionedParquetTable(path, pcol, commit_backend=backend)
 
     return _make

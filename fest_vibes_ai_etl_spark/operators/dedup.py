@@ -587,3 +587,126 @@ def load_or_build_minhash_store(
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     sig.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+# --- winnowing: duplicated-passage detection -------------------------------
+#
+# The fifth dedup family, SUBSTRING-level where the four above are document-
+# level: two documents that each embed the same long boilerplate passage but
+# differ elsewhere score low on whole-document Jaccard/MinHash/SimHash yet
+# are exactly what training-data substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") must catch.
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) gives the scalable
+# approximation of their suffix-array approach: hash every character k-gram,
+# slide a w-hash window, keep each window's minimum. Guarantees: (1) any
+# shared substring of at least w + k - 1 characters yields at least one
+# shared fingerprint; (2) expected fingerprint density is 2/(w+1) of the
+# k-gram count, so the inverted index is ~8x smaller than the full k-gram
+# set at the default w=15.
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 15
+) -> DataFrame:
+    """(id, fp) — distinct winnowed character-k-gram fingerprints per doc.
+
+    The k-gram hash array is pure map-side column expressions; the sliding
+    window-min is a per-doc analytic window over the posexploded hashes —
+    ONE exchange keyed by doc id carrying 8-byte hash rows, the same
+    shuffle-volume class as the shingle explode the n-gram family already
+    pays (an all-array form — min over ``slice`` per window start — is
+    map-side on paper, but Catalyst inlines the hash-array producer into
+    every one of the n·w slice elements, re-running the md5 scan per
+    window: measured minutes vs seconds on 50 docs). Window skew is
+    bounded by max document length. The hash is the engine-portable 48-bit
+    md5 prefix (``conv(substr(md5(g),1,12),16,10)``, the ``hash_fraction``
+    convention) so the DuckDB oracle reproduces it bit-for-bit. Docs
+    shorter than k + w - 1 normalized chars emit nothing (no full window
+    exists)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), T.normalize_text(F.col(text_col)).alias("txt")
+    ).filter(F.length("txt") >= k + w - 1)
+    grams = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("txt") - (k - 1)),
+            lambda p: F.substr(F.col("txt"), p, F.lit(k)),
+        ).alias("g"),
+    )
+    hashed = grams.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                "g",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+            )
+        ).alias("i", "h"),
+    )
+    fwd = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("id")
+    wm = hashed.select(
+        "id",
+        F.col("i"),
+        F.min("h").over(fwd).alias("fp"),
+        F.count(F.lit(1)).over(per_doc).alias("n_grams"),
+    )
+    # window starts are 0-based here: valid starts are 0 .. n_grams - w
+    return wm.filter(F.col("i") <= F.col("n_grams") - w).select("id", "fp").distinct()
+
+
+def duplicate_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 15,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, n_shared, overlap) — document pairs sharing at least
+    ``min_shared`` winnowed fingerprints, i.e. pairs with duplicated
+    passages of roughly ≥ w + k - 1 characters.
+
+    ``overlap`` is the fingerprint-set Jaccard (resemblance of the
+    fingerprinted content, 4 dp). ``max_fp_df`` drops fingerprints present
+    in more than that many documents before pairing — the stop-shingle
+    trick from the n-gram family: corpus-wide boilerplate k-grams are what
+    turn the inverted-index self-join quadratic at 100 TB, and a passage
+    shared by thousands of documents is litter to report pairwise anyway
+    (catch those with a groupBy on fp instead). The pair join is
+    fingerprint-bucketed (equi-join on fp) — candidates only form within a
+    bucket, never all-pairs."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_fp_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("fp_df"))
+            .filter(F.col("fp_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)  # read 3x: sizes + both join sides
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            round_div(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4
+            ).alias("overlap"),
+        )
+    )

@@ -183,6 +183,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_duplicate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS txt
+      FROM documents
+    ),
+    ok AS (SELECT * FROM base WHERE length(txt) >= 34),
+    h AS (
+      SELECT doc_id, i, ('0x' || substr(md5(substr(txt, i, 20)), 1, 12))::BIGINT AS h
+      FROM ok, UNNEST(generate_series(1, length(txt) - 19)) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h
+    ),
+    fps0 AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 14),
+    keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 20),
+    fps AS (SELECT fps0.* FROM fps0 JOIN keep USING (fp)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+                 + 0.00000001, 4) AS overlap
+    FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+    WHERE n_shared >= 3
+    ORDER BY a_id, b_id
+    """,
+    tags=("dedup", "winnow", "substring"),
+    bench=True,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-PASSAGE pairs via winnowing (Schleimer et al., SIGMOD
+    2003) — the substring-level dedup family the four document-level
+    families can't cover (two docs embedding the same ≥34-char boilerplate
+    passage but differing elsewhere), i.e. the scalable approximation of
+    Lee-et-al-2022 suffix-array training-data dedup. Window-min
+    fingerprints over 20-char grams (w=15: any shared span ≥ 34 chars
+    yields a shared fingerprint, expected index density 2/16 of the gram
+    count); pairs need ≥3 shared fingerprints; fingerprints present in >20
+    docs are dropped as corpus boilerplate before the (fp-bucketed,
+    never all-pairs) candidate join."""
+    return dedup.duplicate_span_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=20, w=15, min_shared=3, max_fp_df=20,
+    ).orderBy("a_id", "b_id")
+
+
+@register(
     "dedup_embedding_near_pairs",
     oracle="""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -216,3 +216,77 @@ def test_ngram_jaccard_strategies_identical(spark):
             docs, "doc_id", "text", k=3, threshold=t, sig=sig,
             strategy="auto").collect()))
         assert a == b == c and len(a) > 0 or t > 0.5
+
+
+# --- winnowing duplicated-passage detection --------------------------------
+
+PASSAGE = "this exact boilerplate passage is repeated verbatim across documents"
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        # docs 10/11 share PASSAGE but differ everywhere else -> whole-doc
+        # similarity is low, substring dedup must still catch them
+        (10, "alpha beta gamma delta " + PASSAGE + " epsilon zeta eta theta iota kappa"),
+        (11, "one two three four five six " + PASSAGE + " seven eight nine ten eleven"),
+        # doc 12: no shared span >= 34 chars with any other doc
+        (12, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"),
+        # doc 13: too short for any full window
+        (13, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_passage_detected(span_docs):
+    # winnowing guarantee: a shared span of >= w + k - 1 chars yields at
+    # least one shared fingerprint; PASSAGE is 68 chars >> 20 + 15 - 1
+    pairs = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in dedup.duplicate_span_pairs(
+            span_docs, "doc_id", "text", k=20, w=15, min_shared=1
+        ).collect()
+    }
+    assert (10, 11) in pairs and pairs[(10, 11)] >= 1
+    assert (10, 12) not in pairs and (11, 12) not in pairs
+
+
+def test_winnow_pair_invisible_to_whole_doc_jaccard(span_docs):
+    # the same pair scores below the document-level near-dup threshold:
+    # this is the capability gap the substring family exists to close
+    jac = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            span_docs, "doc_id", "text", k=3, threshold=0.0
+        ).collect()
+    }
+    assert jac.get((10, 11), 0.0) < 0.45
+
+
+def test_winnow_short_doc_emits_nothing(span_docs):
+    fps = dedup.winnow_fingerprints(span_docs, "doc_id", "text", k=20, w=15)
+    assert fps.filter(F.col("id") == 13).count() == 0
+
+
+def test_winnow_density_bound(span_docs):
+    # expected density is 2/(w+1); allow generous slack but assert the
+    # index is a small fraction of the gram count (the scale economics)
+    k, w = 8, 15
+    doc10 = span_docs.filter(F.col("doc_id") == 10)
+    txt = doc10.collect()[0].text.lower()
+    n_grams = len(" ".join(txt.split())) - k + 1
+    n_fp = dedup.winnow_fingerprints(doc10, "doc_id", "text", k=k, w=w).count()
+    assert n_fp <= n_grams * 4 / (w + 1)
+
+
+def test_winnow_max_fp_df_drops_boilerplate(spark):
+    # passage shared by MANY docs: with max_fp_df below the replica count
+    # every pair disappears (boilerplate is litter to report pairwise)
+    rows = [(i, f"prefix number {i} " + PASSAGE + f" suffix word {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = dedup.duplicate_span_pairs(df, "doc_id", "text", k=20, w=15, min_shared=1)
+    assert loose.count() > 0
+    tight = dedup.duplicate_span_pairs(
+        df, "doc_id", "text", k=20, w=15, min_shared=1, max_fp_df=4
+    )
+    assert tight.count() == 0

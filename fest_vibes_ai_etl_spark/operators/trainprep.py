@@ -179,3 +179,116 @@ def mixture_resample(
         .filter(hash_fraction(F.col(id_col), salt) < F.col("rate"))
         .drop("rate")
     )
+
+
+# --- DSIR: data selection via importance resampling ------------------------
+#
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS): select pretraining documents whose hashed-n-gram
+# distribution looks like a small high-quality target corpus. Features are
+# bag-of-hashed-{uni,bi}grams into m buckets; target (p) and pool (q)
+# bucket distributions are estimated with Laplace smoothing; each pool doc
+# scores the sum of per-term log p(b)/q(b). Everything is one term explode
+# + one m-row aggregate + one broadcast join — no shuffle wider than the
+# term explode the corpus-stats family already pays, and the log-ratio
+# table is m rows (broadcast) regardless of corpus size.
+
+
+def _term_buckets(
+    df: DataFrame, id_col: str, text_col: str, flag: Column, m: int
+) -> DataFrame:
+    """(id, is_t, b) — one row per {uni,bi}gram INSTANCE (multiplicity
+    counts, per the paper), bucketed by the portable 48-bit md5 prefix
+    mod m. Staged projections (token array first) for the same
+    re-evaluation reason as ``_shingle_arrays``."""
+    toks = df.select(
+        F.col(id_col).alias("id"), flag.alias("is_t"), T.tokens(F.col(text_col)).alias("tk")
+    )
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tk", i.cast("int")), F.element_at("tk", (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = toks.select(
+        "id", "is_t", F.explode(F.concat(F.col("tk"), bigrams)).alias("term")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast("long") % m
+    return terms.select("id", "is_t", bucket.alias("b"))
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str,
+    text_col: str,
+    m: int = 1024,
+) -> DataFrame:
+    """(id, n_terms, score_dec) — DSIR importance score for every POOL doc
+    (rows not matching ``target_pred``); higher = more target-like.
+
+    Cross-engine determinism: the per-bucket log-ratio is rounded to 6 dp
+    once (m values, so last-ulp ln() divergence between the JVM and any
+    SQL oracle has ~m chances to land on a rounding boundary, not one per
+    term instance) and cast to DECIMAL(18,6); the per-doc score is then an
+    EXACT decimal sum — bit-identical regardless of engine or partition
+    order, so rank order is reproducible too. The count/log-ratio tables
+    are O(m) rows and broadcast; total term volume is the only large
+    shuffle."""
+    tb = _term_buckets(df, id_col, text_col, target_pred, m)
+    counts = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cq"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("tt"), F.sum("cq").cast("double").alias("qq")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1) / (F.col("tt") + m))
+            - F.log((F.col("cq") + 1) / (F.col("qq") + m)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        tb.filter(~F.col("is_t"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("lr").alias("score_dec"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str,
+    text_col: str,
+    m: int = 1024,
+    top_n: int = 100,
+) -> DataFrame:
+    """(rank, id, n_terms, score) — the ``top_n`` most-target-like pool
+    docs. Rank breaks exact-decimal score ties by id, so the selection is
+    total-ordered and reproducible. The orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-n, one driver merge
+    of #partitions × top_n rows, NO global sort — and only then does the
+    ranking window run, over at most ``top_n`` rows."""
+    from pyspark.sql import Window
+
+    scored = dsir_scores(df, target_pred, id_col, text_col, m=m)
+    top = scored.orderBy(F.col("score_dec").desc(), F.col("id")).limit(top_n)
+    win = Window.orderBy(F.col("score_dec").desc(), F.col("id"))
+    return (
+        top.withColumn("rank", F.row_number().over(win))
+        .select(
+            "rank",
+            F.col("id"),
+            "n_terms",
+            F.round(F.col("score_dec"), 4).cast("double").alias("score"),
+        )
+    )

@@ -451,3 +451,67 @@ def trainprep_negative_interactions(spark: SparkSession, sf_dir: str) -> DataFra
         .select("c_custkey", "p_partkey", "rk")
         .orderBy("c_custkey", "rk")
     )
+
+
+DSIR_M = 1024
+DSIR_TOP_N = 100
+
+
+@register(
+    "corpus_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en' AND source IN ('src0','src1')) AS is_t,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, is_t, unnest(w) AS term FROM toks
+      UNION ALL
+      SELECT doc_id, is_t, w[i] || ' ' || w[i+1] AS term
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    tb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % {DSIR_M} AS b
+      FROM terms
+    ),
+    counts AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cq
+      FROM tb GROUP BY b
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+                   CAST(SUM(cq) AS DOUBLE) AS qq FROM counts),
+    lr AS (
+      SELECT b, CAST(ROUND(ln((ct + 1) / (tt + {DSIR_M}))
+                           - ln((cq + 1) / (qq + {DSIR_M})), 6)
+                     AS DECIMAL(18,6)) AS lr
+      FROM counts, tot
+    ),
+    sc AS (
+      SELECT tb.doc_id, COUNT(*) AS n_terms, SUM(lr.lr) AS s
+      FROM tb JOIN lr USING (b) WHERE NOT is_t GROUP BY tb.doc_id
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank,
+           doc_id, n_terms, CAST(ROUND(s, 4) AS DOUBLE) AS score
+    FROM sc ORDER BY s DESC, doc_id LIMIT {DSIR_TOP_N}
+    """,
+    tags=("trainprep", "dsir", "sampling"),
+    bench=True,
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, NeurIPS): pick the pool docs
+    whose hashed-{uni,bi}gram distribution best matches a small target
+    slice (here: English docs from src0/src1), by summed per-term
+    log p(bucket)/q(bucket) with Laplace smoothing over 1024 buckets.
+    The log-ratio table is m rows and broadcast; per-bucket ratios are
+    rounded once then decimal-summed, so scores (and hence the top-100
+    ranking) are bit-identical across engines and partition orders; the
+    top-n compiles to TakeOrderedAndProject, never a global sort."""
+    pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    return trainprep.dsir_select(
+        table(spark, sf_dir, "documents"), pred, "doc_id", "text",
+        m=DSIR_M, top_n=DSIR_TOP_N,
+    ).withColumnRenamed("id", "doc_id").orderBy("rank")

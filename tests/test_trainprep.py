@@ -101,3 +101,45 @@ def test_resample_is_deterministic(spark):
     a = {r.doc_id for r in trainprep.mixture_resample(docs, "lang", targets, "doc_id").collect()}
     b = {r.doc_id for r in trainprep.mixture_resample(docs, "lang", targets, "doc_id").collect()}
     assert a == b
+
+
+# --- DSIR importance selection ---------------------------------------------
+
+
+def _dsir_docs(spark):
+    # target: 10 docs of "science" vocabulary; pool: 20 science-like docs
+    # (should be selected) + 20 sports docs (should not)
+    sci = "quantum particle theory energy experiment measurement physics laboratory"
+    spo = "football match goal player season league stadium referee"
+    rows = (
+        [(i, "target", sci + f" extra{i}") for i in range(10)]
+        + [(100 + i, "pool", sci + f" filler{i} variant{i}") for i in range(20)]
+        + [(200 + i, "pool", spo + f" filler{i} variant{i}") for i in range(20)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, kind string, text string")
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    docs = _dsir_docs(spark)
+    out = trainprep.dsir_select(
+        docs, F.col("kind") == "target", "doc_id", "text", m=256, top_n=20
+    ).collect()
+    selected = {r.id for r in out}
+    assert selected == {100 + i for i in range(20)}  # exactly the science pool
+    assert all(r.score is not None for r in out)
+
+
+def test_dsir_scores_exclude_target_rows(spark):
+    docs = _dsir_docs(spark)
+    scored = trainprep.dsir_scores(docs, F.col("kind") == "target", "doc_id", "text", m=256)
+    ids = {r.id for r in scored.collect()}
+    assert ids == {100 + i for i in range(20)} | {200 + i for i in range(20)}
+
+
+def test_dsir_deterministic_across_repartition(spark):
+    docs = _dsir_docs(spark)
+    a = trainprep.dsir_select(docs, F.col("kind") == "target", "doc_id", "text", m=256, top_n=40)
+    b = trainprep.dsir_select(
+        docs.repartition(13), F.col("kind") == "target", "doc_id", "text", m=256, top_n=40
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -664,6 +664,7 @@ def duplicate_span_pairs(
     w: int = 15,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id, n_shared, overlap) — document pairs sharing at least
     ``min_shared`` winnowed fingerprints, i.e. pairs with duplicated
@@ -675,18 +676,24 @@ def duplicate_span_pairs(
     trick from the n-gram family: corpus-wide boilerplate k-grams are what
     turn the inverted-index self-join quadratic at 100 TB, and a passage
     shared by thousands of documents is litter to report pairwise anyway
-    (catch those with a groupBy on fp instead). The pair join is
-    fingerprint-bucketed (equi-join on fp) — candidates only form within a
-    bucket, never all-pairs."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    (catch those with a groupBy on fp instead). The boilerplate cutoff is
+    a count-over-fp window, NOT a groupBy+semi-join: it shuffles by fp
+    exactly once — the same partitioning the candidate self-join needs —
+    instead of re-running the fingerprint scan for a membership side. Pass
+    ``fps`` (from ``load_or_build_winnow_store``) to amortize the
+    fingerprint scan across queries; the pair join is fingerprint-bucketed
+    (equi-join on fp) — candidates only form within a bucket, never
+    all-pairs."""
+    from pyspark.sql import Window
+
+    if fps is None:
+        fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     if max_fp_df is not None:
-        rare = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("fp_df"))
+        fps = (
+            fps.withColumn("fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
             .filter(F.col("fp_df") <= max_fp_df)
-            .select("fp")
+            .drop("fp_df")
         )
-        fps = fps.join(rare, "fp", "left_semi")
     fps = fps.persist(StorageLevel.MEMORY_AND_DISK)  # read 3x: sizes + both join sides
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = fps.alias("a"), fps.alias("b")
@@ -710,3 +717,39 @@ def duplicate_span_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def winnow_store_path(sf_dir: str, table_name: str, k: int, w: int) -> str:
+    import os
+
+    from ..fingerprint import source_fingerprint
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
+    return os.path.join(_sig_warehouse_root(), f"winnow_{tag}_{table_name}_k{k}_w{w}{stamp}")
+
+
+def load_or_build_winnow_store(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    table_name: str = "documents",
+    k: int = 20,
+    w: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (id, fp) winnowed-fingerprint table staged to parquet — the
+    substring-dedup index, sibling of the shingle/MinHash stores: the
+    normalize→gram→hash→window-min scan is the dominant cost (it touches
+    every character of the corpus), the staged result is ~2/(w+1) of the
+    gram count in 8-byte rows, and every consumer (pair mining, incremental
+    contains-probes) becomes a columnar scan of the store."""
+    import os
+
+    path = winnow_store_path(sf_dir, table_name, k, w)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

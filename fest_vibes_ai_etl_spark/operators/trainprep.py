@@ -237,8 +237,15 @@ def dsir_scores(
     EXACT decimal sum — bit-identical regardless of engine or partition
     order, so rank order is reproducible too. The count/log-ratio tables
     are O(m) rows and broadcast; total term volume is the only large
-    shuffle."""
-    tb = _term_buckets(df, id_col, text_col, target_pred, m)
+    shuffle. The term-bucket explode is persisted — it feeds both the
+    bucket-count aggregate and the pool-side scoring join, and re-running
+    the tokenize+md5 scan (the dominant cost, measured ~2× the query wall)
+    is strictly worse than one MEMORY_AND_DISK materialization."""
+    from pyspark.storagelevel import StorageLevel
+
+    tb = _term_buckets(df, id_col, text_col, target_pred, m).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = tb.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cq"),

@@ -196,3 +196,45 @@ def test_temperature_mixture_no_wide_shuffle_before_filter(spark):
     # the keep decision joins a broadcast rate table; the fact must not
     # shuffle before the filter
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_plan_properties(spark):
+    # the winnow pair-mining plan: every fingerprint read (both self-join
+    # sides + the size agg under each of sa/sb) hits the persisted table —
+    # the corpus scan runs once; fp-bucketed equi-join, never a cross
+    # product
+    docs = table(spark, SF_DIR, "documents")
+    pairs = dedup.duplicate_span_pairs(
+        docs, "doc_id", "text", k=20, w=15, min_shared=3, max_fp_df=20
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") == 4
+    # (md5 appears under every InMemoryTableScan — the cached plan's
+    # printed recipe; single-evaluation of the gram scan is asserted on
+    # the uncached operator in test_winnow_fingerprints_single_md5_expansion)
+    pairs.count()
+    spark.catalog.clearCache()
+
+
+def test_winnow_fingerprints_single_md5_expansion(spark):
+    # the gram-hash transform must stay single-evaluated: the all-array
+    # window-min form re-inlined the producer per window element (measured
+    # minutes vs seconds on 50 docs)
+    docs = table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.winnow_fingerprints(docs, "doc_id", "text", k=20, w=15))
+    assert plan.count("md5") == 1
+    # one exchange for the per-doc analytic window, one for distinct
+    assert plan.count("Exchange") <= 3
+
+
+def test_dsir_selection_plan_properties(spark):
+    # log-ratio table broadcast (m rows), term explode persisted across the
+    # count and scoring branches, top-n via TakeOrdered (never global sort)
+    q = catalog.queries()["corpus_dsir_selection"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()

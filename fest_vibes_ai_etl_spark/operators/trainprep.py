@@ -299,3 +299,58 @@ def dsir_select(
             F.round(F.col("score_dec"), 4).cast("double").alias("score"),
         )
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str,
+    text_col: str,
+    m: int = 1024,
+    top_n: int = 100,
+    temperature: float = 1.0,
+    salt: str = "dsir-v1:",
+) -> DataFrame:
+    """(rank, id, n_terms, score, key) — Gumbel-top-k importance
+    RESAMPLING, the paper's actual selection step (top-k by raw score
+    over-concentrates on near-duplicates of the target; sampling
+    ∝ exp(score/T) without replacement preserves diversity). The Gumbel
+    max trick makes that sampling a deterministic top-k: perturbed key =
+    score + T·g with g ~ Gumbel(0,1); argtop-k of the keys IS a sample
+    without replacement from the softmax (equivalently argtop of
+    score/T + g, scaled by T to keep the score term decimal-exact).
+
+    g derives from the portable hash fraction (md5 of salt+id, +0.5/2²⁴
+    so u ∈ (0,1) strictly — u=0 would send -ln(-ln(u)) to -inf), is
+    rounded once to 6 dp and added as DECIMAL, so like the score the key
+    is bit-identical across engines and partition orders: reshuffling a
+    100-TB corpus cannot change the sample."""
+    scored = dsir_scores(df, target_pred, id_col, text_col, m=m)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(HASH_DENOM)
+    g = (
+        F.round(F.lit(float(temperature)) * -F.log(-F.log(u)), 6)
+        .cast("decimal(18,6)")
+        .alias("g")
+    )
+    keyed = scored.withColumn("key_dec", F.col("score_dec") + g)
+    top = keyed.orderBy(F.col("key_dec").desc(), F.col("id")).limit(top_n)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("key_dec").desc(), F.col("id"))
+    return (
+        top.withColumn("rank", F.row_number().over(win))
+        .select(
+            "rank",
+            F.col("id"),
+            "n_terms",
+            F.round(F.col("score_dec"), 4).cast("double").alias("score"),
+            F.round(F.col("key_dec"), 4).cast("double").alias("key"),
+        )
+    )

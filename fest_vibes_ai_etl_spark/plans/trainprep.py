@@ -515,3 +515,71 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), pred, "doc_id", "text",
         m=DSIR_M, top_n=DSIR_TOP_N,
     ).withColumnRenamed("id", "doc_id").orderBy("rank")
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en' AND source IN ('src0','src1')) AS is_t,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, is_t, unnest(w) AS term FROM toks
+      UNION ALL
+      SELECT doc_id, is_t, w[i] || ' ' || w[i+1] AS term
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    tb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % {DSIR_M} AS b
+      FROM terms
+    ),
+    counts AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cq
+      FROM tb GROUP BY b
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+                   CAST(SUM(cq) AS DOUBLE) AS qq FROM counts),
+    lr AS (
+      SELECT b, CAST(ROUND(ln((ct + 1) / (tt + {DSIR_M}))
+                           - ln((cq + 1) / (qq + {DSIR_M})), 6)
+                     AS DECIMAL(18,6)) AS lr
+      FROM counts, tot
+    ),
+    sc AS (
+      SELECT tb.doc_id, COUNT(*) AS n_terms, SUM(lr.lr) AS s
+      FROM tb JOIN lr USING (b) WHERE NOT is_t GROUP BY tb.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_terms, s,
+             s + CAST(ROUND(-ln(-ln(
+                   ((('0x' || substr(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)),
+                       1, 6))::BIGINT + 0.5) / 16777216.0))), 6)
+                   AS DECIMAL(18,6)) AS key_dec
+      FROM sc
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY key_dec DESC, doc_id) AS rank,
+           doc_id, n_terms, CAST(ROUND(s, 4) AS DOUBLE) AS score,
+           CAST(ROUND(key_dec, 4) AS DOUBLE) AS key
+    FROM keyed ORDER BY key_dec DESC, doc_id LIMIT {DSIR_TOP_N}
+    """,
+    tags=("trainprep", "dsir", "sampling"),
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step: Gumbel-top-k importance RESAMPLING
+    (sample ∝ exp(score/T) without replacement — raw top-k
+    over-concentrates on near-copies of the target; the Gumbel-max trick
+    turns the sampling into a deterministic top-k on score + T·Gumbel
+    keys). The noise derives from the portable md5 hash fraction and is
+    rounded-once-then-decimal-added like the score, so the SAMPLE itself
+    is bit-reproducible across engines, reruns and repartitioning —
+    auditable sampling, which 100-TB corpus governance needs."""
+    pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    return trainprep.dsir_resample(
+        table(spark, sf_dir, "documents"), pred, "doc_id", "text",
+        m=DSIR_M, top_n=DSIR_TOP_N, temperature=1.0,
+    ).withColumnRenamed("id", "doc_id").orderBy("rank")

@@ -143,3 +143,40 @@ def test_dsir_deterministic_across_repartition(spark):
         docs.repartition(13), F.col("kind") == "target", "doc_id", "text", m=256, top_n=40
     )
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_dsir_resample_diversifies_but_respects_scores(spark):
+    docs = _dsir_docs(spark)
+    pred = F.col("kind") == "target"
+    top = {r.id for r in trainprep.dsir_select(docs, pred, "doc_id", "text", m=256, top_n=10).collect()}
+    res = trainprep.dsir_resample(docs, pred, "doc_id", "text", m=256, top_n=10).collect()
+    sampled = {r.id for r in res}
+    # gumbel noise perturbs the selection (different set than raw top-k
+    # with overwhelming probability given 40 candidates)...
+    assert sampled != top
+    # ...but the score gradient still dominates: science-pool docs (which
+    # beat sports docs by a wide score margin) stay the majority
+    assert len(sampled & {100 + i for i in range(20)}) >= 7
+    # keys strictly ordered by rank
+    keys = [r.key for r in sorted(res, key=lambda r: r.rank)]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_resample_deterministic_across_repartition(spark):
+    docs = _dsir_docs(spark)
+    pred = F.col("kind") == "target"
+    a = trainprep.dsir_resample(docs, pred, "doc_id", "text", m=256, top_n=15)
+    b = trainprep.dsir_resample(docs.repartition(11), pred, "doc_id", "text", m=256, top_n=15)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_dsir_resample_temperature_widens_selection(spark):
+    docs = _dsir_docs(spark)
+    pred = F.col("kind") == "target"
+    cold = {r.id for r in trainprep.dsir_resample(docs, pred, "doc_id", "text", m=256, top_n=10, temperature=0.1).collect()}
+    hot = {r.id for r in trainprep.dsir_resample(docs, pred, "doc_id", "text", m=256, top_n=10, temperature=50.0).collect()}
+    sci = {100 + i for i in range(20)}
+    # near-zero T ≈ raw top-k (score dominates); huge T ≈ uniform sample
+    # (noise dominates) — the sports pool must leak in at high T
+    assert len(cold & sci) >= len(hot & sci)
+    assert len(hot - sci) > 0

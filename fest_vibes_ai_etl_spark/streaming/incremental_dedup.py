@@ -36,12 +36,18 @@ def start_incremental_dedup(
     accumulates (original columns + ``fp``)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fresh = batch_df.withColumn("fp", fingerprint(text_col)).dropDuplicates(["fp"])
         try:
             seen = spark.read.parquet(corpus_dir).select("fp")
             fresh = fresh.join(seen, "fp", "left_anti")
-        except Exception:  # first batch: corpus doesn't exist yet
+        except AnalysisException:  # [PATH_NOT_FOUND]: genuinely first batch.
+            # Anything else (corrupt files, permissions) must propagate —
+            # treating it as "first batch" would re-append every row of the
+            # batch as if never seen: silent duplication, the exact failure
+            # this operator exists to prevent.
             pass
         fresh.write.mode("append").parquet(corpus_dir)
 

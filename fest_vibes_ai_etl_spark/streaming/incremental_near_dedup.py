@@ -27,6 +27,7 @@ candidate join is bucket-local.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -125,7 +126,9 @@ def start_incremental_near_dedup(
         try:
             hist = spark.read.parquet(corpus_dir).persist()
             hist.count()
-        except Exception:  # first batch: no corpus yet
+        except AnalysisException:  # [PATH_NOT_FOUND]: genuinely no corpus yet.
+            # Other read failures propagate — masking them as "first batch"
+            # would skip the history anti-join and append duplicates.
             hist = None
         # exact dedup (within batch, then vs history): survivor must be
         # deterministic — min(doc_id) per fingerprint, consistent with the

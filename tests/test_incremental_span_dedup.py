@@ -1,0 +1,87 @@
+"""Incremental SUBSTRING-level corpus dedup: cross-batch duplicated-passage
+removal (winnowed-fingerprint overlap, history = corpus) and replay
+convergence."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.operators import dedup
+from fest_vibes_ai_etl_spark.sources import table
+from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    start_incremental_span_dedup,
+)
+
+K, W, MIN_SHARED = 20, 15, 3
+
+
+def _run(spark, src, corpus, ckpt):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_span_dedup(
+        stream, corpus, ckpt, k=K, w=W, min_shared=MIN_SHARED
+    )
+    q.awaitTermination(180)
+
+
+def test_incremental_span_dedup_across_batches(spark, tmp_path):
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    # overlapping slices: exact dups across batches AND planted span-dups
+    # split across batch boundaries (dedup_duplicate_spans finds pairs in
+    # this table at these parameters)
+    docs.filter("doc_id < 200").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 150 AND doc_id < 350").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 300").coalesce(1).write.mode("append").parquet(src)
+
+    _run(spark, src, corpus, str(tmp_path / "ckpt1"))
+    stored = spark.read.parquet(corpus)
+    n0 = stored.count()
+
+    # invariant 1: no two stored docs are exact duplicates
+    assert stored.select("fp").distinct().count() == n0
+
+    # invariant 2: no two stored docs share a duplicated passage — the
+    # batch pair miner over the stored corpus must come up empty
+    leftover = dedup.duplicate_span_pairs(
+        stored, "doc_id", "text", k=K, w=W, min_shared=MIN_SHARED
+    ).count()
+    assert leftover == 0, f"{leftover} span-dup pairs survived"
+
+    # invariant 3: no over-deletion — stored size sits between
+    # (unique texts − span pairs) and unique texts
+    n_unique = docs.select("text").distinct().count()
+    pair_victims = {
+        r.b_id
+        for r in dedup.duplicate_span_pairs(
+            docs, "doc_id", "text", k=K, w=W, min_shared=MIN_SHARED
+        ).collect()
+    }
+    exact_groups = docs.count() - n_unique
+    assert n0 <= n_unique
+    assert n0 >= n_unique - len(pair_victims) - exact_groups
+
+    # replay under a fresh checkpoint appends nothing (convergent)
+    _run(spark, src, corpus, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(corpus).count() == n0
+
+
+def test_span_dedup_catches_cross_batch_passage(spark, tmp_path):
+    # planted: batch-2 doc embeds a 60-char passage from a batch-1 doc in
+    # otherwise different text — exact dedup and whole-doc Jaccard both
+    # miss it; the span rule must drop it
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    b1 = [(1, "alpha beta " + passage + " gamma delta epsilon"),
+          (2, "unrelated first batch content about query engines and storage")]
+    b2 = [(10, "one two three " + passage + " four five six seven"),
+          (11, "totally novel second batch document with fresh vocabulary")]
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode("append").parquet(src)
+
+    _run(spark, src, corpus, str(tmp_path / "ckpt"))
+    kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert kept == {1, 2, 11}  # 10 dropped: shares the passage with 1

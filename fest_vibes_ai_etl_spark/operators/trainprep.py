@@ -220,12 +220,49 @@ def _term_buckets(
     return terms.select("id", "is_t", bucket.alias("b"))
 
 
+def dsir_term_store_path(sf_dir: str, table_name: str, m: int) -> str:
+    import os
+
+    from ..fingerprint import source_fingerprint
+    from .dedup import _sig_warehouse_root
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
+    return os.path.join(_sig_warehouse_root(), f"dsir_{tag}_{table_name}_m{m}{stamp}")
+
+
+def load_or_build_dsir_term_store(
+    spark,
+    df: DataFrame,
+    sf_dir: str,
+    table_name: str = "documents",
+    m: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (id, b) term-bucket table staged to parquet — the DSIR feature
+    index. Term buckets depend only on (corpus, m), NOT on the target
+    predicate, so one build serves every target domain a user scores
+    against; the staged rows are two longs per term instance, and the
+    query-time flag join is by id (write the store bucketed by id at
+    deployment scale for a co-located join)."""
+    import os
+
+    path = dsir_term_store_path(sf_dir, table_name, m)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    tb = _term_buckets(df, id_col, text_col, F.lit(False), m).select("id", "b")
+    tb.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def dsir_scores(
     df: DataFrame,
     target_pred: Column,
     id_col: str,
     text_col: str,
     m: int = 1024,
+    tb: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_terms, score_dec) — DSIR importance score for every POOL doc
     (rows not matching ``target_pred``); higher = more target-like.
@@ -240,12 +277,17 @@ def dsir_scores(
     shuffle. The term-bucket explode is persisted — it feeds both the
     bucket-count aggregate and the pool-side scoring join, and re-running
     the tokenize+md5 scan (the dominant cost, measured ~2× the query wall)
-    is strictly worse than one MEMORY_AND_DISK materialization."""
+    is strictly worse than one MEMORY_AND_DISK materialization. Pass
+    ``tb`` (from ``load_or_build_dsir_term_store``) to skip the corpus
+    scan entirely; the target flag is then joined on by id."""
     from pyspark.storagelevel import StorageLevel
 
-    tb = _term_buckets(df, id_col, text_col, target_pred, m).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if tb is None:
+        tbf = _term_buckets(df, id_col, text_col, target_pred, m)
+    else:
+        flags = df.select(F.col(id_col).alias("id"), target_pred.alias("is_t"))
+        tbf = tb.join(flags, "id")
+    tb = tbf.persist(StorageLevel.MEMORY_AND_DISK)
     counts = tb.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cq"),
@@ -278,6 +320,7 @@ def dsir_select(
     text_col: str,
     m: int = 1024,
     top_n: int = 100,
+    tb: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, id, n_terms, score) — the ``top_n`` most-target-like pool
     docs. Rank breaks exact-decimal score ties by id, so the selection is
@@ -287,7 +330,7 @@ def dsir_select(
     ranking window run, over at most ``top_n`` rows."""
     from pyspark.sql import Window
 
-    scored = dsir_scores(df, target_pred, id_col, text_col, m=m)
+    scored = dsir_scores(df, target_pred, id_col, text_col, m=m, tb=tb)
     top = scored.orderBy(F.col("score_dec").desc(), F.col("id")).limit(top_n)
     win = Window.orderBy(F.col("score_dec").desc(), F.col("id"))
     return (
@@ -310,6 +353,7 @@ def dsir_resample(
     top_n: int = 100,
     temperature: float = 1.0,
     salt: str = "dsir-v1:",
+    tb: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, id, n_terms, score, key) — Gumbel-top-k importance
     RESAMPLING, the paper's actual selection step (top-k by raw score
@@ -325,7 +369,7 @@ def dsir_resample(
     rounded once to 6 dp and added as DECIMAL, so like the score the key
     is bit-identical across engines and partition orders: reshuffling a
     100-TB corpus cannot change the sample."""
-    scored = dsir_scores(df, target_pred, id_col, text_col, m=m)
+    scored = dsir_scores(df, target_pred, id_col, text_col, m=m, tb=tb)
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 6),

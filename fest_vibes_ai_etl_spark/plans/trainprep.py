@@ -500,6 +500,9 @@ DSIR_TOP_N = 100
     """,
     tags=("trainprep", "dsir", "sampling"),
     bench=True,
+    prepare=lambda spark, sf_dir: trainprep.load_or_build_dsir_term_store(
+        spark, table(spark, sf_dir, "documents"), sf_dir, m=DSIR_M
+    ),
 )
 def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, NeurIPS): pick the pool docs
@@ -509,11 +512,14 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The log-ratio table is m rows and broadcast; per-bucket ratios are
     rounded once then decimal-summed, so scores (and hence the top-100
     ranking) are bit-identical across engines and partition orders; the
-    top-n compiles to TakeOrderedAndProject, never a global sort."""
+    top-n compiles to TakeOrderedAndProject, never a global sort. Term
+    buckets come from the persisted DSIR store (target-independent: one
+    build serves every target domain)."""
+    docs = table(spark, sf_dir, "documents")
+    tb = trainprep.load_or_build_dsir_term_store(spark, docs, sf_dir, m=DSIR_M)
     pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
     return trainprep.dsir_select(
-        table(spark, sf_dir, "documents"), pred, "doc_id", "text",
-        m=DSIR_M, top_n=DSIR_TOP_N,
+        docs, pred, "doc_id", "text", m=DSIR_M, top_n=DSIR_TOP_N, tb=tb,
     ).withColumnRenamed("id", "doc_id").orderBy("rank")
 
 
@@ -578,8 +584,10 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-once-then-decimal-added like the score, so the SAMPLE itself
     is bit-reproducible across engines, reruns and repartitioning —
     auditable sampling, which 100-TB corpus governance needs."""
+    docs = table(spark, sf_dir, "documents")
+    tb = trainprep.load_or_build_dsir_term_store(spark, docs, sf_dir, m=DSIR_M)
     pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
     return trainprep.dsir_resample(
-        table(spark, sf_dir, "documents"), pred, "doc_id", "text",
-        m=DSIR_M, top_n=DSIR_TOP_N, temperature=1.0,
+        docs, pred, "doc_id", "text",
+        m=DSIR_M, top_n=DSIR_TOP_N, temperature=1.0, tb=tb,
     ).withColumnRenamed("id", "doc_id").orderBy("rank")

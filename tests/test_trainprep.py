@@ -180,3 +180,20 @@ def test_dsir_resample_temperature_widens_selection(spark):
     # (noise dominates) — the sports pool must leak in at high T
     assert len(cold & sci) >= len(hot & sci)
     assert len(hot - sci) > 0
+
+
+def test_dsir_store_path_equivalent_to_inline(spark, tmp_path):
+    # the persisted term-bucket store (target-independent) must give the
+    # same scores as the inline flagged explode
+    docs = _dsir_docs(spark)
+    pred = F.col("kind") == "target"
+    inline = trainprep.dsir_scores(docs, pred, "doc_id", "text", m=256)
+    tb = trainprep._term_buckets(docs, "doc_id", "text", F.lit(False), 256).select("id", "b")
+    store = str(tmp_path / "tb")
+    tb.write.parquet(store)
+    via_store = trainprep.dsir_scores(
+        docs, pred, "doc_id", "text", m=256, tb=spark.read.parquet(store)
+    )
+    a = sorted(tuple(r) for r in inline.collect())
+    b = sorted(tuple(r) for r in via_store.collect())
+    assert a == b

@@ -145,16 +145,22 @@ def global_positions(df: DataFrame, key: Column) -> DataFrame:
 
 
 def mixture_rates(
-    df: DataFrame, group_col: str, targets: dict[str, float]
+    df: DataFrame, group_col: str, targets: dict[str, float],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group deterministic keep-rate achieving a target mixture by
     downsampling only: rate_g = c * w_g / n_g with c = min_g(n_g / w_g)
-    (the largest scale at which no group needs upsampling)."""
+    (the largest scale at which no group needs upsampling). ``n_g`` is the
+    row count, or — with ``weight_col`` — the weight sum: pass a token
+    count to hit the mixture in TOKENS, the unit training budgets are
+    actually written in (a doc-count mixture over- or under-serves any
+    group whose documents run long or short)."""
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(g, float(w)) for g, w in targets.items()], f"{group_col} string, w double"
     )
-    counts = df.groupBy(group_col).agg(F.count("*").alias("n")).join(tgt, group_col)
+    n_expr = F.count("*") if weight_col is None else F.sum(weight_col)
+    counts = df.groupBy(group_col).agg(n_expr.alias("n")).join(tgt, group_col)
     c = counts.agg(F.min(F.col("n") / F.col("w")).alias("c"))
     return (
         counts.crossJoin(F.broadcast(c))
@@ -169,11 +175,17 @@ def mixture_resample(
     targets: dict[str, float],
     id_col: str,
     salt: str = "mix-v1:",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministically downsample each group to the target mixture: keep a
     row iff hash_fraction(id) < its group's rate. Rates are a tiny
-    broadcast; the keep decision is map-side."""
-    rates = mixture_rates(df, group_col, targets).select(group_col, "rate")
+    broadcast; the keep decision is map-side. ``weight_col`` switches the
+    mixture unit from documents to that weight (e.g. tokens); kept weight
+    per group then converges on rate_g·W_g because the hash keep-decision
+    is independent of document length."""
+    rates = mixture_rates(df, group_col, targets, weight_col=weight_col).select(
+        group_col, "rate"
+    )
     return (
         df.join(F.broadcast(rates), group_col)
         .filter(hash_fraction(F.col(id_col), salt) < F.col("rate"))

@@ -591,3 +591,113 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pred, "doc_id", "text",
         m=DSIR_M, top_n=DSIR_TOP_N, temperature=1.0, tb=tb,
     ).withColumnRenamed("id", "doc_id").orderBy("rank")
+
+
+@register(
+    "corpus_mixture_by_tokens",
+    oracle=f"""
+    WITH tgt(lang, w) AS (VALUES {_MIX_VALUES}),
+    tok AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents
+    ),
+    counts AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS n FROM tok GROUP BY lang),
+    joined AS (SELECT c.lang, c.n, CAST(t.w AS DOUBLE) AS w
+               FROM counts c JOIN tgt t USING (lang)),
+    cc AS (SELECT MIN(n / w) AS c FROM joined),
+    rates AS (SELECT lang, n, (SELECT c FROM cc) * w / n AS rate FROM joined),
+    kept AS (
+      SELECT t.lang, t.nt FROM tok t JOIN rates r USING (lang)
+      WHERE {HASH_FRAC_SQL.format(key="'mix-v1:' || CAST(t.doc_id AS VARCHAR)")}
+            < r.rate
+    ),
+    k AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS tok_kept FROM kept GROUP BY lang),
+    tot AS (SELECT CAST(SUM(tok_kept) AS DOUBLE) AS t FROM k)
+    SELECT r.lang, r.n AS tok_before, k.tok_kept,
+           ROUND(CAST(k.tok_kept AS DOUBLE) / (SELECT t FROM tot)
+                 + 0.00000001, 4) AS share_kept
+    FROM rates r JOIN k USING (lang)
+    """,
+    tags=("trainprep", "mixture", "tokens"),
+)
+def corpus_mixture_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget mixture resampling — the unit training mixtures are
+    actually specified in (a doc-count mixture over-serves any language
+    whose documents run long). rate_g = c·w_g/T_g over token sums; the
+    keep decision stays the map-side per-doc hash compare, and because it
+    is independent of document length the kept token mass converges on
+    the target share. Reports per-language token budgets before/after and
+    the achieved token share."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "nt", T.token_count(F.col("text"))
+    )
+    rates = trainprep.mixture_rates(docs, "lang", MIX_TARGETS, weight_col="nt")
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(trainprep.hash_fraction(F.col("doc_id"), "mix-v1:") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("tok_kept"))
+    )
+    tot = kept.agg(F.sum("tok_kept").cast("double").alias("t"))
+    return (
+        rates.select("lang", F.col("n").alias("tok_before"))
+        .join(kept, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "tok_before",
+            "tok_kept",
+            round_div(F.col("tok_kept") / F.col("t"), 4).alias("share_kept"),
+        )
+    )
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    per_term AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    stats AS (
+      SELECT source,
+             COUNT(*) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM per_term GROUP BY source
+    ),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT s.source, nd.n_docs, s.n_tokens, s.n_types, s.n_hapax,
+           ROUND(CAST(s.n_types AS DOUBLE) / s.n_tokens + 0.00000001, 4) AS ttr,
+           ROUND(CAST(s.n_hapax AS DOUBLE) / s.n_types + 0.00000001, 4) AS hapax_frac
+    FROM stats s JOIN nd USING (source)
+    """,
+    tags=("trainprep", "corpus", "vocab"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics — the Heaps'/Zipf-shape corpus
+    health check (synthetic or templated sources show up as anomalous
+    type-token ratio and hapax fraction; real language sits near
+    TTR^-Zipf expectations). One explode + one (source, term) aggregate
+    with map-side partial counts — per-term rows cross the exchange once;
+    the per-source rollup is |vocab|-sized."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    per_term = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_term.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return stats.join(nd, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        round_div(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        round_div(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_frac"),
+    )

@@ -197,3 +197,28 @@ def test_dsir_store_path_equivalent_to_inline(spark, tmp_path):
     a = sorted(tuple(r) for r in inline.collect())
     b = sorted(tuple(r) for r in via_store.collect())
     assert a == b
+
+
+def test_token_weighted_mixture_converges_on_token_share(spark):
+    # en docs are 3x longer than de docs: a doc-count mixture overshoots
+    # en's token share; the token-weighted rates must hit ~50/50 tokens
+    rows = [(i, "en", " ".join(f"e{i}w{j}" for j in range(30))) for i in range(300)] + [
+        (1000 + i, "de", " ".join(f"d{i}w{j}" for j in range(10))) for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string").withColumn(
+        "nt", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    targets = {"en": 0.5, "de": 0.5}
+    kept = trainprep.mixture_resample(docs, "lang", targets, "doc_id", weight_col="nt")
+    shares = {
+        r.lang: r.tok for r in kept.groupBy("lang").agg(F.sum("nt").alias("tok")).collect()
+    }
+    total = sum(shares.values())
+    assert abs(shares["en"] / total - 0.5) < 0.08
+    # the doc-count variant on the same data misses the token target badly
+    kept_doc = trainprep.mixture_resample(docs, "lang", targets, "doc_id")
+    sd = {
+        r.lang: r.tok
+        for r in kept_doc.groupBy("lang").agg(F.sum("nt").alias("tok")).collect()
+    }
+    assert sd["en"] / (sd["en"] + sd["de"]) > 0.65

@@ -604,3 +604,70 @@ def multimodal_real_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media_headers(media).select(
         "doc_id", "media_type", "width", "height", "n_frames"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_span_survivor_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS txt
+      FROM documents
+    ),
+    ok AS (SELECT * FROM base WHERE length(txt) >= 34),
+    h AS (
+      SELECT doc_id, i, ('0x' || substr(md5(substr(txt, i, 20)), 1, 12))::BIGINT AS h
+      FROM ok, UNNEST(generate_series(1, length(txt) - 19)) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h
+    ),
+    fps0 AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 14),
+    keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 20),
+    fps AS (SELECT fps0.* FROM fps0 JOIN keep USING (fp)),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    victims AS (SELECT DISTINCT b_id AS doc_id FROM inter WHERE n_shared >= 3)
+    SELECT d.source,
+           COUNT(*)                                           AS n_docs,
+           CAST(SUM(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                                                              AS n_victims,
+           CAST(SUM(CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_survivors
+    FROM documents d LEFT JOIN victims v USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("dedup", "winnow", "substring"),
+)
+def dedup_span_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable output of substring dedup: per-source document counts
+    after dropping duplicated-passage carriers (higher id of each pair
+    loses — the family's one-round lowest-id-wins rule, deterministic
+    under any partitioning). Per-source victim concentration is the
+    boilerplate audit a corpus owner actually reads: one source pushing
+    templated passages shows up as an outlier victim rate."""
+    docs = table(spark, sf_dir, "documents")
+    fps = dedup.load_or_build_winnow_store(spark, docs, sf_dir, k=20, w=15)
+    pairs = dedup.duplicate_span_pairs(
+        docs, "doc_id", "text", k=20, w=15, min_shared=3, max_fp_df=20, fps=fps
+    )
+    victims = pairs.select(F.col("b_id").alias("doc_id")).distinct().withColumn(
+        "is_victim", F.lit(1)
+    )
+    return (
+        docs.join(victims, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_victim"), F.lit(0))).alias("n_victims"),
+            F.sum(
+                F.when(F.col("is_victim").isNull(), 1).otherwise(0)
+            ).alias("n_survivors"),
+        )
+    )

@@ -290,3 +290,22 @@ def test_winnow_max_fp_df_drops_boilerplate(spark):
         df, "doc_id", "text", k=20, w=15, min_shared=1, max_fp_df=4
     )
     assert tight.count() == 0
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    # ties the operator to the spec the hypothesis suite verifies
+    # (tests/test_properties.py::_ref_winnow — same md5-prefix hash)
+    from test_properties import _ref_winnow
+
+    rows = [
+        (1, "alpha beta gamma delta " + PASSAGE),
+        (2, "  MIXED   Case   And   Runs  of spaces in this one  "),
+        (3, PASSAGE + " trailing words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 8, 4
+    got = {}
+    for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _ref_winnow(text, k, w), doc_id

@@ -64,3 +64,64 @@ def test_bloom_membership_properties(build_keys, probe_keys):
     if len(outside) >= 20:
         fp = sum(1 for k in outside if contains(k)) / len(outside)
         assert fp < 0.5
+
+
+# --- winnowing fingerprint properties (pure-python mirror of
+# operators/dedup.py:winnow_fingerprints — identical md5-prefix hash) -------
+
+def _ref_winnow(txt: str, k: int, w: int) -> set[int]:
+    import hashlib
+    import re
+
+    txt = re.sub(r"\s+", " ", txt.strip()).lower()
+    if len(txt) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(txt[i : i + k].encode()).hexdigest()[:12], 16)
+        for i in range(len(txt) - k + 1)
+    ]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+_WORDS = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_WORDS, min_size=0, max_size=6),
+    st.lists(_WORDS, min_size=0, max_size=6),
+    st.lists(_WORDS, min_size=0, max_size=6),
+    st.lists(_WORDS, min_size=0, max_size=6),
+    st.lists(_WORDS, min_size=5, max_size=12),  # the planted shared passage
+)
+def test_winnow_guarantee_property(a_pre, a_suf, b_pre, b_suf, passage):
+    # THE winnowing guarantee (Schleimer et al. 2003, thm 1): any shared
+    # substring of >= w + k - 1 characters yields >= 1 shared fingerprint,
+    # for ANY surrounding context
+    k, w = 8, 4
+    p = " ".join(passage)
+    if len(p) < k + w - 1:
+        return  # passage too short for the guarantee to apply
+    a = " ".join(a_pre + [p] + a_suf)
+    b = " ".join(b_pre + [p] + b_suf)
+    fa, fb = _ref_winnow(a, k, w), _ref_winnow(b, k, w)
+    assert fa & fb, f"no shared fingerprint for shared passage {p!r}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=20))
+def test_winnow_normalization_invariance_and_bounds(words):
+    k, w = 8, 4
+    txt = " ".join(words)
+    fps = _ref_winnow(txt, k, w)
+    # case / whitespace-run invariance (the normalize_text contract)
+    assert fps == _ref_winnow("  " + txt.upper().replace(" ", "   ") + " ", k, w)
+    n_grams = max(len(txt) - k + 1, 0)
+    if n_grams < w:
+        assert fps == set()
+    else:
+        # bounds: at least one fp per w windows (each window-min value can
+        # cover at most w consecutive windows... repeated substrings can
+        # collapse values, so only assert the trivial floor), at most one
+        # per window
+        assert 1 <= len(fps) <= n_grams - w + 1

@@ -263,3 +263,93 @@ def text_charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+VOCAB_PSI_BUCKETS = 128
+
+
+@register(
+    "text_vocab_psi_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, doc_id % 2 = 0 AS is_ref,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tb AS (
+      SELECT lang, is_ref,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % {VOCAB_PSI_BUCKETS} AS b
+      FROM tok
+    ),
+    cells AS (
+      SELECT lang, b,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS tgt_n
+      FROM tb GROUP BY lang, b
+    ),
+    tot AS (
+      SELECT lang, SUM(ref_n) AS ref_tot, SUM(tgt_n) AS tgt_tot
+      FROM cells GROUP BY lang
+    ),
+    terms AS (
+      SELECT c.lang, t.ref_tot, t.tgt_tot,
+             CAST(ROUND(
+               ((c.ref_n + 0.5) / (t.ref_tot + {VOCAB_PSI_BUCKETS} * 0.5)
+                - (c.tgt_n + 0.5) / (t.tgt_tot + {VOCAB_PSI_BUCKETS} * 0.5))
+               * LN(((c.ref_n + 0.5) / (t.ref_tot + {VOCAB_PSI_BUCKETS} * 0.5))
+                    / ((c.tgt_n + 0.5) / (t.tgt_tot + {VOCAB_PSI_BUCKETS} * 0.5))),
+             8) AS DECIMAL(18,8)) AS term
+      FROM cells c JOIN tot t USING (lang)
+    )
+    SELECT lang,
+           CAST(MAX(ref_tot) AS BIGINT) AS n_ref_tokens,
+           CAST(MAX(tgt_tot) AS BIGINT) AS n_tgt_tokens,
+           CAST(ROUND(SUM(term), 6) AS DOUBLE) AS vocab_psi
+    FROM terms GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "drift", "psi"),
+)
+def text_vocab_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus slices (even vs odd doc ids) per
+    language: PSI over hashed token buckets — the text-side analog of the
+    numeric PSI monitor, catching vocabulary shift (new jargon, templating,
+    crawl-source changes) without materializing the vocabulary itself.
+    The bucket table is 128 cells per language regardless of corpus size;
+    per-cell PSI terms are rounded once then decimal-summed (the m-chances
+    oracle-stability trick), so the statistic is bit-identical across
+    engines and partition orders."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.explode(T.tokens(F.col("text"))).alias("term"),
+    )
+    b = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast(
+        "long"
+    ) % VOCAB_PSI_BUCKETS
+    cells = (
+        tok.select("lang", "is_ref", b.alias("b"))
+        .groupBy("lang", "b")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("tgt_n"),
+        )
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    half = VOCAB_PSI_BUCKETS * 0.5
+    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + half)
+    q = (F.col("tgt_n") + 0.5) / (F.col("tgt_tot") + half)
+    term = F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)")
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select("lang", "ref_tot", "tgt_tot", term.alias("term"))
+        .groupBy("lang")
+        .agg(
+            F.max("ref_tot").alias("n_ref_tokens"),
+            F.max("tgt_tot").alias("n_tgt_tokens"),
+            F.round(F.sum("term"), 6).cast("double").alias("vocab_psi"),
+        )
+        .orderBy("lang")
+    )

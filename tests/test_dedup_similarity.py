@@ -309,3 +309,13 @@ def test_winnow_matches_pure_python_reference(spark):
         got.setdefault(r.id, set()).add(r.fp)
     for doc_id, text in rows:
         assert got.get(doc_id, set()) == _ref_winnow(text, k, w), doc_id
+
+
+def test_winnow_null_and_empty_text_safe(spark):
+    rows = [(1, None), (2, ""), (3, "   "), (4, "a real document long enough to fingerprint with twenty-char grams")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text", k=20, w=15)
+    ids = {r.id for r in fps.collect()}
+    assert ids == {4}  # null/empty/whitespace emit nothing, no crash
+    pairs = dedup.duplicate_span_pairs(df, "doc_id", "text", k=20, w=15, min_shared=1)
+    assert pairs.count() == 0

@@ -222,3 +222,19 @@ def test_token_weighted_mixture_converges_on_token_share(spark):
         for r in kept_doc.groupBy("lang").agg(F.sum("nt").alias("tok")).collect()
     }
     assert sd["en"] / (sd["en"] + sd["de"]) > 0.65
+
+
+def test_dsir_null_and_empty_text_safe(spark):
+    rows = [
+        (1, "target", None),
+        (2, "target", "science physics quantum words here"),
+        (3, "pool", ""),
+        (4, "pool", "science physics quantum experiment"),
+        (5, "pool", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, kind string, text string")
+    out = trainprep.dsir_scores(docs, F.col("kind") == "target", "doc_id", "text", m=64)
+    got = {r.id for r in out.collect()}
+    # null-text rows explode to zero terms and simply don't score; the
+    # empty string tokenizes to one '' token (scored) — no crash either way
+    assert 4 in got and 5 not in got and 1 not in got

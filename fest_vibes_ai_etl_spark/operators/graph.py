@@ -67,9 +67,13 @@ def pagerank(
     no extra jobs beyond the one O(|nodes|) delta aggregation) the L1 rank
     delta against the previous checkpoint is computed and the loop stops
     once it drops below ``tol``. Pair it with ``checkpoint_every`` sized to
-    how often convergence is worth testing. The number of rounds actually
-    executed is recorded on the returned DataFrame as
-    ``_pagerank_iterations_run`` (driver-side metadata for tests/ops).
+    how often convergence is worth testing; with ``tol`` set the effective
+    interval is capped at ``iterations`` so at least one check always runs
+    (a budget smaller than the interval would otherwise silently skip
+    convergence testing), and ``checkpoint_every=0`` raises. The rounds
+    actually executed and whether the last check converged are recorded on
+    the returned DataFrame as ``_pagerank_iterations_run`` /
+    ``_pagerank_converged`` (driver-side metadata for tests/ops).
 
     ``nodes`` (one ``node`` column) seeds the initial ranks directly — pass
     the prepare-phase node store to skip the distinct-over-edges shuffle.
@@ -77,13 +81,26 @@ def pagerank(
     prepare-phase edge store built by ``plans.graph.load_or_build_cs_edges``
     — likewise skips the degree aggregation+join: the loop invariant then
     comes straight off parquet with zero build shuffles."""
-    if "d" in edges.columns:
+    if tol is not None and checkpoint_every <= 0:
+        raise ValueError(
+            "tol requires checkpoint_every > 0: the convergence delta is "
+            "checked at checkpoint boundaries, so checkpoint_every=0 would "
+            "silently never test it (and fuse every round into one "
+            "untruncated plan)"
+        )
+    has_degrees = "d" in edges.columns
+    if has_degrees:
         e = edges.select("src", "dst", "d")
     else:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         e = edges.join(deg, "src").select("src", "dst", "d")
     if persist_edges is None:
-        persist_edges = iterations >= 4 or tol is not None
+        # auto: persist when the loop re-reads the invariant enough times
+        # to amortize the cache pass — OR when the invariant itself must be
+        # COMPUTED (degree agg + join over a possibly expensive upstream):
+        # skipping persist is only safe when the invariant is a tidy store
+        # scan, the case the measurement behind this policy covered
+        persist_edges = iterations >= 4 or tol is not None or not has_degrees
     if persist_edges:
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
     if nodes is not None:
@@ -94,6 +111,10 @@ def pagerank(
         )
     prev_ckpt = pr if tol is not None else None
     ran = iterations
+    converged = False
+    # with tol set, guarantee at least one delta check even when the
+    # iteration budget never reaches a checkpoint_every boundary
+    ckpt_every = min(checkpoint_every, iterations) if tol is not None else checkpoint_every
     for i in range(iterations):
         rhs = F.broadcast(pr) if broadcast_ranks else pr
         contrib = e.join(rhs, e["src"] == rhs["node"]).select(
@@ -102,7 +123,7 @@ def pagerank(
         pr = contrib.groupBy("dst").agg(
             (F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("pr")
         ).select(F.col("dst").alias("node"), "pr")
-        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
+        if ckpt_every > 0 and (i + 1) % ckpt_every == 0:
             pr = pr.localCheckpoint(eager=True)
             if tol is not None:
                 old = prev_ckpt.select(
@@ -122,9 +143,11 @@ def pagerank(
                 )
                 prev_ckpt = pr
                 if delta is not None and delta < tol:
+                    converged = True
                     ran = i + 1
                     break
     pr._pagerank_iterations_run = ran
+    pr._pagerank_converged = converged if tol is not None else None
     return pr
 
 

@@ -59,7 +59,14 @@ def merge_into_partitioned(
             overwrite_cols=overwrite_cols,
             keep_if_null_cols=keep_if_null_cols,
         )
-    except AnalysisException:  # first write — table doesn't exist yet
+    except AnalysisException as exc:
+        # first write ⇔ PATH_NOT_FOUND only; an existing-but-unreadable
+        # table must propagate — the dynamic partition overwrite below
+        # would replace the touched partitions with the batch alone
+        from ..errors import is_path_not_found
+
+        if not is_path_not_found(exc):
+            raise
         merged = source
 
     (

@@ -102,6 +102,11 @@ class S3CommitBackend:
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
         bucket, key = self._loc(path)
+        # Set once an ambiguous error's read-back saw the object ABSENT:
+        # the original request may still be in flight server-side, so a
+        # later 412 can be our OWN bytes landing — it must be resolved by
+        # byte compare, not reported as a lost race.
+        ambiguous_inflight = False
         while True:
             try:
                 self.client.put_object(
@@ -111,6 +116,11 @@ class S3CommitBackend:
             except Exception as exc:
                 code = _err_code(exc)
                 if code in _LOST_RACE_CODES:
+                    if ambiguous_inflight:
+                        try:
+                            return self.get(path) == data
+                        except FileNotFoundError:
+                            continue  # 412 then absent: raced a delete; retry
                     return False
                 if code in _RETRY_RACE_CODES:
                     continue  # concurrent conditional writer: retry the CAS
@@ -119,5 +129,6 @@ class S3CommitBackend:
                     try:
                         return self.get(path) == data
                     except FileNotFoundError:
-                        continue  # never became durable: retry the PUT
+                        ambiguous_inflight = True
+                        continue  # not durable YET — may still land
                 raise

@@ -63,7 +63,14 @@ def apply_cdc_batch(
         target = spark.read.parquet(target_path)
         slice_ = target.filter(F.col(partition_col).isin(touched))
         union = slice_.unionByName(staged.select(*slice_.columns))
-    except AnalysisException:  # first write
+    except AnalysisException as exc:
+        # ONLY PATH_NOT_FOUND is a first write; an existing-but-unreadable
+        # target must propagate — merging against "nothing" would overwrite
+        # the touched partitions with the batch alone (data loss)
+        from ..errors import is_path_not_found
+
+        if not is_path_not_found(exc):
+            raise
         union = staged
 
     from pyspark.sql import Window

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 
 def fingerprint(text_col: str = "text"):
-    return F.md5(F.col(text_col).cast("binary"))
+    # null text must still produce a JOINABLE key: md5(NULL) is NULL, and
+    # null keys match nothing in the semi/anti joins — a null-text row
+    # would be re-appended by every replay (history anti-join can't see
+    # it). The sentinel is not 32 hex chars, so it cannot collide with a
+    # real fingerprint.
+    return F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
 
 
 def start_incremental_dedup(
@@ -38,17 +43,22 @@ def start_incremental_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        from ..errors import is_path_not_found
+
         spark = batch_df.sparkSession
         fresh = batch_df.withColumn("fp", fingerprint(text_col)).dropDuplicates(["fp"])
         try:
             seen = spark.read.parquet(corpus_dir).select("fp")
             fresh = fresh.join(seen, "fp", "left_anti")
-        except AnalysisException:  # [PATH_NOT_FOUND]: genuinely first batch.
-            # Anything else (corrupt files, permissions) must propagate —
-            # treating it as "first batch" would re-append every row of the
-            # batch as if never seen: silent duplication, the exact failure
-            # this operator exists to prevent.
-            pass
+        except AnalysisException as exc:
+            # ONLY PATH_NOT_FOUND is a legitimate first batch. Anything
+            # else (exists-but-unreadable corpus raises e.g.
+            # UNABLE_TO_INFER_SCHEMA, corrupt files, permissions) must
+            # propagate — treating it as "first batch" would re-append
+            # every row of the batch as if never seen: silent duplication,
+            # the exact failure this operator exists to prevent.
+            if not is_path_not_found(exc):
+                raise
         fresh.write.mode("append").parquet(corpus_dir)
 
     writer = (

@@ -38,7 +38,11 @@ def _with_signatures(df: DataFrame, id_col: str, text_col: str,
     (< k tokens) carry empty sig/sh and fall back to exact-only dedup."""
     from ..operators.dedup import minhash_signatures, shingle_signature
 
-    base = df.withColumn("fp", F.md5(F.col(text_col).cast("binary")))
+    # coalesce: null text must still produce a joinable exact-dedup key
+    # (null keys match nothing in the anti-join → replay duplication)
+    base = df.withColumn(
+        "fp", F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
+    )
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).withColumnRenamed(
         "id", id_col
     )
@@ -126,9 +130,14 @@ def start_incremental_near_dedup(
         try:
             hist = spark.read.parquet(corpus_dir).persist()
             hist.count()
-        except AnalysisException:  # [PATH_NOT_FOUND]: genuinely no corpus yet.
-            # Other read failures propagate — masking them as "first batch"
-            # would skip the history anti-join and append duplicates.
+        except AnalysisException as exc:
+            # ONLY PATH_NOT_FOUND is a legitimate first batch; an existing-
+            # but-unreadable corpus (UNABLE_TO_INFER_SCHEMA etc.) must
+            # propagate or the history anti-join is silently skipped.
+            from ..errors import is_path_not_found
+
+            if not is_path_not_found(exc):
+                raise
             hist = None
         # exact dedup (within batch, then vs history): survivor must be
         # deterministic — min(doc_id) per fingerprint, consistent with the

@@ -71,7 +71,11 @@ def start_incremental_span_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([id_col]).withColumn(
-            "fp", F.md5(F.col(text_col).cast("binary"))
+            # coalesce: null text must still produce a joinable key, or the
+            # exact-dedup survivor semi-join drops the row entirely (null
+            # keys match nothing) and replay re-appends it
+            "fp",
+            F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text")),
         )
         wf = winnow_fingerprints(fresh, id_col, text_col, k=k, w=w).persist()
         wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
@@ -83,9 +87,14 @@ def start_incremental_span_dedup(
         fresh.count()
         try:
             hist = spark.read.parquet(corpus_dir)
-        except AnalysisException:  # [PATH_NOT_FOUND]: genuinely first batch.
-            # Other read failures propagate — masking them as "first batch"
-            # would skip every history check and append duplicates.
+        except AnalysisException as exc:
+            # ONLY PATH_NOT_FOUND is a legitimate first batch; an existing-
+            # but-unreadable corpus (UNABLE_TO_INFER_SCHEMA etc.) must
+            # propagate or every history check is silently skipped.
+            from ..errors import is_path_not_found
+
+            if not is_path_not_found(exc):
+                raise
             hist = None
         # exact dedup: deterministic survivor (min id per fingerprint), then
         # the replay guard — anti-join against history's fp column

@@ -180,7 +180,14 @@ def start_silver_maintenance(
             try:
                 target = spark.read.parquet(path)
                 merged = merge_coalesce(target, source, keys=keys).localCheckpoint()
-            except AnalysisException:
+            except AnalysisException as exc:
+                # first write ⇔ PATH_NOT_FOUND; an unreadable existing table
+                # must propagate — the mode("overwrite") below would replace
+                # it with this batch alone (data loss)
+                from ..errors import is_path_not_found
+
+                if not is_path_not_found(exc):
+                    raise
                 merged = source
             merged.write.mode("overwrite").parquet(path)
 

@@ -32,7 +32,11 @@ def _latest_snapshot(spark: SparkSession, root: str):
     contribution would vanish without the job ever failing."""
     try:
         snap = spark.read.parquet(root)
-    except AnalysisException:  # [PATH_NOT_FOUND]: genuinely no snapshot yet
+    except AnalysisException as exc:
+        from ..errors import is_path_not_found
+
+        if not is_path_not_found(exc):  # e.g. UNABLE_TO_INFER_SCHEMA
+            raise
         return None
     vmax = snap.agg(F.max("v")).collect()[0][0]
     return vmax, snap

@@ -40,6 +40,7 @@ class FakeBotoS3:
         self.objects: dict[tuple[str, str], bytes] = {}
         self.faults: list[str] = []
         self.put_calls = 0
+        self._inflight: tuple[str, str, bytes] | None = None
 
     def inject(self, *modes: str) -> None:
         self.faults.extend(modes)
@@ -47,8 +48,19 @@ class FakeBotoS3:
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
         assert IfNoneMatch == "*", "adapter must always send the condition"
         self.put_calls += 1
+        if self._inflight is not None:
+            # the earlier timed-out request lands server-side just before
+            # this call is processed (worst-case interleaving)
+            b, k, body = self._inflight
+            self._inflight = None
+            self.objects.setdefault((b, k), body)
         fault = self.faults.pop(0) if self.faults else None
         if fault == "error_before_write":
+            raise FakeClientError("RequestTimeout")
+        if fault == "error_inflight_lands_later":
+            # timeout on the wire, but the request stays in flight and
+            # will land before the NEXT call reaches the server
+            self._inflight = (Bucket, Key, bytes(Body))
             raise FakeClientError("RequestTimeout")
         if fault == "precondition_conflict":
             raise FakeClientError("ConditionalRequestConflict")
@@ -221,3 +233,24 @@ def test_s3_backend_drives_versioned_table_end_to_end(spark, tmp_path):
     assert [k.rsplit("/", 1)[-1] for k in keys] == [
         "v000000000001.json", "v000000000002.json"
     ]
+
+
+def test_ambiguous_inflight_put_landing_after_readback_is_own_success():
+    """Timeout with the request still in flight: the read-back sees the
+    object ABSENT, the retry PUT then hits 412 because the ORIGINAL
+    request landed — the adapter must resolve that 412 by byte compare
+    (our bytes own the name => True), not report a lost race."""
+    s3 = S3CommitBackend(bucket="b", client=FakeBotoS3())
+    s3.client.inject("error_inflight_lands_later")
+    assert s3.put_if_absent("/t/_commits/v1.json", b"MINE") is True
+    assert s3.get("/t/_commits/v1.json") == b"MINE"
+
+
+def test_ambiguous_inflight_then_real_loser_still_loses():
+    """Same interleaving for writer B, but writer A's commit is already
+    durable: B's retry 412 resolves to someone ELSE's bytes => False."""
+    s3 = S3CommitBackend(bucket="b", client=FakeBotoS3())
+    assert s3.put_if_absent("/t/_commits/v1.json", b"A") is True
+    s3.client.inject("error_before_write")  # B times out, nothing in flight
+    assert s3.put_if_absent("/t/_commits/v1.json", b"B") is False
+    assert s3.get("/t/_commits/v1.json") == b"A"

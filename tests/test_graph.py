@@ -90,3 +90,30 @@ def test_pagerank_hub_ranks_highest(spark):
     out = pagerank(_sym_edges(spark, pairs), iterations=3).collect()
     top = max(out, key=lambda r: r.pr)
     assert top.node == "hub"
+
+
+def test_pagerank_tol_checked_even_below_checkpoint_interval(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    # budget smaller than checkpoint_every: the delta check must still run
+    # (previously silently skipped — caller believed convergence was tested)
+    pr = pagerank(edges, iterations=3, checkpoint_every=8, tol=1e12)
+    # absurdly loose tol: the very first check must declare convergence
+    assert pr._pagerank_converged is True
+    assert pr._pagerank_iterations_run <= 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=3, checkpoint_every=0, tol=1e-6)
+
+
+def test_pagerank_computed_edges_are_persisted_even_for_shallow_runs(spark):
+    # raw (src,dst) edges: the degree agg + upstream construction is the
+    # loop invariant and must be cached no matter how shallow the run
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pr = pagerank(edges, iterations=2)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    pr.count()
+    spark.catalog.clearCache()

@@ -85,3 +85,23 @@ def test_span_dedup_catches_cross_batch_passage(spark, tmp_path):
     _run(spark, src, corpus, str(tmp_path / "ckpt"))
     kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
     assert kept == {1, 2, 11}  # 10 dropped: shares the passage with 1
+
+
+def test_null_text_rows_survive_once_and_replay_converges(spark, tmp_path):
+    # null-text rows are neither exact nor span duplicates of anything —
+    # they must be appended EXACTLY ONCE (null fp would previously fall
+    # out of the survivor semi-join and vanish; and with no joinable key,
+    # replay would re-append them)
+    rows1 = [(1, None), (2, "some perfectly ordinary first-batch document text")]
+    rows2 = [(3, None), (4, "a different second-batch document with fresh words")]
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode("append").parquet(src)
+
+    _run(spark, src, corpus, str(tmp_path / "ckpt1"))
+    stored = spark.read.parquet(corpus)
+    kept = {r.doc_id for r in stored.select("doc_id").collect()}
+    # doc 1 kept (first null-text); doc 3 is an exact dup of it (both null)
+    assert kept == {1, 2, 4}
+    _run(spark, src, corpus, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(corpus).count() == 3

@@ -701,3 +701,61 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_div(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
         round_div(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_frac"),
     )
+
+
+@register(
+    "corpus_decontaminate_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS txt
+      FROM documents
+    ),
+    ok AS (SELECT * FROM base WHERE length(txt) >= 34),
+    h AS (
+      SELECT doc_id, i, ('0x' || substr(md5(substr(txt, i, 20)), 1, 12))::BIGINT AS h
+      FROM ok, UNNEST(generate_series(1, length(txt) - 19)) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 14),
+    ev AS (SELECT doc_id AS eval_id, fp FROM fps WHERE doc_id % 17 = 0),
+    tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 17 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.fp)      AS n_shared_fps,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_matches
+    FROM tr JOIN ev USING (fp)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+    tags=("trainprep", "decontamination", "winnow"),
+)
+def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level test-set decontamination: train docs sharing any
+    winnowed fingerprint (≈ any ≥34-char passage) with the eval slice
+    (doc_id % 17). Complements the word-4-gram variant
+    (corpus_decontaminate): char-level winnowing is robust to
+    tokenization and whitespace differences, the contamination mode
+    shingle overlap misses. The fingerprint scan comes from the persisted
+    winnow store; the eval half is a small fraction by construction and
+    broadcast into the join."""
+    from ..operators import dedup as dedup_ops
+
+    docs = table(spark, sf_dir, "documents")
+    fps = dedup_ops.load_or_build_winnow_store(spark, docs, sf_dir, k=20, w=15)
+    ev = fps.filter(F.col("id") % 17 == 0).select(
+        F.col("id").alias("eval_id"), "fp"
+    )
+    tr = fps.filter(F.col("id") % 17 != 0).select(F.col("id").alias("doc_id"), "fp")
+    return (
+        tr.join(F.broadcast(ev), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_shared_fps"),
+            F.countDistinct("eval_id").alias("n_eval_matches"),
+        )
+        .orderBy("doc_id")
+    )

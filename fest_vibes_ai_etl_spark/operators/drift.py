@@ -75,3 +75,35 @@ def psi_from_cells(
             round_div(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
         )
     )
+
+
+def psi_from_cells_exact(
+    cells: DataFrame, key: str, bins: int
+) -> DataFrame:
+    """(key, n_ref, n_tgt, psi) — same statistic as ``psi_from_cells`` but
+    with bit-reproducible arithmetic for wide cell tables: each cell's PSI
+    term is rounded once at 8 dp and cast to DECIMAL(18,8), the per-key
+    sum is then EXACT, and the result rounds at 6 dp with no epsilon.
+    Use this variant when the cell count per key is large (e.g. hashed
+    vocabulary buckets): a raw double sum over hundreds of cells is
+    partition-order-dependent and can disagree with an independent
+    recomputation in the last digit; the rounded-once decimal sum cannot.
+    The batch vocabulary-PSI query and the streaming vocabulary monitor
+    both use THIS fold, so their reports are comparable digit-for-digit."""
+    tot = cells.groupBy(key).agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    half = bins * 0.5
+    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + half)
+    q = (F.col("tgt_n") + 0.5) / (F.col("tgt_tot") + half)
+    term = F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)")
+    return (
+        cells.join(broadcast(tot), key)
+        .select(key, "ref_tot", "tgt_tot", term.alias("term"))
+        .groupBy(key)
+        .agg(
+            F.max("ref_tot").cast("long").alias("n_ref"),
+            F.max("tgt_tot").cast("long").alias("n_tgt"),
+            F.round(F.sum("term"), 6).cast("double").alias("psi"),
+        )
+    )

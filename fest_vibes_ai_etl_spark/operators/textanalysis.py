@@ -243,3 +243,16 @@ def chunk_documents(
         F.concat_ws(" ", F.slice("tk", start, size)).alias("chunk_text"),
         F.least(F.size("tk") - start + 1, F.lit(size)).alias("n_tokens"),
     )
+
+
+# shared by the batch vocabulary-PSI query (plans/textmining.py) and the
+# streaming vocabulary-drift monitor (streaming/vocab_drift.py): one
+# constant and one bucket expression so stream and batch land token
+# instances in IDENTICAL cells
+VOCAB_PSI_BUCKETS = 128
+
+
+def term_bucket(term, m: int = VOCAB_PSI_BUCKETS):
+    """Portable hashed vocabulary bucket: 48-bit md5 prefix mod m
+    (identical in DuckDB: ('0x' || substr(md5(term),1,12))::BIGINT % m)."""
+    return F.conv(F.substring(F.md5(term), 1, 12), 16, 10).cast("long") % m

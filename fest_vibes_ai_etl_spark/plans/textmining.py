@@ -265,7 +265,7 @@ def text_charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VOCAB_PSI_BUCKETS = 128
+VOCAB_PSI_BUCKETS = textanalysis.VOCAB_PSI_BUCKETS  # single source of truth
 
 
 @register(
@@ -315,41 +315,34 @@ def text_vocab_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric PSI monitor, catching vocabulary shift (new jargon, templating,
     crawl-source changes) without materializing the vocabulary itself.
     The bucket table is 128 cells per language regardless of corpus size;
-    per-cell PSI terms are rounded once then decimal-summed (the m-chances
-    oracle-stability trick), so the statistic is bit-identical across
-    engines and partition orders."""
+    the fold is the shared ``psi_from_cells_exact`` (rounded-once decimal
+    sum — the m-chances oracle-stability trick), the SAME fold the
+    streaming vocabulary monitor uses, so the two reports are comparable
+    digit-for-digit."""
+    from ..operators import drift
+
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "lang",
         (F.col("doc_id") % 2 == 0).alias("is_ref"),
         F.explode(T.tokens(F.col("text"))).alias("term"),
     )
-    b = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast(
-        "long"
-    ) % VOCAB_PSI_BUCKETS
     cells = (
-        tok.select("lang", "is_ref", b.alias("b"))
-        .groupBy("lang", "b")
+        tok.select(
+            "lang",
+            "is_ref",
+            textanalysis.term_bucket(F.col("term"), VOCAB_PSI_BUCKETS).alias("bin"),
+        )
+        .groupBy("lang", "bin")
         .agg(
             F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
             F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("tgt_n"),
         )
     )
-    tot = cells.groupBy("lang").agg(
-        F.sum("ref_n").alias("ref_tot"), F.sum("tgt_n").alias("tgt_tot")
-    )
-    half = VOCAB_PSI_BUCKETS * 0.5
-    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + half)
-    q = (F.col("tgt_n") + 0.5) / (F.col("tgt_tot") + half)
-    term = F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)")
-    return (
-        cells.join(F.broadcast(tot), "lang")
-        .select("lang", "ref_tot", "tgt_tot", term.alias("term"))
-        .groupBy("lang")
-        .agg(
-            F.max("ref_tot").alias("n_ref_tokens"),
-            F.max("tgt_tot").alias("n_tgt_tokens"),
-            F.round(F.sum("term"), 6).cast("double").alias("vocab_psi"),
-        )
-        .orderBy("lang")
-    )
+    out = drift.psi_from_cells_exact(cells, "lang", VOCAB_PSI_BUCKETS)
+    return out.select(
+        "lang",
+        F.col("n_ref").alias("n_ref_tokens"),
+        F.col("n_tgt").alias("n_tgt_tokens"),
+        F.col("psi").alias("vocab_psi"),
+    ).orderBy("lang")

@@ -48,7 +48,13 @@ def start_incremental_dedup(
         spark = batch_df.sparkSession
         fresh = batch_df.withColumn("fp", fingerprint(text_col)).dropDuplicates(["fp"])
         try:
-            seen = spark.read.parquet(corpus_dir).select("fp")
+            # coalesce on the HISTORY side too: corpora written before the
+            # sentinel fix hold fp=NULL rows for null text, which would
+            # never anti-join — the batch's sentinel row would be appended
+            # again on every replay against an upgraded-in-place corpus
+            seen = spark.read.parquet(corpus_dir).select(
+                F.coalesce("fp", F.lit("null-text")).alias("fp")
+            )
             fresh = fresh.join(seen, "fp", "left_anti")
         except AnalysisException as exc:
             # ONLY PATH_NOT_FOUND is a legitimate first batch. Anything

@@ -38,11 +38,11 @@ def _with_signatures(df: DataFrame, id_col: str, text_col: str,
     (< k tokens) carry empty sig/sh and fall back to exact-only dedup."""
     from ..operators.dedup import minhash_signatures, shingle_signature
 
-    # coalesce: null text must still produce a joinable exact-dedup key
-    # (null keys match nothing in the anti-join → replay duplication)
-    base = df.withColumn(
-        "fp", F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
-    )
+    # the family's shared null-safe fingerprint (one sentinel convention
+    # across all three incremental-dedup corpora)
+    from .incremental_dedup import fingerprint
+
+    base = df.withColumn("fp", fingerprint(text_col))
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).withColumnRenamed(
         "id", id_col
     )
@@ -146,7 +146,12 @@ def start_incremental_near_dedup(
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         if hist is not None:
-            fresh = fresh.join(hist.select("fp"), "fp", "left_anti")
+            # coalesce: pre-sentinel corpora hold fp=NULL for null text
+            fresh = fresh.join(
+                hist.select(F.coalesce("fp", F.lit("null-text")).alias("fp")),
+                "fp",
+                "left_anti",
+            )
         # near dedup WITHIN the batch: lowest id of each near-dup pair wins
         batch_victims = _near_dup_ids(
             fresh, fresh, id_col, num_hashes, bands, threshold, self_pairs_ordered=True

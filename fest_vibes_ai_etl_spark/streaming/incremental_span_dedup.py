@@ -70,13 +70,12 @@ def start_incremental_span_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fresh = batch_df.dropDuplicates([id_col]).withColumn(
-            # coalesce: null text must still produce a joinable key, or the
-            # exact-dedup survivor semi-join drops the row entirely (null
-            # keys match nothing) and replay re-appends it
-            "fp",
-            F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text")),
-        )
+        # the family's shared null-safe fingerprint: null text must still
+        # produce a joinable key, or the exact-dedup survivor semi-join
+        # drops the row entirely and replay re-appends it
+        from .incremental_dedup import fingerprint
+
+        fresh = batch_df.dropDuplicates([id_col]).withColumn("fp", fingerprint(text_col))
         wf = winnow_fingerprints(fresh, id_col, text_col, k=k, w=w).persist()
         wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
         fresh = (
@@ -101,7 +100,12 @@ def start_incremental_span_dedup(
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         if hist is not None:
-            fresh = fresh.join(hist.select("fp"), "fp", "left_anti")
+            # coalesce: pre-sentinel corpora hold fp=NULL for null text
+            fresh = fresh.join(
+                hist.select(F.coalesce("fp", F.lit("null-text")).alias("fp")),
+                "fp",
+                "left_anti",
+            )
         # span dedup WITHIN the batch: lowest id of each pair wins
         live_fps = wf.join(fresh.select(F.col(id_col).alias("id")), "id", "left_semi")
         victims = _span_victims(live_fps, live_fps, id_col, min_shared, True)

@@ -23,20 +23,19 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import drift
-
-VOCAB_BUCKETS = 128
+from ..operators.textanalysis import VOCAB_PSI_BUCKETS as VOCAB_BUCKETS
+from ..operators.textanalysis import term_bucket
 
 
 def _bucket_counts(
     docs: DataFrame, key: str, text_col: str, buckets: int, out: str
 ) -> DataFrame:
     """(key, bin, <out>) token-instance counts per hashed bucket — the
-    portable 48-bit md5 prefix mod ``buckets``, same bucketing as the
-    batch query so stream and batch land in identical cells."""
+    SHARED ``term_bucket`` expression, so stream and batch land token
+    instances in identical cells by construction."""
     tok = docs.select(F.col(key), F.explode(T.tokens(F.col(text_col))).alias("term"))
-    b = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast("long") % buckets
     return (
-        tok.select(key, b.alias("bin"))
+        tok.select(key, term_bucket(F.col("term"), buckets).alias("bin"))
         .groupBy(key, "bin")
         .agg(F.count(F.lit(1)).alias(out))
     )
@@ -95,8 +94,12 @@ def streamed_vocab_psi(
     buckets: int = VOCAB_BUCKETS,
 ) -> DataFrame:
     """(key, n_ref, n_tgt, psi): fold the cell log into target counts and
-    score against the frozen reference — identical arithmetic to the batch
-    vocabulary-PSI query, so streamed == batch on the same data."""
+    score against the frozen reference through ``psi_from_cells_exact`` —
+    the SAME rounded-once decimal fold the batch vocabulary-PSI query
+    uses (not the raw-double ``psi_from_cells`` of the numeric monitor:
+    over hundreds of vocabulary cells a double sum is partition-order-
+    dependent and can disagree with an independent recomputation in the
+    last digit), so streamed == batch digit-for-digit on the same data."""
     tgt = (
         spark.read.parquet(log_root)
         .groupBy(key, "bin")
@@ -108,4 +111,4 @@ def streamed_vocab_psi(
         F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
         F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
     )
-    return drift.psi_from_cells(cells, key, buckets)
+    return drift.psi_from_cells_exact(cells, key, buckets)

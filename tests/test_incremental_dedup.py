@@ -39,3 +39,39 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # full replay under a fresh checkpoint appends nothing (convergent)
     _run(spark, src, corpus, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(corpus).count() == n_unique_texts
+
+
+def test_legacy_null_fp_history_converges(spark, tmp_path):
+    # corpora written BEFORE the null-text sentinel hold fp=NULL rows;
+    # the history side coalesces so an upgraded pipeline still converges
+    # instead of re-appending the null-text row on every replay
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "corpus")
+    legacy = spark.createDataFrame(
+        [(1, None, None), (2, "kept text", "k" * 32)],
+        "doc_id long, text string, fp string",
+    )
+    legacy.write.parquet(corpus)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(3, None), (4, "kept text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_dedup import (
+        start_incremental_dedup,
+    )
+
+    q = start_incremental_dedup(stream, corpus, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    stored = spark.read.parquet(corpus)
+    # doc 3 (null text) matches legacy doc 1's NULL fp via the coalesce —
+    # not re-appended; doc 4 has a different md5 than the legacy fake fp,
+    # so it IS appended
+    ids = {r.doc_id for r in stored.select("doc_id").collect()}
+    assert ids == {1, 2, 4}

@@ -13,7 +13,10 @@ from fest_vibes_ai_etl_spark.streaming.vocab_drift import (
     vocab_reference_cells,
 )
 
-BUCKETS = 64
+from fest_vibes_ai_etl_spark.operators.textanalysis import VOCAB_PSI_BUCKETS
+
+BUCKETS = VOCAB_PSI_BUCKETS  # must equal the batch query's bucketing for
+# the stream == batch-catalog-query comparison below
 
 
 def _run_monitor(spark, src, log_root, ckpt):
@@ -44,21 +47,14 @@ def test_streamed_vocab_psi_matches_batch_and_replays(spark, tmp_path):
         for r in streamed_vocab_psi(spark, str(log_root), ref_cells, buckets=BUCKETS).collect()
     }
 
-    # batch equivalent: same cells computed in one pass
-    from fest_vibes_ai_etl_spark.operators import drift
-    from fest_vibes_ai_etl_spark.streaming.vocab_drift import _bucket_counts
-    import pyspark.sql.functions as F
+    # NON-CIRCULAR batch equivalent: the actual catalog query (same
+    # doc_id % 2 split, same buckets, same exact fold) must agree
+    # digit-for-digit with the streamed report
+    from fest_vibes_ai_etl_spark.plans import catalog
 
-    tcells = _bucket_counts(tgt, "lang", "text", BUCKETS, "tgt_n")
-    cells = ref_cells.join(tcells, ["lang", "bin"], "full_outer").select(
-        "lang",
-        "bin",
-        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-        F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
-    )
     batch = {
-        r.lang: (r.n_ref, r.n_tgt, r.psi)
-        for r in drift.psi_from_cells(cells, "lang", BUCKETS).collect()
+        r.lang: (r.n_ref_tokens, r.n_tgt_tokens, r.vocab_psi)
+        for r in catalog.queries()["text_vocab_psi_drift"](spark, SF_DIR).collect()
     }
     assert streamed == batch
 

@@ -753,3 +753,44 @@ def load_or_build_winnow_store(
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     fps.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def verify_span_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(a_id, b_id, n_shared, overlap, lcs_len) — the verify step of the
+    substring family ("sketch selects, true metric decides", the same
+    shape as MinHash's exact-Jaccard verify): for each REPORTED pair,
+    the exact longest-common-substring length of the normalized texts,
+    via difflib's longest-matching-block on an Arrow-batched pair table.
+
+    Cost is bounded by the REPORTED pairs (already mined, already small),
+    never the corpus: two id-joins ship only the candidate texts, and the
+    O(|a|·|b|) per-pair scan runs on at most |pairs| rows. The winnowing
+    guarantee makes this a soundness check: every reported pair must come
+    back with lcs_len ≥ w + k - 1 unless it was a (probability ~2⁻⁴⁸ per
+    gram) hash collision."""
+    a_txt = df.select(
+        F.col(id_col).alias("a_id"), T.normalize_text(F.col(text_col)).alias("a_txt")
+    )
+    b_txt = df.select(
+        F.col(id_col).alias("b_id"), T.normalize_text(F.col(text_col)).alias("b_txt")
+    )
+    joined = pairs.join(a_txt, "a_id").join(b_txt, "b_id")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
+    ) + ", lcs_len int"
+
+    def run(batches):
+        from difflib import SequenceMatcher  # stdlib: closure-safe on executors
+
+        for pdf in batches:
+            lens = []
+            for a, b in zip(pdf["a_txt"], pdf["b_txt"]):
+                m = SequenceMatcher(None, a or "", b or "", autojunk=False)
+                lens.append(m.find_longest_match(0, len(a or ""), 0, len(b or "")).size)
+            res = pdf.drop(columns=["a_txt", "b_txt"])
+            res["lcs_len"] = lens
+            yield res
+
+    return joined.mapInPandas(run, schema=out_schema)

@@ -319,3 +319,31 @@ def test_winnow_null_and_empty_text_safe(spark):
     assert ids == {4}  # null/empty/whitespace emit nothing, no crash
     pairs = dedup.duplicate_span_pairs(df, "doc_id", "text", k=20, w=15, min_shared=1)
     assert pairs.count() == 0
+
+
+def test_verify_span_pairs_confirms_winnow_guarantee_on_testdata(spark):
+    # soundness check over REAL data: every pair the miner reports must
+    # carry an exact common substring of >= w + k - 1 = 34 normalized
+    # chars (the winnowing guarantee run in reverse)
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.duplicate_span_pairs(
+        docs, "doc_id", "text", k=20, w=15, min_shared=3, max_fp_df=20
+    )
+    verified = dedup.verify_span_pairs(docs, pairs, "doc_id", "text").collect()
+    assert len(verified) > 0
+    assert all(r.lcs_len >= 34 for r in verified), sorted(
+        (r.a_id, r.b_id, r.lcs_len) for r in verified if r.lcs_len < 34
+    )
+
+
+def test_verify_span_pairs_exact_length_on_planted_passage(spark, span_docs):
+    pairs = dedup.duplicate_span_pairs(
+        span_docs, "doc_id", "text", k=20, w=15, min_shared=1
+    )
+    v = {(r.a_id, r.b_id): r.lcs_len for r in dedup.verify_span_pairs(
+        span_docs, pairs, "doc_id", "text").collect()}
+    # the planted passage is embedded with one leading+trailing space of
+    # shared context; the exact LCS must be at least the passage length
+    assert v[(10, 11)] >= len(PASSAGE)

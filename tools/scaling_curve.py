@@ -173,6 +173,8 @@ def main() -> None:
         rs = sorted(series)
         if len(rs) < 2:
             return None
+        if series[rs[0]] <= 0 or series[rs[-1]] <= 0:
+            return None  # e.g. zero build time: every store already staged
         num = math.log(series[rs[-1]] / series[rs[0]])
         den = math.log(rs[-1] / rs[0])
         return round(num / den, 2)

@@ -766,17 +766,27 @@ def verify_span_pairs(
 
     Cost is bounded by the REPORTED pairs (already mined, already small),
     never the corpus: two id-joins ship only the candidate texts, and the
-    O(|a|·|b|) per-pair scan runs on at most |pairs| rows. The winnowing
-    guarantee makes this a soundness check: every reported pair must come
-    back with lcs_len ≥ w + k - 1 unless it was a (probability ~2⁻⁴⁸ per
-    gram) hash collision."""
+    O(|a|·|b|) per-pair scan runs on at most |pairs| rows.
+
+    What is and is NOT guaranteed — the winnowing guarantee is
+    one-directional: any shared span ≥ w + k − 1 chars yields a shared
+    fingerprint, but a reported pair only implies shared K-GRAMS (each
+    shared fingerprint is an equal gram hash), so the sound bound is
+    ``lcs_len ≥ k`` modulo ~2⁻⁴⁸ hash collisions. A pair of docs sharing
+    ``min_shared`` scattered 20-char grams — and no longer span — is a
+    LEGITIMATE report with lcs_len ≈ k; use lcs_len to rank/threshold
+    pairs by true span length, not to declare low values collisions.
+
+    Pairs whose ids are missing from ``df`` (e.g. mined from a persisted
+    store built on an earlier snapshot) come back with ``lcs_len`` NULL —
+    surfaced as unverifiable, never silently dropped."""
     a_txt = df.select(
         F.col(id_col).alias("a_id"), T.normalize_text(F.col(text_col)).alias("a_txt")
     )
     b_txt = df.select(
         F.col(id_col).alias("b_id"), T.normalize_text(F.col(text_col)).alias("b_txt")
     )
-    joined = pairs.join(a_txt, "a_id").join(b_txt, "b_id")
+    joined = pairs.join(a_txt, "a_id", "left").join(b_txt, "b_id", "left")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields
     ) + ", lcs_len int"
@@ -784,13 +794,18 @@ def verify_span_pairs(
     def run(batches):
         from difflib import SequenceMatcher  # stdlib: closure-safe on executors
 
+        import pandas as pd
+
         for pdf in batches:
             lens = []
             for a, b in zip(pdf["a_txt"], pdf["b_txt"]):
-                m = SequenceMatcher(None, a or "", b or "", autojunk=False)
-                lens.append(m.find_longest_match(0, len(a or ""), 0, len(b or "")).size)
+                if a is None or b is None:
+                    lens.append(None)  # unverifiable: doc absent from df
+                    continue
+                m = SequenceMatcher(None, a, b, autojunk=False)
+                lens.append(m.find_longest_match(0, len(a), 0, len(b)).size)
             res = pdf.drop(columns=["a_txt", "b_txt"])
-            res["lcs_len"] = lens
+            res["lcs_len"] = pd.array(lens, dtype="Int32")
             yield res
 
     return joined.mapInPandas(run, schema=out_schema)

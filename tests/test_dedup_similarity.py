@@ -321,10 +321,11 @@ def test_winnow_null_and_empty_text_safe(spark):
     assert pairs.count() == 0
 
 
-def test_verify_span_pairs_confirms_winnow_guarantee_on_testdata(spark):
-    # soundness check over REAL data: every pair the miner reports must
-    # carry an exact common substring of >= w + k - 1 = 34 normalized
-    # chars (the winnowing guarantee run in reverse)
+def test_verify_span_pairs_sound_bound_on_testdata(spark):
+    # soundness over REAL data: every reported pair shares >= min_shared
+    # fingerprints, i.e. shared K-GRAMS — the SOUND bound is lcs_len >= k
+    # (NOT w + k - 1: that guarantee runs the other direction; a pair
+    # sharing only scattered 20-char grams is a legitimate report)
     from fest_vibes_ai_etl_spark.sources import table
 
     docs = table(spark, "/root/testdata/sf0.001", "documents")
@@ -332,10 +333,45 @@ def test_verify_span_pairs_confirms_winnow_guarantee_on_testdata(spark):
         docs, "doc_id", "text", k=20, w=15, min_shared=3, max_fp_df=20
     )
     verified = dedup.verify_span_pairs(docs, pairs, "doc_id", "text").collect()
-    assert len(verified) > 0
-    assert all(r.lcs_len >= 34 for r in verified), sorted(
-        (r.a_id, r.b_id, r.lcs_len) for r in verified if r.lcs_len < 34
+    assert len(verified) == pairs.count()  # nothing silently dropped
+    assert all(r.lcs_len is not None and r.lcs_len >= 20 for r in verified), sorted(
+        (r.a_id, r.b_id, r.lcs_len) for r in verified if (r.lcs_len or 0) < 20
     )
+
+
+def test_verify_span_pairs_short_gram_pair_is_legitimate(spark):
+    # counterexample to the w+k-1 misreading: two docs sharing exactly one
+    # 20-char substring (and nothing longer) are reported at min_shared=1
+    # and verify to lcs_len in [20, 34) — a real pair, not a collision
+    from test_properties import _ref_winnow
+
+    gram = "abcdefghijklmnopqrst"  # 20 chars
+    # a single shared gram is only REPORTED when winnowing happens to
+    # select it as a window-min in both docs — search contexts with the
+    # pure-python mirror until one qualifies (deterministic: fixed list)
+    for i in range(200):
+        a = f"xx{i}a xx{i}b " + gram + f" xx{i}c xx{i}d xx{i}e xx{i}f"
+        b = f"yy{i}a yy{i}b " + gram + f" yy{i}c yy{i}d yy{i}e yy{i}f"
+        if _ref_winnow(a, 20, 15) & _ref_winnow(b, 20, 15):
+            break
+    else:  # pragma: no cover
+        raise AssertionError("no qualifying context found in 200 tries")
+    rows = [(1, a), (2, b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.duplicate_span_pairs(df, "doc_id", "text", k=20, w=15, min_shared=1)
+    v = dedup.verify_span_pairs(df, pairs, "doc_id", "text").collect()
+    assert len(v) == 1 and v[0].a_id == 1 and v[0].b_id == 2
+    assert 20 <= v[0].lcs_len < 34
+
+
+def test_verify_span_pairs_missing_doc_is_null_not_dropped(spark, span_docs):
+    pairs = dedup.duplicate_span_pairs(
+        span_docs, "doc_id", "text", k=20, w=15, min_shared=1
+    )
+    subset = span_docs.filter(F.col("doc_id") != 11)  # drop one side
+    v = {(r.a_id, r.b_id): r.lcs_len for r in dedup.verify_span_pairs(
+        subset, pairs, "doc_id", "text").collect()}
+    assert (10, 11) in v and v[(10, 11)] is None  # surfaced, not dropped
 
 
 def test_verify_span_pairs_exact_length_on_planted_passage(spark, span_docs):

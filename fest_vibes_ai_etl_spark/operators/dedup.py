@@ -667,8 +667,11 @@ def duplicate_span_pairs(
     fps: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id, n_shared, overlap) — document pairs sharing at least
-    ``min_shared`` winnowed fingerprints, i.e. pairs with duplicated
-    passages of roughly ≥ w + k - 1 characters.
+    ``min_shared`` winnowed fingerprints. Recall is guaranteed for true
+    duplicated passages (any shared span ≥ w + k − 1 chars yields ≥ 1
+    shared fingerprint); the converse is weaker — each shared fingerprint
+    only certifies a shared k-gram, so rank reported pairs by
+    ``verify_span_pairs``'s exact LCS when span length matters.
 
     ``overlap`` is the fingerprint-set Jaccard (resemblance of the
     fingerprinted content, 4 dp). ``max_fp_df`` drops fingerprints present

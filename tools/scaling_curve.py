@@ -46,6 +46,8 @@ QUERIES = (
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
     "graph_pagerank_suppliers",
+    "dedup_duplicate_spans",
+    "corpus_dsir_selection",
 )
 
 

@@ -692,11 +692,15 @@ def duplicate_span_pairs(
     if fps is None:
         fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     if max_fp_df is not None:
-        fps = (
-            fps.withColumn("fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-            .filter(F.col("fp_df") <= max_fp_df)
-            .drop("fp_df")
-        )
+        if "fp_df" in fps.columns:
+            # store path: the corpus-wide df was precomputed at build —
+            # the cutoff is a map-side filter over the columnar scan
+            fps = fps.filter(F.col("fp_df") <= max_fp_df)
+        else:
+            fps = fps.withColumn(
+                "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            ).filter(F.col("fp_df") <= max_fp_df)
+    fps = fps.select("id", "fp")
     fps = fps.persist(StorageLevel.MEMORY_AND_DISK)  # read 3x: sizes + both join sides
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = fps.alias("a"), fps.alias("b")
@@ -729,7 +733,9 @@ def winnow_store_path(sf_dir: str, table_name: str, k: int, w: int) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
-    return os.path.join(_sig_warehouse_root(), f"winnow_{tag}_{table_name}_k{k}_w{w}{stamp}")
+    # "winnow2": schema v2 carries the precomputed fp_df column — the tag
+    # bump keeps v1 stores from being read with the wrong schema
+    return os.path.join(_sig_warehouse_root(), f"winnow2_{tag}_{table_name}_k{k}_w{w}{stamp}")
 
 
 def load_or_build_winnow_store(
@@ -742,18 +748,26 @@ def load_or_build_winnow_store(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """The (id, fp) winnowed-fingerprint table staged to parquet — the
-    substring-dedup index, sibling of the shingle/MinHash stores: the
+    """The (id, fp, fp_df) winnowed-fingerprint table staged to parquet —
+    the substring-dedup index, sibling of the shingle/MinHash stores: the
     normalize→gram→hash→window-min scan is the dominant cost (it touches
     every character of the corpus), the staged result is ~2/(w+1) of the
     gram count in 8-byte rows, and every consumer (pair mining, incremental
-    contains-probes) becomes a columnar scan of the store."""
+    contains-probes) becomes a columnar scan of the store. ``fp_df`` (the
+    corpus-wide document frequency of each fingerprint) is parameter-free
+    and precomputed at build, so the boilerplate cutoff that every query
+    applies becomes a map-side filter over the scan instead of a
+    corpus-wide count window per query."""
     import os
+
+    from pyspark.sql import Window
 
     path = winnow_store_path(sf_dir, table_name, k, w)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return spark.read.parquet(path)
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).withColumn(
+        "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
     fps.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -671,3 +671,57 @@ def dedup_span_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_survivors"),
         )
     )
+
+
+@register(
+    "dedup_boilerplate_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS txt
+      FROM documents
+    ),
+    ok AS (SELECT * FROM base WHERE length(txt) >= 34),
+    h AS (
+      SELECT doc_id, i, ('0x' || substr(md5(substr(txt, i, 20)), 1, 12))::BIGINT AS h
+      FROM ok, UNNEST(generate_series(1, length(txt) - 19)) AS t(i)
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_grams - 14),
+    freq AS (
+      SELECT fp, COUNT(*) AS fp_df,
+             MIN(doc_id) AS example_a, MAX(doc_id) AS example_b
+      FROM fps GROUP BY fp
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY fp_df DESC, fp) AS rank,
+           fp, fp_df, example_a, example_b
+    FROM freq ORDER BY fp_df DESC, fp LIMIT 20
+    """,
+    tags=("dedup", "winnow", "boilerplate"),
+)
+def dedup_boilerplate_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The groupBy-on-fp report the pairwise miner's cutoff defers to: the
+    20 most corpus-frequent winnowed fingerprints (boilerplate passages —
+    headers, templates, licenses) with their document frequency and
+    example carrier ids. This is how a corpus owner FINDS what the
+    ``max_fp_df`` cutoff is excluding from pairwise reporting; one
+    |store|-row aggregate + a TakeOrdered top-20, no joins."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fps = dedup.load_or_build_winnow_store(spark, docs, sf_dir, k=20, w=15)
+    freq = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("fp_df"),
+        F.min("id").alias("example_a"),
+        F.max("id").alias("example_b"),
+    )
+    top = freq.orderBy(F.col("fp_df").desc(), "fp").limit(20)
+    win = Window.orderBy(F.col("fp_df").desc(), "fp")
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "fp", "fp_df", "example_a", "example_b"
+    )

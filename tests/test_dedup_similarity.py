@@ -383,3 +383,21 @@ def test_verify_span_pairs_exact_length_on_planted_passage(spark, span_docs):
     # the planted passage is embedded with one leading+trailing space of
     # shared context; the exact LCS must be at least the passage length
     assert v[(10, 11)] >= len(PASSAGE)
+
+
+def test_winnow_store_fp_df_matches_recount(spark):
+    # the v2 store invariant: the staged corpus-wide fp_df equals a fresh
+    # count over the store's own rows (the map-side cutoff depends on it)
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    store = dedup.load_or_build_winnow_store(spark, docs, "/root/testdata/sf0.001", k=20, w=15)
+    assert "fp_df" in store.columns
+    recount = store.groupBy("fp").count().withColumnRenamed("count", "n")
+    bad = (
+        store.select("fp", "fp_df").distinct()
+        .join(recount, "fp")
+        .filter(F.col("fp_df") != F.col("n"))
+        .count()
+    )
+    assert bad == 0

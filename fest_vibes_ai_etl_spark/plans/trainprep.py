@@ -759,3 +759,76 @@ def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_dsir_bucket_diagnostics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en' AND source IN ('src0','src1')) AS is_t,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, is_t, unnest(w) AS term FROM toks
+      UNION ALL
+      SELECT doc_id, is_t, w[i] || ' ' || w[i+1] AS term
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    tb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(term), 1, 12))::BIGINT % {DSIR_M} AS b
+      FROM terms
+    ),
+    counts AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cq
+      FROM tb GROUP BY b
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+                   CAST(SUM(cq) AS DOUBLE) AS qq FROM counts),
+    lr AS (
+      SELECT b, CAST(ct AS BIGINT) AS ct, CAST(cq AS BIGINT) AS cq,
+             CAST(ROUND(ln((ct + 1) / (tt + {DSIR_M}))
+                        - ln((cq + 1) / (qq + {DSIR_M})), 6) AS DOUBLE) AS lr
+      FROM counts, tot
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY lr DESC, b) AS rank, b, ct, cq, lr
+    FROM lr ORDER BY lr DESC, b LIMIT 25
+    """,
+    tags=("trainprep", "dsir", "diagnostics"),
+)
+def corpus_dsir_bucket_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR model itself, inspected: the 25 most target-discriminative
+    hashed-n-gram buckets (highest smoothed log p/q) with their raw
+    target/pool counts — how a corpus owner audits WHAT the importance
+    sampler is selecting for before trusting a selection run. The whole
+    table is m rows; the top-k is a TakeOrdered over it."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    tb = trainprep._term_buckets(docs, "doc_id", "text", pred, DSIR_M)
+    counts = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cq"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("tt"), F.sum("cq").cast("double").alias("qq")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.col("ct").cast("long").alias("ct"),
+        F.col("cq").cast("long").alias("cq"),
+        F.round(
+            F.log((F.col("ct") + 1) / (F.col("tt") + DSIR_M))
+            - F.log((F.col("cq") + 1) / (F.col("qq") + DSIR_M)),
+            6,
+        ).alias("lr"),
+    )
+    top = lr.orderBy(F.col("lr").desc(), "b").limit(25)
+    win = Window.orderBy(F.col("lr").desc(), "b")
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        "rank", "b", "ct", "cq", "lr"
+    )

@@ -240,17 +240,15 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           TRUE AS est_within_5pct
+           CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type
     """,
     tags=("agg", "approx"),
-    doc="HyperLogLog++ approx_count_distinct per event_type sandwich-checked "
-    "against the exact count: est_within_5pct asserts |approx − exact| ≤ "
-    "5% · exact, which at rsd=0.01 is a 5σ bound (holds deterministically "
-    "for a fixed dataset — HLL++ is seedless) and the oracle pins it TRUE. "
-    "The raw estimate itself is engine-specific and intentionally excluded "
-    "from the hashed projection; tests bound it directly.",
+    doc="Per-type distinct-user counts. The HLL++ accuracy claim that used "
+    "to ride along as a hardcoded TRUE AS est_within_5pct oracle column "
+    "lives in approx_distinct_users_eval (eval_only + pytest floor) — a "
+    "data-dependent measured bound must never be pinned in a value oracle "
+    "(the flaw class that broke rounds 3 and 4).",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -258,15 +256,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_distinct_users_eval",
+    tags=("agg", "approx", "eval"),
+    eval_only=True,
+    doc="Measured HLL++ approx_count_distinct(rsd=0.01) per event_type next "
+    "to the exact count. No SQL oracle BY DESIGN: the estimate is "
+    "engine-specific. tests/test_sketches.py asserts every row lands "
+    "within 5%·exact (a 5σ bound at rsd=0.01; deterministic for fixed "
+    "data — HLL++ is seedless).",
+)
+def approx_distinct_users_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         )
         .withColumn(
             "est_within_5pct",
-            (F.abs(F.col("approx") - F.col("exact_users"))
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
              <= 0.05 * F.col("exact_users")),
         )
-        .drop("approx")
         .orderBy("event_type")
     )
 

@@ -35,25 +35,7 @@ def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
     )
 
 
-@register(
-    "sketch_hll_daily_users",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day,
-           COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS est_within_5pct
-    FROM events GROUP BY 1
-    """,
-    tags=("sketch", "approx", "hll"),
-    bench=True,
-)
-def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per day via DataSketches HLL (lgK=12 ⇒ <1% typical
-    error). Map-side partial sketches mean the shuffle carries one sketch
-    per (partition, day) — constant bytes per group no matter how many
-    events or users, which is the whole point at 100 TB. Sandwich-oracled:
-    the sketch estimate must sit within 5% of the exact count (≈6σ at
-    lgK=12 — deterministic for fixed data, DataSketches HLL is seedless);
-    the raw estimate is engine-specific and excluded from the projection."""
+def _hll_daily_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     approx = daily_user_sketches(events).select(
         "day", F.hll_sketch_estimate("user_sketch").alias("approx_users")
@@ -63,40 +45,68 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("exact_users"))
     )
+    return approx.join(exact, "day")
+
+
+@register(
+    "sketch_hll_daily_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY 1
+    """,
+    tags=("sketch", "approx", "hll"),
+    bench=True,
+)
+def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via DataSketches HLL (lgK=12 ⇒ <1% typical
+    error). Map-side partial sketches mean the shuffle carries one sketch
+    per (partition, day) — constant bytes per group no matter how many
+    events or users, which is the whole point at 100 TB. The driver-facing
+    projection keeps only the SQL-derivable exact count (the inner join
+    against the sketch side still executes the sketch build and gates the
+    day set, so the benched plan measures the sketch path); the measured
+    5% accuracy claim — formerly a hardcoded TRUE oracle column, the flaw
+    class that broke rounds 3 and 4 — lives in sketch_hll_daily_users_eval
+    with a pytest floor."""
+    return _hll_daily_vs_exact(spark, sf_dir).select(
+        "day", "exact_users"
+    ).orderBy("day")
+
+
+@register(
+    "sketch_hll_daily_users_eval",
+    tags=("sketch", "approx", "hll", "eval"),
+    eval_only=True,
+    doc="Measured DataSketches-HLL daily distinct-user estimates next to "
+    "the exact counts. No SQL oracle BY DESIGN: the estimate is "
+    "sketch-state-dependent. tests/test_sketches.py asserts every day "
+    "within max(2, 5%·exact) (≈6σ at lgK=12; deterministic for fixed "
+    "data — DataSketches HLL is seedless).",
+)
+def sketch_hll_daily_users_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        approx.join(exact, "day")
+        _hll_daily_vs_exact(spark, sf_dir)
         .select(
             "day",
             "exact_users",
+            "approx_users",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
             ).alias("est_within_5pct"),
         )
         .orderBy("day")
     )
 
 
-@register(
-    "sketch_quantiles_by_type",
-    oracle="""
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5) + 0.000001, 2)  AS p50_exact,
-           ROUND(quantile_cont(value, 0.95) + 0.000001, 2) AS p95_exact,
-           TRUE AS p50_in_rank_band,
-           TRUE AS p95_in_rank_band
-    FROM events GROUP BY event_type
-    """,
-    tags=("sketch", "approx", "quantile"),
-)
-def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p95 of event value per event_type via approx_percentile —
-    bounded-memory quantiles with mergeable partial state (vs exact
-    percentile, which needs a per-group sort). accuracy=10000 keeps rank
-    error ≤ 1/10000. Sandwich-oracled: the sketch value must land between
-    the exact quantiles at q∓0.002 (20× the rank-error bound — holds
-    deterministically, the Greenwald-Khanna-style summary is seedless),
-    pinned TRUE by the oracle next to the exact p50/p95 values themselves."""
+def _quantile_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, p50_exact, p95_exact, p50/p95_in_rank_band) — the
+    approx_percentile estimates re-ranked against their groups. The actual
+    GK guarantee is on RANK, not value: the estimate is a data point whose
+    rank is within ε·n of q·n. Verified by one broadcast join + one
+    conditional-count agg: fraction(v < est) ≤ q+band AND
+    fraction(v ≤ est) ≥ q−band, band = 0.01 ≫ ε = 1e-4."""
     from pyspark.sql.functions import broadcast
 
     events = table(spark, sf_dir, "events").select("event_type", "value")
@@ -105,11 +115,6 @@ def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
         ).alias("a")
     )
-    # Rank-band check — the actual GK guarantee is on RANK, not value: the
-    # estimate is a data point whose rank is within ε·n of q·n. Verify by
-    # re-ranking the estimate against the group (one broadcast join + one
-    # conditional-count agg): fraction(v < est) ≤ q+band AND
-    # fraction(v ≤ est) ≥ q−band, band = 0.01 ≫ ε = 1e-4.
     j = events.join(broadcast(approx), "event_type")
     n = F.count(F.lit(1))
 
@@ -130,6 +135,46 @@ def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5) + 0.000001, 2)  AS p50_exact,
+           ROUND(quantile_cont(value, 0.95) + 0.000001, 2) AS p95_exact
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "approx", "quantile"),
+)
+def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event value per event_type via approx_percentile —
+    bounded-memory quantiles with mergeable partial state (vs exact
+    percentile, which needs a per-group sort). accuracy=10000 keeps rank
+    error ≤ 1/10000. Driver-facing projection keeps only the SQL-derivable
+    exact quantiles (the broadcast-joined plan still builds the sketch);
+    the measured rank-band booleans — formerly hardcoded TRUE oracle
+    columns, the flaw class that broke rounds 3 and 4 — live in
+    sketch_quantiles_rank_band_eval with a pytest floor."""
+    return _quantile_rank_bands(spark, sf_dir).select(
+        "event_type", "p50_exact", "p95_exact"
+    )
+
+
+@register(
+    "sketch_quantiles_rank_band_eval",
+    tags=("sketch", "approx", "quantile", "eval"),
+    eval_only=True,
+    doc="Measured approx_percentile rank-band verdicts per event_type. No "
+    "SQL oracle BY DESIGN: whether the estimate's re-ranked position sits "
+    "inside q±0.01 is data- and sketch-state-dependent. "
+    "tests/test_sketches.py asserts every group passes both bands "
+    "(band = 0.01 is 100× the configured ε = 1e-4).",
+)
+def sketch_quantiles_rank_band_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _quantile_rank_bands(spark, sf_dir)
 
 
 @register(

@@ -32,10 +32,19 @@ def test_hll_daily_estimate_within_bounds(spark):
     assert set(approx) == set(exact)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
-    # and the catalog projection must report every day in-band
-    qs = catalog.queries()
-    rows = qs["sketch_hll_daily_users"](spark, SF_DIR).collect()
-    assert all(r.est_within_5pct for r in rows)
+    # and the eval_only query must report every day in-band (the pytest
+    # floor backing the driver-facing query, which projects exacts only)
+    rows = catalog.REGISTRY["sketch_hll_daily_users_eval"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.est_within_5pct for r in rows)
+    assert "sketch_hll_daily_users_eval" not in catalog.queries()
+
+
+def test_approx_distinct_eval_floor(spark):
+    # HLL++ approx_count_distinct floor for the approx_distinct_users family
+    catalog.queries()  # force registry load
+    rows = catalog.REGISTRY["approx_distinct_users_eval"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.est_within_5pct for r in rows)
+    assert "approx_distinct_users_eval" not in catalog.queries()
 
 
 def test_hll_sketches_merge_to_coarser_grain(spark):
@@ -78,9 +87,10 @@ def test_approx_percentile_rank_error(spark):
             lo, hi = bisect.bisect_left(vals, got), bisect.bisect_right(vals, got)
             target = q * n
             assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (etype, q, got)
-    qs = catalog.queries()
-    rows = qs["sketch_quantiles_by_type"](spark, SF_DIR).collect()
-    assert all(r.p50_in_rank_band and r.p95_in_rank_band for r in rows)
+    catalog.queries()  # force registry load
+    rows = catalog.REGISTRY["sketch_quantiles_rank_band_eval"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.p50_in_rank_band and r.p95_in_rank_band for r in rows)
+    assert "sketch_quantiles_rank_band_eval" not in catalog.queries()
 
 
 def _exact_token_counts(spark):

@@ -63,11 +63,20 @@ def _normalized_block(timings: dict[str, float], total: float) -> dict | None:
     if len(ratios) < 5:
         return None
     drift = round(median(ratios.values()), 3)
+    # The correction assumes UNIFORM machine drift. If the sentinel ratios
+    # disagree wildly (max/min > 2), something non-uniform happened — a
+    # shared-code or session-config change sped/slowed a subset, which a
+    # silent median would reinterpret as VM drift and smear over every
+    # query, masking real regressions. Flag it instead of absorbing it;
+    # raw totals stay primary in the top-level JSON either way.
+    spread = round(max(ratios.values()) / min(ratios.values()), 3)
     return {
         "drift": drift,
         "value": round(total / drift, 3),
         "unit": "sec",
         "sentinel_ratios": ratios,
+        "sentinel_spread": spread,
+        "drift_model_suspect": spread > 2.0,
         "queries": {n: round(t / drift, 3) for n, t in timings.items()},
         "note": "value = total wall / median sentinel drift vs pinned "
         "calm-VM reference walls (BASELINE.md §2a); compare rounds on "

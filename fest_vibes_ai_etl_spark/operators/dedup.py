@@ -686,7 +686,13 @@ def duplicate_span_pairs(
     ``fps`` (from ``load_or_build_winnow_store``) to amortize the
     fingerprint scan across queries; the pair join is fingerprint-bucketed
     (equi-join on fp) — candidates only form within a bucket, never
-    all-pairs."""
+    all-pairs.
+
+    Cache lifecycle: the fingerprint table is persisted (read 3×: sizes +
+    both join sides) and, because the returned frame is lazy, CANNOT be
+    unpersisted here — the CALLER owns the cache entry and should
+    ``spark.catalog.clearCache()`` (or track+unpersist) after
+    materializing the result when calling repeatedly in one session."""
     from pyspark.sql import Window
 
     if fps is None:

@@ -291,7 +291,12 @@ def dsir_scores(
     the tokenize+md5 scan (the dominant cost, measured ~2× the query wall)
     is strictly worse than one MEMORY_AND_DISK materialization. Pass
     ``tb`` (from ``load_or_build_dsir_term_store``) to skip the corpus
-    scan entirely; the target flag is then joined on by id."""
+    scan entirely; the target flag is then joined on by id.
+
+    Cache lifecycle: the persisted term-bucket frame backs the LAZY
+    returned plan, so it cannot be unpersisted here — the CALLER owns the
+    cache entry and should ``spark.catalog.clearCache()`` (or
+    track+unpersist) after materializing when calling repeatedly."""
     from pyspark.storagelevel import StorageLevel
 
     if tb is None:

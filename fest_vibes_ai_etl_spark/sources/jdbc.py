@@ -189,7 +189,13 @@ def write_jdbc_upsert(
     tests/test_jdbc_executed.py; the ``on_conflict`` statement family is
     executed against sqlite3 via :func:`upsert_via_dbapi` below."""
     staging = staging_table or f"{table}_stage"
-    gen = {"on_conflict": upsert_sql, "merge": merge_upsert_sql}[dialect]
+    generators = {"on_conflict": upsert_sql, "merge": merge_upsert_sql}
+    if dialect not in generators:
+        raise ValueError(
+            f"unknown dialect {dialect!r}: expected one of "
+            f"{sorted(generators)}"
+        )
+    gen = generators[dialect]
     sql = gen(
         table, df.columns, keys, staging,
         update_cols=update_cols, coalesce_cols=coalesce_cols,

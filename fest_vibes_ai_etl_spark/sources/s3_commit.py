@@ -56,13 +56,36 @@ class S3CommitBackend:
     surface). ``bucket`` is the default bucket for plain paths; full
     ``s3://bucket/key`` paths carry their own."""
 
-    def __init__(self, bucket: str | None = None, client=None):
+    # Retry budget for put_if_absent: 409/ambiguous-5xx paths retry with
+    # exponential backoff + full jitter (base 50 ms, cap 5 s) and give up
+    # after max_attempts — a persistently throttling endpoint must surface
+    # as an error, not a hot infinite loop hammering S3.
+    def __init__(self, bucket: str | None = None, client=None,
+                 max_attempts: int = 8, backoff_base: float = 0.05,
+                 backoff_cap: float = 5.0, sleep=None):
         if client is None:
             import boto3  # guard-import: the production dependency
 
             client = boto3.client("s3")
         self.client = client
         self.bucket = bucket
+        self.max_attempts = max_attempts
+        self.backoff_base = backoff_base
+        self.backoff_cap = backoff_cap
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self._sleep = sleep  # injectable so fault tests don't wall-wait
+
+    def _backoff(self, attempt: int) -> None:
+        import random
+
+        self._sleep(
+            random.uniform(
+                0, min(self.backoff_cap, self.backoff_base * (2 ** attempt))
+            )
+        )
 
     def _loc(self, path: str) -> tuple[str, str]:
         if path.startswith("s3://"):
@@ -107,7 +130,9 @@ class S3CommitBackend:
         # later 412 can be our OWN bytes landing — it must be resolved by
         # byte compare, not reported as a lost race.
         ambiguous_inflight = False
-        while True:
+        for attempt in range(self.max_attempts):
+            if attempt:
+                self._backoff(attempt - 1)
             try:
                 self.client.put_object(
                     Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
@@ -132,3 +157,9 @@ class S3CommitBackend:
                         ambiguous_inflight = True
                         continue  # not durable YET — may still land
                 raise
+        raise TimeoutError(
+            f"put_if_absent({path!r}): no definitive outcome after "
+            f"{self.max_attempts} attempts (persistent throttling/conflict "
+            f"from the endpoint) — commit state unknown, not retrying "
+            f"further"
+        )

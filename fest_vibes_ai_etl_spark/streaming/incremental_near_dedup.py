@@ -124,9 +124,14 @@ def start_incremental_near_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        fresh = _with_signatures(
+        # keep a handle to the persisted frame itself: unpersist() requires
+        # the SAME plan (uncacheQuery is sameResult-based), and `fresh` is
+        # reassigned through joins below — unpersisting the derived frame
+        # would silently leak one cache entry per micro-batch
+        cached = _with_signatures(
             batch_df.dropDuplicates([id_col]), id_col, text_col, k, num_hashes
         ).persist()
+        fresh = cached
         try:
             hist = spark.read.parquet(corpus_dir).persist()
             hist.count()
@@ -165,7 +170,7 @@ def start_incremental_near_dedup(
             )
             fresh = fresh.join(hist_victims, id_col, "left_anti")
         fresh.write.mode("append").parquet(corpus_dir)
-        fresh.unpersist()
+        cached.unpersist()
         if hist is not None:
             hist.unpersist()
 

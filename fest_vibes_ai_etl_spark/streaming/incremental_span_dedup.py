@@ -78,11 +78,16 @@ def start_incremental_span_dedup(
         fresh = batch_df.dropDuplicates([id_col]).withColumn("fp", fingerprint(text_col))
         wf = winnow_fingerprints(fresh, id_col, text_col, k=k, w=w).persist()
         wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
-        fresh = (
+        # keep a handle to the persisted frame itself: unpersist() requires
+        # the SAME plan (uncacheQuery is sameResult-based), and `fresh` is
+        # reassigned through joins below — unpersisting the derived frame
+        # would silently leak one cache entry per micro-batch
+        cached = (
             fresh.join(wfps.withColumnRenamed("id", id_col), id_col, "left")
             .withColumn("wfps", F.coalesce(F.col("wfps"), F.array().cast("array<long>")))
             .persist()
         )
+        fresh = cached
         fresh.count()
         try:
             hist = spark.read.parquet(corpus_dir)
@@ -121,7 +126,7 @@ def start_incremental_span_dedup(
             hvictims = _span_victims(live_fps, hist_fps, id_col, min_shared, False)
             fresh = fresh.join(hvictims, id_col, "left_anti")
         fresh.write.mode("append").parquet(corpus_dir)
-        fresh.unpersist()
+        cached.unpersist()
         wf.unpersist()
 
     writer = (

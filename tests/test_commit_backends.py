@@ -83,13 +83,27 @@ class FakeBotoS3:
 
         return {"Body": _Body()}
 
+    page_size: int | None = None  # set to paginate listings (IsTruncated)
+
     def list_objects_v2(self, Bucket, Prefix, Delimiter="/", **kw):
         names = sorted(
             k for (b, k) in self.objects
             if b == Bucket and k.startswith(Prefix)
             and "/" not in k[len(Prefix):]
         )
-        return {"Contents": [{"Key": k} for k in names], "IsTruncated": False}
+        start = int(kw.get("ContinuationToken") or 0)
+        if self.page_size is None:
+            page, truncated = names[start:], False
+        else:
+            page = names[start:start + self.page_size]
+            truncated = start + self.page_size < len(names)
+        resp = {
+            "Contents": [{"Key": k} for k in page],
+            "IsTruncated": truncated,
+        }
+        if truncated:
+            resp["NextContinuationToken"] = str(start + self.page_size)
+        return resp
 
 
 def _backends():
@@ -233,6 +247,53 @@ def test_s3_backend_drives_versioned_table_end_to_end(spark, tmp_path):
     assert [k.rsplit("/", 1)[-1] for k in keys] == [
         "v000000000001.json", "v000000000002.json"
     ]
+
+
+def test_put_if_absent_gives_up_after_bounded_retries_with_backoff():
+    """A persistently-throttling endpoint (endless 409s) must surface as an
+    error after max_attempts, with exponential backoff between attempts —
+    never a hot infinite loop hammering S3."""
+    sleeps: list[float] = []
+    client = FakeBotoS3()
+    s3 = S3CommitBackend(
+        bucket="b", client=client, max_attempts=4, sleep=sleeps.append
+    )
+    client.inject(*["precondition_conflict"] * 10)
+    with pytest.raises(TimeoutError, match="4 attempts"):
+        s3.put_if_absent("/t/_commits/v1.json", b"X")
+    assert client.put_calls == 4
+    assert len(sleeps) == 3  # no sleep before the first attempt
+    # jittered exponential: each delay bounded by base·2^i, capped
+    for i, s in enumerate(sleeps):
+        assert 0 <= s <= min(s3.backoff_cap, s3.backoff_base * (2 ** i))
+
+
+def test_s3_truncated_list_pagination_resolves_true_head(spark, tmp_path):
+    """LIST pagination fault (VERDICT r6 #6): with the newest commit on a
+    later page, the adapter must walk ContinuationToken pages to the end —
+    a single-page reader would resolve a stale head and fork the chain."""
+    client = FakeBotoS3()
+    s3 = S3CommitBackend(bucket="bkt", client=client)
+    t = VersionedParquetTable(
+        str(tmp_path / "vt"), "p", commit_backend=s3
+    )
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k long, p string, v string")
+
+    for i in range(3):
+        t.merge(spark, src([(i, "a", f"v{i}")]), keys=["k"])
+    client.page_size = 1  # 3 commits => 3 pages; newest on the LAST page
+    assert s3.list(str(tmp_path / "vt") + "/_commits") == [
+        "v000000000001.json", "v000000000002.json", "v000000000003.json"
+    ]
+    assert t.latest()[0] == 3
+    # a merge through the paged listing lands on v4, no overwrite/skip
+    t.merge(spark, src([(9, "a", "v9")]), keys=["k"])
+    assert t.latest()[0] == 4
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (0, "v0"), (1, "v1"), (2, "v2"), (9, "v9")
+    }
 
 
 def test_ambiguous_inflight_put_landing_after_readback_is_own_success():

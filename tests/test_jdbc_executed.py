@@ -101,3 +101,11 @@ def test_write_jdbc_upsert_unreachable_db_fails_loud(spark):
         write_jdbc_upsert(
             df, "jdbc:postgresql://nowhere:5432/nodb", "t", keys=["k"],
         )
+
+
+def test_write_jdbc_upsert_unknown_dialect_names_valid_options(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="on_conflict.*merge|merge.*on_conflict"):
+        write_jdbc_upsert(
+            df, "jdbc:derby:memory:x", "t", keys=["k"], dialect="postgres",
+        )

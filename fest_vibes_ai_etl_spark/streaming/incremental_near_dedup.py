@@ -10,8 +10,7 @@ State = the corpus itself. Each stored row carries its MinHash signature
 (``sig``, num_hashes longs) and its shingle-set signature (``sh`` sorted
 hashes + ``n``), so probing history is:
 
-  batch bands  ⋈  history bands (derived from stored sig — equi join)
-      → candidate (batch_id, hist_id) pairs
+  batch bands  ⋈  history bands → candidate (batch_id, hist_id) pairs
       → exact Jaccard from the two shingle arrays
       → drop batch docs with J ≥ threshold
 
@@ -19,10 +18,20 @@ No second state store to race with the data write, so replay is convergent
 by construction: a replayed batch finds its own rows in history at J = 1
 and appends nothing.
 
-At 100 TB the history probe reads only (doc_id, sig) — parquet column
-pruning keeps the wide text/shingle columns untouched until the (small)
-verify join — and the corpus would be written bucketed by band hash so the
-candidate join is bucket-local.
+History probe (the scale seam): the default ``history_probe="bucketed"``
+maintains a band-partitioned sidecar (``<corpus>_bandidx``, see
+``banded_index``) holding the pre-computed (id, band, band_hash) LSH rows,
+partitioned by ``pmod(band_hash, n_buckets)``. A batch can only collide on
+band hashes the batch itself carries, so candidate generation reads ONLY
+those partitions — no per-batch re-derivation of every stored signature.
+The exact-Jaccard verify then reads (id, sh, n) from the corpus semi-joined
+by the candidate ids (with AQE, an empty candidate set skips that scan
+entirely via empty-relation propagation). ``history_probe="scan"`` keeps
+the pre-round-7 path (re-derive band hashes from all stored ``sig``
+arrays per batch) for A/B measurement in ``tools/probe_scaling.py``.
+
+Crash consistency mirrors the span variant: corpus append first, index
+append second; replayed rows heal missing index rows.
 """
 
 from __future__ import annotations
@@ -30,6 +39,12 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .banded_index import BandedFingerprintIndex
+
+
+def near_index_path(corpus_dir: str) -> str:
+    return corpus_dir.rstrip("/") + "_bandidx"
 
 
 def _with_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -71,6 +86,32 @@ def _band_hashes(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) ->
     )
 
 
+def _verified_victims(
+    cand: DataFrame,
+    probe: DataFrame,
+    target_sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Probe ids among the candidate pairs whose EXACT Jaccard reaches the
+    threshold (sketch selects, true metric decides)."""
+    ps = probe.select(
+        F.col(id_col).alias("p_id"), F.col("sh").alias("sh_p"), F.col("n").alias("n_p")
+    )
+    ts = target_sh.select(
+        F.col(id_col).alias("t_id"), F.col("sh").alias("sh_t"), F.col("n").alias("n_t")
+    )
+    inter = F.size(F.array_intersect("sh_p", "sh_t"))
+    return (
+        cand.join(ps, "p_id")
+        .join(ts, "t_id")
+        .withColumn("i", inter)
+        .filter(F.col("i") / (F.col("n_p") + F.col("n_t") - F.col("i")) >= threshold)
+        .select(F.col("p_id").alias(id_col))
+        .distinct()
+    )
+
+
 def _near_dup_ids(
     probe: DataFrame,
     target: DataFrame,
@@ -93,17 +134,7 @@ def _near_dup_ids(
         .select(pb["bid"].alias("p_id"), tb["bid"].alias("t_id"))
         .dropDuplicates(["p_id", "t_id"])
     )
-    ps = probe.select(F.col(id_col).alias("p_id"), F.col("sh").alias("sh_p"), F.col("n").alias("n_p"))
-    ts = target.select(F.col(id_col).alias("t_id"), F.col("sh").alias("sh_t"), F.col("n").alias("n_t"))
-    inter = F.size(F.array_intersect("sh_p", "sh_t"))
-    return (
-        cand.join(ps, "p_id")
-        .join(ts, "t_id")
-        .withColumn("i", inter)
-        .filter(F.col("i") / (F.col("n_p") + F.col("n_t") - F.col("i")) >= threshold)
-        .select(F.col("p_id").alias(id_col))
-        .distinct()
-    )
+    return _verified_victims(cand, probe, target, id_col, threshold)
 
 
 def start_incremental_near_dedup(
@@ -117,13 +148,27 @@ def start_incremental_near_dedup(
     bands: int = 8,
     threshold: float = 0.2,
     available_now: bool = True,
+    n_buckets: int = 64,
+    history_probe: str = "bucketed",
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
     that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
     previously stored row, carrying (fp, sig, sh, n) alongside the data."""
+    if history_probe not in ("bucketed", "scan"):
+        raise ValueError(
+            f"unknown history_probe {history_probe!r}: "
+            f"expected 'bucketed' or 'scan'"
+        )
+    band_index = BandedFingerprintIndex(
+        near_index_path(corpus_dir), key_col="band_hash", n_bands=n_buckets
+    )
+    # once the index is known to exist, skip the per-batch existence read —
+    # listing a many-band directory tree is a whole Spark job by itself
+    idx_ready: list[bool] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        use_index = history_probe == "bucketed"
         # keep a handle to the persisted frame itself: unpersist() requires
         # the SAME plan (uncacheQuery is sameResult-based), and `fresh` is
         # reassigned through joins below — unpersisting the derived frame
@@ -132,9 +177,17 @@ def start_incremental_near_dedup(
             batch_df.dropDuplicates([id_col]), id_col, text_col, k, num_hashes
         ).persist()
         fresh = cached
+        hist = None
+        hist_cached = None
         try:
-            hist = spark.read.parquet(corpus_dir).persist()
-            hist.count()
+            hist = spark.read.parquet(corpus_dir)
+            if not use_index:
+                # the scan path reads history many times per batch — cache
+                # it (the bucketed path reads only thin pruned slices, so
+                # caching the whole corpus would defeat the point)
+                hist_cached = hist.persist()
+                hist = hist_cached
+            hist.schema  # force resolution (replaces the count() probe)
         except AnalysisException as exc:
             # ONLY PATH_NOT_FOUND is a legitimate first batch; an existing-
             # but-unreadable corpus (UNABLE_TO_INFER_SCHEMA etc.) must
@@ -144,19 +197,34 @@ def start_incremental_near_dedup(
             if not is_path_not_found(exc):
                 raise
             hist = None
+        if hist is not None and use_index and not idx_ready:
+            if band_index.read(spark) is None:
+                # pre-index corpus (older rounds / scan-mode runs): one-time
+                # migration build from the stored signatures
+                band_index.build_from(
+                    _band_hashes(hist, id_col, num_hashes, bands).select(
+                        F.col("bid").alias("id"), "band", "band_hash"
+                    )
+                )
+            idx_ready.append(True)
         # exact dedup (within batch, then vs history): survivor must be
         # deterministic — min(doc_id) per fingerprint, consistent with the
         # lowest-id-wins rule for near-dups — or two runs over identical
         # input could persist different corpus contents.
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
+        replayed = None
         if hist is not None:
             # coalesce: pre-sentinel corpora hold fp=NULL for null text
-            fresh = fresh.join(
-                hist.select(F.coalesce("fp", F.lit("null-text")).alias("fp")),
-                "fp",
-                "left_anti",
+            hkeys = hist.select(
+                F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
             )
+            if use_index:
+                # TRUE replays (same id AND same bytes already stored) may
+                # have missing index rows after a crash between corpus and
+                # index append — capture for heal before the anti-join
+                replayed = fresh.join(hkeys, ["fp", id_col], "left_semi")
+            fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
         # near dedup WITHIN the batch: lowest id of each near-dup pair wins
         batch_victims = _near_dup_ids(
             fresh, fresh, id_col, num_hashes, bands, threshold, self_pairs_ordered=True
@@ -164,15 +232,48 @@ def start_incremental_near_dedup(
         fresh = fresh.join(batch_victims, id_col, "left_anti")
         # near dedup vs HISTORY
         if hist is not None:
-            hist_victims = _near_dup_ids(
-                fresh, hist, id_col, num_hashes, bands, threshold,
-                self_pairs_ordered=False,
-            )
-            fresh = fresh.join(hist_victims, id_col, "left_anti")
+            if use_index:
+                pb = _band_hashes(fresh, id_col, num_hashes, bands)
+                heal_rows = _band_hashes(replayed, id_col, num_hashes, bands).select(
+                    F.col("bid").alias("id"), "band", "band_hash"
+                )
+                buckets = band_index.touched_bands(
+                    pb.select("band_hash").union(heal_rows.select("band_hash"))
+                )
+                if buckets:
+                    idx_rows = band_index.read_bands(spark, buckets)
+                    cand = (
+                        pb.join(idx_rows, ["band", "band_hash"])
+                        .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
+                        .dropDuplicates(["p_id", "t_id"])
+                    )
+                    hist_victims = _verified_victims(
+                        cand, fresh, hist, id_col, threshold
+                    )
+                    fresh = fresh.join(hist_victims, id_col, "left_anti")
+                    missing = heal_rows.join(
+                        idx_rows, ["id", "band", "band_hash"], "left_anti"
+                    )
+                    if not missing.isEmpty():
+                        band_index.append(missing)
+            else:
+                hist_victims = _near_dup_ids(
+                    fresh, hist, id_col, num_hashes, bands, threshold,
+                    self_pairs_ordered=False,
+                )
+                fresh = fresh.join(hist_victims, id_col, "left_anti")
         fresh.write.mode("append").parquet(corpus_dir)
+        if use_index:
+            # index append AFTER the corpus commit (crash ⇒ missing index
+            # rows, healed on replay — never phantom rows)
+            band_index.append(
+                _band_hashes(fresh, id_col, num_hashes, bands).select(
+                    F.col("bid").alias("id"), "band", "band_hash"
+                )
+            )
         cached.unpersist()
-        if hist is not None:
-            hist.unpersist()
+        if hist_cached is not None:
+            hist_cached.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(process)

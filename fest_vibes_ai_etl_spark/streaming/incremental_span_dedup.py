@@ -13,10 +13,28 @@ fingerprint set (``wfps`` array<long>, expected density 2/(w+1) of the
 gram count). A replayed batch finds its own rows byte-identical in
 history (fp anti-join) and appends nothing — convergence does NOT depend
 on the span rule, so even fingerprint-poor short docs can't duplicate on
-replay. Probing history reads only (doc_id, wfps) — parquet column
-pruning keeps the text column untouched — and explodes to the same
-(id, fp) shape the batch side has; at 100 TB the corpus would be written
-bucketed by a winnow-fingerprint band so the probe join is bucket-local.
+replay.
+
+History probe (the scale seam): the default ``history_probe="bucketed"``
+maintains a band-partitioned sidecar (``<corpus>_fpidx``, see
+``banded_index``) holding the pre-exploded (id, fp) pairs. A batch can
+only share a fingerprint that the batch itself carries, so the probe reads
+ONLY the band directories of the batch's own fingerprints — partition
+pruning keeps every other band's files closed, and the per-batch explode
+of the whole corpus is gone entirely (the index is exploded once, at
+append time). ``history_probe="scan"`` keeps the pre-round-7 full-scan
+path (re-explode stored ``wfps`` per batch — linear per batch, quadratic
+over a backfill) for A/B measurement; ``tools/probe_scaling.py`` records
+the walls of both at 1×/4×/16× accumulated history. The exact-dup
+anti-join still reads the corpus ``fp`` column (one thin 16-byte column —
+linear but ~1000× smaller than the wfps explode it replaced).
+
+Crash consistency: corpus append commits first, index append second, so a
+crash between the two can only leave the index MISSING rows for stored
+docs (phantom index rows for unstored docs would make replays delete
+fresh data). The replayed batch heals the gap: rows found byte-identical
+in history get their missing (id, fp) pairs re-appended, pruned to the
+batch's own bands.
 """
 
 from __future__ import annotations
@@ -26,6 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import winnow_fingerprints
+from .banded_index import BandedFingerprintIndex
+
+
+def span_index_path(corpus_dir: str) -> str:
+    return corpus_dir.rstrip("/") + "_fpidx"
 
 
 def _span_victims(
@@ -62,11 +85,26 @@ def start_incremental_span_dedup(
     w: int = 15,
     min_shared: int = 3,
     available_now: bool = True,
+    n_bands: int = 64,
+    history_probe: str = "bucketed",
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
     rows that are neither exact duplicates nor duplicated-passage carriers
     (≥ ``min_shared`` shared winnowed fingerprints) of any previously
-    stored row, carrying (fp, wfps) alongside the data."""
+    stored row, carrying (fp, wfps) alongside the data. Size ``n_bands``
+    well above the typical batch's distinct-fingerprint count at
+    deployment scale (thousands); the default 64 suits test corpora."""
+    if history_probe not in ("bucketed", "scan"):
+        raise ValueError(
+            f"unknown history_probe {history_probe!r}: "
+            f"expected 'bucketed' or 'scan'"
+        )
+    fp_index = BandedFingerprintIndex(
+        span_index_path(corpus_dir), key_col="fp", n_bands=n_bands
+    )
+    # once the index is known to exist, skip the per-batch existence read —
+    # listing a many-band directory tree is a whole Spark job by itself
+    idx_ready: list[bool] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -100,32 +138,76 @@ def start_incremental_span_dedup(
             if not is_path_not_found(exc):
                 raise
             hist = None
+        use_index = history_probe == "bucketed"
+        if hist is not None and use_index and not idx_ready:
+            if fp_index.read(spark) is None:
+                # pre-index corpus (older rounds / scan-mode runs): one-time
+                # migration build from the stored fingerprint arrays
+                fp_index.build_from(
+                    hist.select(
+                        F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
+                    )
+                )
+            idx_ready.append(True)
         # exact dedup: deterministic survivor (min id per fingerprint), then
         # the replay guard — anti-join against history's fp column
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
+        replayed = None
         if hist is not None:
             # coalesce: pre-sentinel corpora hold fp=NULL for null text
-            fresh = fresh.join(
-                hist.select(F.coalesce("fp", F.lit("null-text")).alias("fp")),
-                "fp",
-                "left_anti",
+            hkeys = hist.select(
+                F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
             )
+            if use_index:
+                # TRUE replays (same id AND same bytes already stored): a
+                # prior run may have died between corpus and index append,
+                # so these rows' index pairs may be missing — capture them
+                # for the heal step before the anti-join drops them
+                replayed = fresh.join(hkeys, ["fp", id_col], "left_semi").select(
+                    F.col(id_col).alias("id")
+                )
+            fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
         # span dedup WITHIN the batch: lowest id of each pair wins
         live_fps = wf.join(fresh.select(F.col(id_col).alias("id")), "id", "left_semi")
         victims = _span_victims(live_fps, live_fps, id_col, min_shared, True)
         fresh = fresh.join(victims, id_col, "left_anti")
-        # span dedup vs HISTORY: probe the stored wfps (column-pruned scan)
+        # span dedup vs HISTORY
         if hist is not None:
-            hist_fps = hist.select(
-                F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
-            )
             live_fps = wf.join(
                 fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
             )
-            hvictims = _span_victims(live_fps, hist_fps, id_col, min_shared, False)
-            fresh = fresh.join(hvictims, id_col, "left_anti")
+            if use_index:
+                heal_fps = wf.join(replayed, "id", "left_semi")
+                bands = fp_index.touched_bands(
+                    live_fps.select("fp").union(heal_fps.select("fp"))
+                )
+                if bands:
+                    idx_rows = fp_index.read_bands(spark, bands)
+                    hvictims = _span_victims(
+                        live_fps, idx_rows, id_col, min_shared, False
+                    )
+                    fresh = fresh.join(hvictims, id_col, "left_anti")
+                    missing = heal_fps.join(idx_rows, ["id", "fp"], "left_anti")
+                    if not missing.isEmpty():
+                        fp_index.append(missing)
+            else:
+                hist_fps = hist.select(
+                    F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
+                )
+                hvictims = _span_victims(
+                    live_fps, hist_fps, id_col, min_shared, False
+                )
+                fresh = fresh.join(hvictims, id_col, "left_anti")
         fresh.write.mode("append").parquet(corpus_dir)
+        if use_index:
+            # index append AFTER the corpus commit (crash ⇒ missing index
+            # rows, healed on replay — never phantom rows)
+            fp_index.append(
+                wf.join(
+                    fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
+                )
+            )
         cached.unpersist()
         wf.unpersist()
 

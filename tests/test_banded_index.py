@@ -1,0 +1,172 @@
+"""Banded fingerprint index: partition-pruned probes, scan/bucketed
+equivalence of the incremental dedup streams, and crash-gap healing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from fest_vibes_ai_etl_spark.streaming.banded_index import BandedFingerprintIndex
+from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+    near_index_path,
+    start_incremental_near_dedup,
+)
+from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    span_index_path,
+    start_incremental_span_dedup,
+)
+
+PASSAGE = "the quick brown fox jumps over the lazy dog near the river bank"
+B1 = [(1, "alpha beta " + PASSAGE + " gamma delta epsilon"),
+      (2, "unrelated first batch content about query engines and storage"),
+      (3, "a third completely independent document mentioning nothing shared")]
+B2 = [(10, "one two three " + PASSAGE + " four five six seven"),
+      (11, "totally novel second batch document with fresh vocabulary"),
+      (2000, "unrelated first batch content about query engines and storage")]
+
+
+def _write_batches(spark, src):
+    for i, rows in enumerate((B1, B2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+
+def _run_span(spark, src, corpus, ckpt, mode, n_bands=16):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_span_dedup(
+        stream, corpus, ckpt, k=20, w=15, min_shared=3,
+        n_bands=n_bands, history_probe=mode,
+    )
+    q.awaitTermination(180)
+
+
+def _run_near(spark, src, corpus, ckpt, mode, n_buckets=16):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_near_dedup(
+        stream, corpus, ckpt, k=3, num_hashes=32, bands=8, threshold=0.2,
+        n_buckets=n_buckets, history_probe=mode,
+    )
+    q.awaitTermination(180)
+
+
+def test_index_roundtrip_prunes_partitions(spark, tmp_path):
+    pairs = spark.range(2000).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    idx = BandedFingerprintIndex(str(tmp_path / "idx"), "fp", n_bands=8)
+    idx.build_from(pairs)
+    # band directories on disk
+    dirs = sorted(d for d in os.listdir(tmp_path / "idx") if d.startswith("pband="))
+    assert dirs == [f"pband={i}" for i in range(8)]
+    # pruned read returns exactly the rows of the requested bands, and the
+    # plan prunes at the PARTITION level (not scan-then-filter)
+    pruned = idx.read_bands(spark, [2, 5])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pband" in plan
+    got = {(r.id, r.fp) for r in pruned.collect()}
+    want = {
+        (r.id, r.fp)
+        for r in pairs.withColumn("b", F.pmod("fp", F.lit(8))).filter(
+            F.col("b").isin([2, 5])
+        ).collect()
+    }
+    assert got == want and got
+    # append lands in the right bands and survives a re-read
+    idx.append(spark.createDataFrame([(999999, 13)], "id long, fp long"))
+    assert (999999, 13) in {
+        (r.id, r.fp) for r in idx.read_bands(spark, [13 % 8]).collect()
+    }
+
+
+def _stored_ids(spark, corpus):
+    return {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+
+
+def test_span_bucketed_probe_equals_scan_probe(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    for mode in ("scan", "bucketed"):
+        _run_span(spark, src, str(tmp_path / f"c_{mode}"), str(tmp_path / f"k_{mode}"), mode)
+    scan_ids = _stored_ids(spark, str(tmp_path / "c_scan"))
+    bucketed_ids = _stored_ids(spark, str(tmp_path / "c_bucketed"))
+    assert scan_ids == bucketed_ids
+    # the span rule fired cross-batch: 10 carries B1's passage, 2000 is an
+    # exact dup of 2 — neither stored
+    assert 10 not in scan_ids and 2000 not in scan_ids
+    assert {1, 2, 3, 11} <= scan_ids
+
+
+def test_near_bucketed_probe_equals_scan_probe(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    for mode in ("scan", "bucketed"):
+        _run_near(spark, src, str(tmp_path / f"c_{mode}"), str(tmp_path / f"k_{mode}"), mode)
+    scan_ids = _stored_ids(spark, str(tmp_path / "c_scan"))
+    bucketed_ids = _stored_ids(spark, str(tmp_path / "c_bucketed"))
+    assert scan_ids == bucketed_ids
+    assert 2000 not in scan_ids  # exact dup dropped cross-batch
+    assert {1, 2, 3} <= scan_ids
+
+
+def _index_pairs(spark, idx_dir):
+    return {
+        (r.id, r.fp)
+        for r in spark.read.parquet(idx_dir).select("id", "fp").collect()
+    }
+
+
+def _corpus_pairs(spark, corpus):
+    return {
+        (r.id, r.fp)
+        for r in spark.read.parquet(corpus)
+        .select(F.col("doc_id").alias("id"), F.explode("wfps").alias("fp"))
+        .collect()
+    }
+
+
+def test_span_index_heals_after_partial_index_loss(spark, tmp_path):
+    """Crash between corpus append and index append leaves the index
+    missing rows for stored docs; a replay must re-append them (heal) and
+    append nothing to the corpus."""
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    _write_batches(spark, src)
+    _run_span(spark, src, corpus, str(tmp_path / "k1"), "bucketed")
+    idx_dir = span_index_path(corpus)
+    full = _index_pairs(spark, idx_dir)
+    assert full == _corpus_pairs(spark, corpus)
+    n0 = spark.read.parquet(corpus).count()
+    # simulate the crash gap: drop half the band directories
+    bands = sorted(d for d in os.listdir(idx_dir) if d.startswith("pband="))
+    assert bands
+    for d in bands[: max(1, len(bands) // 2)]:
+        shutil.rmtree(os.path.join(idx_dir, d))
+    assert _index_pairs(spark, idx_dir) < full
+    # replay the whole source under a fresh checkpoint
+    _run_span(spark, src, corpus, str(tmp_path / "k2"), "bucketed")
+    assert spark.read.parquet(corpus).count() == n0  # convergent
+    assert _index_pairs(spark, idx_dir) == full      # healed
+
+
+def test_span_bucketed_migrates_scan_built_corpus(spark, tmp_path):
+    """A corpus built with history_probe='scan' (or by an older round) has
+    no index; the first bucketed batch must build it and still dedup."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src1)
+    _run_span(spark, src1, corpus, str(tmp_path / "k1"), "scan")
+    assert not os.path.exists(span_index_path(corpus))
+    spark.createDataFrame(B2, "doc_id long, text string").coalesce(1).write.parquet(src2)
+    _run_span(spark, src2, corpus, str(tmp_path / "k2"), "bucketed")
+    ids = _stored_ids(spark, corpus)
+    assert 10 not in ids and 2000 not in ids and {1, 2, 3, 11} <= ids
+    # migration built the index covering BOTH old and new rows
+    assert _index_pairs(spark, span_index_path(corpus)) == _corpus_pairs(spark, corpus)

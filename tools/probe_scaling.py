@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Incremental-dedup history-probe scaling: bucketed index vs full scan.
+
+The round-6 verdict's one scale exposure: the incremental span/near dedup
+streams re-derived their probe side from the ENTIRE stored corpus on every
+micro-batch — linear per batch, quadratic over a backfill. Round 7 adds the
+band-partitioned sidecar (``streaming/banded_index.py``). This tool measures
+what that buys: it prebuilds accumulated history at 1×/4×/16× (replica-
+scaled documents with disjoint ids and per-replica token salting, the
+``scaling_curve.py`` convention), then times ONE fixed-size micro-batch
+through the real ``foreachBatch`` path under ``history_probe="scan"`` vs
+``"bucketed"``, and fits b in  wall = a·history^b  for each.
+
+What to expect (and why, so the numbers aren't read naively):
+
+- near-dedup probes are FP-SPARSE (``bands``=8 hashes per doc), so a small
+  batch touches a tiny fraction of a well-sized bucket set → strongly
+  sublinear walls.
+- span-dedup probes are FP-DENSE (~2/(w+1) fingerprints per gram, ~10² per
+  doc), so directory pruning rates ``touched/n_bands``; the structural win
+  that holds even when every band is touched is that the per-batch explode
+  of every stored row's array is GONE (the index is pre-exploded once, at
+  append time) and the join is bucket-co-located. Slope drops accordingly;
+  a true bulk backfill should use the batch-mode operators, not a
+  micro-batch stream, regardless of index.
+
+Usage: python tools/probe_scaling.py [--base /root/testdata/sf0.1]
+         [--scales 1,4,16] [--batch-docs 12] [--n-bands 2048]
+         [--family span|near|both] [--out /tmp/festvibes_probe_scale]
+Writes one JSON line + a markdown table to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_history_docs(base: str, out_dir: str, r: int) -> str:
+    """r× replicated documents with disjoint ids and salted tokens (no
+    cross-replica shared shingles), cached under out_dir/docs_x{r}."""
+    import duckdb
+
+    dst = os.path.join(out_dir, f"docs_x{r}")
+    if os.path.exists(os.path.join(dst, "_BUILT")):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    reps = ", ".join(str(i) for i in range(r))
+    duckdb.connect().execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + rep.i * 10000000 AS doc_id,
+                 CASE WHEN rep.i = 0 THEN d.text
+                      ELSE regexp_replace(d.text, '(\\S+)', '\\1' || rep.i, 'g')
+                 END AS text
+          FROM '{base}/documents.parquet' d, (SELECT unnest([{reps}]) AS i) rep
+        ) TO '{dst}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    Path(dst, "_BUILT").touch()
+    return dst
+
+
+def prebuild_span_corpus(spark, docs_dir: str, corpus_dir: str, k, w) -> None:
+    """History in the span-stream's storage shape: (doc_id, text, fp, wfps)."""
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.operators.dedup import winnow_fingerprints
+    from fest_vibes_ai_etl_spark.streaming.incremental_dedup import fingerprint
+
+    docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    wf = winnow_fingerprints(docs, "doc_id", "text", k=k, w=w)
+    wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
+    (
+        docs.withColumn("fp", fingerprint("text"))
+        .join(wfps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("wfps", F.coalesce("wfps", F.array().cast("array<long>")))
+        .write.mode("overwrite")
+        .parquet(corpus_dir)
+    )
+
+
+def prebuild_near_corpus(spark, docs_dir: str, corpus_dir: str, k, num_hashes) -> None:
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        _with_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    _with_signatures(docs, "doc_id", "text", k, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+
+
+def write_batch_source(spark, base: str, src_dir: str, n_docs: int) -> None:
+    """Fixed probe batch: novel docs (salted differently from every replica)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(os.path.join(base, "documents.parquet"))
+        .orderBy("doc_id")
+        .limit(n_docs)
+        .select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", "$1zq").alias("text"),
+        )
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+
+def run_one_batch(spark, family: str, src: str, corpus: str, ckpt: str,
+                  mode: str, n_bands: int) -> float:
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        start_incremental_near_dedup,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        start_incremental_span_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    if family == "span":
+        q = start_incremental_span_dedup(
+            stream, corpus, ckpt, k=20, w=15, min_shared=3,
+            n_bands=n_bands, history_probe=mode,
+        )
+    else:
+        q = start_incremental_near_dedup(
+            stream, corpus, ckpt, k=3, num_hashes=32, bands=8, threshold=0.2,
+            n_buckets=n_bands, history_probe=mode,
+        )
+    q.awaitTermination(600)
+    return time.perf_counter() - t0
+
+
+def fit_b(scales, walls) -> float:
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(max(w, 1e-9)) for w in walls]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--batch-docs", type=int, default=12)
+    ap.add_argument("--n-bands", type=int, default=2048)
+    ap.add_argument("--family", default="both", choices=["span", "near", "both"])
+    ap.add_argument("--out", default="/tmp/festvibes_probe_scale")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    families = ["span", "near"] if args.family == "both" else [args.family]
+
+    from fest_vibes_ai_etl_spark.session import get_spark
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedFingerprintIndex,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        _band_hashes,
+        near_index_path,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        span_index_path,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    os.makedirs(args.out, exist_ok=True)
+    src = os.path.join(args.out, "batch_src")
+    write_batch_source(spark, args.base, src, args.batch_docs)
+
+    results: dict[str, dict] = {}
+    for fam in families:
+        walls: dict[str, list[float]] = {"scan": [], "bucketed": []}
+        warmed = False
+        for r in scales:
+            docs_dir = build_history_docs(args.base, args.out, r)
+            proto = os.path.join(args.out, f"{fam}_hist_x{r}")
+            if not os.path.exists(os.path.join(proto, "_SUCCESS")):
+                log(f"[{fam}] building x{r} history corpus ...")
+                if fam == "span":
+                    prebuild_span_corpus(spark, docs_dir, proto, 20, 15)
+                else:
+                    prebuild_near_corpus(spark, docs_dir, proto, 3, 32)
+            # prebuild the index once per scale so the timed run measures
+            # the steady-state probe, not the one-time migration
+            idx_proto = (
+                span_index_path(proto) if fam == "span" else near_index_path(proto)
+            )
+            if not os.path.exists(idx_proto):
+                log(f"[{fam}] building x{r} index ...")
+                hist = spark.read.parquet(proto)
+                if fam == "span":
+                    idx = BandedFingerprintIndex(idx_proto, "fp", args.n_bands)
+                    idx.build_from(
+                        hist.select(
+                            F.col("doc_id").alias("id"),
+                            F.explode("wfps").alias("fp"),
+                        )
+                    )
+                else:
+                    idx = BandedFingerprintIndex(
+                        idx_proto, "band_hash", args.n_bands
+                    )
+                    idx.build_from(
+                        _band_hashes(hist, "doc_id", 32, 8).select(
+                            F.col("bid").alias("id"), "band", "band_hash"
+                        )
+                    )
+            for mode in ("scan", "bucketed"):
+                # the batch APPENDS; run each mode against a throwaway copy
+                reps = 2 if not warmed else 1  # first timing discards a
+                for rep in range(reps):        # JVM/stream warmup pass
+                    work = os.path.join(args.out, "work")
+                    shutil.rmtree(work, ignore_errors=True)
+                    corpus = os.path.join(work, "corpus")
+                    shutil.copytree(proto, corpus)
+                    shutil.copytree(
+                        idx_proto,
+                        span_index_path(corpus) if fam == "span"
+                        else near_index_path(corpus),
+                    )
+                    wall = run_one_batch(
+                        spark, fam, src, corpus, os.path.join(work, "ckpt"),
+                        mode, args.n_bands,
+                    )
+                    if reps == 2 and rep == 0:
+                        log(f"[{fam}] x{r} {mode} (warmup, discarded): {wall:.2f}s")
+                        continue
+                    walls[mode].append(wall)
+                    log(f"[{fam}] x{r} {mode}: {wall:.2f}s")
+            warmed = True
+        results[fam] = {
+            "scales": scales,
+            "walls": {m: [round(w, 3) for w in ws] for m, ws in walls.items()},
+            "b": {m: round(fit_b(scales, ws), 3) for m, ws in walls.items()},
+        }
+
+    print(json.dumps({"probe_scaling": results,
+                      "batch_docs": args.batch_docs,
+                      "n_bands": args.n_bands}))
+    print("\n| family | mode | " + " | ".join(f"x{s}" for s in scales) + " | b |")
+    print("|---|---|" + "---|" * (len(scales) + 1))
+    for fam, res in results.items():
+        for mode in ("scan", "bucketed"):
+            row = " | ".join(f"{w:.2f}s" for w in res["walls"][mode])
+            print(f"| {fam} | {mode} | {row} | {res['b'][mode]:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -785,11 +785,18 @@ def verify_span_pairs(
     substring family ("sketch selects, true metric decides", the same
     shape as MinHash's exact-Jaccard verify): for each REPORTED pair,
     the exact longest-common-substring length of the normalized texts,
-    via difflib's longest-matching-block on an Arrow-batched pair table.
+    via binary search over a vectorized rolling hash (Rabin-Karp feasible-
+    length check) on an Arrow-batched pair table.
 
     Cost is bounded by the REPORTED pairs (already mined, already small),
     never the corpus: two id-joins ship only the candidate texts, and the
-    O(|a|·|b|) per-pair scan runs on at most |pairs| rows.
+    per-pair cost is O((|a|+|b|)·log min(|a|,|b|)) — NOT the O(|a|·|b|)
+    difflib scan this replaced, which made a single pair of two ~1 MB docs
+    a multi-hour task. Exactness is preserved: candidate window matches
+    found by 64-bit hash equality are re-checked by actual substring
+    comparison (a collision can cost time, never a wrong answer; equal
+    substrings always hash equal, so no match is missed), pinned by an
+    equivalence test against difflib in tests/test_winnow_dedup.py.
 
     What is and is NOT guaranteed — the winnowing guarantee is
     one-directional: any shared span ≥ w + k − 1 chars yields a shared
@@ -815,20 +822,99 @@ def verify_span_pairs(
     ) + ", lcs_len int"
 
     def run(batches):
-        from difflib import SequenceMatcher  # stdlib: closure-safe on executors
-
+        # closure-safe on executors: all imports inside
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            lens = []
-            for a, b in zip(pdf["a_txt"], pdf["b_txt"]):
-                if a is None or b is None:
-                    lens.append(None)  # unverifiable: doc absent from df
-                    continue
-                m = SequenceMatcher(None, a, b, autojunk=False)
-                lens.append(m.find_longest_match(0, len(a), 0, len(b)).size)
-            res = pdf.drop(columns=["a_txt", "b_txt"])
-            res["lcs_len"] = pd.array(lens, dtype="Int32")
-            yield res
+        MASK = (1 << 64) - 1
+        BASE = 0x9E3779B97F4A7C15  # odd => invertible mod 2^64
+        BINV = pow(BASE, -1, 1 << 64)
+
+        def prep(s: str):
+            """Per-string precompute reused across binary-search steps:
+            code points c, prefix sums S[j] = Σ_{u<j} c[u]·B^{-u}, and the
+            position factors Bpow[i] = B^i — all mod 2^64 via native
+            uint64 wraparound (no Python bignums in the hot path)."""
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            n = len(c)
+            binv_pow = np.empty(n, dtype=np.uint64)
+            bpow = np.empty(n, dtype=np.uint64)
+            if n:
+                binv_pow[0] = 1
+                bpow[0] = 1
+                if n > 1:
+                    # cumprod of a constant vector: exponent chains
+                    # BINV^1..BINV^{n-1} / BASE^1..BASE^{n-1}, mod 2^64
+                    np.cumprod(
+                        np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:]
+                    )
+                    np.cumprod(
+                        np.full(n - 1, BASE, dtype=np.uint64), out=bpow[1:]
+                    )
+            S = np.zeros(n + 1, dtype=np.uint64)
+            if n:
+                np.cumsum(c * binv_pow, out=S[1:])
+            return c, S, bpow
+
+        def feasible(a, b, pa, pb, L: int) -> bool:
+            """Is there a common substring of length L? Hash windows of
+            both strings, intersect, re-check candidates by true substring
+            equality (exactness under collisions)."""
+            ca, Sa, Pa = pa
+            cb, Sb, Pb = pb
+            if L == 0:
+                return True
+            if L > len(ca) or L > len(cb):
+                return False
+            scale = np.uint64(pow(BASE, L - 1, 1 << 64))
+            ha = (Sa[L:] - Sa[:-L]) * Pa[: len(ca) - L + 1] * scale
+            hb = (Sb[L:] - Sb[:-L]) * Pb[: len(cb) - L + 1] * scale
+            common, ia, ib = np.intersect1d(
+                ha, hb, assume_unique=False, return_indices=True
+            )
+            if common.size == 0:
+                return False
+            # first-occurrence pairs: with a 64-bit hash essentially every
+            # candidate is a true match
+            for i, j in zip(ia, ib):
+                if a[i : i + L] == b[j : j + L]:
+                    return True
+            # collision fallback (astronomically rare): all positions
+            for h in common:
+                subs_b = {b[j : j + L] for j in np.where(hb == h)[0]}
+                for i in np.where(ha == h)[0]:
+                    if a[i : i + L] in subs_b:
+                        return True
+            return False
+
+        def lcs_len(a: str, b: str) -> int:
+            if not a or not b:
+                return 0
+            pa, pb = prep(a), prep(b)
+            lo, hi = 0, min(len(a), len(b))
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if feasible(a, b, pa, pb, mid):
+                    lo = mid
+                else:
+                    hi = mid - 1
+            return lo
+
+        old = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
+        try:
+            for pdf in batches:
+                lens = []
+                for a, b in zip(pdf["a_txt"], pdf["b_txt"]):
+                    if a is None or b is None:
+                        lens.append(None)  # unverifiable: doc absent from df
+                        continue
+                    lens.append(lcs_len(a, b))
+                res = pdf.drop(columns=["a_txt", "b_txt"])
+                res["lcs_len"] = pd.array(lens, dtype="Int32")
+                yield res
+        finally:
+            np.seterr(**old)
 
     return joined.mapInPandas(run, schema=out_schema)

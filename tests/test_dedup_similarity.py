@@ -385,6 +385,63 @@ def test_verify_span_pairs_exact_length_on_planted_passage(spark, span_docs):
     assert v[(10, 11)] >= len(PASSAGE)
 
 
+def test_verify_span_pairs_equals_difflib_on_test_corpus(spark):
+    """The rolling-hash binary-search LCS must be EXACTLY difflib's
+    longest-matching-block on every reported pair of the test corpus —
+    exactness is the whole contract of the verify step."""
+    from difflib import SequenceMatcher
+
+    from fest_vibes_ai_etl_spark.functions.text import normalize_text
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.duplicate_span_pairs(
+        docs, "doc_id", "text", k=20, w=15, min_shared=1, max_fp_df=20
+    )
+    got = {
+        (r.a_id, r.b_id): r.lcs_len
+        for r in dedup.verify_span_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    norm = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id", normalize_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert got
+    for (a_id, b_id), lcs in got.items():
+        a, b = norm[a_id], norm[b_id]
+        m = SequenceMatcher(None, a, b, autojunk=False)
+        want = m.find_longest_match(0, len(a), 0, len(b)).size
+        assert lcs == want, (a_id, b_id, lcs, want)
+
+
+def test_verify_span_pairs_megabyte_docs_bounded_time(spark):
+    """The verdict's planted case: two ~1 MB docs in one pair must verify
+    in bounded time (the difflib O(|a|·|b|) scan this replaced would need
+    ~10^12 character comparisons — hours)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    a = "".join(rng.choice(alpha) for _ in range(1_000_000))
+    b = "".join(rng.choice(alpha) for _ in range(990_000))
+    planted = a[200_000:205_000]
+    b = b[:400_000] + planted + b[400_000:]
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2, 1, 0.1)], "a_id long, b_id long, n_shared long, overlap double"
+    )
+    t0 = time.time()
+    v = dedup.verify_span_pairs(df, pairs, "doc_id", "text").collect()
+    wall = time.time() - t0
+    # normalize_text collapses the planted span's runs of spaces, so the
+    # exact LCS can exceed 5000 slightly via shared context — bound below
+    assert len(v) == 1 and v[0].lcs_len >= 4900
+    assert wall < 120, f"1MB-pair verify took {wall:.0f}s"
+
+
 def test_winnow_store_fp_df_matches_recount(spark):
     # the v2 store invariant: the staged corpus-wide fp_df equals a fresh
     # count over the store's own rows (the map-side cutoff depends on it)

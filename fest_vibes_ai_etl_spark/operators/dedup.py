@@ -606,9 +606,23 @@ def load_or_build_minhash_store(
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 15
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 15,
+    max_doc_chars: int | None = None,
 ) -> DataFrame:
     """(id, fp) — distinct winnowed character-k-gram fingerprints per doc.
+
+    ``max_doc_chars`` is the long-document skew guard: the window-min is a
+    per-doc analytic window, so one multi-MB document serializes one task
+    for its whole length. When set, each doc is split into chunks of at
+    most ``max_doc_chars`` normalized chars overlapping by exactly
+    w + k − 2 chars — the least overlap under which EVERY w-gram window of
+    the original lies wholly inside some chunk — and the window runs per
+    (doc, chunk): task skew is bounded by ``max_doc_chars`` instead of max
+    document length. The fingerprint set is INVARIANT under chunking
+    (chunks are substrings, so no new windows appear; the overlap bound
+    means none disappear; the final per-doc ``distinct`` collapses the
+    overlap's repeats) — pinned against the unchunked plan and the
+    pure-python mirror in tests/test_properties.py.
 
     The k-gram hash array is pure map-side column expressions; the sliding
     window-min is a per-doc analytic window over the posexploded hashes —
@@ -628,15 +642,36 @@ def winnow_fingerprints(
     base = df.select(
         F.col(id_col).alias("id"), T.normalize_text(F.col(text_col)).alias("txt")
     ).filter(F.length("txt") >= k + w - 1)
-    grams = base.select(
-        "id",
+    if max_doc_chars is None:
+        units, keys = base, ["id"]
+    else:
+        if max_doc_chars < k + w - 1:
+            raise ValueError(
+                f"max_doc_chars={max_doc_chars} must be >= k + w - 1 = "
+                f"{k + w - 1} (a chunk must hold at least one full window)"
+            )
+        step = max_doc_chars - (w + k - 2)
+        units = base.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("txt"), F.lit(step)),
+                    lambda st: F.substr(F.col("txt"), st, F.lit(max_doc_chars)),
+                )
+            ).alias("ci", "txt"),
+            # chunks too short for a full window contribute nothing; their
+            # windows (if any existed in the doc) live in the prior chunk
+        ).filter(F.length("txt") >= k + w - 1)
+        keys = ["id", "ci"]
+    grams = units.select(
+        *keys,
         F.transform(
             F.sequence(F.lit(1), F.length("txt") - (k - 1)),
             lambda p: F.substr(F.col("txt"), p, F.lit(k)),
         ).alias("g"),
     )
     hashed = grams.select(
-        "id",
+        *keys,
         F.posexplode(
             F.transform(
                 "g",
@@ -644,10 +679,10 @@ def winnow_fingerprints(
             )
         ).alias("i", "h"),
     )
-    fwd = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
-    per_doc = Window.partitionBy("id")
+    fwd = Window.partitionBy(*keys).orderBy("i").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy(*keys)
     wm = hashed.select(
-        "id",
+        *keys,
         F.col("i"),
         F.min("h").over(fwd).alias("fp"),
         F.count(F.lit(1)).over(per_doc).alias("n_grams"),
@@ -665,6 +700,7 @@ def duplicate_span_pairs(
     min_shared: int = 2,
     max_fp_df: int | None = None,
     fps: DataFrame | None = None,
+    max_doc_chars: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, n_shared, overlap) — document pairs sharing at least
     ``min_shared`` winnowed fingerprints. Recall is guaranteed for true
@@ -696,7 +732,9 @@ def duplicate_span_pairs(
     from pyspark.sql import Window
 
     if fps is None:
-        fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        fps = winnow_fingerprints(
+            df, id_col, text_col, k=k, w=w, max_doc_chars=max_doc_chars
+        )
     if max_fp_df is not None:
         if "fp_df" in fps.columns:
             # store path: the corpus-wide df was precomputed at build —

@@ -138,6 +138,102 @@ def bpe_ish_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def real_tokenizer_factory(
+    encoding: str = "cl100k_base", tokenizer_file: str | None = None
+):
+    """Batched EXACT token counter when a real tokenizer package is
+    importable, else None (caller keeps the ``bpe_ish`` column expression —
+    the in-sandbox default AND the oracle). Deployment budgets are
+    tokenizer-exact, not regex-approximate, so this is the same
+    guard-import seam as the fastText classifier above and the
+    sentence-transformers embedder (operators/enrich.py): the production
+    dependency drops in without touching the Spark plumbing, and the
+    realdeps lane (tests/test_realdeps.py) executes it end-to-end through
+    ``token_counts`` → ``pack_budget``. Prefers ``tiktoken`` (BPE by
+    encoding name); falls back to HuggingFace ``tokenizers`` when
+    ``tokenizer_file`` (a tokenizer.json) is given. Null/empty text counts
+    0 — matching the bpe_ish convention."""
+    try:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(encoding)
+
+        def count_tiktoken(texts):
+            import pandas as pd
+
+            out = pd.Series([0] * len(texts), index=texts.index, dtype="int64")
+            mask = texts.notna()
+            if mask.any():
+                out[mask] = [
+                    len(t)
+                    for t in enc.encode_ordinary_batch(
+                        texts[mask].astype(str).tolist()
+                    )
+                ]
+            return out
+
+        return count_tiktoken
+    except ImportError:
+        pass
+    if tokenizer_file is not None:
+        try:
+            from tokenizers import Tokenizer
+
+            tok = Tokenizer.from_file(tokenizer_file)
+
+            def count_hf(texts):
+                import pandas as pd
+
+                out = pd.Series([0] * len(texts), index=texts.index, dtype="int64")
+                mask = texts.notna()
+                if mask.any():
+                    out[mask] = [
+                        len(e.ids)
+                        for e in tok.encode_batch(texts[mask].astype(str).tolist())
+                    ]
+                return out
+
+            return count_hf
+        except ImportError:
+            pass
+    return None
+
+
+def token_counts(
+    df: DataFrame, id_col: str, text_col: str, counter=None
+) -> DataFrame:
+    """(id, n_tokens) — the token-budget input for ``pack_budget`` /
+    mixture queries. Default: the deterministic ``bpe_ish`` column
+    expression (JVM-side, oracle-reproducible — what the catalog hashes).
+    Pass ``counter`` (a batched ``pd.Series -> pd.Series`` of ints, e.g.
+    ``real_tokenizer_factory()``) for tokenizer-exact counts via
+    mapInPandas — Arrow-batched, never row-at-a-time."""
+    if counter is None:
+        pieces = F.split(
+            F.trim(
+                F.regexp_replace(F.col(text_col), r"([0-9]+|[^\w\s])", r" $1 ")
+            ),
+            r"\s+",
+        )
+        return df.select(F.col(id_col), F.size(pieces).alias("n_tokens"))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(F.col(id_col), F.col(text_col))
+    id_field = src.schema.fields[0]
+    out_schema = StructType(
+        [StructField(id_col, id_field.dataType), StructField("n_tokens", LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield type(pdf)(
+                {id_col: pdf[id_col], "n_tokens": counter(pdf[text_col])}
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
 def term_document_frequencies(df: DataFrame, id_col: str, text_col: str, k: int = 1) -> DataFrame:
     """(term, doc_freq) — corpus-level document frequency of word k-grams
     (distinct per doc, so a term repeated inside one doc counts once). The

@@ -240,7 +240,13 @@ def dsir_term_store_path(sf_dir: str, table_name: str, m: int) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
-    return os.path.join(_sig_warehouse_root(), f"dsir_{tag}_{table_name}_m{m}{stamp}")
+    # "dsirb": v2 stores are BUCKETED by id (Spark bucketed-table layout);
+    # the tag bump keeps v1 plain-parquet stores from being registered
+    # with a bucket spec their files don't satisfy
+    return os.path.join(_sig_warehouse_root(), f"dsirb_{tag}_{table_name}_m{m}{stamp}")
+
+
+DSIR_STORE_BUCKETS = 16
 
 
 def load_or_build_dsir_term_store(
@@ -252,20 +258,46 @@ def load_or_build_dsir_term_store(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """The (id, b) term-bucket table staged to parquet — the DSIR feature
-    index. Term buckets depend only on (corpus, m), NOT on the target
-    predicate, so one build serves every target domain a user scores
-    against; the staged rows are two longs per term instance, and the
-    query-time flag join is by id (write the store bucketed by id at
-    deployment scale for a co-located join)."""
+    """The (id, b) term-bucket table staged as a Spark BUCKETED table —
+    the DSIR feature index. Term buckets depend only on (corpus, m), NOT
+    on the target predicate, so one build serves every target domain a
+    user scores against; the staged rows are two longs per term instance.
+
+    The store is written ``bucketBy(id)`` (16 buckets locally; size to the
+    cluster at deployment), so the query-time flag join in ``dsir_scores``
+    is SHUFFLE-FREE on the store side — only the m-rows-thin flag frame
+    moves, the corpus-sized term explode never re-shuffles
+    (plan-locked in tests/test_plans.py). Bucketing metadata lives in the
+    session catalog; the parquet files (whose names carry the bucket ids)
+    persist under the repo warehouse, so a fresh session — including the
+    driver's bare foreign-cwd session — re-registers the EXISTING files as
+    an external bucketed table instead of rebuilding."""
     import os
+    import re
 
     path = dsir_term_store_path(sf_dir, table_name, m)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path)
-    tb = _term_buckets(df, id_col, text_col, F.lit(False), m).select("id", "b")
-    tb.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    tbl = "dsir_store_" + re.sub(r"\W+", "_", os.path.basename(path)).lower()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tb = _term_buckets(df, id_col, text_col, F.lit(False), m).select("id", "b")
+        (
+            tb.write.mode("overwrite")
+            .bucketBy(DSIR_STORE_BUCKETS, "id")
+            .sortBy("id")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        return spark.table(tbl)
+    if not spark.catalog.tableExists(tbl):
+        # files exist from an earlier session; register them (no data move)
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (id BIGINT, b BIGINT)
+            USING PARQUET
+            CLUSTERED BY (id) SORTED BY (id) INTO {DSIR_STORE_BUCKETS} BUCKETS
+            LOCATION '{path}'
+            """
+        )
+    return spark.table(tbl)
 
 
 def dsir_scores(

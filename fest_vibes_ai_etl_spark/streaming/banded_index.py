@@ -55,6 +55,19 @@ class BandedFingerprintIndex:
     def band_of(self, col):
         return F.pmod(col, F.lit(self.n_bands)).cast("int")
 
+    def _fs(self, spark: SparkSession):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, path
+
+    def exists(self, spark: SparkSession) -> bool:
+        """One filesystem stat — NOT a parquet resolution, which would
+        recursively list every band directory (a whole Spark job for a
+        many-band index) just to answer yes/no."""
+        fs, path = self._fs(spark)
+        return bool(fs.exists(path))
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Full index frame, or None if never written."""
         from ..errors import is_path_not_found
@@ -68,18 +81,35 @@ class BandedFingerprintIndex:
                 raise
             return None
 
-    def read_bands(self, spark: SparkSession, bands: list[int]) -> DataFrame:
-        """Pruned read: only the named band directories are opened (the
-        filter is on the partition column, so this is directory-level
-        partition pruning, not a scan-then-filter)."""
-        df = spark.read.parquet(self.path)
-        return df.filter(F.col("pband").isin(bands)).drop("pband")
+    def read_bands(self, spark: SparkSession, bands: list[int]) -> DataFrame | None:
+        """Pruned read, or None when no requested band exists yet. The
+        band directories are named EXPLICITLY (``basePath`` + per-band
+        paths): only the touched directories are ever listed — a plain
+        ``spark.read.parquet(root).filter(pband IN ...)`` prunes the SCAN
+        but still pays a full recursive listing of every band at dataframe
+        creation, which measured as the dominant probe cost. One
+        ``listStatus`` of the root (a single readdir) filters the request
+        to bands that exist, so a fresh band in the batch never 404s."""
+        fs, root = self._fs(spark)
+        existing = {st.getPath().getName() for st in fs.listStatus(root)}
+        paths = [
+            f"{self.path}/pband={b}" for b in bands if f"pband={b}" in existing
+        ]
+        if not paths:
+            return None
+        df = spark.read.option("basePath", self.path).parquet(*paths)
+        return df.drop("pband")
 
     def append(self, pairs: DataFrame) -> None:
         """Append (id, key) rows; the band column is derived here so
-        callers can't write an inconsistent banding."""
+        callers can't write an inconsistent banding. Appends are
+        batch-sized (a micro-batch's own pairs), so they're funneled
+        through one writer task — one file per touched band instead of one
+        per (task, band). The repartition(1) is a shuffle boundary, so the
+        upstream plan keeps its parallelism."""
         (
-            pairs.withColumn("pband", self.band_of(F.col(self.key_col)))
+            pairs.repartition(1)
+            .withColumn("pband", self.band_of(F.col(self.key_col)))
             .write.mode("append")
             .partitionBy("pband")
             .parquet(self.path)

@@ -198,7 +198,7 @@ def start_incremental_near_dedup(
                 raise
             hist = None
         if hist is not None and use_index and not idx_ready:
-            if band_index.read(spark) is None:
+            if not band_index.exists(spark):
                 # pre-index corpus (older rounds / scan-mode runs): one-time
                 # migration build from the stored signatures
                 band_index.build_from(
@@ -240,8 +240,10 @@ def start_incremental_near_dedup(
                 buckets = band_index.touched_bands(
                     pb.select("band_hash").union(heal_rows.select("band_hash"))
                 )
-                if buckets:
-                    idx_rows = band_index.read_bands(spark, buckets)
+                idx_rows = (
+                    band_index.read_bands(spark, buckets) if buckets else None
+                )
+                if idx_rows is not None:
                     cand = (
                         pb.join(idx_rows, ["band", "band_hash"])
                         .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
@@ -254,8 +256,14 @@ def start_incremental_near_dedup(
                     missing = heal_rows.join(
                         idx_rows, ["id", "band", "band_hash"], "left_anti"
                     )
-                    if not missing.isEmpty():
-                        band_index.append(missing)
+                elif buckets:
+                    # none of the touched buckets exist yet: nothing to
+                    # probe; every replayed row's pairs are missing
+                    missing = heal_rows
+                else:
+                    missing = None
+                if missing is not None and not missing.isEmpty():
+                    band_index.append(missing)
             else:
                 hist_victims = _near_dup_ids(
                     fresh, hist, id_col, num_hashes, bands, threshold,

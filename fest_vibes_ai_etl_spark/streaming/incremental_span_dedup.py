@@ -140,7 +140,7 @@ def start_incremental_span_dedup(
             hist = None
         use_index = history_probe == "bucketed"
         if hist is not None and use_index and not idx_ready:
-            if fp_index.read(spark) is None:
+            if not fp_index.exists(spark):
                 # pre-index corpus (older rounds / scan-mode runs): one-time
                 # migration build from the stored fingerprint arrays
                 fp_index.build_from(
@@ -182,15 +182,23 @@ def start_incremental_span_dedup(
                 bands = fp_index.touched_bands(
                     live_fps.select("fp").union(heal_fps.select("fp"))
                 )
-                if bands:
-                    idx_rows = fp_index.read_bands(spark, bands)
+                idx_rows = (
+                    fp_index.read_bands(spark, bands) if bands else None
+                )
+                if idx_rows is not None:
                     hvictims = _span_victims(
                         live_fps, idx_rows, id_col, min_shared, False
                     )
                     fresh = fresh.join(hvictims, id_col, "left_anti")
                     missing = heal_fps.join(idx_rows, ["id", "fp"], "left_anti")
-                    if not missing.isEmpty():
-                        fp_index.append(missing)
+                elif bands:
+                    # none of the touched bands exist yet: nothing to probe,
+                    # and every replayed row's pairs are missing by definition
+                    missing = heal_fps
+                else:
+                    missing = None
+                if missing is not None and not missing.isEmpty():
+                    fp_index.append(missing)
             else:
                 hist_fps = hist.select(
                     F.col(id_col).alias("id"), F.explode("wfps").alias("fp")

@@ -385,6 +385,57 @@ def test_verify_span_pairs_exact_length_on_planted_passage(spark, span_docs):
     assert v[(10, 11)] >= len(PASSAGE)
 
 
+def test_winnow_chunking_invariant_fps_and_pairs(spark):
+    """max_doc_chars (the long-doc skew guard) must not change the
+    fingerprint set or the mined pairs — including a planted passage that
+    STRADDLES a chunk boundary."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    passage = "shared duplicated passage straddling the chunk boundary here"
+    big_a = "".join(rng.choice(alpha) for _ in range(3950)) + passage + "".join(
+        rng.choice(alpha) for _ in range(3000)
+    )  # passage spans the 4096 boundary for max_doc_chars=4096
+    small_b = "some unrelated prefix " + passage + " and an unrelated suffix"
+    df = spark.createDataFrame(
+        [(1, big_a), (2, small_b)], "doc_id long, text string"
+    )
+    k, w = 20, 15
+    plain = {
+        (r.id, r.fp)
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    chunked = {
+        (r.id, r.fp)
+        for r in dedup.winnow_fingerprints(
+            df, "doc_id", "text", k=k, w=w, max_doc_chars=4096
+        ).collect()
+    }
+    assert plain == chunked
+    p_plain = {
+        (r.a_id, r.b_id)
+        for r in dedup.duplicate_span_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    p_chunked = {
+        (r.a_id, r.b_id)
+        for r in dedup.duplicate_span_pairs(
+            df, "doc_id", "text", k=k, w=w, min_shared=1, max_doc_chars=4096
+        ).collect()
+    }
+    assert p_plain == p_chunked == {(1, 2)}
+
+
+def test_winnow_chunking_rejects_undersized_chunks(spark):
+    df = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_doc_chars"):
+        dedup.winnow_fingerprints(
+            df, "doc_id", "text", k=20, w=15, max_doc_chars=33
+        )
+
+
 def test_verify_span_pairs_equals_difflib_on_test_corpus(spark):
     """The rolling-hash binary-search LCS must be EXACTLY difflib's
     longest-matching-block on every reported pair of the test corpus —

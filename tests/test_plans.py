@@ -238,3 +238,47 @@ def test_dsir_selection_plan_properties(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_dsir_store_flag_join_shuffle_free_on_store_side(spark):
+    """VERDICT r6 #7: the DSIR term store is written bucketBy(id), so the
+    query-time flag join must NOT re-shuffle the corpus-sized store side —
+    only the thin flag frame moves. Forced to a shuffle join (broadcast
+    off) the plan must show exactly ONE Exchange: the flags side."""
+    from fest_vibes_ai_etl_spark.operators import trainprep
+
+    docs = table(spark, SF_DIR, "documents")
+    tb = trainprep.load_or_build_dsir_term_store(spark, docs, SF_DIR, m=64)
+    flags = docs.select(
+        F.col("doc_id").alias("id"), (F.col("lang") == "en").alias("is_t")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(tb.join(flags, "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dsir_store_reregisters_across_sessions_and_paths_agree(spark):
+    """Fresh sessions (the driver's bare foreign-cwd shape) must pick up
+    the EXISTING bucketed files by registering an external table — not
+    rebuild, not lose the bucket spec."""
+    from fest_vibes_ai_etl_spark.operators import trainprep
+
+    docs = table(spark, SF_DIR, "documents")
+    tb1 = trainprep.load_or_build_dsir_term_store(spark, docs, SF_DIR, m=64)
+    n1 = tb1.count()
+    import os
+    import re
+
+    path = trainprep.dsir_term_store_path(SF_DIR, "documents", 64)
+    tbl = "dsir_store_" + re.sub(r"\W+", "_", os.path.basename(path)).lower()
+    spark.sql(f"DROP TABLE {tbl}")  # catalog entry gone, files remain
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    tb2 = trainprep.load_or_build_dsir_term_store(spark, docs, SF_DIR, m=64)
+    assert tb2.count() == n1
+    desc = spark.sql(f"DESCRIBE EXTENDED {tbl}").toPandas().to_string().lower()
+    assert "bucket" in desc  # the re-registered table keeps the bucket spec

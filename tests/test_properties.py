@@ -125,3 +125,75 @@ def test_winnow_normalization_invariance_and_bounds(words):
         # collapse values, so only assert the trivial floor), at most one
         # per window
         assert 1 <= len(fps) <= n_grams - w + 1
+
+
+def _ref_winnow_raw(txt: str, k: int, w: int) -> set[int]:
+    """Like _ref_winnow but WITHOUT normalization — chunking operates on
+    the already-normalized text, so the chunk mirror must not re-strip."""
+    import hashlib
+
+    if len(txt) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(txt[i : i + k].encode()).hexdigest()[:12], 16)
+        for i in range(len(txt) - k + 1)
+    ]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def _ref_winnow_chunked(txt: str, k: int, w: int, max_chars: int) -> set[int]:
+    """Mirror of winnow_fingerprints(max_doc_chars=...): normalize once,
+    chunk with overlap w + k - 2, union the per-chunk fingerprints."""
+    import re
+
+    txt = re.sub(r"\s+", " ", txt.strip()).lower()
+    step = max_chars - (w + k - 2)
+    out: set[int] = set()
+    for i in range(0, max(len(txt), 1), step):
+        out |= _ref_winnow_raw(txt[i : i + max_chars], k, w)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(_WORDS, min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=60),
+)
+def test_winnow_chunking_invariance_property(words, extra):
+    """The long-doc chunking guard must not change the fingerprint set:
+    overlap w + k - 2 is exactly the least overlap under which every
+    window of the original lies wholly inside some chunk."""
+    k, w = 8, 4
+    txt = " ".join(words)
+    max_chars = (k + w - 1) + extra  # smallest legal chunk upward
+    assert _ref_winnow_chunked(txt, k, w, max_chars) == _ref_winnow(txt, k, w)
+    # one-below-minimum overlap DOES lose spans for some inputs — the
+    # bound is tight (checked on a specific witness, not per-example)
+
+
+def test_winnow_chunk_overlap_bound_is_tight():
+    """With overlap w + k - 3 (one char short) a window straddling the
+    chunk boundary is lost — the w + k - 2 bound is exactly minimal."""
+    import hashlib
+    import re
+
+    import random
+
+    k, w = 8, 4
+    max_chars = 20
+    short_step = max_chars - (w + k - 3)  # overlap one too small
+    for seed in range(100):
+        rng = random.Random(seed)
+        txt = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(80)
+        )
+        txt = re.sub(r"\s+", " ", txt.strip()).lower()
+        out: set[int] = set()
+        for i in range(0, len(txt), short_step):
+            out |= _ref_winnow_raw(txt[i : i + max_chars], k, w)
+        ref = _ref_winnow(txt, k, w)
+        if out != ref:
+            # a straddling window's fingerprint was lost, never invented
+            assert out < ref
+            return
+    raise AssertionError("no witness in 100 seeds — bound may not be tight")

@@ -168,3 +168,53 @@ def test_real_redis_cache_sink_roundtrip(spark):
     assert n == 1  # one date key
     got = factory().get("festvibes:test:2026-08-14")
     assert got == '[{"event":"ev1"},{"event":"ev2"}]'
+
+
+# --- real tokenizer (operators/textanalysis.py token_counts seam) -----------
+
+
+def test_real_tokenizer_through_pack_budget(spark):
+    """Executes the TRUE branch of the tokenizer seam end-to-end:
+    real_tokenizer_factory -> token_counts (mapInPandas) -> pack_budget.
+    Deployment token budgets are tokenizer-exact; bpe_ish is the
+    documented, oracle-hashed fallback."""
+    try:
+        import tiktoken  # noqa: F401
+        have = "tiktoken"
+    except ImportError:
+        have = None
+    tok_file = os.environ.get("SPARK_GRAFT_TOKENIZER_JSON")
+    if have is None and not tok_file:
+        pytest.skip(
+            "no tiktoken and no SPARK_GRAFT_TOKENIZER_JSON tokenizer.json"
+        )
+    from fest_vibes_ai_etl_spark.operators.textanalysis import (
+        real_tokenizer_factory,
+        token_counts,
+    )
+    from fest_vibes_ai_etl_spark.operators.trainprep import pack_budget
+
+    counter = real_tokenizer_factory(tokenizer_file=tok_file)
+    if counter is None:
+        pytest.skip("tokenizer package importable but factory returned None")
+    # driver-side contract: exact ints, null/empty -> 0
+    counts = counter(pd.Series(["hello world", "a,b,c 123", "", None]))
+    assert counts.iloc[0] > 0 and counts.iloc[2] == 0 and counts.iloc[3] == 0
+    # executor path: Arrow-batched token_counts feeding pack_budget
+    docs = spark.createDataFrame(
+        [(1, "en", "hello world this is a document"),
+         (2, "en", "another longer document with many more words in it"),
+         (3, "fr", "le renard brun saute par-dessus le chien paresseux"),
+         (4, "en", None)],
+        "doc_id long, lang string, text string",
+    )
+    nt = token_counts(docs, "doc_id", "text", counter=counter)
+    joined = docs.join(nt, "doc_id")
+    packed = pack_budget(joined, "lang", "doc_id", "n_tokens", budget=12)
+    rows = {r.doc_id: (r.bin, r.n_tokens) for r in packed.collect()}
+    assert rows[4][1] == 0                       # null text counted 0
+    assert rows[1][0] == 0                       # first doc in bin 0
+    assert all(r[0] >= 0 for r in rows.values())
+    # bins are contiguous in doc_id order within each lang partition
+    en = sorted((d, b) for d, (b, _) in rows.items() if d != 3)
+    assert [b for _, b in en] == sorted(b for _, b in en)

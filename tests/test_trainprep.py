@@ -238,3 +238,43 @@ def test_dsir_null_and_empty_text_safe(spark):
     # null-text rows explode to zero terms and simply don't score; the
     # empty string tokenizes to one '' token (scored) — no crash either way
     assert 4 in got and 5 not in got and 1 not in got
+
+
+def test_token_counts_fallback_matches_bpe_ish_and_fake_counter_plumbing(spark):
+    """The tokenizer seam's FALSE branch: counter=None must be exactly the
+    bpe_ish column expression (the oracle-hashed default), and a fake
+    batched counter must flow through the mapInPandas plumbing into
+    pack_budget — pinning the Spark side without the real package (the
+    realdeps lane executes the TRUE branch)."""
+    from fest_vibes_ai_etl_spark.operators.textanalysis import (
+        bpe_ish_token_count,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "hello, world 42 times"),
+         (2, "en", "a much longer document with more words and punctuation!"),
+         (3, "de", "und noch ein dokument"),
+         (4, "en", None)],
+        "doc_id long, lang string, text string",
+    )
+    default = {r.doc_id: r.n_tokens for r in token_counts(docs, "doc_id", "text").collect()}
+    legacy = {r.doc_id: r.n_pieces for r in bpe_ish_token_count(docs, "doc_id", "text").collect()}
+    assert default == legacy
+
+    def fake_counter(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [0 if t is None else len(str(t).split()) for t in texts],
+            index=texts.index, dtype="int64",
+        )
+
+    nt = token_counts(docs, "doc_id", "text", counter=fake_counter)
+    got = {r.doc_id: r.n_tokens for r in nt.collect()}
+    assert got == {1: 4, 2: 9, 3: 4, 4: 0}
+    packed = trainprep.pack_budget(
+        docs.join(nt, "doc_id"), "lang", "doc_id", "n_tokens", budget=8
+    )
+    bins = {r.doc_id: r.bin for r in packed.collect()}
+    assert bins[1] == 0 and bins[2] == 0 and bins[3] == 0

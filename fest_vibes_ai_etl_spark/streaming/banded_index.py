@@ -127,6 +127,61 @@ class BandedFingerprintIndex:
             .parquet(self.path)
         )
 
+    # --- crash-window marker -------------------------------------------
+    # The heal step (re-appending replayed rows' missing pairs) requires
+    # an anti-join against the pruned index — cheap when history is small,
+    # but it SORTS the pruned slice every batch at scale, for a condition
+    # that only holds after a crash. The marker makes heal zero-cost in
+    # the steady state: the stream sets it before the corpus append and
+    # clears it after the index append, so a surviving marker at batch
+    # start means the previous attempt died inside the corpus→index
+    # window and exactly then is the heal join worth running.
+
+    def _marker_path(self, spark: SparkSession):
+        jvm = spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + ".inflight")
+
+    def mark_inflight(self, spark: SparkSession) -> None:
+        fs, _ = self._fs(spark)
+        out = fs.create(self._marker_path(spark), True)
+        out.close()
+
+    def clear_inflight(self, spark: SparkSession) -> None:
+        fs, _ = self._fs(spark)
+        fs.delete(self._marker_path(spark), False)
+
+    def was_inflight(self, spark: SparkSession) -> bool:
+        fs, _ = self._fs(spark)
+        return bool(fs.exists(self._marker_path(spark)))
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the index with one file per band. Streaming appends add
+        one small file per touched band per micro-batch; over a long run a
+        band directory accumulates thousands of files and the probe's open
+        cost grows with file count, not data size. Compaction is plain
+        parquet maintenance — same rows, same banding — staged through a
+        sibling directory and swapped in atomically-enough for the
+        SINGLE-WRITER stream this index serves (run it between batches or
+        from the stream's own maintenance hook, not concurrently with a
+        probe)."""
+        df = self.read(spark)
+        if df is None:
+            return
+        tmp = self.path.rstrip("/") + "_compacting"
+        (
+            df.repartition("pband")
+            .write.mode("overwrite")
+            .partitionBy("pband")
+            .parquet(tmp)
+        )
+        fs, path = self._fs(spark)
+        jvm = spark._jvm
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        old_path = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact")
+        fs.rename(path, old_path)
+        fs.rename(tmp_path, path)
+        fs.delete(old_path, True)
+
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the
         probe's pruning set. O(n_bands) driver memory by construction."""

@@ -197,16 +197,21 @@ def start_incremental_near_dedup(
             if not is_path_not_found(exc):
                 raise
             hist = None
-        if hist is not None and use_index and not idx_ready:
-            if not band_index.exists(spark):
-                # pre-index corpus (older rounds / scan-mode runs): one-time
-                # migration build from the stored signatures
-                band_index.build_from(
-                    _band_hashes(hist, id_col, num_hashes, bands).select(
-                        F.col("bid").alias("id"), "band", "band_hash"
+        need_heal = False
+        if hist is not None and use_index:
+            if not idx_ready:
+                if not band_index.exists(spark):
+                    # pre-index corpus (older rounds / scan-mode runs):
+                    # one-time migration build from the stored signatures
+                    band_index.build_from(
+                        _band_hashes(hist, id_col, num_hashes, bands).select(
+                            F.col("bid").alias("id"), "band", "band_hash"
+                        )
                     )
-                )
-            idx_ready.append(True)
+                idx_ready.append(True)
+            # a surviving in-flight marker means a prior attempt died
+            # inside the corpus→index window — only then run the heal join
+            need_heal = band_index.was_inflight(spark)
         # exact dedup (within batch, then vs history): survivor must be
         # deterministic — min(doc_id) per fingerprint, consistent with the
         # lowest-id-wins rule for near-dups — or two runs over identical
@@ -219,7 +224,7 @@ def start_incremental_near_dedup(
             hkeys = hist.select(
                 F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
             )
-            if use_index:
+            if need_heal:
                 # TRUE replays (same id AND same bytes already stored) may
                 # have missing index rows after a crash between corpus and
                 # index append — capture for heal before the anti-join
@@ -234,12 +239,17 @@ def start_incremental_near_dedup(
         if hist is not None:
             if use_index:
                 pb = _band_hashes(fresh, id_col, num_hashes, bands)
-                heal_rows = _band_hashes(replayed, id_col, num_hashes, bands).select(
-                    F.col("bid").alias("id"), "band", "band_hash"
+                heal_rows = (
+                    _band_hashes(replayed, id_col, num_hashes, bands).select(
+                        F.col("bid").alias("id"), "band", "band_hash"
+                    )
+                    if replayed is not None
+                    else None
                 )
-                buckets = band_index.touched_bands(
-                    pb.select("band_hash").union(heal_rows.select("band_hash"))
-                )
+                probe_keys = pb.select("band_hash")
+                if heal_rows is not None:
+                    probe_keys = probe_keys.union(heal_rows.select("band_hash"))
+                buckets = band_index.touched_bands(probe_keys)
                 idx_rows = (
                     band_index.read_bands(spark, buckets) if buckets else None
                 )
@@ -253,15 +263,16 @@ def start_incremental_near_dedup(
                         cand, fresh, hist, id_col, threshold
                     )
                     fresh = fresh.join(hist_victims, id_col, "left_anti")
-                    missing = heal_rows.join(
-                        idx_rows, ["id", "band", "band_hash"], "left_anti"
-                    )
-                elif buckets:
-                    # none of the touched buckets exist yet: nothing to
-                    # probe; every replayed row's pairs are missing
-                    missing = heal_rows
-                else:
-                    missing = None
+                missing = None
+                if heal_rows is not None:
+                    if idx_rows is not None:
+                        missing = heal_rows.join(
+                            idx_rows, ["id", "band", "band_hash"], "left_anti"
+                        )
+                    elif buckets:
+                        # none of the touched buckets exist yet: every
+                        # replayed row's pairs are missing by definition
+                        missing = heal_rows
                 if missing is not None and not missing.isEmpty():
                     band_index.append(missing)
             else:
@@ -270,6 +281,8 @@ def start_incremental_near_dedup(
                     self_pairs_ordered=False,
                 )
                 fresh = fresh.join(hist_victims, id_col, "left_anti")
+        if use_index:
+            band_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)
         if use_index:
             # index append AFTER the corpus commit (crash ⇒ missing index
@@ -279,6 +292,7 @@ def start_incremental_near_dedup(
                     F.col("bid").alias("id"), "band", "band_hash"
                 )
             )
+            band_index.clear_inflight(spark)
         cached.unpersist()
         if hist_cached is not None:
             hist_cached.unpersist()

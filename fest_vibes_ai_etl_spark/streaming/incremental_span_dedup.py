@@ -139,16 +139,22 @@ def start_incremental_span_dedup(
                 raise
             hist = None
         use_index = history_probe == "bucketed"
-        if hist is not None and use_index and not idx_ready:
-            if not fp_index.exists(spark):
-                # pre-index corpus (older rounds / scan-mode runs): one-time
-                # migration build from the stored fingerprint arrays
-                fp_index.build_from(
-                    hist.select(
-                        F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
+        need_heal = False
+        if hist is not None and use_index:
+            if not idx_ready:
+                if not fp_index.exists(spark):
+                    # pre-index corpus (older rounds / scan-mode runs):
+                    # one-time migration build from the stored arrays
+                    fp_index.build_from(
+                        hist.select(
+                            F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
+                        )
                     )
-                )
-            idx_ready.append(True)
+                idx_ready.append(True)
+            # a surviving in-flight marker means a prior attempt died
+            # inside the corpus→index window — only then is the heal
+            # anti-join worth its cost (it sorts the pruned index slice)
+            need_heal = fp_index.was_inflight(spark)
         # exact dedup: deterministic survivor (min id per fingerprint), then
         # the replay guard — anti-join against history's fp column
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
@@ -159,11 +165,10 @@ def start_incremental_span_dedup(
             hkeys = hist.select(
                 F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
             )
-            if use_index:
-                # TRUE replays (same id AND same bytes already stored): a
-                # prior run may have died between corpus and index append,
-                # so these rows' index pairs may be missing — capture them
-                # for the heal step before the anti-join drops them
+            if need_heal:
+                # TRUE replays (same id AND same bytes already stored): the
+                # crashed attempt's rows may be missing index pairs —
+                # capture them before the anti-join drops them
                 replayed = fresh.join(hkeys, ["fp", id_col], "left_semi").select(
                     F.col(id_col).alias("id")
                 )
@@ -178,10 +183,15 @@ def start_incremental_span_dedup(
                 fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
             )
             if use_index:
-                heal_fps = wf.join(replayed, "id", "left_semi")
-                bands = fp_index.touched_bands(
-                    live_fps.select("fp").union(heal_fps.select("fp"))
+                heal_fps = (
+                    wf.join(replayed, "id", "left_semi")
+                    if replayed is not None
+                    else None
                 )
+                probe_keys = live_fps.select("fp")
+                if heal_fps is not None:
+                    probe_keys = probe_keys.union(heal_fps.select("fp"))
+                bands = fp_index.touched_bands(probe_keys)
                 idx_rows = (
                     fp_index.read_bands(spark, bands) if bands else None
                 )
@@ -190,13 +200,16 @@ def start_incremental_span_dedup(
                         live_fps, idx_rows, id_col, min_shared, False
                     )
                     fresh = fresh.join(hvictims, id_col, "left_anti")
-                    missing = heal_fps.join(idx_rows, ["id", "fp"], "left_anti")
-                elif bands:
-                    # none of the touched bands exist yet: nothing to probe,
-                    # and every replayed row's pairs are missing by definition
-                    missing = heal_fps
-                else:
-                    missing = None
+                missing = None
+                if heal_fps is not None:
+                    if idx_rows is not None:
+                        missing = heal_fps.join(
+                            idx_rows, ["id", "fp"], "left_anti"
+                        )
+                    elif bands:
+                        # none of the touched bands exist yet: every
+                        # replayed row's pairs are missing by definition
+                        missing = heal_fps
                 if missing is not None and not missing.isEmpty():
                     fp_index.append(missing)
             else:
@@ -207,6 +220,8 @@ def start_incremental_span_dedup(
                     live_fps, hist_fps, id_col, min_shared, False
                 )
                 fresh = fresh.join(hvictims, id_col, "left_anti")
+        if use_index:
+            fp_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)
         if use_index:
             # index append AFTER the corpus commit (crash ⇒ missing index
@@ -216,6 +231,7 @@ def start_incremental_span_dedup(
                     fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
                 )
             )
+            fp_index.clear_inflight(spark)
         cached.unpersist()
         wf.unpersist()
 

@@ -4,7 +4,6 @@ equivalence of the incremental dedup streams, and crash-gap healing."""
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -87,6 +86,32 @@ def test_index_roundtrip_prunes_partitions(spark, tmp_path):
     }
 
 
+def test_index_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    idx = BandedFingerprintIndex(str(tmp_path / "idx"), "fp", n_bands=4)
+    for batch in range(5):  # streaming shape: one small file per band per batch
+        idx.append(
+            spark.range(batch * 100, batch * 100 + 100).select(
+                F.col("id"), F.xxhash64("id").alias("fp")
+            )
+        )
+    before = {(r.id, r.fp) for r in spark.read.parquet(str(tmp_path / "idx")).select("id", "fp").collect()}
+
+    def n_files():
+        return sum(
+            len([f for f in os.listdir(os.path.join(tmp_path / "idx", d)) if f.endswith(".parquet")])
+            for d in os.listdir(tmp_path / "idx") if d.startswith("pband=")
+        )
+
+    files_before = n_files()
+    assert files_before >= 20  # 5 appends x 4 bands
+    idx.compact(spark)
+    assert n_files() <= 4  # one file per band
+    after = {(r.id, r.fp) for r in spark.read.parquet(str(tmp_path / "idx")).select("id", "fp").collect()}
+    assert after == before
+    # pruned reads still work post-compaction
+    assert idx.read_bands(spark, [0]).count() > 0
+
+
 def _stored_ids(spark, corpus):
     return {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
 
@@ -133,27 +158,41 @@ def _corpus_pairs(spark, corpus):
     }
 
 
-def test_span_index_heals_after_partial_index_loss(spark, tmp_path):
-    """Crash between corpus append and index append leaves the index
-    missing rows for stored docs; a replay must re-append them (heal) and
-    append nothing to the corpus."""
-    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
-    _write_batches(spark, src)
-    _run_span(spark, src, corpus, str(tmp_path / "k1"), "bucketed")
+def test_span_index_heals_after_crash_between_corpus_and_index(spark, tmp_path):
+    """The crash model: a batch dies AFTER its corpus append but BEFORE
+    its index append, leaving (a) corpus rows with no index pairs and (b)
+    the in-flight marker. Checkpoint recovery replays exactly that batch;
+    the replay must re-append the missing pairs (heal), append nothing to
+    the corpus, and clear the marker. A clean run leaves no marker, so
+    steady-state batches never pay the heal join."""
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedFingerprintIndex,
+    )
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src1)
+    spark.createDataFrame(B2, "doc_id long, text string").coalesce(1).write.parquet(src2)
+    _run_span(spark, src1, corpus, str(tmp_path / "k1"), "bucketed")
+    _run_span(spark, src2, corpus, str(tmp_path / "k2"), "bucketed")
     idx_dir = span_index_path(corpus)
     full = _index_pairs(spark, idx_dir)
     assert full == _corpus_pairs(spark, corpus)
     n0 = spark.read.parquet(corpus).count()
-    # simulate the crash gap: drop half the band directories
-    bands = sorted(d for d in os.listdir(idx_dir) if d.startswith("pband="))
-    assert bands
-    for d in bands[: max(1, len(bands) // 2)]:
-        shutil.rmtree(os.path.join(idx_dir, d))
+    # clean runs leave no in-flight marker (heal stays zero-cost)
+    assert not os.path.exists(idx_dir + ".inflight")
+    # rewind the index to the pre-batch-2 state + plant the marker the
+    # dying writer would have left: corpus row 11 now has no index pairs
+    idx = BandedFingerprintIndex(idx_dir, "fp", n_bands=16)
+    survivors = spark.read.parquet(idx_dir).select("id", "fp").filter("id != 11")
+    idx.build_from(survivors)
     assert _index_pairs(spark, idx_dir) < full
-    # replay the whole source under a fresh checkpoint
-    _run_span(spark, src, corpus, str(tmp_path / "k2"), "bucketed")
-    assert spark.read.parquet(corpus).count() == n0  # convergent
-    assert _index_pairs(spark, idx_dir) == full      # healed
+    open(idx_dir + ".inflight", "w").close()
+    # checkpoint recovery replays batch 2 (fresh checkpoint over src2)
+    _run_span(spark, src2, corpus, str(tmp_path / "k3"), "bucketed")
+    assert spark.read.parquet(corpus).count() == n0   # convergent
+    assert _index_pairs(spark, idx_dir) == full       # healed
+    assert not os.path.exists(idx_dir + ".inflight")  # marker cleared
 
 
 def test_span_bucketed_migrates_scan_built_corpus(spark, tmp_path):

@@ -62,7 +62,7 @@ def build_history_docs(base: str, out_dir: str, r: int) -> str:
     duckdb.connect().execute(
         f"""
         COPY (
-          SELECT d.doc_id + rep.i * 10000000 AS doc_id,
+          SELECT d.doc_id + rep.i * CAST(10000000 AS BIGINT) AS doc_id,
                  CASE WHEN rep.i = 0 THEN d.text
                       ELSE regexp_replace(d.text, '(\\S+)', '\\1' || rep.i, 'g')
                  END AS text

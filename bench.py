@@ -43,7 +43,10 @@ SENTINEL_REF_WALL = {
     "events_max_concurrency": 0.84,
     "events_sessionization": 0.59,
     "asof_join_latest_purchase": 0.24,
-    "sketch_hll_daily_users": 0.365,
+    # sketch_hll_daily_users REMOVED from the sentinel set in round 7: the
+    # oracle-boolean split let Catalyst prune the sketch build out of its
+    # plan (self-review finding), so its wall dropped for engine reasons,
+    # not machine reasons — 9 sentinels remain (min 5). BASELINE.md §2a.
     "snapshot_diff_summary": 0.575,
     "text_tfidf_top_terms": 1.17,
     "window_first_wins_dedup": 0.325,

@@ -125,16 +125,22 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
 
 
+def _bpe_ish_pieces(text):
+    """The oracle-hashed bpe_ish piece expression — ONE definition shared
+    by bpe_ish_token_count and token_counts so the catalog invariant
+    (pinned in tests/test_trainprep.py) cannot drift between two copies."""
+    return F.split(
+        F.trim(F.regexp_replace(text, r"([0-9]+|[^\w\s])", r" $1 ")), r"\s+"
+    )
+
+
 def bpe_ish_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sub-word-ish token counting: splits on whitespace AND punctuation AND
     digit/letter boundaries (a cheap, deterministic proxy for BPE counts used
     to budget training tokens)."""
-    pieces = F.split(
-        F.trim(F.regexp_replace(F.col(text_col), r"([0-9]+|[^\w\s])", r" $1 ")), r"\s+"
-    )
     return df.select(
         F.col(id_col),
-        F.size(pieces).alias("n_pieces"),
+        F.size(_bpe_ish_pieces(F.col(text_col))).alias("n_pieces"),
     )
 
 
@@ -151,8 +157,16 @@ def real_tokenizer_factory(
     realdeps lane (tests/test_realdeps.py) executes it end-to-end through
     ``token_counts`` → ``pack_budget``. Prefers ``tiktoken`` (BPE by
     encoding name); falls back to HuggingFace ``tokenizers`` when
-    ``tokenizer_file`` (a tokenizer.json) is given. Null/empty text counts
-    0 — matching the bpe_ish convention."""
+    ``tokenizer_file`` (a tokenizer.json) is given.
+
+    Degenerate-text convention (self-review finding — the two paths do NOT
+    agree and pretending otherwise hid a real deployment delta): NULL text
+    is NULL on both paths (``token_counts`` enforces it in the wrapper, so
+    ``pack_budget``'s window sum skips those rows identically either way);
+    EMPTY text is tokenizer-exact 0 here but 1 under ``bpe_ish`` (split of
+    "" is [""]). A corpus with empty docs therefore budgets ±1 token per
+    empty doc when the real tokenizer drops in — the real count is the
+    correct one; bpe_ish is the hash-stable oracle approximation."""
     try:
         import tiktoken
 
@@ -207,15 +221,15 @@ def token_counts(
     expression (JVM-side, oracle-reproducible — what the catalog hashes).
     Pass ``counter`` (a batched ``pd.Series -> pd.Series`` of ints, e.g.
     ``real_tokenizer_factory()``) for tokenizer-exact counts via
-    mapInPandas — Arrow-batched, never row-at-a-time."""
+    mapInPandas — Arrow-batched, never row-at-a-time. NULL text is NULL on
+    BOTH paths (the wrapper masks it after the counter runs, so the two
+    paths feed ``pack_budget`` identically for null rows); empty text is 1
+    under bpe_ish vs tokenizer-exact 0 — see ``real_tokenizer_factory``."""
     if counter is None:
-        pieces = F.split(
-            F.trim(
-                F.regexp_replace(F.col(text_col), r"([0-9]+|[^\w\s])", r" $1 ")
-            ),
-            r"\s+",
+        return df.select(
+            F.col(id_col),
+            F.size(_bpe_ish_pieces(F.col(text_col))).alias("n_tokens"),
         )
-        return df.select(F.col(id_col), F.size(pieces).alias("n_tokens"))
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -226,10 +240,12 @@ def token_counts(
     )
 
     def run(batches):
+        import pandas as pd
+
         for pdf in batches:
-            yield type(pdf)(
-                {id_col: pdf[id_col], "n_tokens": counter(pdf[text_col])}
-            )
+            counts = counter(pdf[text_col]).astype("Int64")
+            counts[pdf[text_col].isna()] = pd.NA
+            yield type(pdf)({id_col: pdf[id_col], "n_tokens": counts})
 
     return src.mapInPandas(run, schema=out_schema)
 

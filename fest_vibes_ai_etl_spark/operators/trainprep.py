@@ -277,6 +277,9 @@ def load_or_build_dsir_term_store(
 
     path = dsir_term_store_path(sf_dir, table_name, m)
     tbl = "dsir_store_" + re.sub(r"\W+", "_", os.path.basename(path)).lower()
+    # id dtype follows the caller's id_col (self-review finding: a
+    # hardcoded BIGINT would misregister a store built on a non-bigint id)
+    id_type = df.schema[id_col].dataType.simpleString()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tb = _term_buckets(df, id_col, text_col, F.lit(False), m).select("id", "b")
         (
@@ -291,7 +294,7 @@ def load_or_build_dsir_term_store(
         # files exist from an earlier session; register them (no data move)
         spark.sql(
             f"""
-            CREATE TABLE {tbl} (id BIGINT, b BIGINT)
+            CREATE TABLE {tbl} (id {id_type}, b BIGINT)
             USING PARQUET
             CLUSTERED BY (id) SORTED BY (id) INTO {DSIR_STORE_BUCKETS} BUCKETS
             LOCATION '{path}'

@@ -56,19 +56,18 @@ def _hll_daily_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
     tags=("sketch", "approx", "hll"),
-    bench=True,
 )
 def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per day via DataSketches HLL (lgK=12 ⇒ <1% typical
-    error). Map-side partial sketches mean the shuffle carries one sketch
-    per (partition, day) — constant bytes per group no matter how many
-    events or users, which is the whole point at 100 TB. The driver-facing
-    projection keeps only the SQL-derivable exact count (the inner join
-    against the sketch side still executes the sketch build and gates the
-    day set, so the benched plan measures the sketch path); the measured
-    5% accuracy claim — formerly a hardcoded TRUE oracle column, the flaw
-    class that broke rounds 3 and 4 — lives in sketch_hll_daily_users_eval
-    with a pytest floor."""
+    """Distinct users per day — the SQL-derivable half of the HLL family.
+    NOTE (round-7 self-review finding): after the oracle-boolean split,
+    Catalyst COLUMN-PRUNES the sketch build out of this plan entirely
+    (the approx column is unreferenced, so the aggregate disappears —
+    verified on executedPlan). This driver-facing query is therefore an
+    exact distinct count only; the sketch path executes — and is BENCHED —
+    in sketch_hll_daily_users_eval, whose projection references the
+    estimate. The measured 5% accuracy claim (formerly a hardcoded TRUE
+    oracle column, the flaw class that broke rounds 3 and 4) lives there
+    too, asserted by a pytest floor."""
     return _hll_daily_vs_exact(spark, sf_dir).select(
         "day", "exact_users"
     ).orderBy("day")
@@ -78,11 +77,14 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hll_daily_users_eval",
     tags=("sketch", "approx", "hll", "eval"),
     eval_only=True,
+    bench=True,
     doc="Measured DataSketches-HLL daily distinct-user estimates next to "
     "the exact counts. No SQL oracle BY DESIGN: the estimate is "
     "sketch-state-dependent. tests/test_sketches.py asserts every day "
     "within max(2, 5%·exact) (≈6σ at lgK=12; deterministic for fixed "
-    "data — DataSketches HLL is seedless).",
+    "data — DataSketches HLL is seedless). Carries the bench flag for the "
+    "family: this is the plan that actually builds the sketch (the "
+    "driver-facing twin's sketch branch is column-pruned away).",
 )
 def sketch_hll_daily_users_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -148,14 +150,15 @@ def _quantile_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "approx", "quantile"),
 )
 def sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p95 of event value per event_type via approx_percentile —
-    bounded-memory quantiles with mergeable partial state (vs exact
-    percentile, which needs a per-group sort). accuracy=10000 keeps rank
-    error ≤ 1/10000. Driver-facing projection keeps only the SQL-derivable
-    exact quantiles (the broadcast-joined plan still builds the sketch);
-    the measured rank-band booleans — formerly hardcoded TRUE oracle
-    columns, the flaw class that broke rounds 3 and 4 — live in
-    sketch_quantiles_rank_band_eval with a pytest floor."""
+    """p50/p95 of event value per event_type. NOTE (round-7 self-review
+    finding): with the rank-band booleans dropped from this projection,
+    Catalyst column-prunes the approx_percentile aggregate out of the plan
+    (verified on executedPlan) — this driver-facing query measures the
+    EXACT percentile path only. The sketch executes in
+    sketch_quantiles_rank_band_eval, which references the estimates; the
+    measured rank-band booleans — formerly hardcoded TRUE oracle columns,
+    the flaw class that broke rounds 3 and 4 — live there with a pytest
+    floor."""
     return _quantile_rank_bands(spark, sf_dir).select(
         "event_type", "p50_exact", "p95_exact"
     )

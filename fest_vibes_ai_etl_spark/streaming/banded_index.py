@@ -127,6 +127,19 @@ class BandedFingerprintIndex:
             .parquet(self.path)
         )
 
+    def invalidate(self, spark: SparkSession) -> None:
+        """Delete the index (and marker). Called by the streams when a
+        batch appends to the corpus WITHOUT maintaining the index (scan
+        mode): an index that silently stops covering the corpus would make
+        a later bucketed run miss duplicates forever — absence forces the
+        migration rebuild instead."""
+        fs, path = self._fs(spark)
+        if fs.exists(path):
+            fs.delete(path, True)
+        marker = self._marker_path(spark)
+        if fs.exists(marker):
+            fs.delete(marker, False)
+
     # --- crash-window marker -------------------------------------------
     # The heal step (re-appending replayed rows' missing pairs) requires
     # an anti-join against the pruned index — cheap when history is small,
@@ -164,22 +177,46 @@ class BandedFingerprintIndex:
         SINGLE-WRITER stream this index serves (run it between batches or
         from the stream's own maintenance hook, not concurrently with a
         probe)."""
+        fs, path = self._fs(spark)
+        jvm = spark._jvm
+        tmp = self.path.rstrip("/") + "_compacting"
+        old = self.path.rstrip("/") + "_precompact"
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        old_path = jvm.org.apache.hadoop.fs.Path(old)
+        # recovery / refusal BEFORE doing anything destructive:
+        # a leftover _precompact means a prior compact() died between its
+        # two renames — restore it if the live index is gone, refuse (and
+        # tell the operator what's what) if both exist; renaming the live
+        # index INTO an existing _precompact dir would bury it.
+        if fs.exists(old_path):
+            if not fs.exists(path):
+                if not fs.rename(old_path, path):
+                    raise RuntimeError(
+                        f"compact recovery: rename {old} -> {self.path} failed"
+                    )
+            else:
+                raise RuntimeError(
+                    f"refusing to compact: {old} exists from a crashed "
+                    f"compaction alongside a live index at {self.path} — "
+                    f"verify which is current and delete the other first"
+                )
+        if fs.exists(tmp_path):
+            fs.delete(tmp_path, True)  # stale staging from a prior crash
         df = self.read(spark)
         if df is None:
             return
-        tmp = self.path.rstrip("/") + "_compacting"
         (
             df.repartition("pband")
             .write.mode("overwrite")
             .partitionBy("pband")
             .parquet(tmp)
         )
-        fs, path = self._fs(spark)
-        jvm = spark._jvm
-        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-        old_path = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact")
-        fs.rename(path, old_path)
-        fs.rename(tmp_path, path)
+        if not fs.rename(path, old_path):
+            raise RuntimeError(f"compact: rename {self.path} -> {old} failed")
+        if not fs.rename(tmp_path, path):
+            # put the original back before failing — never leave no index
+            fs.rename(old_path, path)
+            raise RuntimeError(f"compact: rename {tmp} -> {self.path} failed")
         fs.delete(old_path, True)
 
     def touched_bands(self, keys: DataFrame) -> list[int]:

@@ -198,6 +198,13 @@ def start_incremental_near_dedup(
                 raise
             hist = None
         need_heal = False
+        if not use_index and not idx_ready:
+            # scan mode appends corpus rows WITHOUT maintaining any
+            # existing index — a stale index would make a later bucketed
+            # run miss duplicates forever (exists() would skip the
+            # migration rebuild). Invalidate it so bucketed mode rebuilds.
+            band_index.invalidate(spark)
+            idx_ready.append(True)
         if hist is not None and use_index:
             if not idx_ready:
                 if not band_index.exists(spark):

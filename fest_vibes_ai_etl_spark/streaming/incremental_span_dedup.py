@@ -140,6 +140,13 @@ def start_incremental_span_dedup(
             hist = None
         use_index = history_probe == "bucketed"
         need_heal = False
+        if not use_index and not idx_ready:
+            # scan mode appends corpus rows WITHOUT maintaining any
+            # existing index — a stale index would make a later bucketed
+            # run miss duplicates forever (exists() would skip the
+            # migration rebuild). Invalidate it so bucketed mode rebuilds.
+            fp_index.invalidate(spark)
+            idx_ready.append(True)
         if hist is not None and use_index:
             if not idx_ready:
                 if not fp_index.exists(spark):

@@ -112,6 +112,27 @@ def test_index_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     assert idx.read_bands(spark, [0]).count() > 0
 
 
+def test_index_compaction_crash_recovery_and_refusal(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.append(spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    rows = {(r.id, r.fp) for r in spark.read.parquet(base).select("id", "fp").collect()}
+    # crash between compact()'s two renames: live index only at _precompact
+    os.rename(base, base + "_precompact")
+    idx.compact(spark)  # must restore, then compact normally
+    assert {(r.id, r.fp) for r in spark.read.parquet(base).select("id", "fp").collect()} == rows
+    assert not os.path.exists(base + "_precompact")
+    # both live and _precompact present: refuse rather than bury the live one
+    shutil.copytree(base, base + "_precompact")
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        idx.compact(spark)
+    assert os.path.exists(base) and os.path.exists(base + "_precompact")
+
+
 def _stored_ids(spark, corpus):
     return {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
 

@@ -212,7 +212,7 @@ def test_real_tokenizer_through_pack_budget(spark):
     joined = docs.join(nt, "doc_id")
     packed = pack_budget(joined, "lang", "doc_id", "n_tokens", budget=12)
     rows = {r.doc_id: (r.bin, r.n_tokens) for r in packed.collect()}
-    assert rows[4][1] == 0                       # null text counted 0
+    assert rows[4][1] is None                    # null text stays NULL
     assert rows[1][0] == 0                       # first doc in bin 0
     assert all(r[0] >= 0 for r in rows.values())
     # bins are contiguous in doc_id order within each lang partition

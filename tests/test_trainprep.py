@@ -272,7 +272,9 @@ def test_token_counts_fallback_matches_bpe_ish_and_fake_counter_plumbing(spark):
 
     nt = token_counts(docs, "doc_id", "text", counter=fake_counter)
     got = {r.doc_id: r.n_tokens for r in nt.collect()}
-    assert got == {1: 4, 2: 9, 3: 4, 4: 0}
+    # NULL text is NULL on the counter path too (the wrapper masks it), so
+    # pack_budget's window sum treats null rows identically on both paths
+    assert got == {1: 4, 2: 9, 3: 4, 4: None}
     packed = trainprep.pack_budget(
         docs.join(nt, "doc_id"), "lang", "doc_id", "n_tokens", budget=8
     )

@@ -261,15 +261,25 @@ def start_incremental_near_dedup(
                     band_index.read_bands(spark, buckets) if buckets else None
                 )
                 if idx_rows is not None:
+                    # emptiness-gated verify: the exact-Jaccard verify
+                    # reads the corpus (id, sh, n) columns — a full
+                    # thin-column scan — so it's only launched when some
+                    # band actually collided. The gate re-evaluates the
+                    # (cheap, pruned) candidate join rather than persisting
+                    # it: persist() of a frame derived from the foreachBatch
+                    # input measurably CORRUPTED later batches' dedup here
+                    # (cache-substitution inside the micro-batch plan), so
+                    # no caching across this seam.
                     cand = (
                         pb.join(idx_rows, ["band", "band_hash"])
                         .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
                         .dropDuplicates(["p_id", "t_id"])
                     )
-                    hist_victims = _verified_victims(
-                        cand, fresh, hist, id_col, threshold
-                    )
-                    fresh = fresh.join(hist_victims, id_col, "left_anti")
+                    if not cand.isEmpty():
+                        hist_victims = _verified_victims(
+                            cand, fresh, hist, id_col, threshold
+                        )
+                        fresh = fresh.join(hist_victims, id_col, "left_anti")
                 missing = None
                 if heal_rows is not None:
                     if idx_rows is not None:

@@ -226,9 +226,16 @@ def token_counts(
     paths feed ``pack_budget`` identically for null rows); empty text is 1
     under bpe_ish vs tokenizer-exact 0 — see ``real_tokenizer_factory``."""
     if counter is None:
+        # explicit null passthrough: F.size(NULL) is NULL under ANSI but -1
+        # under legacy sizeOfNull, and the session config is not pinned
+        # here — the both-paths-NULL invariant must not hang on a conf
         return df.select(
             F.col(id_col),
-            F.size(_bpe_ish_pieces(F.col(text_col))).alias("n_tokens"),
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("int")
+            )
+            .otherwise(F.size(_bpe_ish_pieces(F.col(text_col))))
+            .alias("n_tokens"),
         )
 
     from pyspark.sql.types import LongType, StructField, StructType

@@ -128,14 +128,23 @@ class BandedFingerprintIndex:
         )
 
     def invalidate(self, spark: SparkSession) -> None:
-        """Delete the index (and marker). Called by the streams when a
-        batch appends to the corpus WITHOUT maintaining the index (scan
-        mode): an index that silently stops covering the corpus would make
-        a later bucketed run miss duplicates forever — absence forces the
-        migration rebuild instead."""
+        """Delete the index, its marker, AND the compaction siblings.
+        Called by the streams when a batch appends to the corpus WITHOUT
+        maintaining the index (scan mode): an index that silently stops
+        covering the corpus would make a later bucketed run miss
+        duplicates forever — absence forces the migration rebuild instead.
+        The _precompact/_compacting leftovers must die too: a stale
+        _precompact surviving invalidation would let a later compact()
+        'recover' exactly the stale index this call deleted."""
         fs, path = self._fs(spark)
-        if fs.exists(path):
-            fs.delete(path, True)
+        jvm = spark._jvm
+        for p in (
+            path,
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact"),
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_compacting"),
+        ):
+            if fs.exists(p):
+                fs.delete(p, True)
         marker = self._marker_path(spark)
         if fs.exists(marker):
             fs.delete(marker, False)
@@ -214,9 +223,19 @@ class BandedFingerprintIndex:
         if not fs.rename(path, old_path):
             raise RuntimeError(f"compact: rename {self.path} -> {old} failed")
         if not fs.rename(tmp_path, path):
-            # put the original back before failing — never leave no index
-            fs.rename(old_path, path)
-            raise RuntimeError(f"compact: rename {tmp} -> {self.path} failed")
+            # put the original back before failing — and say so loudly if
+            # even that fails: the live index is then stranded at
+            # _precompact, which the operator must know
+            restored = fs.rename(old_path, path)
+            raise RuntimeError(
+                f"compact: rename {tmp} -> {self.path} failed"
+                + (
+                    ""
+                    if restored
+                    else f"; ROLLBACK ALSO FAILED — live index stranded at "
+                    f"{old}, restore it manually before the next probe"
+                )
+            )
         fs.delete(old_path, True)
 
     def touched_bands(self, keys: DataFrame) -> list[int]:

@@ -25,10 +25,12 @@ partitioned by ``pmod(band_hash, n_buckets)``. A batch can only collide on
 band hashes the batch itself carries, so candidate generation reads ONLY
 those partitions — no per-batch re-derivation of every stored signature.
 The exact-Jaccard verify then reads (id, sh, n) from the corpus semi-joined
-by the candidate ids (with AQE, an empty candidate set skips that scan
-entirely via empty-relation propagation). ``history_probe="scan"`` keeps
-the pre-round-7 path (re-derive band hashes from all stored ``sig``
-arrays per batch) for A/B measurement in ``tools/probe_scaling.py``.
+by the candidate ids — and is launched only when the candidate join is
+non-empty (an explicit gate: AQE, whose empty-relation propagation would
+otherwise skip the scan, is disabled inside micro-batch plans).
+``history_probe="scan"`` keeps the pre-round-7 path (re-derive band hashes
+from all stored ``sig`` arrays per batch) for A/B measurement in
+``tools/probe_scaling.py``.
 
 Crash consistency mirrors the span variant: corpus append first, index
 append second; replayed rows heal missing index rows.
@@ -162,9 +164,12 @@ def start_incremental_near_dedup(
     band_index = BandedFingerprintIndex(
         near_index_path(corpus_dir), key_col="band_hash", n_bands=n_buckets
     )
-    # once the index is known to exist, skip the per-batch existence read —
-    # listing a many-band directory tree is a whole Spark job by itself
-    idx_ready: list[bool] = []
+    # one-time per-stream index reconciliation flag. Meaning depends on
+    # mode: bucketed — "index confirmed to exist (or was just migrated),
+    # skip further existence stats"; scan — "any stale index has been
+    # invalidated". Either way: non-empty = the mode's index state is
+    # settled for this stream, don't redo the check per batch.
+    idx_settled: list[bool] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -198,15 +203,15 @@ def start_incremental_near_dedup(
                 raise
             hist = None
         need_heal = False
-        if not use_index and not idx_ready:
+        if not use_index and not idx_settled:
             # scan mode appends corpus rows WITHOUT maintaining any
             # existing index — a stale index would make a later bucketed
             # run miss duplicates forever (exists() would skip the
             # migration rebuild). Invalidate it so bucketed mode rebuilds.
             band_index.invalidate(spark)
-            idx_ready.append(True)
+            idx_settled.append(True)
         if hist is not None and use_index:
-            if not idx_ready:
+            if not idx_settled:
                 if not band_index.exists(spark):
                     # pre-index corpus (older rounds / scan-mode runs):
                     # one-time migration build from the stored signatures
@@ -215,7 +220,7 @@ def start_incremental_near_dedup(
                             F.col("bid").alias("id"), "band", "band_hash"
                         )
                     )
-                idx_ready.append(True)
+                idx_settled.append(True)
             # a surviving in-flight marker means a prior attempt died
             # inside the corpus→index window — only then run the heal join
             need_heal = band_index.was_inflight(spark)

@@ -102,9 +102,12 @@ def start_incremental_span_dedup(
     fp_index = BandedFingerprintIndex(
         span_index_path(corpus_dir), key_col="fp", n_bands=n_bands
     )
-    # once the index is known to exist, skip the per-batch existence read —
-    # listing a many-band directory tree is a whole Spark job by itself
-    idx_ready: list[bool] = []
+    # one-time per-stream index reconciliation flag. Meaning depends on
+    # mode: bucketed — "index confirmed to exist (or was just migrated),
+    # skip further existence stats"; scan — "any stale index has been
+    # invalidated". Either way: non-empty = the mode's index state is
+    # settled for this stream, don't redo the check per batch.
+    idx_settled: list[bool] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -140,15 +143,15 @@ def start_incremental_span_dedup(
             hist = None
         use_index = history_probe == "bucketed"
         need_heal = False
-        if not use_index and not idx_ready:
+        if not use_index and not idx_settled:
             # scan mode appends corpus rows WITHOUT maintaining any
             # existing index — a stale index would make a later bucketed
             # run miss duplicates forever (exists() would skip the
             # migration rebuild). Invalidate it so bucketed mode rebuilds.
             fp_index.invalidate(spark)
-            idx_ready.append(True)
+            idx_settled.append(True)
         if hist is not None and use_index:
-            if not idx_ready:
+            if not idx_settled:
                 if not fp_index.exists(spark):
                     # pre-index corpus (older rounds / scan-mode runs):
                     # one-time migration build from the stored arrays
@@ -157,7 +160,7 @@ def start_incremental_span_dedup(
                             F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
                         )
                     )
-                idx_ready.append(True)
+                idx_settled.append(True)
             # a surviving in-flight marker means a prior attempt died
             # inside the corpus→index window — only then is the heal
             # anti-join worth its cost (it sorts the pruned index slice)

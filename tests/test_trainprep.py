@@ -261,6 +261,9 @@ def test_token_counts_fallback_matches_bpe_ish_and_fake_counter_plumbing(spark):
     default = {r.doc_id: r.n_tokens for r in token_counts(docs, "doc_id", "text").collect()}
     legacy = {r.doc_id: r.n_pieces for r in bpe_ish_token_count(docs, "doc_id", "text").collect()}
     assert default == legacy
+    # the NULL invariant must hold by construction (explicit passthrough),
+    # not via the session's ansi/sizeOfNull conf
+    assert default[4] is None
 
     def fake_counter(texts):
         import pandas as pd

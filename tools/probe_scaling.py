@@ -235,11 +235,16 @@ def main() -> None:
                     shutil.rmtree(work, ignore_errors=True)
                     corpus = os.path.join(work, "corpus")
                     shutil.copytree(proto, corpus)
-                    shutil.copytree(
-                        idx_proto,
-                        span_index_path(corpus) if fam == "span"
-                        else near_index_path(corpus),
-                    )
+                    if mode == "bucketed":
+                        # scan mode INVALIDATES any existing index on its
+                        # first batch (stale-index guard) — copying one in
+                        # would both waste setup and put the recursive
+                        # delete of thousands of band dirs on the timer
+                        shutil.copytree(
+                            idx_proto,
+                            span_index_path(corpus) if fam == "span"
+                            else near_index_path(corpus),
+                        )
                     wall = run_one_batch(
                         spark, fam, src, corpus, os.path.join(work, "ckpt"),
                         mode, args.n_bands,

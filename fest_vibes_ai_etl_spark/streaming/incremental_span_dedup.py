@@ -87,13 +87,17 @@ def start_incremental_span_dedup(
     available_now: bool = True,
     n_bands: int = 64,
     history_probe: str = "bucketed",
+    max_doc_chars: int | None = None,
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
     rows that are neither exact duplicates nor duplicated-passage carriers
     (≥ ``min_shared`` shared winnowed fingerprints) of any previously
     stored row, carrying (fp, wfps) alongside the data. Size ``n_bands``
     well above the typical batch's distinct-fingerprint count at
-    deployment scale (thousands); the default 64 suits test corpora."""
+    deployment scale (thousands); the default 64 suits test corpora.
+    ``max_doc_chars`` is the long-doc skew guard passed through to
+    ``winnow_fingerprints`` (fingerprint-set invariant, so corpora built
+    with and without it are interchangeable)."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -117,7 +121,9 @@ def start_incremental_span_dedup(
         from .incremental_dedup import fingerprint
 
         fresh = batch_df.dropDuplicates([id_col]).withColumn("fp", fingerprint(text_col))
-        wf = winnow_fingerprints(fresh, id_col, text_col, k=k, w=w).persist()
+        wf = winnow_fingerprints(
+            fresh, id_col, text_col, k=k, w=w, max_doc_chars=max_doc_chars
+        ).persist()
         wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
         # keep a handle to the persisted frame itself: unpersist() requires
         # the SAME plan (uncacheQuery is sameResult-based), and `fresh` is

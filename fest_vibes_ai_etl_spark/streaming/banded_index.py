@@ -35,9 +35,31 @@ the index converges to the corpus.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# ceiling on the auto-derived band count: bands are directories, and a
+# directory per band is the price of partition pruning — 64k is already
+# generous for a single index at deployment scale
+_MAX_AUTO_BANDS = 65536
+_MIN_AUTO_BANDS = 64
+# auto-derivation headroom: bands ≫ a batch's distinct keys is what makes
+# the probe prune (touched_bands/n_bands small), so size to 8× the first
+# write's distinct-key count — later batches of similar size then touch
+# at most ~1/8 of the bands
+_AUTO_BANDS_FACTOR = 8
+
+
+class BandedIndexLayoutError(RuntimeError):
+    """The on-disk index layout (``_meta.json``) contradicts the caller's
+    configuration. Probing across this mismatch is silent corruption —
+    ``pmod(key, wrong_n)`` names band directories that were never written,
+    so historical duplicates pass undetected — hence a loud error instead.
+    Stream callers catch it and invalidate + rebuild from the corpus (the
+    corpus is authoritative; the index is always derivable from it)."""
 
 
 class BandedFingerprintIndex:
@@ -45,15 +67,159 @@ class BandedFingerprintIndex:
 
     ``key_col`` must be a LONG hash column (winnow fingerprints, LSH band
     hashes): ``pmod`` of a well-distributed hash spreads bands uniformly.
+
+    Layout metadata: the banding parameters are LAYOUT, not preference —
+    a probe computed under a different ``n_bands`` than the files were
+    written with reads the wrong directories and silently misses
+    collisions. So the index persists ``_meta.json`` ({key_col, n_bands,
+    schema_tag}) as a sibling at build/first-append and every open
+    validates against it:
+
+    - ``n_bands=None`` (the default) ADOPTS the stored layout, so stream
+      restarts can't drift; on a fresh build it is DERIVED from the first
+      write's distinct-key count (8×, clamped to [64, 65536]) instead of
+      a flat constant;
+    - an explicit ``n_bands`` (or ``schema_tag``) that contradicts the
+      stored meta raises :class:`BandedIndexLayoutError` — never a wrong
+      subset;
+    - ``schema_tag`` records how the KEYS were derived (winnow k/w,
+      MinHash num_hashes/bands): same banding over differently-derived
+      keys is just as wrong as a different banding.
     """
 
-    def __init__(self, path: str, key_col: str, n_bands: int = 64):
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        n_bands: int | None = None,
+        schema_tag: str | None = None,
+    ):
         self.path = path
         self.key_col = key_col
         self.n_bands = n_bands
+        self.schema_tag = schema_tag
+        self._layout_checked = False
 
     def band_of(self, col):
+        if self.n_bands is None:
+            raise BandedIndexLayoutError(
+                f"banded index {self.path}: n_bands unresolved — open the "
+                f"index (exists/read/append) before deriving bands, or "
+                f"pass n_bands explicitly"
+            )
         return F.pmod(col, F.lit(self.n_bands)).cast("int")
+
+    # --- layout metadata -----------------------------------------------
+
+    def _meta_path(self, spark: SparkSession):
+        jvm = spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(
+            self.path.rstrip("/") + "_meta.json"
+        )
+
+    def _write_meta(self, spark: SparkSession) -> None:
+        fs, _ = self._fs(spark)
+        out = fs.create(self._meta_path(spark), True)
+        out.write(
+            bytearray(
+                json.dumps(
+                    {
+                        "key_col": self.key_col,
+                        "n_bands": self.n_bands,
+                        "schema_tag": self.schema_tag,
+                    }
+                ).encode("utf-8")
+            )
+        )
+        out.close()
+
+    def _read_meta(self, spark: SparkSession) -> dict | None:
+        fs, _ = self._fs(spark)
+        p = self._meta_path(spark)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            # py4j passes byte[] buffers BY VALUE (a Java-side read into a
+            # Python bytearray never reflects back), so the read must
+            # happen wholly JVM-side
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _check_layout(self, spark: SparkSession) -> None:
+        """Reconcile instance config with the stored layout; runs once per
+        instance (the layout is immutable after creation — only
+        ``invalidate`` resets it)."""
+        if self._layout_checked:
+            return
+        fs, path = self._fs(spark)
+        if not fs.exists(path):
+            # nothing on disk yet: meta is (re)written when data first
+            # lands, so a crash that wrote meta but no data self-repairs
+            return
+        meta = self._read_meta(spark)
+        if meta is None:
+            # legacy index (pre-meta rounds). With an explicit n_bands the
+            # caller is asserting the layout — adopt it and upgrade in
+            # place (exactly the trust the pre-meta code extended). With
+            # n_bands=None there is nothing to validate against: refuse,
+            # and let the stream caller rebuild from the corpus.
+            if self.n_bands is None:
+                raise BandedIndexLayoutError(
+                    f"banded index {self.path} predates layout metadata "
+                    f"and no n_bands was given: pass the n_bands it was "
+                    f"built with to upgrade it, or invalidate() and let "
+                    f"the caller rebuild from the corpus"
+                )
+            self._write_meta(spark)
+            self._layout_checked = True
+            return
+        errs = []
+        if meta.get("key_col") != self.key_col:
+            errs.append(
+                f"key_col: stored {meta.get('key_col')!r} != {self.key_col!r}"
+            )
+        if self.n_bands is not None and meta.get("n_bands") != self.n_bands:
+            errs.append(
+                f"n_bands: stored {meta.get('n_bands')} != {self.n_bands}"
+            )
+        if (
+            self.schema_tag is not None
+            and meta.get("schema_tag") is not None
+            and meta.get("schema_tag") != self.schema_tag
+        ):
+            errs.append(
+                f"schema_tag: stored {meta.get('schema_tag')!r} != "
+                f"{self.schema_tag!r}"
+            )
+        if errs:
+            raise BandedIndexLayoutError(
+                f"banded index {self.path} layout mismatch — probing "
+                f"across it would silently miss duplicates: "
+                + "; ".join(errs)
+            )
+        if self.n_bands is None:
+            self.n_bands = int(meta["n_bands"])
+        if self.schema_tag is None:
+            self.schema_tag = meta.get("schema_tag")
+        self._layout_checked = True
+
+    def _resolve_bands_for_write(self, spark: SparkSession, pairs: DataFrame) -> None:
+        """Fix ``n_bands`` before the first write creates the layout:
+        adopt stored meta when the index exists, else derive from the
+        write's distinct-key count."""
+        self._check_layout(spark)
+        if self.n_bands is not None:
+            return
+        distinct = pairs.select(self.key_col).distinct().count()
+        n = _MIN_AUTO_BANDS
+        while n < distinct * _AUTO_BANDS_FACTOR and n < _MAX_AUTO_BANDS:
+            n *= 2
+        self.n_bands = n
 
     def _fs(self, spark: SparkSession):
         jvm = spark._jvm
@@ -61,17 +227,28 @@ class BandedFingerprintIndex:
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs, path
 
+    def _exists_raw(self, spark: SparkSession) -> bool:
+        fs, path = self._fs(spark)
+        return bool(fs.exists(path))
+
     def exists(self, spark: SparkSession) -> bool:
         """One filesystem stat — NOT a parquet resolution, which would
         recursively list every band directory (a whole Spark job for a
-        many-band index) just to answer yes/no."""
+        many-band index) just to answer yes/no. An existing index is also
+        layout-validated here (once per instance): ``exists() -> True``
+        gates the callers' migration rebuild, so answering True across a
+        layout mismatch would suppress exactly the rebuild that fixes it."""
         fs, path = self._fs(spark)
-        return bool(fs.exists(path))
+        if not fs.exists(path):
+            return False
+        self._check_layout(spark)
+        return True
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Full index frame, or None if never written."""
         from ..errors import is_path_not_found
 
+        self._check_layout(spark)
         try:
             df = spark.read.parquet(self.path)
             df.schema  # force resolution
@@ -82,15 +259,20 @@ class BandedFingerprintIndex:
             return None
 
     def read_bands(self, spark: SparkSession, bands: list[int]) -> DataFrame | None:
-        """Pruned read, or None when no requested band exists yet. The
-        band directories are named EXPLICITLY (``basePath`` + per-band
-        paths): only the touched directories are ever listed — a plain
-        ``spark.read.parquet(root).filter(pband IN ...)`` prunes the SCAN
-        but still pays a full recursive listing of every band at dataframe
-        creation, which measured as the dominant probe cost. One
-        ``listStatus`` of the root (a single readdir) filters the request
-        to bands that exist, so a fresh band in the batch never 404s."""
+        """Pruned read, or None when no requested band exists yet (or the
+        index was never written at all — the class's not-found contract,
+        same as ``read()``). The band directories are named EXPLICITLY
+        (``basePath`` + per-band paths): only the touched directories are
+        ever listed — a plain ``spark.read.parquet(root).filter(pband IN
+        ...)`` prunes the SCAN but still pays a full recursive listing of
+        every band at dataframe creation, which measured as the dominant
+        probe cost. One ``listStatus`` of the root (a single readdir)
+        filters the request to bands that exist, so a fresh band in the
+        batch never 404s."""
         fs, root = self._fs(spark)
+        if not fs.exists(root):
+            return None
+        self._check_layout(spark)
         existing = {st.getPath().getName() for st in fs.listStatus(root)}
         paths = [
             f"{self.path}/pband={b}" for b in bands if f"pband={b}" in existing
@@ -102,11 +284,20 @@ class BandedFingerprintIndex:
 
     def append(self, pairs: DataFrame) -> None:
         """Append (id, key) rows; the band column is derived here so
-        callers can't write an inconsistent banding. Appends are
-        batch-sized (a micro-batch's own pairs), so they're funneled
-        through one writer task — one file per touched band instead of one
-        per (task, band). The repartition(1) is a shuffle boundary, so the
-        upstream plan keeps its parallelism."""
+        callers can't write an inconsistent banding (and the layout is
+        validated first, so an append can't fragment an index built under
+        a different banding). Appends are batch-sized (a micro-batch's own
+        pairs), so they're funneled through one writer task — one file per
+        touched band instead of one per (task, band). The repartition(1)
+        is a shuffle boundary, so the upstream plan keeps its
+        parallelism."""
+        spark = pairs.sparkSession
+        creating = not self._exists_raw(spark)
+        self._resolve_bands_for_write(spark, pairs)
+        if creating:
+            # meta BEFORE data: a crash in between leaves meta + no data,
+            # and the next creating write simply rewrites the meta
+            self._write_meta(spark)
         (
             pairs.repartition(1)
             .withColumn("pband", self.band_of(F.col(self.key_col)))
@@ -118,7 +309,16 @@ class BandedFingerprintIndex:
     def build_from(self, pairs: DataFrame) -> None:
         """One-time build (migration of a pre-index corpus): repartition by
         band first so each band directory gets one file, not one per input
-        partition."""
+        partition. Overwrites any prior layout — meta included."""
+        spark = pairs.sparkSession
+        if self.n_bands is None:
+            # a rebuild chooses its layout fresh (ignore stale meta: the
+            # caller invalidates on mismatch precisely to get here)
+            distinct = pairs.select(self.key_col).distinct().count()
+            n = _MIN_AUTO_BANDS
+            while n < distinct * _AUTO_BANDS_FACTOR and n < _MAX_AUTO_BANDS:
+                n *= 2
+            self.n_bands = n
         (
             pairs.withColumn("pband", self.band_of(F.col(self.key_col)))
             .repartition("pband")
@@ -126,6 +326,8 @@ class BandedFingerprintIndex:
             .partitionBy("pband")
             .parquet(self.path)
         )
+        self._write_meta(spark)
+        self._layout_checked = True
 
     def invalidate(self, spark: SparkSession) -> None:
         """Delete the index, its marker, AND the compaction siblings.
@@ -142,12 +344,16 @@ class BandedFingerprintIndex:
             path,
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact"),
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_compacting"),
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandold"),
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandtmp"),
+            self._meta_path(spark),
         ):
             if fs.exists(p):
                 fs.delete(p, True)
         marker = self._marker_path(spark)
         if fs.exists(marker):
             fs.delete(marker, False)
+        self._layout_checked = False
 
     # --- crash-window marker -------------------------------------------
     # The heal step (re-appending replayed rows' missing pairs) requires
@@ -237,6 +443,104 @@ class BandedFingerprintIndex:
                 )
             )
         fs.delete(old_path, True)
+
+    # --- per-band maintenance ------------------------------------------
+    # compact() rewrites the WHOLE index — right for a one-off cleanup,
+    # wrong as a recurring hook: a long-running stream fragments only the
+    # bands it touches, and rewriting terabytes of untouched bands to fix
+    # a few fragmented ones is the kind of maintenance cost that scales
+    # with index size instead of batch size. maintain() compacts ONLY
+    # bands whose file count crossed the threshold; untouched bands keep
+    # their exact files (byte-identical, never rewritten).
+
+    def _band_recover(self, fs, jvm) -> None:
+        """Heal a crashed per-band swap before doing anything else. The
+        swap order (stage fully → rename band out → rename staged in →
+        delete old) means a leftover ``_bandold/pband=B`` is either the
+        live copy (root band missing: restore it) or a superseded old
+        copy (root band present — and COMPLETE, because the staged
+        replacement was fully written before any rename: delete it)."""
+        old_root = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandold")
+        tmp_root = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandtmp")
+        if fs.exists(old_root):
+            for st in fs.listStatus(old_root):
+                name = st.getPath().getName()
+                if not name.startswith("pband="):
+                    continue
+                live = jvm.org.apache.hadoop.fs.Path(self.path + "/" + name)
+                if not fs.exists(live):
+                    if not fs.rename(st.getPath(), live):
+                        raise RuntimeError(
+                            f"maintain recovery: rename {st.getPath()} -> "
+                            f"{live} failed"
+                        )
+                else:
+                    fs.delete(st.getPath(), True)
+            fs.delete(old_root, True)
+        if fs.exists(tmp_root):
+            fs.delete(tmp_root, True)  # staging is always safe to drop
+
+    def maintain(self, spark: SparkSession, max_files_per_band: int = 8) -> int:
+        """Compact every band directory holding more than
+        ``max_files_per_band`` parquet files down to one file; returns the
+        number of bands compacted. Streaming appends add one small file
+        per touched band per micro-batch, so probe open-cost grows with
+        file count; this hook (called by the streams between batches)
+        bounds it without compact()'s full-index rewrite. Single-writer
+        discipline applies: run between batches, never concurrently with
+        a probe or append. Crash-safe via the stage/swap in
+        ``_band_recover``."""
+        fs, root = self._fs(spark)
+        jvm = spark._jvm
+        if not fs.exists(root):
+            return 0
+        self._check_layout(spark)
+        self._band_recover(fs, jvm)
+        fragmented = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("pband="):
+                continue
+            n_files = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            if n_files > max_files_per_band:
+                fragmented.append(name)
+        if not fragmented:
+            return 0
+        tmp_root = self.path.rstrip("/") + "_bandtmp"
+        old_root = self.path.rstrip("/") + "_bandold"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(old_root))
+        for name in fragmented:
+            band_dir = self.path + "/" + name
+            staged = tmp_root + "/" + name
+            # band files store no partition column (partitionBy strips
+            # it), so a plain dir read + rewrite reproduces the layout
+            spark.read.parquet(band_dir).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            live = jvm.org.apache.hadoop.fs.Path(band_dir)
+            old = jvm.org.apache.hadoop.fs.Path(old_root + "/" + name)
+            stg = jvm.org.apache.hadoop.fs.Path(staged)
+            if not fs.rename(live, old):
+                raise RuntimeError(f"maintain: rename {band_dir} -> {old} failed")
+            if not fs.rename(stg, live):
+                restored = fs.rename(old, live)
+                raise RuntimeError(
+                    f"maintain: rename {staged} -> {band_dir} failed"
+                    + (
+                        ""
+                        if restored
+                        else f"; ROLLBACK ALSO FAILED — band stranded at "
+                        f"{old}, restore it manually before the next probe"
+                    )
+                )
+            fs.delete(old, True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_root), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
+        return len(fragmented)
 
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the

@@ -19,21 +19,38 @@ by construction: a replayed batch finds its own rows in history at J = 1
 and appends nothing.
 
 History probe (the scale seam): the default ``history_probe="bucketed"``
-maintains a band-partitioned sidecar (``<corpus>_bandidx``, see
-``banded_index``) holding the pre-computed (id, band, band_hash) LSH rows,
-partitioned by ``pmod(band_hash, n_buckets)``. A batch can only collide on
-band hashes the batch itself carries, so candidate generation reads ONLY
-those partitions — no per-batch re-derivation of every stored signature.
-The exact-Jaccard verify then reads (id, sh, n) from the corpus semi-joined
-by the candidate ids — and is launched only when the candidate join is
-non-empty (an explicit gate: AQE, whose empty-relation propagation would
-otherwise skip the scan, is disabled inside micro-batch plans).
-``history_probe="scan"`` keeps the pre-round-7 path (re-derive band hashes
-from all stored ``sig`` arrays per batch) for A/B measurement in
+maintains TWO band-partitioned sidecars (see ``banded_index``):
+
+- ``<corpus>_bandidx`` — the pre-computed (id, band, band_hash) LSH rows,
+  partitioned by ``pmod(band_hash, n_buckets)``. A batch can only collide
+  on band hashes the batch itself carries, so candidate generation reads
+  ONLY those partitions — no per-batch re-derivation of every stored
+  signature. The exact-Jaccard verify then reads (id, sh, n) from the
+  corpus semi-joined by the candidate ids — and is launched only when the
+  candidate join is non-empty (an explicit gate: AQE, whose
+  empty-relation propagation would otherwise skip the scan, is disabled
+  inside micro-batch plans).
+- ``<corpus>_exactidx`` — (id, fp, fpk = xxhash64(fp)) rows banded on
+  ``fpk``, serving the EXACT-dup replay guard. Pre-round-8 this guard
+  scanned the corpus's whole (fp, id) columns every micro-batch — the
+  one linear-per-batch component left after the band index landed.
+  Bucketed, it reads only the batch's own fpk bands; the anti-join still
+  compares the full md5 string, so an fpk collision costs extra rows
+  read, never a wrong drop.
+
+Both sidecars persist their layout (``_meta.json``); a restart with
+different banding parameters is detected and the stream invalidates +
+rebuilds from the corpus instead of probing a wrong subset.
+``history_probe="scan"`` keeps the pre-round-7 path (re-derive band
+hashes from all stored ``sig`` arrays per batch) for A/B measurement in
 ``tools/probe_scaling.py``.
 
-Crash consistency mirrors the span variant: corpus append first, index
-append second; replayed rows heal missing index rows.
+Crash consistency mirrors the span variant: one in-flight marker
+brackets the corpus append and BOTH index appends; a surviving marker
+makes the replayed batch fall back to the authoritative corpus fp scan
+and heal both sidecars. Maintenance likewise: every ``maintain_every``
+batches, bands holding more than ``maintain_max_files`` files are
+compacted per-band (untouched bands' files are never rewritten).
 """
 
 from __future__ import annotations
@@ -43,6 +60,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .banded_index import BandedFingerprintIndex
+from .incremental_span_dedup import (
+    _exact_pairs,
+    _fpk,
+    _settle_indexes,
+    exact_index_path,
+)
 
 
 def near_index_path(corpus_dir: str) -> str:
@@ -150,26 +173,43 @@ def start_incremental_near_dedup(
     bands: int = 8,
     threshold: float = 0.2,
     available_now: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
     that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
-    previously stored row, carrying (fp, sig, sh, n) alongside the data."""
+    previously stored row, carrying (fp, sig, sh, n) alongside the data.
+
+    ``n_buckets=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; an explicit value that contradicts the persisted layout makes
+    the stream rebuild the index rather than probe a wrong subset."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
             f"expected 'bucketed' or 'scan'"
         )
     band_index = BandedFingerprintIndex(
-        near_index_path(corpus_dir), key_col="band_hash", n_bands=n_buckets
+        near_index_path(corpus_dir),
+        key_col="band_hash",
+        n_bands=n_buckets,
+        schema_tag=f"minhash:k={k},nh={num_hashes},bands={bands}",
+    )
+    exact_index = BandedFingerprintIndex(
+        exact_index_path(corpus_dir),
+        key_col="fpk",
+        n_bands=n_buckets,
+        schema_tag="exact:md5-xxh64",
     )
     # one-time per-stream index reconciliation flag. Meaning depends on
-    # mode: bucketed — "index confirmed to exist (or was just migrated),
-    # skip further existence stats"; scan — "any stale index has been
-    # invalidated". Either way: non-empty = the mode's index state is
-    # settled for this stream, don't redo the check per batch.
+    # mode: bucketed — "both indexes validated/migrated, skip further
+    # existence stats"; scan — "any stale index has been invalidated".
+    # Either way: non-empty = the mode's index state is settled for this
+    # stream, don't redo the check per batch.
     idx_settled: list[bool] = []
+    n_done: list[int] = [0]  # completed batches, drives maintenance
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -207,22 +247,26 @@ def start_incremental_near_dedup(
             # scan mode appends corpus rows WITHOUT maintaining any
             # existing index — a stale index would make a later bucketed
             # run miss duplicates forever (exists() would skip the
-            # migration rebuild). Invalidate it so bucketed mode rebuilds.
+            # migration rebuild). Invalidate both so bucketed mode rebuilds.
             band_index.invalidate(spark)
+            exact_index.invalidate(spark)
             idx_settled.append(True)
         if hist is not None and use_index:
-            if not idx_settled:
-                if not band_index.exists(spark):
-                    # pre-index corpus (older rounds / scan-mode runs):
-                    # one-time migration build from the stored signatures
-                    band_index.build_from(
-                        _band_hashes(hist, id_col, num_hashes, bands).select(
+            _settle_indexes(
+                spark,
+                (
+                    (
+                        band_index,
+                        lambda: _band_hashes(hist, id_col, num_hashes, bands).select(
                             F.col("bid").alias("id"), "band", "band_hash"
-                        )
-                    )
-                idx_settled.append(True)
+                        ),
+                    ),
+                    (exact_index, lambda: _exact_pairs(hist, id_col)),
+                ),
+                idx_settled,
+            )
             # a surviving in-flight marker means a prior attempt died
-            # inside the corpus→index window — only then run the heal join
+            # inside the corpus→indexes window — only then run the heal path
             need_heal = band_index.was_inflight(spark)
         # exact dedup (within batch, then vs history): survivor must be
         # deterministic — min(doc_id) per fingerprint, consistent with the
@@ -232,16 +276,30 @@ def start_incremental_near_dedup(
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         replayed = None
         if hist is not None:
-            # coalesce: pre-sentinel corpora hold fp=NULL for null text
-            hkeys = hist.select(
-                F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
-            )
-            if need_heal:
-                # TRUE replays (same id AND same bytes already stored) may
-                # have missing index rows after a crash between corpus and
-                # index append — capture for heal before the anti-join
-                replayed = fresh.join(hkeys, ["fp", id_col], "left_semi")
-            fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
+            if use_index and not need_heal:
+                # steady state: bucket-local replay guard — only the
+                # batch's own fpk bands are read; the md5 compare keeps an
+                # fpk band collision from ever dropping a fresh row
+                ebands = exact_index.touched_bands(fresh.select(_fpk()))
+                erows = (
+                    exact_index.read_bands(spark, ebands) if ebands else None
+                )
+                if erows is not None:
+                    fresh = fresh.join(erows.select("fp"), "fp", "left_anti")
+            else:
+                # scan mode, or post-crash heal: the corpus fp column is
+                # the authority (the exact index may be missing rows)
+                hkeys = hist.select(
+                    F.coalesce("fp", F.lit("null-text")).alias("fp"),
+                    F.col(id_col),
+                )
+                if need_heal:
+                    # TRUE replays (same id AND same bytes already stored)
+                    # may have missing index rows in EITHER sidecar after a
+                    # crash between corpus and index appends — capture for
+                    # heal before the anti-join
+                    replayed = fresh.join(hkeys, ["fp", id_col], "left_semi")
+                fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
         # near dedup WITHIN the batch: lowest id of each near-dup pair wins
         batch_victims = _near_dup_ids(
             fresh, fresh, id_col, num_hashes, bands, threshold, self_pairs_ordered=True
@@ -297,6 +355,21 @@ def start_incremental_near_dedup(
                         missing = heal_rows
                 if missing is not None and not missing.isEmpty():
                     band_index.append(missing)
+                # heal the exact sidecar the same way: replayed rows'
+                # (id, fp, fpk) may be missing after a crash
+                if replayed is not None:
+                    repl_exact = _exact_pairs(replayed, id_col)
+                    ebands = exact_index.touched_bands(repl_exact.select("fpk"))
+                    erows = (
+                        exact_index.read_bands(spark, ebands) if ebands else None
+                    )
+                    emissing = (
+                        repl_exact.join(erows, ["id", "fp"], "left_anti")
+                        if erows is not None
+                        else (repl_exact if ebands else None)
+                    )
+                    if emissing is not None and not emissing.isEmpty():
+                        exact_index.append(emissing.select("id", "fp", "fpk"))
             else:
                 hist_victims = _near_dup_ids(
                     fresh, hist, id_col, num_hashes, bands, threshold,
@@ -307,8 +380,10 @@ def start_incremental_near_dedup(
             band_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)
         if use_index:
-            # index append AFTER the corpus commit (crash ⇒ missing index
-            # rows, healed on replay — never phantom rows)
+            # index appends AFTER the corpus commit (crash ⇒ missing index
+            # rows, healed on replay — never phantom rows); one marker
+            # brackets both appends
+            exact_index.append(_exact_pairs(fresh, id_col))
             band_index.append(
                 _band_hashes(fresh, id_col, num_hashes, bands).select(
                     F.col("bid").alias("id"), "band", "band_hash"
@@ -318,6 +393,10 @@ def start_incremental_near_dedup(
         cached.unpersist()
         if hist_cached is not None:
             hist_cached.unpersist()
+        n_done[0] += 1
+        if use_index and maintain_every and n_done[0] % maintain_every == 0:
+            band_index.maintain(spark, max_files_per_band=maintain_max_files)
+            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -16,25 +16,43 @@ on the span rule, so even fingerprint-poor short docs can't duplicate on
 replay.
 
 History probe (the scale seam): the default ``history_probe="bucketed"``
-maintains a band-partitioned sidecar (``<corpus>_fpidx``, see
-``banded_index``) holding the pre-exploded (id, fp) pairs. A batch can
-only share a fingerprint that the batch itself carries, so the probe reads
-ONLY the band directories of the batch's own fingerprints — partition
-pruning keeps every other band's files closed, and the per-batch explode
-of the whole corpus is gone entirely (the index is exploded once, at
-append time). ``history_probe="scan"`` keeps the pre-round-7 full-scan
-path (re-explode stored ``wfps`` per batch — linear per batch, quadratic
-over a backfill) for A/B measurement; ``tools/probe_scaling.py`` records
-the walls of both at 1×/4×/16× accumulated history. The exact-dup
-anti-join still reads the corpus ``fp`` column (one thin 16-byte column —
-linear but ~1000× smaller than the wfps explode it replaced).
+maintains TWO band-partitioned sidecars (see ``banded_index``):
 
-Crash consistency: corpus append commits first, index append second, so a
-crash between the two can only leave the index MISSING rows for stored
-docs (phantom index rows for unstored docs would make replays delete
-fresh data). The replayed batch heals the gap: rows found byte-identical
-in history get their missing (id, fp) pairs re-appended, pruned to the
-batch's own bands.
+- ``<corpus>_fpidx`` — the pre-exploded (id, fp) winnow pairs. A batch
+  can only share a fingerprint that the batch itself carries, so the
+  span probe reads ONLY the band directories of the batch's own
+  fingerprints — partition pruning keeps every other band's files
+  closed, and the per-batch explode of the whole corpus is gone entirely
+  (the index is exploded once, at append time).
+- ``<corpus>_exactidx`` — (id, fp, fpk = xxhash64(fp)) rows banded on
+  ``fpk``, serving the EXACT-dup replay guard. Pre-round-8 this guard
+  read the corpus's whole fp column every micro-batch — thin, but linear
+  per batch and quadratic over a backfill (~16 GB re-read per
+  micro-batch forever at 10⁹ docs). Bucketed, the guard reads only the
+  batch's own fpk bands; the anti-join still compares the full md5
+  string, so an fpk band collision costs extra rows read, never a wrong
+  drop.
+
+Both sidecars persist their layout (``_meta.json``); a restart with
+different banding parameters is detected and the stream invalidates +
+rebuilds from the corpus instead of probing a wrong subset.
+``history_probe="scan"`` keeps the pre-round-7 full-scan path (re-explode
+stored ``wfps`` per batch) for A/B measurement; ``tools/probe_scaling.py``
+records the walls of both at growing accumulated history.
+
+Crash consistency: one in-flight marker brackets the corpus append and
+BOTH index appends (corpus first, indexes second), so a crash in the
+window can only leave the indexes MISSING rows for stored docs — never
+phantom index rows for unstored docs (which would delete fresh data on
+replay). A surviving marker makes the replayed batch fall back to the
+authoritative corpus fp scan for the exact guard (once, post-crash) and
+heal both indexes: rows found byte-identical in history get their
+missing pairs re-appended, pruned to the batch's own bands.
+
+Maintenance: every ``maintain_every`` batches the stream compacts bands
+that accumulated more than ``maintain_max_files`` files (per-band — an
+untouched band's files are never rewritten), bounding the probe's
+file-open cost over a long run.
 """
 
 from __future__ import annotations
@@ -44,11 +62,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import winnow_fingerprints
-from .banded_index import BandedFingerprintIndex
+from .banded_index import BandedFingerprintIndex, BandedIndexLayoutError
 
 
 def span_index_path(corpus_dir: str) -> str:
     return corpus_dir.rstrip("/") + "_fpidx"
+
+
+def exact_index_path(corpus_dir: str) -> str:
+    """The exact-fingerprint sidecar, shared by the span and near streams
+    (same layout: (id, fp, fpk) banded on fpk)."""
+    return corpus_dir.rstrip("/") + "_exactidx"
+
+
+def _fpk(col="fp"):
+    return F.xxhash64(F.col(col)).alias("fpk")
+
+
+def _exact_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, fp, fpk) rows for the exact-dup sidecar. The fp is coalesced
+    to the family's null-text sentinel so legacy corpora (fp=NULL rows)
+    stay joinable after migration."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce("fp", F.lit("null-text")).alias("fp"),
+    ).withColumn("fpk", F.xxhash64(F.col("fp")))
+
+
+def _settle_indexes(spark, idx_builders, idx_settled) -> None:
+    """One-time (per stream) index reconciliation: validate each index's
+    persisted layout, invalidating + rebuilding from the corpus on a
+    mismatch (the corpus is authoritative; probing across a layout
+    mismatch silently admits duplicates), and migration-building any
+    index that doesn't exist yet."""
+    if idx_settled:
+        return
+    for idx, build_pairs in idx_builders:
+        try:
+            present = idx.exists(spark)
+        except BandedIndexLayoutError:
+            idx.invalidate(spark)
+            present = False
+        if not present:
+            idx.build_from(build_pairs())
+    idx_settled.append(True)
 
 
 def _span_victims(
@@ -85,16 +142,21 @@ def start_incremental_span_dedup(
     w: int = 15,
     min_shared: int = 3,
     available_now: bool = True,
-    n_bands: int = 64,
+    n_bands: int | None = None,
     history_probe: str = "bucketed",
     max_doc_chars: int | None = None,
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
     rows that are neither exact duplicates nor duplicated-passage carriers
     (≥ ``min_shared`` shared winnowed fingerprints) of any previously
-    stored row, carrying (fp, wfps) alongside the data. Size ``n_bands``
-    well above the typical batch's distinct-fingerprint count at
-    deployment scale (thousands); the default 64 suits test corpora.
+    stored row, carrying (fp, wfps) alongside the data.
+
+    ``n_bands=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; an explicit value that contradicts the persisted layout makes
+    the stream rebuild the index rather than probe a wrong subset.
     ``max_doc_chars`` is the long-doc skew guard passed through to
     ``winnow_fingerprints`` (fingerprint-set invariant, so corpora built
     with and without it are interchangeable)."""
@@ -104,14 +166,24 @@ def start_incremental_span_dedup(
             f"expected 'bucketed' or 'scan'"
         )
     fp_index = BandedFingerprintIndex(
-        span_index_path(corpus_dir), key_col="fp", n_bands=n_bands
+        span_index_path(corpus_dir),
+        key_col="fp",
+        n_bands=n_bands,
+        schema_tag=f"winnow:k={k},w={w}",
+    )
+    exact_index = BandedFingerprintIndex(
+        exact_index_path(corpus_dir),
+        key_col="fpk",
+        n_bands=n_bands,
+        schema_tag="exact:md5-xxh64",
     )
     # one-time per-stream index reconciliation flag. Meaning depends on
-    # mode: bucketed — "index confirmed to exist (or was just migrated),
-    # skip further existence stats"; scan — "any stale index has been
-    # invalidated". Either way: non-empty = the mode's index state is
-    # settled for this stream, don't redo the check per batch.
+    # mode: bucketed — "both indexes validated/migrated, skip further
+    # existence stats"; scan — "any stale index has been invalidated".
+    # Either way: non-empty = the mode's index state is settled for this
+    # stream, don't redo the check per batch.
     idx_settled: list[bool] = []
+    n_done: list[int] = [0]  # completed batches, drives maintenance
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -153,42 +225,64 @@ def start_incremental_span_dedup(
             # scan mode appends corpus rows WITHOUT maintaining any
             # existing index — a stale index would make a later bucketed
             # run miss duplicates forever (exists() would skip the
-            # migration rebuild). Invalidate it so bucketed mode rebuilds.
+            # migration rebuild). Invalidate both so bucketed mode rebuilds.
             fp_index.invalidate(spark)
+            exact_index.invalidate(spark)
             idx_settled.append(True)
         if hist is not None and use_index:
-            if not idx_settled:
-                if not fp_index.exists(spark):
-                    # pre-index corpus (older rounds / scan-mode runs):
-                    # one-time migration build from the stored arrays
-                    fp_index.build_from(
-                        hist.select(
+            _settle_indexes(
+                spark,
+                (
+                    (
+                        fp_index,
+                        lambda: hist.select(
                             F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
-                        )
-                    )
-                idx_settled.append(True)
+                        ),
+                    ),
+                    (exact_index, lambda: _exact_pairs(hist, id_col)),
+                ),
+                idx_settled,
+            )
             # a surviving in-flight marker means a prior attempt died
-            # inside the corpus→index window — only then is the heal
-            # anti-join worth its cost (it sorts the pruned index slice)
+            # inside the corpus→indexes window — only then is the heal
+            # path worth its cost (corpus fp scan + anti-join sorts)
             need_heal = fp_index.was_inflight(spark)
         # exact dedup: deterministic survivor (min id per fingerprint), then
-        # the replay guard — anti-join against history's fp column
+        # the replay guard
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         replayed = None
+        replayed_keys = None
         if hist is not None:
-            # coalesce: pre-sentinel corpora hold fp=NULL for null text
-            hkeys = hist.select(
-                F.coalesce("fp", F.lit("null-text")).alias("fp"), F.col(id_col)
-            )
-            if need_heal:
-                # TRUE replays (same id AND same bytes already stored): the
-                # crashed attempt's rows may be missing index pairs —
-                # capture them before the anti-join drops them
-                replayed = fresh.join(hkeys, ["fp", id_col], "left_semi").select(
-                    F.col(id_col).alias("id")
+            if use_index and not need_heal:
+                # steady state: bucket-local replay guard — only the
+                # batch's own fpk bands are read; the md5 compare keeps
+                # an fpk band collision from ever dropping a fresh row
+                ebands = exact_index.touched_bands(
+                    fresh.select(_fpk())
                 )
-            fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
+                erows = (
+                    exact_index.read_bands(spark, ebands) if ebands else None
+                )
+                if erows is not None:
+                    fresh = fresh.join(erows.select("fp"), "fp", "left_anti")
+            else:
+                # scan mode, or post-crash heal: the corpus fp column is
+                # the authority (the exact index may be missing rows)
+                hkeys = hist.select(
+                    F.coalesce("fp", F.lit("null-text")).alias("fp"),
+                    F.col(id_col),
+                )
+                if need_heal:
+                    # TRUE replays (same id AND same bytes already stored):
+                    # the crashed attempt's rows may be missing index pairs
+                    # in EITHER sidecar — capture (id, fp) before the
+                    # anti-join drops them
+                    replayed_keys = fresh.join(
+                        hkeys, ["fp", id_col], "left_semi"
+                    ).select(F.col(id_col).alias("id"), "fp")
+                    replayed = replayed_keys.select("id")
+                fresh = fresh.join(hkeys.select("fp"), "fp", "left_anti")
         # span dedup WITHIN the batch: lowest id of each pair wins
         live_fps = wf.join(fresh.select(F.col(id_col).alias("id")), "id", "left_semi")
         victims = _span_victims(live_fps, live_fps, id_col, min_shared, True)
@@ -228,6 +322,23 @@ def start_incremental_span_dedup(
                         missing = heal_fps
                 if missing is not None and not missing.isEmpty():
                     fp_index.append(missing)
+                # heal the exact sidecar the same way: replayed rows'
+                # (id, fp, fpk) may be missing after a crash
+                if replayed_keys is not None:
+                    repl_exact = replayed_keys.withColumn(
+                        "fpk", F.xxhash64(F.col("fp"))
+                    )
+                    ebands = exact_index.touched_bands(repl_exact.select("fpk"))
+                    erows = (
+                        exact_index.read_bands(spark, ebands) if ebands else None
+                    )
+                    emissing = (
+                        repl_exact.join(erows, ["id", "fp"], "left_anti")
+                        if erows is not None
+                        else (repl_exact if ebands else None)
+                    )
+                    if emissing is not None and not emissing.isEmpty():
+                        exact_index.append(emissing.select("id", "fp", "fpk"))
             else:
                 hist_fps = hist.select(
                     F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
@@ -240,8 +351,10 @@ def start_incremental_span_dedup(
             fp_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)
         if use_index:
-            # index append AFTER the corpus commit (crash ⇒ missing index
-            # rows, healed on replay — never phantom rows)
+            # index appends AFTER the corpus commit (crash ⇒ missing index
+            # rows, healed on replay — never phantom rows); one marker
+            # brackets both appends
+            exact_index.append(_exact_pairs(fresh, id_col))
             fp_index.append(
                 wf.join(
                     fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
@@ -250,6 +363,10 @@ def start_incremental_span_dedup(
             fp_index.clear_inflight(spark)
         cached.unpersist()
         wf.unpersist()
+        n_done[0] += 1
+        if use_index and maintain_every and n_done[0] % maintain_every == 0:
+            fp_index.maintain(spark, max_files_per_band=maintain_max_files)
+            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -180,6 +180,8 @@ def main() -> None:
         near_index_path,
     )
     from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        _exact_pairs,
+        exact_index_path,
         span_index_path,
     )
     from pyspark.sql import functions as F
@@ -207,6 +209,7 @@ def main() -> None:
             idx_proto = (
                 span_index_path(proto) if fam == "span" else near_index_path(proto)
             )
+            exact_proto = exact_index_path(proto)
             if not os.path.exists(idx_proto):
                 log(f"[{fam}] building x{r} index ...")
                 hist = spark.read.parquet(proto)
@@ -227,6 +230,14 @@ def main() -> None:
                             F.col("bid").alias("id"), "band", "band_hash"
                         )
                     )
+            if not os.path.exists(exact_proto):
+                # the round-8 exact-fp sidecar: prebuilt too, so the timed
+                # run measures the steady-state probe, not the migration
+                log(f"[{fam}] building x{r} exact index ...")
+                hist = spark.read.parquet(proto)
+                BandedFingerprintIndex(exact_proto, "fpk", args.n_bands).build_from(
+                    _exact_pairs(hist, "doc_id")
+                )
             for mode in ("scan", "bucketed"):
                 # the batch APPENDS; run each mode against a throwaway copy
                 reps = 2 if not warmed else 1  # first timing discards a
@@ -240,11 +251,18 @@ def main() -> None:
                         # first batch (stale-index guard) — copying one in
                         # would both waste setup and put the recursive
                         # delete of thousands of band dirs on the timer
-                        shutil.copytree(
-                            idx_proto,
+                        idx_dst = (
                             span_index_path(corpus) if fam == "span"
-                            else near_index_path(corpus),
+                            else near_index_path(corpus)
                         )
+                        for src_d, dst_d in (
+                            (idx_proto, idx_dst),
+                            (exact_proto, exact_index_path(corpus)),
+                        ):
+                            shutil.copytree(src_d, dst_d)
+                            meta = src_d.rstrip("/") + "_meta.json"
+                            if os.path.exists(meta):
+                                shutil.copy(meta, dst_d.rstrip("/") + "_meta.json")
                     wall = run_one_batch(
                         spark, fam, src, corpus, os.path.join(work, "ckpt"),
                         mode, args.n_bands,

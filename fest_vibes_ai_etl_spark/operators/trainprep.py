@@ -242,8 +242,16 @@ def dsir_term_store_path(sf_dir: str, table_name: str, m: int) -> str:
     stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
     # "dsirb": v2 stores are BUCKETED by id (Spark bucketed-table layout);
     # the tag bump keeps v1 plain-parquet stores from being registered
-    # with a bucket spec their files don't satisfy
-    return os.path.join(_sig_warehouse_root(), f"dsirb_{tag}_{table_name}_m{m}{stamp}")
+    # with a bucket spec their files don't satisfy. The bucket COUNT is
+    # part of the path for the same reason m and the source fingerprint
+    # are: bucketing is layout, and re-registering existing files under a
+    # changed DSIR_STORE_BUCKETS ("size to the cluster at deployment")
+    # would declare a spec the files don't satisfy — the shuffle-free id
+    # join then silently drops matches. Encoding it forces a rebuild.
+    return os.path.join(
+        _sig_warehouse_root(),
+        f"dsirb_{tag}_{table_name}_m{m}_b{DSIR_STORE_BUCKETS}{stamp}",
+    )
 
 
 DSIR_STORE_BUCKETS = 16

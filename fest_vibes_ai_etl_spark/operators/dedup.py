@@ -834,7 +834,7 @@ def verify_span_pairs(
     found by 64-bit hash equality are re-checked by actual substring
     comparison (a collision can cost time, never a wrong answer; equal
     substrings always hash equal, so no match is missed), pinned by an
-    equivalence test against difflib in tests/test_winnow_dedup.py.
+    equivalence test against difflib in tests/test_dedup_similarity.py.
 
     What is and is NOT guaranteed — the winnowing guarantee is
     one-directional: any shared span ≥ w + k − 1 chars yields a shared
@@ -861,84 +861,10 @@ def verify_span_pairs(
 
     def run(batches):
         # closure-safe on executors: all imports inside
-        import numpy as np
         import pandas as pd
+        import numpy as np
 
-        MASK = (1 << 64) - 1
-        BASE = 0x9E3779B97F4A7C15  # odd => invertible mod 2^64
-        BINV = pow(BASE, -1, 1 << 64)
-
-        def prep(s: str):
-            """Per-string precompute reused across binary-search steps:
-            code points c, prefix sums S[j] = Σ_{u<j} c[u]·B^{-u}, and the
-            position factors Bpow[i] = B^i — all mod 2^64 via native
-            uint64 wraparound (no Python bignums in the hot path)."""
-            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.uint64
-            )
-            n = len(c)
-            binv_pow = np.empty(n, dtype=np.uint64)
-            bpow = np.empty(n, dtype=np.uint64)
-            if n:
-                binv_pow[0] = 1
-                bpow[0] = 1
-                if n > 1:
-                    # cumprod of a constant vector: exponent chains
-                    # BINV^1..BINV^{n-1} / BASE^1..BASE^{n-1}, mod 2^64
-                    np.cumprod(
-                        np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:]
-                    )
-                    np.cumprod(
-                        np.full(n - 1, BASE, dtype=np.uint64), out=bpow[1:]
-                    )
-            S = np.zeros(n + 1, dtype=np.uint64)
-            if n:
-                np.cumsum(c * binv_pow, out=S[1:])
-            return c, S, bpow
-
-        def feasible(a, b, pa, pb, L: int) -> bool:
-            """Is there a common substring of length L? Hash windows of
-            both strings, intersect, re-check candidates by true substring
-            equality (exactness under collisions)."""
-            ca, Sa, Pa = pa
-            cb, Sb, Pb = pb
-            if L == 0:
-                return True
-            if L > len(ca) or L > len(cb):
-                return False
-            scale = np.uint64(pow(BASE, L - 1, 1 << 64))
-            ha = (Sa[L:] - Sa[:-L]) * Pa[: len(ca) - L + 1] * scale
-            hb = (Sb[L:] - Sb[:-L]) * Pb[: len(cb) - L + 1] * scale
-            common, ia, ib = np.intersect1d(
-                ha, hb, assume_unique=False, return_indices=True
-            )
-            if common.size == 0:
-                return False
-            # first-occurrence pairs: with a 64-bit hash essentially every
-            # candidate is a true match
-            for i, j in zip(ia, ib):
-                if a[i : i + L] == b[j : j + L]:
-                    return True
-            # collision fallback (astronomically rare): all positions
-            for h in common:
-                subs_b = {b[j : j + L] for j in np.where(hb == h)[0]}
-                for i in np.where(ha == h)[0]:
-                    if a[i : i + L] in subs_b:
-                        return True
-            return False
-
-        def lcs_len(a: str, b: str) -> int:
-            if not a or not b:
-                return 0
-            pa, pb = prep(a), prep(b)
-            lo, hi = 0, min(len(a), len(b))
-            while lo < hi:
-                mid = (lo + hi + 1) // 2
-                if feasible(a, b, pa, pb, mid):
-                    lo = mid
-                else:
-                    hi = mid - 1
-            return lo
+        lcs_len = _lcs_kernel()
 
         old = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
         try:
@@ -956,3 +882,93 @@ def verify_span_pairs(
             np.seterr(**old)
 
     return joined.mapInPandas(run, schema=out_schema)
+
+
+def _lcs_kernel(base: int = 0x9E3779B97F4A7C15):
+    """The exact-LCS kernel behind ``verify_span_pairs``: returns a pure
+    ``lcs_len(a, b) -> int`` closure (binary search over a vectorized
+    Rabin-Karp feasible-length check). Module-level and ``base``-
+    parameterized for ONE reason: exactness under hash collisions is a
+    code path ~2⁻⁶⁴-rare under the production base, so the unit test
+    injects a degenerate base (e.g. 1, which collapses a window's hash to
+    its codepoint SUM — every anagram collides) to force the fallback
+    re-check loops to actually execute (tests/test_dedup_similarity.py).
+    ``base`` must be odd (invertible mod 2^64)."""
+    import numpy as np
+
+    BASE = base
+    BINV = pow(BASE, -1, 1 << 64)
+
+    def prep(s: str):
+        """Per-string precompute reused across binary-search steps:
+        code points c, prefix sums S[j] = Σ_{u<j} c[u]·B^{-u}, and the
+        position factors Bpow[i] = B^i — all mod 2^64 via native
+        uint64 wraparound (no Python bignums in the hot path)."""
+        c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        n = len(c)
+        binv_pow = np.empty(n, dtype=np.uint64)
+        bpow = np.empty(n, dtype=np.uint64)
+        if n:
+            binv_pow[0] = 1
+            bpow[0] = 1
+            if n > 1:
+                # cumprod of a constant vector: exponent chains
+                # BINV^1..BINV^{n-1} / BASE^1..BASE^{n-1}, mod 2^64
+                np.cumprod(
+                    np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:]
+                )
+                np.cumprod(
+                    np.full(n - 1, BASE, dtype=np.uint64), out=bpow[1:]
+                )
+        S = np.zeros(n + 1, dtype=np.uint64)
+        if n:
+            np.cumsum(c * binv_pow, out=S[1:])
+        return c, S, bpow
+
+    def feasible(a, b, pa, pb, L: int) -> bool:
+        """Is there a common substring of length L? Hash windows of
+        both strings, intersect, re-check candidates by true substring
+        equality (exactness under collisions)."""
+        ca, Sa, Pa = pa
+        cb, Sb, Pb = pb
+        if L == 0:
+            return True
+        if L > len(ca) or L > len(cb):
+            return False
+        scale = np.uint64(pow(BASE, L - 1, 1 << 64))
+        ha = (Sa[L:] - Sa[:-L]) * Pa[: len(ca) - L + 1] * scale
+        hb = (Sb[L:] - Sb[:-L]) * Pb[: len(cb) - L + 1] * scale
+        common, ia, ib = np.intersect1d(
+            ha, hb, assume_unique=False, return_indices=True
+        )
+        if common.size == 0:
+            return False
+        # first-occurrence pairs: with a 64-bit hash essentially every
+        # candidate is a true match
+        for i, j in zip(ia, ib):
+            if a[i : i + L] == b[j : j + L]:
+                return True
+        # collision fallback (astronomically rare): all positions
+        for h in common:
+            subs_b = {b[j : j + L] for j in np.where(hb == h)[0]}
+            for i in np.where(ha == h)[0]:
+                if a[i : i + L] in subs_b:
+                    return True
+        return False
+
+    def lcs_len(a: str, b: str) -> int:
+        if not a or not b:
+            return 0
+        pa, pb = prep(a), prep(b)
+        lo, hi = 0, min(len(a), len(b))
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if feasible(a, b, pa, pb, mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    return lcs_len

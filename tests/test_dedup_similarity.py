@@ -467,6 +467,51 @@ def test_verify_span_pairs_equals_difflib_on_test_corpus(spark):
         assert lcs == want, (a_id, b_id, lcs, want)
 
 
+def test_lcs_kernel_collision_fallback_is_exact():
+    """Execute the hash-collision fallback the docstring promises is safe.
+    Under the production 64-bit base a collision is ~2^-64-rare, so the
+    test injects base=1, collapsing a window's hash to its codepoint SUM:
+    every anagram pair collides, and both fallback outcomes run —
+
+    - "abXba" vs "baYab" at L=2: the first-occurrence pair is the
+      colliding non-match ("ab" vs "ba"), so only the exhaustive fallback
+      loop can find the TRUE match ("ab" appears in both) — a wrong
+      fallback would report lcs 1;
+    - the same pair at L=3: every window collides by sum but none match,
+      so the fallback must exhaust and say no — a wrong fallback would
+      report lcs ≥ 3.
+
+    Then fuzz: on a 3-letter alphabet base=1 collides constantly, and the
+    degenerate kernel must still equal difflib (and the production-base
+    kernel) everywhere."""
+    import random
+    from difflib import SequenceMatcher
+
+    import numpy as np
+
+    from fest_vibes_ai_etl_spark.operators.dedup import _lcs_kernel
+
+    def ref(a, b):
+        m = SequenceMatcher(None, a, b, autojunk=False)
+        return m.find_longest_match(0, len(a), 0, len(b)).size
+
+    old = np.seterr(over="ignore")
+    try:
+        k_prod = _lcs_kernel()
+        k_degen = _lcs_kernel(base=1)
+        assert k_degen("abXba", "baYab") == ref("abXba", "baYab") == 2
+        assert k_degen("ab", "ba") == 1
+        rng = random.Random(20260815)
+        for _ in range(120):
+            a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 30)))
+            b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 30)))
+            want = ref(a, b)
+            assert k_degen(a, b) == want, (a, b, want)
+            assert k_prod(a, b) == want, (a, b, want)
+    finally:
+        np.seterr(**old)
+
+
 def test_verify_span_pairs_megabyte_docs_bounded_time(spark):
     """The verdict's planted case: two ~1 MB docs in one pair must verify
     in bounded time (the difflib O(|a|·|b|) scan this replaced would need

@@ -98,6 +98,14 @@ class S3CommitBackend:
         return self.bucket, path.lstrip("/")
 
     def list(self, commits_dir: str) -> list[str]:
+        """Paginated LIST with per-page transient-5xx retry. A long commit
+        history paginates, and S3 throttling (SlowDown/503) mid-walk is
+        routine at scale — a raw exception there would fail the whole
+        commit resolution for a transient condition. A LIST is a pure
+        read, so retrying the SAME page (the ContinuationToken stays
+        valid) is always safe; the retry budget is per page, bounded by
+        the same backoff policy as put_if_absent so a persistently
+        throttling endpoint still surfaces as an error."""
         bucket, key = self._loc(commits_dir)
         prefix = key.rstrip("/") + "/"
         names: list[str] = []
@@ -106,7 +114,18 @@ class S3CommitBackend:
             kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
             if token:
                 kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
+            for attempt in range(self.max_attempts):
+                if attempt:
+                    self._backoff(attempt - 1)
+                try:
+                    resp = self.client.list_objects_v2(**kw)
+                    break
+                except Exception as exc:
+                    if (
+                        _err_code(exc) not in _AMBIGUOUS_CODES
+                        or attempt == self.max_attempts - 1
+                    ):
+                        raise
             names.extend(
                 o["Key"][len(prefix):] for o in resp.get("Contents", [])
             )

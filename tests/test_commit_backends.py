@@ -39,7 +39,9 @@ class FakeBotoS3:
     def __init__(self):
         self.objects: dict[tuple[str, str], bytes] = {}
         self.faults: list[str] = []
+        self.list_faults: list[str] = []
         self.put_calls = 0
+        self.list_calls = 0
         self._inflight: tuple[str, str, bytes] | None = None
 
     def inject(self, *modes: str) -> None:
@@ -85,7 +87,17 @@ class FakeBotoS3:
 
     page_size: int | None = None  # set to paginate listings (IsTruncated)
 
+    def inject_list(self, *codes: str) -> None:
+        """Queue per-call LIST faults; "ok" lets a call through so a 5xx
+        can be planted MID-pagination (after page 1, before page 2)."""
+        self.list_faults.extend(codes)
+
     def list_objects_v2(self, Bucket, Prefix, Delimiter="/", **kw):
+        self.list_calls += 1
+        if self.list_faults:
+            code = self.list_faults.pop(0)
+            if code != "ok":
+                raise FakeClientError(code)
         names = sorted(
             k for (b, k) in self.objects
             if b == Bucket and k.startswith(Prefix)
@@ -294,6 +306,50 @@ def test_s3_truncated_list_pagination_resolves_true_head(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {
         (0, "v0"), (1, "v1"), (2, "v2"), (9, "v9")
     }
+
+
+def test_paginated_list_with_mid_walk_5xx_resolves_true_head(spark, tmp_path):
+    """Pagination MIXED with a transient 5xx mid-walk (VERDICT r7 #7):
+    page 1 succeeds, the page-2 request throttles (SlowDown), the retry of
+    the SAME page succeeds — the walk must resume at the same
+    ContinuationToken and still resolve the TRUE head (newest commit on
+    the last page). A reader that aborted or restarted the walk on the
+    5xx would resolve a stale head and fork the chain."""
+    sleeps: list[float] = []
+    client = FakeBotoS3()
+    s3 = S3CommitBackend(
+        bucket="bkt", client=client, max_attempts=4, sleep=sleeps.append
+    )
+    t = VersionedParquetTable(str(tmp_path / "vt"), "p", commit_backend=s3)
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k long, p string, v string")
+
+    for i in range(3):
+        t.merge(spark, src([(i, "a", f"v{i}")]), keys=["k"])
+    client.page_size = 1  # 3 commits => 3 pages
+    client.inject_list("ok", "SlowDown", "ok", "ok")  # 5xx on page 2 only
+    client.list_calls = 0
+    assert s3.list(str(tmp_path / "vt") + "/_commits") == [
+        "v000000000001.json", "v000000000002.json", "v000000000003.json"
+    ]
+    assert client.list_calls == 4  # 3 pages + 1 retried page
+    assert len(sleeps) == 1  # one backoff, for the one throttled page
+    # two consecutive throttles on one page: still resolves (budget is
+    # per page, not per walk)
+    client.inject_list("SlowDown", "ServiceUnavailable")
+    assert t.latest()[0] == 3
+    # a persistently-throttling endpoint surfaces as an error, not a loop
+    client.inject_list(*["SlowDown"] * 10)
+    with pytest.raises(FakeClientError):
+        s3.list(str(tmp_path / "vt") + "/_commits")
+    # a NON-transient error propagates immediately, no retry
+    client.list_faults.clear()
+    client.inject_list("AccessDenied")
+    client.list_calls = 0
+    with pytest.raises(FakeClientError):
+        s3.list(str(tmp_path / "vt") + "/_commits")
+    assert client.list_calls == 1
 
 
 def test_ambiguous_inflight_put_landing_after_readback_is_own_success():

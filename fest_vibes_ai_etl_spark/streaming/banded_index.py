@@ -544,7 +544,12 @@ class BandedFingerprintIndex:
 
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the
-        probe's pruning set. O(n_bands) driver memory by construction."""
+        probe's pruning set. O(n_bands) driver memory by construction.
+        With ``n_bands=None`` the stored layout is adopted here (the keys
+        frame carries the session); still-unresolved (index never
+        written) raises the ``band_of`` layout error."""
+        if self.n_bands is None:
+            self._check_layout(keys.sparkSession)
         return [
             r.band
             for r in keys.select(

@@ -216,6 +216,269 @@ def test_span_index_heals_after_crash_between_corpus_and_index(spark, tmp_path):
     assert not os.path.exists(idx_dir + ".inflight")  # marker cleared
 
 
+def test_layout_meta_written_and_adopted(spark, tmp_path):
+    """_meta.json is created with the data and a fresh instance with
+    n_bands=None ADOPTS it — restarts can't drift the banding."""
+    import json
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=8)
+    idx.build_from(spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    meta = json.load(open(base + "_meta.json"))
+    assert meta == {"key_col": "fp", "n_bands": 8, "schema_tag": None}
+    reopened = BandedFingerprintIndex(base, "fp")  # n_bands unset
+    assert reopened.exists(spark)
+    assert reopened.n_bands == 8
+    assert reopened.read_bands(spark, reopened.touched_bands(
+        spark.createDataFrame([(3,)], "fp long")
+    )) is not None
+    # append under the adopted layout stays readable under the original
+    reopened.append(spark.createDataFrame([(777, 21)], "id long, fp long"))
+    assert (777, 21) in _index_pairs(spark, base)
+
+
+def test_layout_mismatch_raises_never_probes_wrong_subset(spark, tmp_path):
+    """The round-7 latent hazard: reopening an index with a different
+    n_bands used to silently prune the probe to band directories that
+    were never written — historical duplicates passed undetected. Every
+    open path must now refuse loudly instead."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedIndexLayoutError,
+    )
+
+    base = str(tmp_path / "idx")
+    BandedFingerprintIndex(base, "fp", n_bands=8, schema_tag="winnow:k=20,w=15").build_from(
+        spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    wrong_n = BandedFingerprintIndex(base, "fp", n_bands=32)
+    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
+        wrong_n.exists(spark)
+    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
+        wrong_n.read_bands(spark, [0])
+    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
+        wrong_n.append(spark.createDataFrame([(1, 1)], "id long, fp long"))
+    with pytest.raises(BandedIndexLayoutError, match="key_col"):
+        BandedFingerprintIndex(base, "band_hash", n_bands=8).exists(spark)
+    with pytest.raises(BandedIndexLayoutError, match="schema_tag"):
+        BandedFingerprintIndex(
+            base, "fp", n_bands=8, schema_tag="winnow:k=9,w=5"
+        ).exists(spark)
+    # invalidate resets the layout; a rebuild may then choose fresh params
+    wrong_n.invalidate(spark)
+    assert not os.path.exists(base) and not os.path.exists(base + "_meta.json")
+
+
+def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
+    """Pre-round-8 indexes have no _meta.json. An explicit n_bands asserts
+    the layout (exactly the trust the old code extended) and upgrades in
+    place; n_bands=None has nothing to validate against and must refuse
+    so the stream rebuilds from the corpus."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedIndexLayoutError,
+    )
+
+    base = str(tmp_path / "idx")
+    BandedFingerprintIndex(base, "fp", n_bands=8).build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    os.remove(base + "_meta.json")  # simulate the legacy layout
+    with pytest.raises(BandedIndexLayoutError, match="predates"):
+        BandedFingerprintIndex(base, "fp").exists(spark)
+    upgraded = BandedFingerprintIndex(base, "fp", n_bands=8)
+    assert upgraded.exists(spark)
+    assert os.path.exists(base + "_meta.json")  # upgraded in place
+    assert BandedFingerprintIndex(base, "fp").n_bands is None  # lazy
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.exists(spark) and fresh.n_bands == 8
+
+
+def test_auto_band_sizing_from_first_write(spark, tmp_path):
+    """n_bands=None on a fresh index derives the band count from the
+    first write's distinct-key count (8x headroom, clamped to
+    [64, 65536]) instead of a flat constant."""
+    import json
+
+    small = BandedFingerprintIndex(str(tmp_path / "s"), "fp")
+    small.append(spark.createDataFrame([(1, 5)], "id long, fp long"))
+    assert small.n_bands == 64  # floor
+    big = BandedFingerprintIndex(str(tmp_path / "b"), "fp")
+    big.build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    # 100 distinct keys x8 headroom = 800 -> next pow2 = 1024
+    assert big.n_bands == 1024
+    assert json.load(open(str(tmp_path / "b") + "_meta.json"))["n_bands"] == 1024
+
+
+def test_maintain_compacts_only_fragmented_bands(spark, tmp_path):
+    """Per-band maintenance: bands over the file threshold are compacted
+    to one file; untouched bands keep their exact files (byte-identical,
+    never rewritten) — the property that makes maintain() affordable on a
+    terabyte index where compact()'s full rewrite is not."""
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=8)
+    idx.build_from(spark.range(400).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    before = _index_pairs(spark, base)
+
+    def band_files(b):
+        d = os.path.join(base, f"pband={b}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    untouched = {b: band_files(b) for b in range(1, 8)}
+    # fragment band 0 only: keys = multiples of 8 => pmod 0
+    for i in range(10):
+        idx.append(
+            spark.createDataFrame([(10_000 + i, (i + 1) * 8)], "id long, fp long")
+        )
+    added = {(10_000 + i, (i + 1) * 8) for i in range(10)}
+    assert len(band_files(0)) >= 10
+    n = idx.maintain(spark, max_files_per_band=4)
+    assert n == 1  # exactly the fragmented band
+    assert len(band_files(0)) == 1
+    for b, files in untouched.items():
+        assert band_files(b) == files, f"band {b} was rewritten"
+    assert _index_pairs(spark, base) == before | added
+    assert idx.maintain(spark, max_files_per_band=4) == 0  # idempotent
+
+
+def test_maintain_crash_recovery_restores_band(spark, tmp_path):
+    """A crash between maintain()'s two renames leaves the live band copy
+    under _bandold; the next maintain must restore it before doing
+    anything else, and a stale _bandtmp staging dir is dropped."""
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    before = _index_pairs(spark, base)
+    os.makedirs(base + "_bandold")
+    os.rename(os.path.join(base, "pband=2"), base + "_bandold/pband=2")
+    os.makedirs(base + "_bandtmp/pband=9")  # stale staging
+    assert idx.maintain(spark, max_files_per_band=4) == 0
+    assert _index_pairs(spark, base) == before
+    assert not os.path.exists(base + "_bandold")
+    assert not os.path.exists(base + "_bandtmp")
+
+
+def test_span_stream_rebuilds_on_banding_change(spark, tmp_path):
+    """End-to-end restart-with-different-banding: batch 1 runs with
+    n_bands=16, the restarted stream runs with n_bands=32. Before the
+    layout meta, the 32-band probe silently read wrong directories and
+    ADMITTED the duplicates in B2 (10 carries B1's passage, 2000 is an
+    exact dup of 2); now the stream detects the mismatch, rebuilds both
+    sidecars from the corpus, and still drops them."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src1)
+    spark.createDataFrame(B2, "doc_id long, text string").coalesce(1).write.parquet(src2)
+    _run_span(spark, src1, corpus, str(tmp_path / "k1"), "bucketed", n_bands=16)
+    _run_span(spark, src2, corpus, str(tmp_path / "k2"), "bucketed", n_bands=32)
+    ids = _stored_ids(spark, corpus)
+    assert 10 not in ids and 2000 not in ids and {1, 2, 3, 11} <= ids
+    # the rebuild re-banded the whole index under the new layout
+    import json
+
+    idx_dir = span_index_path(corpus)
+    assert json.load(open(idx_dir + "_meta.json"))["n_bands"] == 32
+    assert _index_pairs(spark, idx_dir) == _corpus_pairs(spark, corpus)
+
+
+def test_near_stream_rebuilds_on_key_derivation_change(spark, tmp_path):
+    """Same banding over differently-DERIVED keys is just as wrong as a
+    different banding: restarting the near stream with a different LSH
+    band count changes the schema_tag, so the stream must rebuild the
+    sidecar instead of probing stale band hashes (which would miss every
+    historical near-dup)."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src1)
+    spark.createDataFrame(B2, "doc_id long, text string").coalesce(1).write.parquet(src2)
+
+    def run(src, ckpt, bands):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = start_incremental_near_dedup(
+            stream, corpus, ckpt, k=3, num_hashes=32, bands=bands,
+            threshold=0.2, n_buckets=16, history_probe="bucketed",
+        )
+        q.awaitTermination(180)
+
+    run(src1, str(tmp_path / "k1"), bands=8)
+    run(src2, str(tmp_path / "k2"), bands=4)
+    ids = _stored_ids(spark, corpus)
+    assert 2000 not in ids and {1, 2, 3} <= ids
+    import json
+
+    meta = json.load(open(near_index_path(corpus) + "_meta.json"))
+    assert meta["schema_tag"] == "minhash:k=3,nh=32,bands=4"
+
+
+def test_span_stream_soak_bounds_files_and_caches(spark, tmp_path):
+    """50-micro-batch soak of the span stream (VERDICT r8 #4/#5): the
+    between-batch maintenance hook must bound per-band file growth in
+    BOTH sidecars, the per-batch cache entries must return to baseline
+    (the round-7 leak class), no in-flight marker may survive, and the
+    indexes must still exactly cover the corpus afterwards."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    # per-doc-unique tokens: the longest substring two docs share is
+    # shorter than k=8, so zero shared fingerprints — every doc is fresh
+    # and every batch appends (the soak needs the indexes to GROW)
+    rows = [
+        (i, " ".join(f"u{i}q{j}r" for j in range(12))) for i in range(50)
+    ]
+    for i, row in enumerate(rows):  # one file per micro-batch
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_span_dedup(
+        stream, corpus, str(tmp_path / "ckpt"), k=8, w=4, min_shared=3,
+        n_bands=16, history_probe="bucketed",
+        maintain_every=10, maintain_max_files=4,
+    )
+    q.awaitTermination(600)
+    assert jsc.getPersistentRDDs().size() == cached_before  # no cache leak
+    idx_dir = span_index_path(corpus)
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    for d in (idx_dir, exact_index_path(corpus)):
+        assert not os.path.exists(d + ".inflight")
+        worst = max(
+            len([f for f in os.listdir(os.path.join(d, p)) if f.endswith(".parquet")])
+            for p in os.listdir(d) if p.startswith("pband=")
+        )
+        # between maintains (every 10 batches) a band gains at most
+        # maintain_every new files on top of the compacted max_files
+        assert worst <= 4 + 10, f"{d}: worst band has {worst} files"
+    # the indexes still exactly cover the corpus
+    assert _index_pairs(spark, idx_dir) == _corpus_pairs(spark, corpus)
+    stored = spark.read.parquet(corpus)
+    exact_pairs = {
+        (r.id, r.fp)
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("id", "fp").collect()
+    }
+    assert exact_pairs == {
+        (r.doc_id, r.fp) for r in stored.select("doc_id", "fp").collect()
+    }
+
+
 def test_span_bucketed_migrates_scan_built_corpus(spark, tmp_path):
     """A corpus built with history_probe='scan' (or by an older round) has
     no index; the first bucketed batch must build it and still dedup."""

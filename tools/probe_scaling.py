@@ -194,6 +194,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for fam in families:
         walls: dict[str, list[float]] = {"scan": [], "bucketed": []}
+        guard_reads: list[dict] = []
         warmed = False
         for r in scales:
             docs_dir = build_history_docs(args.base, args.out, r)
@@ -238,6 +239,35 @@ def main() -> None:
                 BandedFingerprintIndex(exact_proto, "fpk", args.n_bands).build_from(
                     _exact_pairs(hist, "doc_id")
                 )
+            # exact-guard read volume: rows the bucket-local replay guard
+            # actually reads for THIS batch (touched fpk bands only) vs
+            # the full history the pre-round-8 guard re-scanned per batch.
+            # rows_read ≈ touched_bands × hist/n_bands: the linear term
+            # keeps a 1/n_bands constant, and n_bands is sized to the
+            # corpus at (re)build time — this is the number that must stay
+            # small while hist_rows grows 512×.
+            from fest_vibes_ai_etl_spark.streaming.incremental_dedup import (
+                fingerprint,
+            )
+            from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+                _fpk,
+            )
+
+            eidx = BandedFingerprintIndex(exact_proto, "fpk")  # adopt meta
+            ebands = eidx.touched_bands(
+                spark.read.parquet(src)
+                .select(fingerprint("text").alias("fp"))
+                .select(_fpk())
+            )
+            erows = eidx.read_bands(spark, ebands)
+            guard_reads.append(
+                {
+                    "scale": r,
+                    "hist_rows": spark.read.parquet(proto).count(),
+                    "exact_rows_read": 0 if erows is None else erows.count(),
+                }
+            )
+            log(f"[{fam}] x{r} exact-guard rows read: {guard_reads[-1]}")
             for mode in ("scan", "bucketed"):
                 # the batch APPENDS; run each mode against a throwaway copy
                 reps = 2 if not warmed else 1  # first timing discards a
@@ -277,6 +307,7 @@ def main() -> None:
             "scales": scales,
             "walls": {m: [round(w, 3) for w in ws] for m, ws in walls.items()},
             "b": {m: round(fit_b(scales, ws), 3) for m, ws in walls.items()},
+            "exact_guard": guard_reads,
         }
 
     print(json.dumps({"probe_scaling": results,

@@ -3,21 +3,43 @@
 The training-corpus shape `dropDuplicatesWithinWatermark` can't express:
 new documents must be deduped against the FULL historical corpus, not a
 time-bounded window. foreachBatch makes the corpus itself the state — each
-micro-batch fingerprints its rows, anti-joins against the stored corpus's
-fingerprint column, and appends only unseen documents.
+micro-batch fingerprints its rows, anti-joins against history, and appends
+only unseen documents.
 
 Why this is replay-convergent with no transactional sink: the fingerprint
 "store" IS the corpus (one atomic parquet append per batch — no second
-write to race), so a replayed batch re-anti-joins against a corpus that
-already contains its rows and appends nothing. At 100 TB the anti-join
-probe reads only the fingerprint column (parquet column pruning), and the
-corpus is written bucketed by fingerprint so the probe is a bucket-local
-join rather than a full shuffle."""
+AUTHORITATIVE write to race), so a replayed batch re-anti-joins against a
+corpus that already contains its rows and appends nothing.
+
+History probe (the scale seam): the default ``history_probe="bucketed"``
+maintains the family's ``<corpus>_exactidx`` sidecar (see
+``banded_index``) — here (fp, fpk = xxhash64(fp)) rows banded on ``fpk``
+(no id column: the exact stream dedups purely by fingerprint). A batch can
+only collide on fingerprints the batch itself carries, so the anti-join
+reads ONLY the batch's own fpk band directories instead of the whole
+corpus fp column — the linear-per-batch (quadratic-over-a-backfill) read
+the pre-round-8 guard paid forever. The anti-join still compares the full
+md5 string, so an fpk band collision costs extra rows read, never a wrong
+drop. The sidecar persists its layout (``_meta.json``); a restart with
+different banding is detected and rebuilt from the corpus, never probed
+across. ``history_probe="scan"`` keeps the corpus-column path for A/B
+measurement.
+
+Crash consistency: an in-flight marker brackets the corpus append and the
+index append (corpus first). A crash in the window can only leave the
+index MISSING fingerprints for stored docs — never phantom rows for
+unstored docs (which would delete fresh data on replay). The replayed
+batch sees the surviving marker, falls back to the authoritative corpus
+fp scan once, and heals the gap. Maintenance: every ``maintain_every``
+batches, bands over ``maintain_max_files`` files are compacted per-band.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .banded_index import BandedFingerprintIndex
 
 
 def fingerprint(text_col: str = "text"):
@@ -35,10 +57,48 @@ def start_incremental_dedup(
     checkpoint_dir: str,
     text_col: str = "text",
     available_now: bool = True,
+    n_bands: int | None = None,
+    history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
 ):
     """``docs`` is a streaming DataFrame of documents. Appends only
     never-seen-before rows (exact text match) to ``corpus_dir``, which
-    accumulates (original columns + ``fp``)."""
+    accumulates (original columns + ``fp``).
+
+    ``n_bands=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; an explicit value that contradicts the persisted layout makes
+    the stream rebuild the index rather than probe a wrong subset."""
+    # imported here, not at module top: this module is the family's root
+    # (span/near lazily import ``fingerprint`` from it)
+    from .incremental_span_dedup import (
+        _settle_indexes,
+        exact_index_path,
+    )
+
+    if history_probe not in ("bucketed", "scan"):
+        raise ValueError(
+            f"unknown history_probe {history_probe!r}: "
+            f"expected 'bucketed' or 'scan'"
+        )
+    exact_index = BandedFingerprintIndex(
+        exact_index_path(corpus_dir),
+        key_col="fpk",
+        n_bands=n_bands,
+        # fp-only layout — DISTINCT tag from span/near's (id, fp, fpk)
+        # sidecars, so pointing a different stream family at this corpus
+        # rebuilds instead of appending a second schema into the index
+        schema_tag="exact:md5-xxh64:fp-only",
+    )
+    idx_settled: list[bool] = []
+    n_done: list[int] = [0]  # completed batches, drives maintenance
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        # coalesce: pre-sentinel corpora hold fp=NULL for null text
+        return df.select(
+            F.coalesce("fp", F.lit("null-text")).alias("fp")
+        ).withColumn("fpk", F.xxhash64(F.col("fp")))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -46,16 +106,12 @@ def start_incremental_dedup(
         from ..errors import is_path_not_found
 
         spark = batch_df.sparkSession
+        use_index = history_probe == "bucketed"
         fresh = batch_df.withColumn("fp", fingerprint(text_col)).dropDuplicates(["fp"])
+        hist = None
         try:
-            # coalesce on the HISTORY side too: corpora written before the
-            # sentinel fix hold fp=NULL rows for null text, which would
-            # never anti-join — the batch's sentinel row would be appended
-            # again on every replay against an upgraded-in-place corpus
-            seen = spark.read.parquet(corpus_dir).select(
-                F.coalesce("fp", F.lit("null-text")).alias("fp")
-            )
-            fresh = fresh.join(seen, "fp", "left_anti")
+            hist = spark.read.parquet(corpus_dir)
+            hist.schema  # force resolution
         except AnalysisException as exc:
             # ONLY PATH_NOT_FOUND is a legitimate first batch. Anything
             # else (exists-but-unreadable corpus raises e.g.
@@ -65,7 +121,69 @@ def start_incremental_dedup(
             # the exact failure this operator exists to prevent.
             if not is_path_not_found(exc):
                 raise
+        need_heal = False
+        if not use_index and not idx_settled:
+            # scan mode appends corpus rows WITHOUT maintaining the index —
+            # a stale index would make a later bucketed run miss duplicates
+            # forever (exists() would skip the migration rebuild).
+            exact_index.invalidate(spark)
+            idx_settled.append(True)
+        if hist is not None and use_index:
+            _settle_indexes(
+                spark,
+                ((exact_index, lambda: _pairs(hist)),),
+                idx_settled,
+            )
+            need_heal = exact_index.was_inflight(spark)
+        replayed = None
+        if hist is not None:
+            if use_index and not need_heal:
+                # steady state: bucket-local replay guard — only the
+                # batch's own fpk bands are read; the md5 compare keeps an
+                # fpk band collision from ever dropping a fresh row
+                ebands = exact_index.touched_bands(_pairs(fresh).select("fpk"))
+                erows = (
+                    exact_index.read_bands(spark, ebands) if ebands else None
+                )
+                if erows is not None:
+                    fresh = fresh.join(erows.select("fp"), "fp", "left_anti")
+            else:
+                # scan mode, or post-crash heal: the corpus fp column is
+                # the authority (the index may be missing rows)
+                seen = hist.select(
+                    F.coalesce("fp", F.lit("null-text")).alias("fp")
+                )
+                if need_heal:
+                    # fingerprints already stored may be missing from the
+                    # index after a crash between the corpus and index
+                    # appends — capture them before the anti-join
+                    replayed = fresh.join(seen, "fp", "left_semi").select("fp")
+                fresh = fresh.join(seen, "fp", "left_anti")
+        if use_index and need_heal and replayed is not None:
+            repl = replayed.withColumn("fpk", F.xxhash64(F.col("fp")))
+            ebands = exact_index.touched_bands(repl.select("fpk"))
+            erows = exact_index.read_bands(spark, ebands) if ebands else None
+            missing = (
+                repl.join(erows, ["fp"], "left_anti")
+                if erows is not None
+                else (repl if ebands else None)
+            )
+            if missing is not None and not missing.isEmpty():
+                exact_index.append(missing.select("fp", "fpk"))
+        if use_index:
+            exact_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)
+        if use_index:
+            # index append AFTER the corpus commit (crash ⇒ missing index
+            # rows, healed on replay — never phantom rows). The re-
+            # evaluation of `fresh` here is safe: dropDuplicates may pick a
+            # different within-batch survivor on re-run, but the sidecar
+            # stores only (fp, fpk), identical across survivors.
+            exact_index.append(_pairs(fresh))
+            exact_index.clear_inflight(spark)
+        n_done[0] += 1
+        if use_index and maintain_every and n_done[0] % maintain_every == 0:
+            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -10,13 +10,13 @@ from fest_vibes_ai_etl_spark.sources import table
 from fest_vibes_ai_etl_spark.streaming.incremental_dedup import start_incremental_dedup
 
 
-def _run(spark, src, corpus, ckpt):
+def _run(spark, src, corpus, ckpt, mode="bucketed"):
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = start_incremental_dedup(stream, corpus, ckpt)
+    q = start_incremental_dedup(stream, corpus, ckpt, history_probe=mode)
     q.awaitTermination(120)
 
 
@@ -39,6 +39,139 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # full replay under a fresh checkpoint appends nothing (convergent)
     _run(spark, src, corpus, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(corpus).count() == n_unique_texts
+
+
+def test_exact_bucketed_probe_equals_scan_probe(spark, tmp_path):
+    """The fpk-banded replay guard must store exactly what the full
+    corpus-column scan stores, and reopening the sidecar must adopt its
+    persisted layout."""
+    import json
+    import os
+
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 60").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 40 AND doc_id < 100").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    fps = {}
+    for mode in ("scan", "bucketed"):
+        corpus = str(tmp_path / f"c_{mode}")
+        _run(spark, src, corpus, str(tmp_path / f"k_{mode}"), mode)
+        fps[mode] = {
+            r.fp for r in spark.read.parquet(corpus).select("fp").collect()
+        }
+    assert fps["scan"] == fps["bucketed"]
+    # scan mode maintains no index; bucketed's exactly covers its corpus
+    assert not os.path.exists(exact_index_path(str(tmp_path / "c_scan")))
+    idx_dir = exact_index_path(str(tmp_path / "c_bucketed"))
+    stored = {
+        r.fp for r in spark.read.parquet(idx_dir).select("fp").collect()
+    }
+    assert stored == fps["bucketed"]
+    assert json.load(open(idx_dir + "_meta.json"))["schema_tag"] == (
+        "exact:md5-xxh64:fp-only"
+    )
+    assert not os.path.exists(idx_dir + ".inflight")
+
+
+def test_exact_index_heals_after_crash_between_corpus_and_index(spark, tmp_path):
+    """Crash model: a batch dies after its corpus append but before its
+    index append. The replayed batch must append nothing to the corpus,
+    re-append the missing index fingerprints, and clear the marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedFingerprintIndex,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    docs.filter("doc_id < 40").coalesce(1).write.parquet(src1)
+    docs.filter("doc_id >= 30 AND doc_id < 80").coalesce(1).write.parquet(src2)
+    _run(spark, src1, corpus, str(tmp_path / "k1"))
+    _run(spark, src2, corpus, str(tmp_path / "k2"))
+    idx_dir = exact_index_path(corpus)
+    full = {r.fp for r in spark.read.parquet(idx_dir).select("fp").collect()}
+    n0 = spark.read.parquet(corpus).count()
+    assert not os.path.exists(idx_dir + ".inflight")
+    # rewind the index to the pre-batch-2 state + plant the marker: the
+    # batch-2 rows' fingerprints are now corpus-only
+    b1_fps = {
+        r.fp
+        for r in spark.read.parquet(corpus)
+        .join(
+            spark.read.parquet(src1).select("doc_id"), "doc_id", "left_semi"
+        )
+        .select("fp")
+        .collect()
+    }
+    idx = BandedFingerprintIndex(idx_dir, "fpk")
+    assert idx.exists(spark)  # adopt layout before rebuilding
+    survivor_rows = (
+        spark.read.parquet(idx_dir)
+        .select("fp", "fpk")
+        .filter(F.col("fp").isin(list(b1_fps)))
+        .collect()  # materialize BEFORE invalidate deletes the source
+    )
+    survivors = spark.createDataFrame(survivor_rows, "fp string, fpk long")
+    nb = idx.n_bands
+    idx.invalidate(spark)
+    idx2 = BandedFingerprintIndex(
+        idx_dir, "fpk", n_bands=nb, schema_tag="exact:md5-xxh64:fp-only"
+    )
+    idx2.build_from(survivors)
+    open(idx_dir + ".inflight", "w").close()
+    # replay batch 2 under a fresh checkpoint
+    _run(spark, src2, corpus, str(tmp_path / "k3"))
+    assert spark.read.parquet(corpus).count() == n0  # convergent
+    healed = {r.fp for r in spark.read.parquet(idx_dir).select("fp").collect()}
+    assert healed == full  # missing fingerprints re-appended
+    assert not os.path.exists(idx_dir + ".inflight")
+
+
+def test_exact_bucketed_migrates_scan_built_corpus(spark, tmp_path):
+    """A corpus built in scan mode (or by an older round) has no sidecar;
+    the first bucketed batch must build it from the corpus and still drop
+    historical duplicates bucket-locally."""
+    import os
+
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    corpus = str(tmp_path / "corpus")
+    docs.filter("doc_id < 50").coalesce(1).write.parquet(src1)
+    docs.filter("doc_id >= 20 AND doc_id < 90").coalesce(1).write.parquet(src2)
+    _run(spark, src1, corpus, str(tmp_path / "k1"), "scan")
+    assert not os.path.exists(exact_index_path(corpus))
+    _run(spark, src2, corpus, str(tmp_path / "k2"), "bucketed")
+    stored = spark.read.parquet(corpus)
+    assert stored.select("fp").distinct().count() == stored.count()
+    n_unique = (
+        docs.filter("doc_id < 90").select("text").distinct().count()
+    )
+    assert stored.count() == n_unique
+    # the migration-built index covers old and new rows alike
+    idx_fps = {
+        r.fp
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("fp")
+        .collect()
+    }
+    assert idx_fps == {r.fp for r in stored.select("fp").collect()}
 
 
 def test_legacy_null_fp_history_converges(spark, tmp_path):

@@ -110,22 +110,37 @@ class BandedFingerprintIndex:
         return F.pmod(col, F.lit(self.n_bands)).cast("int")
 
     # --- layout metadata -----------------------------------------------
+    # The meta lives INSIDE the index directory (underscore-prefixed, so
+    # parquet listings ignore it): layout and data then move as ONE unit
+    # through every directory rename (compaction swaps, re-banding), and
+    # no crash window can leave data under one banding described by a
+    # meta from another. Write order is always data-then-meta: a crash in
+    # between leaves an index without meta, which the legacy/refuse path
+    # turns into a loud rebuild — never a silent wrong probe.
 
-    def _meta_path(self, spark: SparkSession):
+    def _meta_path(self, spark: SparkSession, root: str | None = None):
+        jvm = spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(
+            (root or self.path).rstrip("/") + "/_meta.json"
+        )
+
+    def _legacy_meta_path(self, spark: SparkSession):
+        # early round-8 builds kept the meta as a SIBLING file
         jvm = spark._jvm
         return jvm.org.apache.hadoop.fs.Path(
             self.path.rstrip("/") + "_meta.json"
         )
 
-    def _write_meta(self, spark: SparkSession) -> None:
+    def _write_meta(self, spark: SparkSession, root: str | None = None,
+                    n_bands: int | None = None) -> None:
         fs, _ = self._fs(spark)
-        out = fs.create(self._meta_path(spark), True)
+        out = fs.create(self._meta_path(spark, root), True)
         out.write(
             bytearray(
                 json.dumps(
                     {
                         "key_col": self.key_col,
-                        "n_bands": self.n_bands,
+                        "n_bands": self.n_bands if n_bands is None else n_bands,
                         "schema_tag": self.schema_tag,
                     }
                 ).encode("utf-8")
@@ -135,20 +150,21 @@ class BandedFingerprintIndex:
 
     def _read_meta(self, spark: SparkSession) -> dict | None:
         fs, _ = self._fs(spark)
-        p = self._meta_path(spark)
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            # py4j passes byte[] buffers BY VALUE (a Java-side read into a
-            # Python bytearray never reflects back), so the read must
-            # happen wholly JVM-side
-            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return json.loads(text)
+        for p in (self._meta_path(spark), self._legacy_meta_path(spark)):
+            if not fs.exists(p):
+                continue
+            stream = fs.open(p)
+            try:
+                # py4j passes byte[] buffers BY VALUE (a Java-side read
+                # into a Python bytearray never reflects back), so the
+                # read must happen wholly JVM-side
+                text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return json.loads(text)
+        return None
 
     def _check_layout(self, spark: SparkSession) -> None:
         """Reconcile instance config with the stored layout; runs once per
@@ -158,16 +174,18 @@ class BandedFingerprintIndex:
             return
         fs, path = self._fs(spark)
         if not fs.exists(path):
-            # nothing on disk yet: meta is (re)written when data first
-            # lands, so a crash that wrote meta but no data self-repairs
+            # nothing on disk yet: the meta is written right after the
+            # data that creates the index
             return
         meta = self._read_meta(spark)
         if meta is None:
-            # legacy index (pre-meta rounds). With an explicit n_bands the
-            # caller is asserting the layout — adopt it and upgrade in
-            # place (exactly the trust the pre-meta code extended). With
-            # n_bands=None there is nothing to validate against: refuse,
-            # and let the stream caller rebuild from the corpus.
+            # legacy index (pre-meta rounds), or a crash between the
+            # creating data write and its meta write. With an explicit
+            # n_bands the caller is asserting the layout — adopt it and
+            # upgrade in place (exactly the trust the pre-meta code
+            # extended). With n_bands=None there is nothing to validate
+            # against: refuse, and let the stream caller rebuild from the
+            # corpus.
             if self.n_bands is None:
                 raise BandedIndexLayoutError(
                     f"banded index {self.path} predates layout metadata "
@@ -294,10 +312,6 @@ class BandedFingerprintIndex:
         spark = pairs.sparkSession
         creating = not self._exists_raw(spark)
         self._resolve_bands_for_write(spark, pairs)
-        if creating:
-            # meta BEFORE data: a crash in between leaves meta + no data,
-            # and the next creating write simply rewrites the meta
-            self._write_meta(spark)
         (
             pairs.repartition(1)
             .withColumn("pband", self.band_of(F.col(self.key_col)))
@@ -305,6 +319,12 @@ class BandedFingerprintIndex:
             .partitionBy("pband")
             .parquet(self.path)
         )
+        if creating:
+            # meta AFTER data: a crash in between leaves an index without
+            # meta, which the next open refuses (rebuild) or upgrades
+            # (explicit n_bands) — never data silently probed under a
+            # different banding than it was written with
+            self._write_meta(spark)
 
     def build_from(self, pairs: DataFrame) -> None:
         """One-time build (migration of a pre-index corpus): repartition by
@@ -341,12 +361,14 @@ class BandedFingerprintIndex:
         fs, path = self._fs(spark)
         jvm = spark._jvm
         for p in (
-            path,
+            path,  # internal meta dies with the directory
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact"),
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_compacting"),
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandold"),
             jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandtmp"),
-            self._meta_path(spark),
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_rebandold"),
+            jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_rebandtmp"),
+            self._legacy_meta_path(spark),
         ):
             if fs.exists(p):
                 fs.delete(p, True)
@@ -426,6 +448,9 @@ class BandedFingerprintIndex:
             .partitionBy("pband")
             .parquet(tmp)
         )
+        # the staged copy carries its own meta so the swap moves layout
+        # and data as one unit
+        self._write_meta(spark, root=tmp)
         if not fs.rename(path, old_path):
             raise RuntimeError(f"compact: rename {self.path} -> {old} failed")
         if not fs.rename(tmp_path, path):
@@ -480,34 +505,65 @@ class BandedFingerprintIndex:
         if fs.exists(tmp_root):
             fs.delete(tmp_root, True)  # staging is always safe to drop
 
-    def maintain(self, spark: SparkSession, max_files_per_band: int = 8) -> int:
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_files_per_band: int = 8,
+        target_band_bytes: int | None = 256 << 20,
+    ) -> int:
         """Compact every band directory holding more than
         ``max_files_per_band`` parquet files down to one file; returns the
-        number of bands compacted. Streaming appends add one small file
+        number of band directories rewritten (all ``n_bands`` of them
+        when the size check below triggers a re-band, which subsumes
+        per-band compaction). Streaming appends add one small file
         per touched band per micro-batch, so probe open-cost grows with
         file count; this hook (called by the streams between batches)
         bounds it without compact()'s full-index rewrite. Single-writer
         discipline applies: run between batches, never concurrently with
         a probe or append. Crash-safe via the stage/swap in
-        ``_band_recover``."""
+        ``_band_recover``.
+
+        ``target_band_bytes`` is the re-banding trigger: when the AVERAGE
+        band outgrows it (the corpus grew far past the size n_bands was
+        chosen for), the index is rewritten with n_bands doubled until
+        the average fits again — geometric growth, so a corpus pays
+        O(log growth) full rewrites over its life (see the re-banding
+        section below). None disables the check. The default 256 MiB
+        keeps any single probe's per-band read comfortably inside one
+        executor task."""
         fs, root = self._fs(spark)
         jvm = spark._jvm
+        # recovery BEFORE the existence check: a crashed re-band can leave
+        # the live directory itself missing (its content is at _rebandtmp/
+        # _rebandold), and an early return here would strand it
+        self._reband_recover(fs, jvm)
         if not fs.exists(root):
             return 0
         self._check_layout(spark)
         self._band_recover(fs, jvm)
         fragmented = []
+        total_bytes = 0
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if not name.startswith("pband="):
                 continue
-            n_files = sum(
-                1
-                for f in fs.listStatus(st.getPath())
-                if f.getPath().getName().endswith(".parquet")
-            )
+            n_files = 0
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n_files += 1
+                    total_bytes += f.getLen()
             if n_files > max_files_per_band:
                 fragmented.append(name)
+        if (
+            target_band_bytes
+            and self.n_bands < _MAX_AUTO_BANDS
+            and total_bytes / self.n_bands > target_band_bytes
+        ):
+            n_new = self.n_bands
+            while n_new < _MAX_AUTO_BANDS and total_bytes / n_new > target_band_bytes:
+                n_new *= 2
+            self.reband(spark, n_new)
+            return self.n_bands  # reband subsumes per-band compaction
         if not fragmented:
             return 0
         tmp_root = self.path.rstrip("/") + "_bandtmp"
@@ -541,6 +597,97 @@ class BandedFingerprintIndex:
         fs.delete(jvm.org.apache.hadoop.fs.Path(old_root), True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
         return len(fragmented)
+
+    # --- re-banding ------------------------------------------------------
+    # n_bands is chosen when the index is CREATED, sized to the corpus as
+    # it was then. A long-running stream's corpus keeps growing while the
+    # banding stays frozen, so per-band volume — and with it the probe's
+    # bytes-read, which is touched_bands × (index_size / n_bands) — climbs
+    # linearly again, just with a 1/n_bands constant. Re-banding doubles
+    # n_bands until the average band is back under a target size: a full
+    # index rewrite, but triggered geometrically (each re-band doubles
+    # capacity), so a corpus pays O(log growth) rewrites over its life —
+    # the same amortization argument as LSM compaction. maintain() checks
+    # the average band size on the listing walk it already does and
+    # triggers the re-band between batches.
+
+    def _reband_recover(self, fs, jvm) -> None:
+        """Heal a crashed re-band. Order (stage fully under the NEW
+        banding, meta inside → rename live out → rename staged in →
+        delete old) means: a leftover ``_rebandold`` with the live index
+        missing is a crash between the renames — the staged copy is
+        COMPLETE (it was fully written, meta included, before any
+        rename), so promote it; with the live index present the old copy
+        is superseded — delete it. A leftover ``_rebandtmp`` alone is a
+        crash before the swap started: the live index is untouched, drop
+        the staging."""
+        old_p = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_rebandold")
+        tmp_p = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_rebandtmp")
+        live = jvm.org.apache.hadoop.fs.Path(self.path)
+        promoted = False
+        if fs.exists(old_p):
+            if not fs.exists(live):
+                src = tmp_p if fs.exists(tmp_p) else old_p
+                if not fs.rename(src, live):
+                    raise RuntimeError(
+                        f"reband recovery: rename {src} -> {self.path} failed"
+                    )
+                promoted = True
+            if fs.exists(old_p):
+                fs.delete(old_p, True)
+        if fs.exists(tmp_p):
+            fs.delete(tmp_p, True)
+        if promoted:
+            # the promoted copy's own meta (it carries one — staging
+            # writes data + meta before any rename) is authoritative:
+            # drop the cached view and re-adopt it on the next open
+            self._layout_checked = False
+            self.n_bands = None
+
+    def reband(self, spark: SparkSession, n_bands_new: int) -> None:
+        """Rewrite the whole index under ``n_bands_new`` (meta updated in
+        the same directory swap — no crash window can pair data with the
+        wrong layout). Single-writer discipline: between batches only."""
+        fs, path = self._fs(spark)
+        jvm = spark._jvm
+        self._check_layout(spark)
+        self._reband_recover(fs, jvm)
+        if not fs.exists(path):
+            return
+        df = self.read(spark)
+        if df is None:
+            return
+        tmp = self.path.rstrip("/") + "_rebandtmp"
+        old = self.path.rstrip("/") + "_rebandold"
+        (
+            df.drop("pband")
+            .withColumn(
+                "pband",
+                F.pmod(F.col(self.key_col), F.lit(n_bands_new)).cast("int"),
+            )
+            .repartition("pband")
+            .write.mode("overwrite")
+            .partitionBy("pband")
+            .parquet(tmp)
+        )
+        self._write_meta(spark, root=tmp, n_bands=n_bands_new)
+        old_p = jvm.org.apache.hadoop.fs.Path(old)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        if not fs.rename(path, old_p):
+            raise RuntimeError(f"reband: rename {self.path} -> {old} failed")
+        if not fs.rename(tmp_p, path):
+            restored = fs.rename(old_p, path)
+            raise RuntimeError(
+                f"reband: rename {tmp} -> {self.path} failed"
+                + (
+                    ""
+                    if restored
+                    else f"; ROLLBACK ALSO FAILED — live index stranded at "
+                    f"{old}, restore it manually before the next probe"
+                )
+            )
+        fs.delete(old_p, True)
+        self.n_bands = n_bands_new
 
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the

@@ -224,7 +224,7 @@ def test_layout_meta_written_and_adopted(spark, tmp_path):
     base = str(tmp_path / "idx")
     idx = BandedFingerprintIndex(base, "fp", n_bands=8)
     idx.build_from(spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp")))
-    meta = json.load(open(base + "_meta.json"))
+    meta = json.load(open(base + "/_meta.json"))
     assert meta == {"key_col": "fp", "n_bands": 8, "schema_tag": None}
     reopened = BandedFingerprintIndex(base, "fp")  # n_bands unset
     assert reopened.exists(spark)
@@ -267,7 +267,7 @@ def test_layout_mismatch_raises_never_probes_wrong_subset(spark, tmp_path):
         ).exists(spark)
     # invalidate resets the layout; a rebuild may then choose fresh params
     wrong_n.invalidate(spark)
-    assert not os.path.exists(base) and not os.path.exists(base + "_meta.json")
+    assert not os.path.exists(base) and not os.path.exists(base + "/_meta.json")
 
 
 def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
@@ -285,12 +285,12 @@ def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
     BandedFingerprintIndex(base, "fp", n_bands=8).build_from(
         spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
     )
-    os.remove(base + "_meta.json")  # simulate the legacy layout
+    os.remove(base + "/_meta.json")  # simulate the legacy layout
     with pytest.raises(BandedIndexLayoutError, match="predates"):
         BandedFingerprintIndex(base, "fp").exists(spark)
     upgraded = BandedFingerprintIndex(base, "fp", n_bands=8)
     assert upgraded.exists(spark)
-    assert os.path.exists(base + "_meta.json")  # upgraded in place
+    assert os.path.exists(base + "/_meta.json")  # upgraded in place
     assert BandedFingerprintIndex(base, "fp").n_bands is None  # lazy
     fresh = BandedFingerprintIndex(base, "fp")
     assert fresh.exists(spark) and fresh.n_bands == 8
@@ -311,7 +311,7 @@ def test_auto_band_sizing_from_first_write(spark, tmp_path):
     )
     # 100 distinct keys x8 headroom = 800 -> next pow2 = 1024
     assert big.n_bands == 1024
-    assert json.load(open(str(tmp_path / "b") + "_meta.json"))["n_bands"] == 1024
+    assert json.load(open(str(tmp_path / "b") + "/_meta.json"))["n_bands"] == 1024
 
 
 def test_maintain_compacts_only_fragmented_bands(spark, tmp_path):
@@ -365,6 +365,108 @@ def test_maintain_crash_recovery_restores_band(spark, tmp_path):
     assert not os.path.exists(base + "_bandtmp")
 
 
+def test_reband_preserves_rows_and_updates_meta(spark, tmp_path):
+    """Re-banding rewrites the index under a new n_bands with the meta
+    updated in the same directory swap: rows identical, probes correct
+    under the new banding, no stale layout anywhere."""
+    import json
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(500).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    before = _index_pairs(spark, base)
+    idx.reband(spark, 16)
+    assert idx.n_bands == 16
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == 16
+    assert _index_pairs(spark, base) == before
+    # a probe under the new banding finds a known key
+    some_id, some_fp = next(iter(before))
+    keys = spark.createDataFrame([(some_fp,)], "fp long")
+    got = idx.read_bands(spark, idx.touched_bands(keys))
+    assert (some_id, some_fp) in {(r.id, r.fp) for r in got.collect()}
+    # a fresh instance adopts the new layout
+    assert BandedFingerprintIndex(base, "fp").exists(spark)
+    assert not os.path.exists(base + "_rebandold")
+    assert not os.path.exists(base + "_rebandtmp")
+
+
+def test_maintain_auto_rebands_when_bands_outgrow_target(spark, tmp_path):
+    """The frozen-banding gap: n_bands is sized at creation, so a corpus
+    that keeps growing drags per-band volume (and probe bytes-read) up
+    linearly. maintain() must detect average band size over the target
+    and re-band geometrically."""
+    import json
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(
+        spark.range(4000).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    before = _index_pairs(spark, base)
+    total = sum(
+        os.path.getsize(os.path.join(base, d, f))
+        for d in os.listdir(base) if d.startswith("pband=")
+        for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")
+    )
+    target = total // 16  # force at least two doublings: 4 -> >= 16
+    n = idx.maintain(spark, target_band_bytes=target)
+    assert idx.n_bands >= 16 and n == idx.n_bands
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == idx.n_bands
+    assert _index_pairs(spark, base) == before
+    # under target again: no further reband
+    assert idx.maintain(spark, target_band_bytes=target) == 0
+
+
+def test_reband_crash_recovery(spark, tmp_path):
+    """Crash windows of the re-band swap. After the rename-out the staged
+    copy is COMPLETE (data + its own meta were fully written before any
+    rename), so recovery promotes it; a superseded old copy next to a
+    live index is deleted; stale staging alone is dropped."""
+    import json
+    import shutil
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(300).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    rows = _index_pairs(spark, base)
+    old_copy = str(tmp_path / "old_copy")
+    shutil.copytree(base, old_copy)  # the pre-reband state
+    idx.reband(spark, 8)
+    # window: crashed between rename-out and rename-in — live missing,
+    # _rebandold = old banding, _rebandtmp = new complete copy
+    os.rename(base, base + "_rebandtmp")
+    shutil.copytree(old_copy, base + "_rebandold")
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.maintain(spark) == 0  # recovery runs first
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == 8  # promoted NEW
+    assert fresh.n_bands == 8
+    assert _index_pairs(spark, base) == rows
+    assert not os.path.exists(base + "_rebandold")
+    assert not os.path.exists(base + "_rebandtmp")
+    # window: crashed after rename-in, before deleting the old copy
+    shutil.copytree(old_copy, base + "_rebandold")
+    idx2 = BandedFingerprintIndex(base, "fp")
+    assert idx2.maintain(spark) == 0
+    assert _index_pairs(spark, base) == rows
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == 8  # live kept
+    assert not os.path.exists(base + "_rebandold")
+
+
+def test_legacy_sibling_meta_is_adopted(spark, tmp_path):
+    """Early builds kept _meta.json as a SIBLING file; reads must fall
+    back to it so those indexes open without a rebuild."""
+    import shutil
+
+    base = str(tmp_path / "idx")
+    BandedFingerprintIndex(base, "fp", n_bands=8).build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    shutil.move(base + "/_meta.json", base + "_meta.json")
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.exists(spark)
+    assert fresh.n_bands == 8
+
+
 def test_span_stream_rebuilds_on_banding_change(spark, tmp_path):
     """End-to-end restart-with-different-banding: batch 1 runs with
     n_bands=16, the restarted stream runs with n_bands=32. Before the
@@ -384,7 +486,7 @@ def test_span_stream_rebuilds_on_banding_change(spark, tmp_path):
     import json
 
     idx_dir = span_index_path(corpus)
-    assert json.load(open(idx_dir + "_meta.json"))["n_bands"] == 32
+    assert json.load(open(idx_dir + "/_meta.json"))["n_bands"] == 32
     assert _index_pairs(spark, idx_dir) == _corpus_pairs(spark, corpus)
 
 
@@ -416,7 +518,7 @@ def test_near_stream_rebuilds_on_key_derivation_change(spark, tmp_path):
     assert 2000 not in ids and {1, 2, 3} <= ids
     import json
 
-    meta = json.load(open(near_index_path(corpus) + "_meta.json"))
+    meta = json.load(open(near_index_path(corpus) + "/_meta.json"))
     assert meta["schema_tag"] == "minhash:k=3,nh=32,bands=4"
 
 

@@ -73,7 +73,7 @@ def test_exact_bucketed_probe_equals_scan_probe(spark, tmp_path):
         r.fp for r in spark.read.parquet(idx_dir).select("fp").collect()
     }
     assert stored == fps["bucketed"]
-    assert json.load(open(idx_dir + "_meta.json"))["schema_tag"] == (
+    assert json.load(open(idx_dir + "/_meta.json"))["schema_tag"] == (
         "exact:md5-xxh64:fp-only"
     )
     assert not os.path.exists(idx_dir + ".inflight")

@@ -41,16 +41,27 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ceiling on the auto-derived band count: bands are directories, and a
+# absolute ceiling on the band count: bands are directories, and a
 # directory per band is the price of partition pruning — 64k is already
-# generous for a single index at deployment scale
-_MAX_AUTO_BANDS = 65536
+# generous for a single index at deployment scale (at the 256 MiB/band
+# re-banding target that is a ~16 TB index)
+_MAX_BANDS = 65536
 _MIN_AUTO_BANDS = 64
 # auto-derivation headroom: bands ≫ a batch's distinct keys is what makes
 # the probe prune (touched_bands/n_bands small), so size to 8× the first
-# write's distinct-key count — later batches of similar size then touch
-# at most ~1/8 of the bands
+# write's distinct-key count...
 _AUTO_BANDS_FACTOR = 8
+# ...but cap the INITIAL derivation low and let maintain()'s byte-target
+# re-banding grow the index geometrically as it actually fills. Every
+# band is a directory whose files each append touches and each probe
+# lists: a key-dense family (span winnowing carries ~10² fingerprints
+# per doc) would otherwise derive tens of thousands of directories from
+# its very first batch and pay thousands of file creations/listings per
+# micro-batch while the index holds a few thousand rows. Start-small +
+# grow-by-rewrite is the LSM shape: O(log growth) rewrites, and the
+# per-band cost is always proportional to what the index HOLDS, not to
+# what its first batch implied.
+_MAX_AUTO_BANDS = 1024
 
 
 class BandedIndexLayoutError(RuntimeError):
@@ -75,16 +86,24 @@ class BandedFingerprintIndex:
     schema_tag}) as a sibling at build/first-append and every open
     validates against it:
 
-    - ``n_bands=None`` (the default) ADOPTS the stored layout, so stream
-      restarts can't drift; on a fresh build it is DERIVED from the first
-      write's distinct-key count (8×, clamped to [64, 65536]) instead of
-      a flat constant;
-    - an explicit ``n_bands`` (or ``schema_tag``) that contradicts the
-      stored meta raises :class:`BandedIndexLayoutError` — never a wrong
-      subset;
-    - ``schema_tag`` records how the KEYS were derived (winnow k/w,
-      MinHash num_hashes/bands): same banding over differently-derived
-      keys is just as wrong as a different banding.
+    - ``n_bands`` is a CREATION-TIME sizing hint: once an index exists,
+      its stored band count always wins (probing with the stored value
+      is always correct — the band count is physical sizing, not
+      semantics — and maintain() legitimately re-bands as the corpus
+      grows, so pinning the constructor value would force a rebuild on
+      every restart after a re-band). ``n_bands=None`` (the default) on
+      a fresh build DERIVES the count from the first write's
+      distinct-key count (8×, clamped to [64, 1024] — start small; the
+      byte-target re-banding in maintain() grows it toward 65536 as the
+      index actually fills);
+    - a ``key_col`` or ``schema_tag`` that contradicts the stored meta
+      raises :class:`BandedIndexLayoutError` — those record how the KEYS
+      were derived (winnow k/w, MinHash num_hashes/bands), and an index
+      over differently-derived keys answers a different question: it
+      must be rebuilt, never probed;
+    - opens also heal crashed maintenance swaps before anything else, so
+      a process death inside maintain()/reband() can't leave a band (or
+      the index) invisibly stranded at a sibling path.
     """
 
     def __init__(
@@ -169,10 +188,19 @@ class BandedFingerprintIndex:
     def _check_layout(self, spark: SparkSession) -> None:
         """Reconcile instance config with the stored layout; runs once per
         instance (the layout is immutable after creation — only
-        ``invalidate`` resets it)."""
+        ``invalidate`` resets it). Crash recovery runs FIRST: a process
+        death inside maintain()'s or reband()'s rename windows leaves a
+        band (or the whole index) stranded at a sibling path, and every
+        probe until recovery would silently miss that slice of history —
+        so the heal must happen at open time, not only inside the next
+        maintenance call."""
         if self._layout_checked:
             return
         fs, path = self._fs(spark)
+        jvm = spark._jvm
+        self._reband_recover(fs, jvm)
+        if fs.exists(path):
+            self._band_recover(fs, jvm)
         if not fs.exists(path):
             # nothing on disk yet: the meta is written right after the
             # data that creates the index
@@ -201,10 +229,6 @@ class BandedFingerprintIndex:
             errs.append(
                 f"key_col: stored {meta.get('key_col')!r} != {self.key_col!r}"
             )
-        if self.n_bands is not None and meta.get("n_bands") != self.n_bands:
-            errs.append(
-                f"n_bands: stored {meta.get('n_bands')} != {self.n_bands}"
-            )
         if (
             self.schema_tag is not None
             and meta.get("schema_tag") is not None
@@ -220,11 +244,35 @@ class BandedFingerprintIndex:
                 f"across it would silently miss duplicates: "
                 + "; ".join(errs)
             )
-        if self.n_bands is None:
-            self.n_bands = int(meta["n_bands"])
+        # n_bands: the STORED value always wins once the index exists.
+        # Unlike key_col/schema_tag (which say how the KEYS were derived —
+        # a mismatch there means the index answers a different question
+        # and must be rebuilt), the band count is pure physical sizing:
+        # probing with the stored value is always correct, whatever the
+        # caller passed. Raising here instead would make every restart
+        # after an auto-reband (maintain() legitimately grows n_bands as
+        # the corpus grows) pay a full rebuild just to get back to a
+        # layout maintain() would immediately re-band again — a perpetual
+        # rewrite cycle. The constructor's n_bands is therefore a
+        # CREATION-TIME sizing hint only.
+        self.n_bands = int(meta["n_bands"])
         if self.schema_tag is None:
             self.schema_tag = meta.get("schema_tag")
         self._layout_checked = True
+
+    def _auto_bands(self, pairs: DataFrame) -> int:
+        """Band count derived from a frame's distinct-key count: 8×
+        headroom (bands ≫ keys is what makes probes prune), power of two,
+        clamped to [64, 1024] — the LOW initial cap is deliberate: every
+        band is a directory each append writes into and each probe
+        lists, so a key-dense first batch must not commit the index to
+        tens of thousands of directories; byte-target re-banding grows
+        the count as the index fills."""
+        distinct = pairs.select(self.key_col).distinct().count()
+        n = _MIN_AUTO_BANDS
+        while n < distinct * _AUTO_BANDS_FACTOR and n < _MAX_AUTO_BANDS:
+            n *= 2
+        return n
 
     def _resolve_bands_for_write(self, spark: SparkSession, pairs: DataFrame) -> None:
         """Fix ``n_bands`` before the first write creates the layout:
@@ -233,11 +281,7 @@ class BandedFingerprintIndex:
         self._check_layout(spark)
         if self.n_bands is not None:
             return
-        distinct = pairs.select(self.key_col).distinct().count()
-        n = _MIN_AUTO_BANDS
-        while n < distinct * _AUTO_BANDS_FACTOR and n < _MAX_AUTO_BANDS:
-            n *= 2
-        self.n_bands = n
+        self.n_bands = self._auto_bands(pairs)
 
     def _fs(self, spark: SparkSession):
         jvm = spark._jvm
@@ -255,11 +299,14 @@ class BandedFingerprintIndex:
         many-band index) just to answer yes/no. An existing index is also
         layout-validated here (once per instance): ``exists() -> True``
         gates the callers' migration rebuild, so answering True across a
-        layout mismatch would suppress exactly the rebuild that fixes it."""
+        layout mismatch would suppress exactly the rebuild that fixes it.
+        The layout check runs BEFORE the stat: it heals crashed
+        maintenance swaps, which can leave the live directory itself
+        renamed aside."""
         fs, path = self._fs(spark)
+        self._check_layout(spark)
         if not fs.exists(path):
             return False
-        self._check_layout(spark)
         return True
 
     def read(self, spark: SparkSession) -> DataFrame | None:
@@ -286,11 +333,13 @@ class BandedFingerprintIndex:
         every band at dataframe creation, which measured as the dominant
         probe cost. One ``listStatus`` of the root (a single readdir)
         filters the request to bands that exist, so a fresh band in the
-        batch never 404s."""
+        batch never 404s. The layout check (which includes crashed-swap
+        recovery) runs BEFORE the existence test — a crashed re-band can
+        leave the live directory itself renamed aside."""
         fs, root = self._fs(spark)
+        self._check_layout(spark)
         if not fs.exists(root):
             return None
-        self._check_layout(spark)
         existing = {st.getPath().getName() for st in fs.listStatus(root)}
         paths = [
             f"{self.path}/pband={b}" for b in bands if f"pband={b}" in existing
@@ -334,11 +383,7 @@ class BandedFingerprintIndex:
         if self.n_bands is None:
             # a rebuild chooses its layout fresh (ignore stale meta: the
             # caller invalidates on mismatch precisely to get here)
-            distinct = pairs.select(self.key_col).distinct().count()
-            n = _MIN_AUTO_BANDS
-            while n < distinct * _AUTO_BANDS_FACTOR and n < _MAX_AUTO_BANDS:
-                n *= 2
-            self.n_bands = n
+            self.n_bands = self._auto_bands(pairs)
         (
             pairs.withColumn("pband", self.band_of(F.col(self.key_col)))
             .repartition("pband")
@@ -556,11 +601,11 @@ class BandedFingerprintIndex:
                 fragmented.append(name)
         if (
             target_band_bytes
-            and self.n_bands < _MAX_AUTO_BANDS
+            and self.n_bands < _MAX_BANDS
             and total_bytes / self.n_bands > target_band_bytes
         ):
             n_new = self.n_bands
-            while n_new < _MAX_AUTO_BANDS and total_bytes / n_new > target_band_bytes:
+            while n_new < _MAX_BANDS and total_bytes / n_new > target_band_bytes:
                 n_new *= 2
             self.reband(spark, n_new)
             return self.n_bands  # reband subsumes per-band compaction

@@ -73,6 +73,7 @@ def start_incremental_dedup(
     # imported here, not at module top: this module is the family's root
     # (span/near lazily import ``fingerprint`` from it)
     from .incremental_span_dedup import (
+        _heal_exact_index,
         _settle_indexes,
         exact_index_path,
     )
@@ -122,10 +123,14 @@ def start_incremental_dedup(
             if not is_path_not_found(exc):
                 raise
         need_heal = False
-        if not use_index and not idx_settled:
-            # scan mode appends corpus rows WITHOUT maintaining the index —
-            # a stale index would make a later bucketed run miss duplicates
-            # forever (exists() would skip the migration rebuild).
+        if not idx_settled and (not use_index or hist is None):
+            # Two reasons a surviving index must die before this batch:
+            # scan mode appends corpus rows WITHOUT maintaining the index
+            # (a stale one would make a later bucketed run miss duplicates
+            # forever — exists() would skip the migration rebuild); and a
+            # FIRST batch (no corpus) alongside a leftover sidecar means
+            # the corpus was deleted out from under its index — probing it
+            # would drop fresh docs that matched the OLD, gone corpus.
             exact_index.invalidate(spark)
             idx_settled.append(True)
         if hist is not None and use_index:
@@ -160,16 +165,11 @@ def start_incremental_dedup(
                     replayed = fresh.join(seen, "fp", "left_semi").select("fp")
                 fresh = fresh.join(seen, "fp", "left_anti")
         if use_index and need_heal and replayed is not None:
-            repl = replayed.withColumn("fpk", F.xxhash64(F.col("fp")))
-            ebands = exact_index.touched_bands(repl.select("fpk"))
-            erows = exact_index.read_bands(spark, ebands) if ebands else None
-            missing = (
-                repl.join(erows, ["fp"], "left_anti")
-                if erows is not None
-                else (repl if ebands else None)
+            _heal_exact_index(
+                spark,
+                exact_index,
+                replayed.withColumn("fpk", F.xxhash64(F.col("fp"))),
             )
-            if missing is not None and not missing.isEmpty():
-                exact_index.append(missing.select("fp", "fpk"))
         if use_index:
             exact_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)

@@ -63,6 +63,7 @@ from .banded_index import BandedFingerprintIndex
 from .incremental_span_dedup import (
     _exact_pairs,
     _fpk,
+    _heal_exact_index,
     _settle_indexes,
     exact_index_path,
 )
@@ -243,11 +244,14 @@ def start_incremental_near_dedup(
                 raise
             hist = None
         need_heal = False
-        if not use_index and not idx_settled:
-            # scan mode appends corpus rows WITHOUT maintaining any
-            # existing index — a stale index would make a later bucketed
-            # run miss duplicates forever (exists() would skip the
-            # migration rebuild). Invalidate both so bucketed mode rebuilds.
+        if not idx_settled and (not use_index or hist is None):
+            # Two reasons a surviving index must die before this batch:
+            # scan mode appends corpus rows WITHOUT maintaining any index
+            # (a stale one would make a later bucketed run miss duplicates
+            # forever — exists() would skip the migration rebuild); and a
+            # FIRST batch (no corpus) alongside a leftover sidecar means
+            # the corpus was deleted out from under its index — probing it
+            # would drop fresh docs that matched the OLD, gone corpus.
             band_index.invalidate(spark)
             exact_index.invalidate(spark)
             idx_settled.append(True)
@@ -323,26 +327,6 @@ def start_incremental_near_dedup(
                 idx_rows = (
                     band_index.read_bands(spark, buckets) if buckets else None
                 )
-                if idx_rows is not None:
-                    # emptiness-gated verify: the exact-Jaccard verify
-                    # reads the corpus (id, sh, n) columns — a full
-                    # thin-column scan — so it's only launched when some
-                    # band actually collided. The gate re-evaluates the
-                    # (cheap, pruned) candidate join rather than persisting
-                    # it: persist() of a frame derived from the foreachBatch
-                    # input measurably CORRUPTED later batches' dedup here
-                    # (cache-substitution inside the micro-batch plan), so
-                    # no caching across this seam.
-                    cand = (
-                        pb.join(idx_rows, ["band", "band_hash"])
-                        .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
-                        .dropDuplicates(["p_id", "t_id"])
-                    )
-                    if not cand.isEmpty():
-                        hist_victims = _verified_victims(
-                            cand, fresh, hist, id_col, threshold
-                        )
-                        fresh = fresh.join(hist_victims, id_col, "left_anti")
                 missing = None
                 if heal_rows is not None:
                     if idx_rows is not None:
@@ -353,23 +337,43 @@ def start_incremental_near_dedup(
                         # none of the touched buckets exist yet: every
                         # replayed row's pairs are missing by definition
                         missing = heal_rows
+                # the candidate target must INCLUDE the heal rows: a
+                # replayed doc IS stored history, and its band hashes are
+                # exactly what the index is missing — probing the index
+                # alone would let a batch-mate near-dup of it (dropped
+                # within-batch by the crashed attempt, so no longer paired
+                # in-batch on replay) slip past the history check.
+                cols = ["id", "band", "band_hash"]
+                target = idx_rows.select(*cols) if idx_rows is not None else None
+                if missing is not None:
+                    m = missing.select(*cols)
+                    target = m if target is None else target.union(m)
+                if target is not None:
+                    # emptiness-gated verify: the exact-Jaccard verify
+                    # reads the corpus (id, sh, n) columns — a full
+                    # thin-column scan — so it's only launched when some
+                    # band actually collided. The gate re-evaluates the
+                    # (cheap, pruned) candidate join rather than persisting
+                    # it: persist() of a frame derived from the foreachBatch
+                    # input measurably CORRUPTED later batches' dedup here
+                    # (cache-substitution inside the micro-batch plan), so
+                    # no caching across this seam.
+                    cand = (
+                        pb.join(target, ["band", "band_hash"])
+                        .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
+                        .dropDuplicates(["p_id", "t_id"])
+                    )
+                    if not cand.isEmpty():
+                        hist_victims = _verified_victims(
+                            cand, fresh, hist, id_col, threshold
+                        )
+                        fresh = fresh.join(hist_victims, id_col, "left_anti")
                 if missing is not None and not missing.isEmpty():
                     band_index.append(missing)
                 # heal the exact sidecar the same way: replayed rows'
                 # (id, fp, fpk) may be missing after a crash
                 if replayed is not None:
-                    repl_exact = _exact_pairs(replayed, id_col)
-                    ebands = exact_index.touched_bands(repl_exact.select("fpk"))
-                    erows = (
-                        exact_index.read_bands(spark, ebands) if ebands else None
-                    )
-                    emissing = (
-                        repl_exact.join(erows, ["id", "fp"], "left_anti")
-                        if erows is not None
-                        else (repl_exact if ebands else None)
-                    )
-                    if emissing is not None and not emissing.isEmpty():
-                        exact_index.append(emissing.select("id", "fp", "fpk"))
+                    _heal_exact_index(spark, exact_index, _exact_pairs(replayed, id_col))
             else:
                 hist_victims = _near_dup_ids(
                     fresh, hist, id_col, num_hashes, bands, threshold,

@@ -89,6 +89,24 @@ def _exact_pairs(df: DataFrame, id_col: str) -> DataFrame:
     ).withColumn("fpk", F.xxhash64(F.col("fp")))
 
 
+def _heal_exact_index(spark, exact_index, repl_pairs: DataFrame) -> None:
+    """Post-crash heal of an ``_exactidx`` sidecar: re-append replayed
+    rows' fingerprints the crashed attempt never got to write.
+    ``repl_pairs`` carries the sidecar's full schema (..., fp, fpk); the
+    anti-join keys on every non-fpk column, so an fpk collision can't
+    mask a genuinely-missing row."""
+    keys = [c for c in repl_pairs.columns if c != "fpk"]
+    ebands = exact_index.touched_bands(repl_pairs.select("fpk"))
+    erows = exact_index.read_bands(spark, ebands) if ebands else None
+    missing = (
+        repl_pairs.join(erows, keys, "left_anti")
+        if erows is not None
+        else (repl_pairs if ebands else None)
+    )
+    if missing is not None and not missing.isEmpty():
+        exact_index.append(missing)
+
+
 def _settle_indexes(spark, idx_builders, idx_settled) -> None:
     """One-time (per stream) index reconciliation: validate each index's
     persisted layout, invalidating + rebuilding from the corpus on a
@@ -221,11 +239,14 @@ def start_incremental_span_dedup(
             hist = None
         use_index = history_probe == "bucketed"
         need_heal = False
-        if not use_index and not idx_settled:
-            # scan mode appends corpus rows WITHOUT maintaining any
-            # existing index — a stale index would make a later bucketed
-            # run miss duplicates forever (exists() would skip the
-            # migration rebuild). Invalidate both so bucketed mode rebuilds.
+        if not idx_settled and (not use_index or hist is None):
+            # Two reasons a surviving index must die before this batch:
+            # scan mode appends corpus rows WITHOUT maintaining any index
+            # (a stale one would make a later bucketed run miss duplicates
+            # forever — exists() would skip the migration rebuild); and a
+            # FIRST batch (no corpus) alongside a leftover sidecar means
+            # the corpus was deleted out from under its index — probing it
+            # would drop fresh docs that matched the OLD, gone corpus.
             fp_index.invalidate(spark)
             exact_index.invalidate(spark)
             idx_settled.append(True)
@@ -305,11 +326,6 @@ def start_incremental_span_dedup(
                 idx_rows = (
                     fp_index.read_bands(spark, bands) if bands else None
                 )
-                if idx_rows is not None:
-                    hvictims = _span_victims(
-                        live_fps, idx_rows, id_col, min_shared, False
-                    )
-                    fresh = fresh.join(hvictims, id_col, "left_anti")
                 missing = None
                 if heal_fps is not None:
                     if idx_rows is not None:
@@ -320,25 +336,33 @@ def start_incremental_span_dedup(
                         # none of the touched bands exist yet: every
                         # replayed row's pairs are missing by definition
                         missing = heal_fps
+                # the probe's target must INCLUDE the heal rows: a
+                # replayed doc IS stored history, and its pairs are
+                # exactly what the index is missing — probing the index
+                # alone would let a batch-mate that shared a passage with
+                # it (dropped within-batch by the crashed attempt, so no
+                # longer paired in-batch on replay) slip past. `missing`
+                # is disjoint from idx_rows by construction, so the union
+                # can't double-count n_shared.
+                target = idx_rows.select("id", "fp") if idx_rows is not None else None
+                if missing is not None:
+                    m = missing.select("id", "fp")
+                    target = m if target is None else target.union(m)
+                if target is not None:
+                    hvictims = _span_victims(
+                        live_fps, target, id_col, min_shared, False
+                    )
+                    fresh = fresh.join(hvictims, id_col, "left_anti")
                 if missing is not None and not missing.isEmpty():
                     fp_index.append(missing)
                 # heal the exact sidecar the same way: replayed rows'
                 # (id, fp, fpk) may be missing after a crash
                 if replayed_keys is not None:
-                    repl_exact = replayed_keys.withColumn(
-                        "fpk", F.xxhash64(F.col("fp"))
+                    _heal_exact_index(
+                        spark,
+                        exact_index,
+                        replayed_keys.withColumn("fpk", F.xxhash64(F.col("fp"))),
                     )
-                    ebands = exact_index.touched_bands(repl_exact.select("fpk"))
-                    erows = (
-                        exact_index.read_bands(spark, ebands) if ebands else None
-                    )
-                    emissing = (
-                        repl_exact.join(erows, ["id", "fp"], "left_anti")
-                        if erows is not None
-                        else (repl_exact if ebands else None)
-                    )
-                    if emissing is not None and not emissing.isEmpty():
-                        exact_index.append(emissing.select("id", "fp", "fpk"))
             else:
                 hist_fps = hist.select(
                     F.col(id_col).alias("id"), F.explode("wfps").alias("fp")

@@ -43,7 +43,7 @@ def _run_span(spark, src, corpus, ckpt, mode, n_bands=16):
         stream, corpus, ckpt, k=20, w=15, min_shared=3,
         n_bands=n_bands, history_probe=mode,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in 180s"
 
 
 def _run_near(spark, src, corpus, ckpt, mode, n_buckets=16):
@@ -56,7 +56,7 @@ def _run_near(spark, src, corpus, ckpt, mode, n_buckets=16):
         stream, corpus, ckpt, k=3, num_hashes=32, bands=8, threshold=0.2,
         n_buckets=n_buckets, history_probe=mode,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in 180s"
 
 
 def test_index_roundtrip_prunes_partitions(spark, tmp_path):
@@ -237,11 +237,14 @@ def test_layout_meta_written_and_adopted(spark, tmp_path):
     assert (777, 21) in _index_pairs(spark, base)
 
 
-def test_layout_mismatch_raises_never_probes_wrong_subset(spark, tmp_path):
+def test_layout_mismatch_never_probes_wrong_subset(spark, tmp_path):
     """The round-7 latent hazard: reopening an index with a different
     n_bands used to silently prune the probe to band directories that
-    were never written — historical duplicates passed undetected. Every
-    open path must now refuse loudly instead."""
+    were never written — historical duplicates passed undetected. The
+    stored layout now always wins for n_bands (physical sizing: probing
+    with the stored value is always correct, and pinning the constructor
+    value would force a rebuild after every auto-reband), while key_col/
+    schema_tag mismatches — differently-DERIVED keys — refuse loudly."""
     import pytest
 
     from fest_vibes_ai_etl_spark.streaming.banded_index import (
@@ -249,16 +252,25 @@ def test_layout_mismatch_raises_never_probes_wrong_subset(spark, tmp_path):
     )
 
     base = str(tmp_path / "idx")
-    BandedFingerprintIndex(base, "fp", n_bands=8, schema_tag="winnow:k=20,w=15").build_from(
-        spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp"))
-    )
+    pairs = spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    BandedFingerprintIndex(
+        base, "fp", n_bands=8, schema_tag="winnow:k=20,w=15"
+    ).build_from(pairs)
+    all_rows = _index_pairs(spark, base)
+    # a different constructor n_bands ADOPTS the stored 8 — the probe is
+    # computed under the stored banding, so it still finds everything
     wrong_n = BandedFingerprintIndex(base, "fp", n_bands=32)
-    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
-        wrong_n.exists(spark)
-    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
-        wrong_n.read_bands(spark, [0])
-    with pytest.raises(BandedIndexLayoutError, match="n_bands"):
-        wrong_n.append(spark.createDataFrame([(1, 1)], "id long, fp long"))
+    assert wrong_n.exists(spark)
+    assert wrong_n.n_bands == 8
+    some_id, some_fp = next(iter(all_rows))
+    keys = spark.createDataFrame([(some_fp,)], "fp long")
+    got = wrong_n.read_bands(spark, wrong_n.touched_bands(keys))
+    assert (some_id, some_fp) in {(r.id, r.fp) for r in got.collect()}
+    # appends land under the stored banding too
+    wrong_n.append(spark.createDataFrame([(1, 1)], "id long, fp long"))
+    assert (1, 1) in {
+        (r.id, r.fp) for r in wrong_n.read_bands(spark, [1 % 8]).collect()
+    }
     with pytest.raises(BandedIndexLayoutError, match="key_col"):
         BandedFingerprintIndex(base, "band_hash", n_bands=8).exists(spark)
     with pytest.raises(BandedIndexLayoutError, match="schema_tag"):
@@ -267,7 +279,7 @@ def test_layout_mismatch_raises_never_probes_wrong_subset(spark, tmp_path):
         ).exists(spark)
     # invalidate resets the layout; a rebuild may then choose fresh params
     wrong_n.invalidate(spark)
-    assert not os.path.exists(base) and not os.path.exists(base + "/_meta.json")
+    assert not os.path.exists(base)
 
 
 def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
@@ -467,13 +479,14 @@ def test_legacy_sibling_meta_is_adopted(spark, tmp_path):
     assert fresh.n_bands == 8
 
 
-def test_span_stream_rebuilds_on_banding_change(spark, tmp_path):
+def test_span_stream_restart_with_different_n_bands_stays_correct(spark, tmp_path):
     """End-to-end restart-with-different-banding: batch 1 runs with
     n_bands=16, the restarted stream runs with n_bands=32. Before the
     layout meta, the 32-band probe silently read wrong directories and
     ADMITTED the duplicates in B2 (10 carries B1's passage, 2000 is an
-    exact dup of 2); now the stream detects the mismatch, rebuilds both
-    sidecars from the corpus, and still drops them."""
+    exact dup of 2); now the restarted stream ADOPTS the stored 16-band
+    layout (no rebuild — n_bands is sizing, not semantics) and still
+    drops them."""
     src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
     corpus = str(tmp_path / "corpus")
     spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src1)
@@ -482,12 +495,124 @@ def test_span_stream_rebuilds_on_banding_change(spark, tmp_path):
     _run_span(spark, src2, corpus, str(tmp_path / "k2"), "bucketed", n_bands=32)
     ids = _stored_ids(spark, corpus)
     assert 10 not in ids and 2000 not in ids and {1, 2, 3, 11} <= ids
-    # the rebuild re-banded the whole index under the new layout
+    # the stored layout won; the index stayed consistent with the corpus
     import json
 
     idx_dir = span_index_path(corpus)
-    assert json.load(open(idx_dir + "/_meta.json"))["n_bands"] == 32
+    assert json.load(open(idx_dir + "/_meta.json"))["n_bands"] == 16
     assert _index_pairs(spark, idx_dir) == _corpus_pairs(spark, corpus)
+
+
+def test_stranded_band_recovered_at_open(spark, tmp_path):
+    """A process death between maintain()'s two per-band renames leaves a
+    band at _bandold and missing from the live root. Opens (exists/
+    read_bands) must heal it BEFORE probing — otherwise every probe
+    silently misses that band's history until the next maintain() call,
+    and a replayed batch whose fps hash there re-appends duplicates."""
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    rows = _index_pairs(spark, base)
+    # simulate the crash window: band 2 renamed out, staged copy lost
+    os.makedirs(base + "_bandold")
+    os.rename(os.path.join(base, "pband=2"), base + "_bandold/pband=2")
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.exists(spark)  # open runs recovery
+    assert os.path.exists(os.path.join(base, "pband=2"))
+    assert not os.path.exists(base + "_bandold")
+    assert _index_pairs(spark, base) == rows
+    # and a probe into the recovered band sees its rows
+    got = fresh.read_bands(spark, [2])
+    assert {(r.id, r.fp) for r in got.collect()} == {
+        (i, f) for (i, f) in rows if f % 4 == 2
+    }
+
+
+def test_crashed_reband_recovered_at_open(spark, tmp_path):
+    """A crashed re-band can leave the live directory itself missing
+    (content at _rebandtmp/_rebandold). exists()/read_bands must promote
+    the staged copy instead of reporting the index gone (which would
+    trigger a full rebuild) or, worse, probing nothing."""
+    import json
+    import shutil
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    rows = _index_pairs(spark, base)
+    old_copy = str(tmp_path / "old_copy")
+    shutil.copytree(base, old_copy)
+    idx.reband(spark, 8)
+    os.rename(base, base + "_rebandtmp")
+    shutil.copytree(old_copy, base + "_rebandold")
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.exists(spark)  # recovery promoted the staged copy
+    assert fresh.n_bands == 8
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == 8
+    assert _index_pairs(spark, base) == rows
+    assert not os.path.exists(base + "_rebandold")
+    assert not os.path.exists(base + "_rebandtmp")
+
+
+def test_span_heal_catches_batchmate_of_replayed_doc(spark, tmp_path):
+    """Post-crash replay, the sharpest corner: the crashed attempt kept
+    doc A (within-batch rule), stored it, and died before the index
+    append. On replay A is dropped as an exact replay, so its batch-mate
+    B — which shares a passage with A — has no within-batch partner, and
+    the index is missing exactly A's pairs. The history probe must treat
+    the heal rows as stored history, or B slips through and two stored
+    docs share a passage (replay divergence)."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    a = (1, "alpha beta " + PASSAGE + " gamma delta epsilon")
+    b = (2, "one two three " + PASSAGE + " four five six")
+    spark.createDataFrame([a, b], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    # batch 0 state as the crashed attempt left it: A stored in the
+    # corpus (with fp + wfps), NO index rows, marker up
+    from fest_vibes_ai_etl_spark.operators.dedup import winnow_fingerprints
+    from fest_vibes_ai_etl_spark.streaming.incremental_dedup import fingerprint
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    adf = spark.createDataFrame([a], "doc_id long, text string")
+    wf = winnow_fingerprints(adf, "doc_id", "text", k=20, w=15)
+    wfps = wf.groupBy("id").agg(F.array_sort(F.collect_list("fp")).alias("wfps"))
+    (
+        adf.withColumn("fp", fingerprint("text"))
+        .join(wfps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .write.parquet(corpus)
+    )
+    # the indexes exist but are missing A's rows entirely (built empty
+    # via a build over zero rows is awkward — build them over an
+    # unrelated doc to give them a real layout)
+    filler = spark.createDataFrame(
+        [(99, 777)], "id long, fp long"
+    )
+    idx = BandedFingerprintIndex(
+        span_index_path(corpus), "fp", n_bands=16,
+        schema_tag="winnow:k=20,w=15",
+    )
+    idx.build_from(filler)
+    eidx = BandedFingerprintIndex(
+        exact_index_path(corpus), "fpk", n_bands=16,
+        schema_tag="exact:md5-xxh64",
+    )
+    eidx.build_from(
+        spark.createDataFrame([(99, "zz", 5)], "id long, fp string, fpk long")
+    )
+    open(span_index_path(corpus) + ".inflight", "w").close()
+    _run_span(spark, src, corpus, str(tmp_path / "ckpt"), "bucketed", n_bands=16)
+    ids = _stored_ids(spark, corpus)
+    assert ids == {1}, f"B escaped the heal-path span check: {ids}"
+    # and the heal re-appended A's pairs
+    pairs = _index_pairs(spark, span_index_path(corpus))
+    assert {(i, f) for (i, f) in pairs if i == 1} == {
+        (r.id, r.fp) for r in wf.collect()
+    }
+    assert not os.path.exists(span_index_path(corpus) + ".inflight")
 
 
 def test_near_stream_rebuilds_on_key_derivation_change(spark, tmp_path):
@@ -510,7 +635,7 @@ def test_near_stream_rebuilds_on_key_derivation_change(spark, tmp_path):
             stream, corpus, ckpt, k=3, num_hashes=32, bands=bands,
             threshold=0.2, n_buckets=16, history_probe="bucketed",
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in 180s"
 
     run(src1, str(tmp_path / "k1"), bands=8)
     run(src2, str(tmp_path / "k2"), bands=4)
@@ -552,7 +677,7 @@ def test_span_stream_soak_bounds_files_and_caches(spark, tmp_path):
         n_bands=16, history_probe="bucketed",
         maintain_every=10, maintain_max_files=4,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     assert jsc.getPersistentRDDs().size() == cached_before  # no cache leak
     idx_dir = span_index_path(corpus)
     from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (

@@ -58,7 +58,7 @@ def test_stream_write_per_epoch_manifests(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     manifests = [n for n in os.listdir(out) if n.startswith("_MANIFEST-")]
     assert len(manifests) == 2  # one per micro-batch

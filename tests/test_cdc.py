@@ -83,5 +83,5 @@ def test_cdc_stream_apply(spark, tmp_path):
     q = start_cdc_apply(
         stream, path, str(tmp_path / "ckpt"), keys=["id"], partition_col="part"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     assert _state(spark, path) == {1: ("one-v2", 11), 3: ("three", 30)}

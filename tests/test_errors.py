@@ -68,4 +68,4 @@ def test_incremental_dedup_raises_on_unreadable_history(spark, tmp_path):
     from pyspark.errors import StreamingQueryException
 
     with pytest.raises(StreamingQueryException):
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"

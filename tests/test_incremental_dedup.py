@@ -17,7 +17,7 @@ def _run(spark, src, corpus, ckpt, mode="bucketed"):
         .parquet(src)
     )
     q = start_incremental_dedup(stream, corpus, ckpt, history_probe=mode)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
 
 def test_incremental_dedup_across_batches(spark, tmp_path):
@@ -174,6 +174,42 @@ def test_exact_bucketed_migrates_scan_built_corpus(spark, tmp_path):
     assert idx_fps == {r.fp for r in stored.select("fp").collect()}
 
 
+def test_deleted_corpus_invalidates_surviving_sidecar(spark, tmp_path):
+    """An operator deletes the corpus (fresh ingestion, new checkpoint)
+    but leaves the _exactidx sidecar behind. The first batch must
+    invalidate it — appending into it and probing it would silently DROP
+    any new document whose text matched a row of the old, gone corpus
+    (the document would never be stored anywhere)."""
+    import os
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    docs.filter("doc_id < 40").coalesce(1).write.parquet(src)
+    _run(spark, src, corpus, str(tmp_path / "k1"))
+    n = spark.read.parquet(corpus).count()
+    assert n > 0
+    # the corpus is deleted; the sidecar survives
+    shutil.rmtree(corpus)
+    assert os.path.exists(exact_index_path(corpus))
+    # fresh ingestion of the SAME documents under a new checkpoint
+    _run(spark, src, corpus, str(tmp_path / "k2"))
+    assert spark.read.parquet(corpus).count() == n  # nothing dropped
+    # and the rebuilt sidecar covers the new corpus exactly
+    idx_fps = {
+        r.fp
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("fp").collect()
+    }
+    assert idx_fps == {
+        r.fp for r in spark.read.parquet(corpus).select("fp").collect()
+    }
+
+
 def test_legacy_null_fp_history_converges(spark, tmp_path):
     # corpora written BEFORE the null-text sentinel hold fp=NULL rows;
     # the history side coalesces so an upgraded pipeline still converges
@@ -201,7 +237,7 @@ def test_legacy_null_fp_history_converges(spark, tmp_path):
     )
 
     q = start_incremental_dedup(stream, corpus, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     stored = spark.read.parquet(corpus)
     # doc 3 (null text) matches legacy doc 1's NULL fp via the coalesce —
     # not re-appended; doc 4 has a different md5 than the legacy fake fp,

@@ -22,7 +22,7 @@ def _run(spark, src, corpus, ckpt):
         .parquet(src)
     )
     q = start_incremental_near_dedup(stream, corpus, ckpt, threshold=THRESHOLD)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in 180s"
 
 
 def test_incremental_near_dedup_across_batches(spark, tmp_path):

@@ -24,7 +24,7 @@ def _run(spark, src, corpus, ckpt):
     q = start_incremental_span_dedup(
         stream, corpus, ckpt, k=K, w=W, min_shared=MIN_SHARED
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in 180s"
 
 
 def test_incremental_span_dedup_across_batches(spark, tmp_path):

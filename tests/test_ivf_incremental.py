@@ -19,7 +19,7 @@ def _run(spark, src, index_dir, centers, ckpt):
         .parquet(src)
     )
     q = ivf.start_incremental_index_add(stream, index_dir, centers, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
 
 def test_incremental_index_add_and_probe(spark, tmp_path):

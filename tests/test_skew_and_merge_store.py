@@ -360,7 +360,7 @@ def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
     q = start_versioned_upsert(
         stream, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream did not finish in 60s"
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y")}
     v_after = t.latest()[0]
     # restart from the same checkpoint: no new input -> no new version
@@ -368,7 +368,7 @@ def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
     q2 = start_versioned_upsert(
         stream2, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
     )
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(60), "stream did not finish in 60s"
     assert t.latest()[0] == v_after
     # new file arrives -> one more version
     (src / "b2.json").write_text(json.dumps({"k": 3, "p": "a", "v": "z"}) + "\n")
@@ -376,7 +376,7 @@ def test_streaming_versioned_upsert_exactly_once(spark, tmproot, tmp_path):
     q3 = start_versioned_upsert(
         stream3, t, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"), app_id="s1"
     )
-    q3.awaitTermination(60)
+    assert q3.awaitTermination(60), "stream did not finish in 60s"
     assert t.latest()[0] == v_after + 1
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, "x"), (2, "y"), (3, "z")}
 

@@ -42,7 +42,7 @@ def test_stream_bronze_to_silver(spark, tmpdirs):
         str(tmpdirs / "silver"),
         str(tmpdirs / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     events = spark.read.parquet(str(tmpdirs / "silver" / "events"))
     assert events.count() == 4  # same as batch normalize: deduped + validated
     assert {r.wwoz_event_href for r in events.collect()} == {
@@ -81,7 +81,7 @@ def test_stream_bronze_to_silver(spark, tmpdirs):
     q2 = ingest.start_silver_maintenance(
         spark, str(bronze_dir), str(tmpdirs / "silver"), str(tmpdirs / "ckpt")
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not finish in 120s"
     ev = {r.wwoz_event_href: r for r in spark.read.parquet(str(tmpdirs / "silver" / "events")).collect()}
     assert len(ev) == 5
     assert ev["/events/457"].description == "late set"  # filled where null
@@ -102,7 +102,7 @@ def test_windowed_counts_match_batch(spark, tmpdirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     # append mode only emits windows the watermark has closed; with a single
     # batch nothing closes — assert via complete-mode equivalent on batch df
     batch = spark.createDataFrame(bronze_rows(), EVENT_DTO)
@@ -133,7 +133,7 @@ def test_streaming_dedup_within_watermark(spark, tmpdirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = spark.sql("SELECT event_data.wwoz_event_href AS href FROM dedup_stream").collect()
     hrefs = [r.href for r in out]
     # raw bronze has 7 rows with /events/456 duplicated → exactly one survives;
@@ -162,7 +162,7 @@ def test_stream_static_enrichment(spark, tmpdirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     rows = {r.event_href: r for r in spark.sql("SELECT * FROM enriched_stream").collect()}
     assert rows["/events/456"].venue_address == "626 Frenchmen St, New Orleans, LA 70116"
     assert rows["/events/458"].venue_name == "Tipitina's Outdoor Stage"
@@ -182,7 +182,7 @@ def test_stream_stream_time_bounded_join(spark, tmpdirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         (r.l_href, r.r_href)
         for r in spark.sql("SELECT l_href, r_href FROM pair_stream").collect()
@@ -235,7 +235,7 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmpdirs):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     _write_horizon(left_dir, "zz_horizon2.json", 2)
     _write_horizon(right_dir, "zz_horizon2.json", 2)

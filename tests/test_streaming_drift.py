@@ -30,7 +30,7 @@ def _run_monitor(spark, src, stats, log_root, ckpt, schema):
     q = start_drift_cell_log(
         stream, stats, str(log_root), str(ckpt), available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
 
 def test_streamed_psi_matches_batch_and_replays(spark, tmp_path):

@@ -54,7 +54,7 @@ def test_stream_sessions_match_batch_closed_sessions(spark, tmpdirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in 180s"
     streamed = {
         (r.user_id, r.session_no): (
             r.n_events,

@@ -29,7 +29,7 @@ def _run_stream(spark, src_dir, sketch_root, checkpoint):
         .parquet(src_dir)
     )
     q = start_sketch_maintenance(stream, sketch_root, checkpoint)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
 
 def test_streaming_sketches_match_batch(spark, tmp_path):
@@ -86,7 +86,7 @@ def test_streaming_freq_rollup_exact_regime_and_replay(spark, tmp_path):
             .parquet(src)
         )
         q = start_freq_maintenance(stream, root, str(tmp_path / ckpt))
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     run("ckpt1")
     streamed = _hh(merged_heavy_hitters(spark, root))
@@ -132,7 +132,7 @@ def test_streaming_kmv_matches_batch_and_replay_converges(spark, tmp_path):
             .parquet(src)
         )
         q = start_kmv_maintenance(stream, str(tmp_path / "kmv"), ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     run(str(tmp_path / "ck1"))
     streamed = {

@@ -28,7 +28,7 @@ def _run_monitor(spark, src, log_root, ckpt):
     q = start_vocab_cell_log(
         stream, str(log_root), str(ckpt), buckets=BUCKETS, available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
 
 def test_streamed_vocab_psi_matches_batch_and_replays(spark, tmp_path):

@@ -93,7 +93,7 @@ def test_tws_running_totals_match_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in 180s"
     finally:
         if unset_provider:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -199,6 +199,7 @@ class BandedFingerprintIndex:
         fs, path = self._fs(spark)
         jvm = spark._jvm
         self._reband_recover(fs, jvm)
+        self._compact_recover(fs, jvm)
         if fs.exists(path):
             self._band_recover(fs, jvm)
         if not fs.exists(path):
@@ -378,12 +379,31 @@ class BandedFingerprintIndex:
     def build_from(self, pairs: DataFrame) -> None:
         """One-time build (migration of a pre-index corpus): repartition by
         band first so each band directory gets one file, not one per input
-        partition. Overwrites any prior layout — meta included."""
+        partition. Overwrites any prior layout — meta included.
+
+        Sizing: unlike the first-append derivation (a micro-batch, where
+        the low cap matters), the input here is the WHOLE corpus, so the
+        band count targets the same bytes-per-band the re-banding
+        maintenance aims for — a multi-TB migration must not land on
+        1024 oversized bands only for the first maintain() to pay a
+        second full rewrite growing them. Estimated at ~16 B/row of
+        parquet; the distinct-key derivation still sets the floor so
+        small corpora keep their pruning headroom."""
         spark = pairs.sparkSession
         if self.n_bands is None:
             # a rebuild chooses its layout fresh (ignore stale meta: the
             # caller invalidates on mismatch precisely to get here)
-            self.n_bands = self._auto_bands(pairs)
+            rows, distinct = pairs.agg(
+                F.count(F.lit(1)), F.approx_count_distinct(self.key_col)
+            ).first()
+            by_keys = _MIN_AUTO_BANDS
+            while by_keys < distinct * _AUTO_BANDS_FACTOR and by_keys < _MAX_AUTO_BANDS:
+                by_keys *= 2
+            target = 256 << 20  # the maintain() re-banding target
+            by_bytes = _MIN_AUTO_BANDS
+            while by_bytes < _MAX_BANDS and rows * 16 / by_bytes > target:
+                by_bytes *= 2
+            self.n_bands = max(by_keys, min(by_bytes, _MAX_BANDS))
         (
             pairs.withColumn("pband", self.band_of(F.col(self.key_col)))
             .repartition("pband")
@@ -607,6 +627,10 @@ class BandedFingerprintIndex:
             n_new = self.n_bands
             while n_new < _MAX_BANDS and total_bytes / n_new > target_band_bytes:
                 n_new *= 2
+            # a non-power-of-two stored count can overshoot the ceiling
+            # on its last doubling — the cap is absolute (bands are
+            # directories; the ceiling bounds listing cost)
+            n_new = min(n_new, _MAX_BANDS)
             self.reband(spark, n_new)
             return self.n_bands  # reband subsumes per-band compaction
         if not fragmented:
@@ -689,6 +713,30 @@ class BandedFingerprintIndex:
             self._layout_checked = False
             self.n_bands = None
 
+    def _compact_recover(self, fs, jvm) -> None:
+        """Open-time heal for compact()'s crash window: a death between
+        its two renames leaves the live index complete at ``_precompact``
+        — without this, ``exists()`` reports the index gone and the
+        stream pays a full silent rebuild, and the stale ``_precompact``
+        then poisons every later compact() with its both-exist refusal.
+        Only the unambiguous case is healed here (live missing → restore
+        the old copy, drop the possibly-partial staging); live-and-
+        ``_precompact``-both-present stays compact()'s loud refusal —
+        that state can also be an operator's manual copy, and deleting
+        either side on open would be guessing."""
+        old_p = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact")
+        live = jvm.org.apache.hadoop.fs.Path(self.path)
+        if fs.exists(old_p) and not fs.exists(live):
+            if not fs.rename(old_p, live):
+                raise RuntimeError(
+                    f"compact recovery: rename {old_p} -> {self.path} failed"
+                )
+            tmp_p = jvm.org.apache.hadoop.fs.Path(
+                self.path.rstrip("/") + "_compacting"
+            )
+            if fs.exists(tmp_p):
+                fs.delete(tmp_p, True)
+
     def reband(self, spark: SparkSession, n_bands_new: int) -> None:
         """Rewrite the whole index under ``n_bands_new`` (meta updated in
         the same directory swap — no crash window can pair data with the
@@ -737,11 +785,15 @@ class BandedFingerprintIndex:
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the
         probe's pruning set. O(n_bands) driver memory by construction.
-        With ``n_bands=None`` the stored layout is adopted here (the keys
-        frame carries the session); still-unresolved (index never
-        written) raises the ``band_of`` layout error."""
-        if self.n_bands is None:
-            self._check_layout(keys.sparkSession)
+        The layout check runs UNCONDITIONALLY (not just when n_bands is
+        unset): with an explicit constructor n_bands this is the one
+        probe entry point that would otherwise compute band numbers under
+        an unvalidated value — pmod residues of the wrong modulus name
+        directories that were never written, the silent wrong-subset
+        probe the meta exists to prevent. Still-unresolved after the
+        check (index never written) raises the ``band_of`` layout
+        error."""
+        self._check_layout(keys.sparkSession)
         return [
             r.band
             for r in keys.select(

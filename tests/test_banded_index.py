@@ -464,6 +464,114 @@ def test_reband_crash_recovery(spark, tmp_path):
     assert not os.path.exists(base + "_rebandold")
 
 
+def test_crashed_compact_recovered_at_open(spark, tmp_path):
+    """A death between compact()'s two renames leaves the live index at
+    _precompact. A fresh open must restore it — otherwise exists()
+    reports the index gone (full silent rebuild) and the stale
+    _precompact poisons every later compact() with the both-exist
+    refusal. The both-present case stays compact()'s loud refusal."""
+    import shutil
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp")))
+    rows = _index_pairs(spark, base)
+    os.rename(base, base + "_precompact")
+    os.makedirs(base + "_compacting")  # possibly-partial staging
+    fresh = BandedFingerprintIndex(base, "fp")
+    assert fresh.exists(spark)  # open-time heal restored the live index
+    assert _index_pairs(spark, base) == rows
+    assert not os.path.exists(base + "_precompact")
+    assert not os.path.exists(base + "_compacting")
+    # ambiguous both-present state is untouched by opens
+    shutil.copytree(base, base + "_precompact")
+    another = BandedFingerprintIndex(base, "fp")
+    assert another.exists(spark)
+    assert os.path.exists(base + "_precompact")
+
+
+def test_span_stream_deleted_corpus_invalidates_sidecars(spark, tmp_path):
+    """Deleting the corpus but not its sidecars must not let the first
+    batch of a fresh ingestion probe (or append into) indexes describing
+    the OLD corpus — the span probe would drop fresh docs sharing a
+    passage with gone history, losing them forever."""
+    src, corpus = str(tmp_path / "src"), str(tmp_path / "corpus")
+    spark.createDataFrame(B1, "doc_id long, text string").coalesce(1).write.parquet(src)
+    _run_span(spark, src, corpus, str(tmp_path / "k1"), "bucketed")
+    assert _stored_ids(spark, corpus) == {1, 2, 3}
+    import shutil
+
+    shutil.rmtree(corpus)
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    assert os.path.exists(span_index_path(corpus))
+    _run_span(spark, src, corpus, str(tmp_path / "k2"), "bucketed")
+    assert _stored_ids(spark, corpus) == {1, 2, 3}  # nothing dropped
+    # the rebuilt sidecars cover the new corpus exactly
+    assert _index_pairs(spark, span_index_path(corpus)) == _corpus_pairs(spark, corpus)
+    exact = {
+        (r.id, r.fp)
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("id", "fp").collect()
+    }
+    assert exact == {
+        (r.doc_id, r.fp)
+        for r in spark.read.parquet(corpus).select("doc_id", "fp").collect()
+    }
+
+
+def test_near_heal_catches_batchmate_of_replayed_doc(spark, tmp_path):
+    """The near-stream twin of the span heal batch-mate case: the crashed
+    attempt stored doc A (within-batch near-dup rule kept it), died
+    before the index appends. On replay A drops as an exact replay, its
+    batch-mate B (near-dup of A) has no within-batch partner, and the
+    band index is missing exactly A's rows — the candidate target must
+    include the heal rows or B slips past."""
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        BandedFingerprintIndex,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        _with_signatures,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        exact_index_path,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    base_text = "the quick brown fox jumps over the lazy dog near the river"
+    a = (1, base_text)
+    b = (2, base_text + " bank")  # high-Jaccard near-dup of A
+    spark.createDataFrame([a, b], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    # the crashed attempt's state: A stored with signatures, indexes
+    # missing A's rows entirely, marker up
+    adf = spark.createDataFrame([a], "doc_id long, text string")
+    _with_signatures(adf, "doc_id", "text", 3, 32).write.parquet(corpus)
+    idx = BandedFingerprintIndex(
+        near_index_path(corpus), "band_hash", n_bands=16,
+        schema_tag="minhash:k=3,nh=32,bands=8",
+    )
+    idx.build_from(
+        spark.createDataFrame([(99, 0, 777)], "id long, band int, band_hash long")
+    )
+    eidx = BandedFingerprintIndex(
+        exact_index_path(corpus), "fpk", n_bands=16,
+        schema_tag="exact:md5-xxh64",
+    )
+    eidx.build_from(
+        spark.createDataFrame([(99, "zz", 5)], "id long, fp string, fpk long")
+    )
+    open(near_index_path(corpus) + ".inflight", "w").close()
+    _run_near(spark, src, corpus, str(tmp_path / "ckpt"), "bucketed", n_buckets=16)
+    ids = _stored_ids(spark, corpus)
+    assert ids == {1}, f"B escaped the heal-path near-dup check: {ids}"
+    assert not os.path.exists(near_index_path(corpus) + ".inflight")
+
+
 def test_legacy_sibling_meta_is_adopted(spark, tmp_path):
     """Early builds kept _meta.json as a SIBLING file; reads must fall
     back to it so those indexes open without a rebuild."""

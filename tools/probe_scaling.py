@@ -150,6 +150,8 @@ def run_one_batch(spark, family: str, src: str, corpus: str, ckpt: str,
 
 
 def fit_b(scales, walls) -> float:
+    if len(set(scales)) < 2:
+        return float("nan")  # a slope needs two distinct scale points
     xs = [math.log(s) for s in scales]
     ys = [math.log(max(w, 1e-9)) for w in walls]
     n = len(xs)

@@ -165,7 +165,42 @@ def main() -> None:
         out["normalized"] = norm
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The driver records only the last ~2000 chars of stdout; with 45+
+    # queries the full per-query maps pushed the JSON line past that
+    # window every round (BENCH_r0*.json "parsed": null — round-8
+    # verdict item). So the LINE carries the compact verdict-grade
+    # numbers (total, drift, sentinel ratios), and the complete object —
+    # per-query raw AND normalized walls, errors, note — is written to
+    # BENCH_FULL.json beside this script for the judge's per-query
+    # comparisons. Per-query walls are also on stderr as they run.
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": out["sf"],
+        "detail": "BENCH_FULL.json",
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+    if norm is not None:
+        line["normalized"] = {
+            k: norm[k]
+            for k in (
+                "drift",
+                "value",
+                "unit",
+                "sentinel_ratios",
+                "sentinel_spread",
+                "drift_model_suspect",
+            )
+        }
+    text = json.dumps(line)
+    assert len(text) < 1800, f"bench JSON line too long ({len(text)} chars)"
+    print(text)
 
 
 if __name__ == "__main__":

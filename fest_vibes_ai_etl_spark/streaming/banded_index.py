@@ -36,6 +36,7 @@ the index converges to the corpus.
 from __future__ import annotations
 
 import json
+import logging
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -118,6 +119,25 @@ class BandedFingerprintIndex:
         self.n_bands = n_bands
         self.schema_tag = schema_tag
         self._layout_checked = False
+        self._ctor_n_bands = n_bands  # invalidate() restores the caller's hint
+        # Maintenance-detection state (in-memory, per writer instance).
+        # The single-writer stream owns every append, so the set of bands
+        # dirtied since the last maintenance is knowable WITHOUT listing
+        # anything — appends pass their touched-band set along. None means
+        # "write set unknown" (fresh instance, crash recovery, rebuild, an
+        # append that couldn't name its bands): the next maintain() falls
+        # back to ONE full walk, then switches to batch-proportional
+        # detection. _band_bytes caches per-band byte sizes (complete
+        # after a full walk, refreshed for dirty bands each tick — bands
+        # only change through this writer, so the sum stays exact),
+        # which keeps the re-banding byte trigger per-tick without any
+        # index-sized listing.
+        self._dirty_bands: set[int] | None = None
+        self._band_bytes: dict[int, int] | None = None
+        # telemetry for tests/operators: how the last maintain() detected
+        # ("full" walk or "dirty"-set), and which bands it listed
+        self.last_maintain_walk: str | None = None
+        self.last_maintain_inspected: list[int] | None = None
 
     def band_of(self, col):
         if self.n_bands is None:
@@ -208,19 +228,32 @@ class BandedFingerprintIndex:
             return
         meta = self._read_meta(spark)
         if meta is None:
-            # legacy index (pre-meta rounds), or a crash between the
-            # creating data write and its meta write. With an explicit
-            # n_bands the caller is asserting the layout — adopt it and
-            # upgrade in place (exactly the trust the pre-meta code
-            # extended). With n_bands=None there is nothing to validate
-            # against: refuse, and let the stream caller rebuild from the
-            # corpus.
-            if self.n_bands is None:
+            # Legacy index (pre-meta rounds), or a crash between the
+            # creating data write and its meta write. If any band data
+            # exists, REFUSE even when the caller passes an explicit
+            # n_bands: a claimed count can be cheaply disproven when too
+            # small (a pband=N directory with N >= claim exists), but a
+            # too-large claim is UNVERIFIABLE — the data may have been
+            # written under a smaller modulus, and blessing the claim in
+            # _meta.json would make every later probe compute pmod under
+            # the wrong modulus and silently miss duplicates forever.
+            # The corpus is authoritative and the index derivable from
+            # it, so the one safe upgrade is invalidate + rebuild (the
+            # stream callers do exactly that on this error). Only a
+            # dataless directory (markers/stale files, no pband= dirs)
+            # may adopt an explicit n_bands: there is no data to
+            # mis-probe.
+            has_band_dirs = any(
+                st.getPath().getName().startswith("pband=")
+                for st in fs.listStatus(path)
+            )
+            if has_band_dirs or self.n_bands is None:
                 raise BandedIndexLayoutError(
                     f"banded index {self.path} predates layout metadata "
-                    f"and no n_bands was given: pass the n_bands it was "
-                    f"built with to upgrade it, or invalidate() and let "
-                    f"the caller rebuild from the corpus"
+                    f"(or lost it to a crash): its true band count is "
+                    f"unverifiable, so it must not be probed — "
+                    f"invalidate() and rebuild from the corpus (stream "
+                    f"callers do this automatically)"
                 )
             self._write_meta(spark)
             self._layout_checked = True
@@ -255,7 +288,19 @@ class BandedFingerprintIndex:
         # the corpus grows) pay a full rebuild just to get back to a
         # layout maintain() would immediately re-band again — a perpetual
         # rewrite cycle. The constructor's n_bands is therefore a
-        # CREATION-TIME sizing hint only.
+        # CREATION-TIME sizing hint only. Loud, though: an operator who
+        # changed the value expecting a resize should learn it's a no-op
+        # (re-sizing is maintain()'s byte-target re-banding, not config).
+        if self.n_bands is not None and self.n_bands != int(meta["n_bands"]):
+            logging.getLogger(__name__).warning(
+                "banded index %s: constructor n_bands=%d ignored — the "
+                "persisted layout's n_bands=%d wins once an index exists "
+                "(band count is physical sizing; maintain() re-bands as "
+                "the index grows)",
+                self.path,
+                self.n_bands,
+                int(meta["n_bands"]),
+            )
         self.n_bands = int(meta["n_bands"])
         if self.schema_tag is None:
             self.schema_tag = meta.get("schema_tag")
@@ -350,15 +395,21 @@ class BandedFingerprintIndex:
         df = spark.read.option("basePath", self.path).parquet(*paths)
         return df.drop("pband")
 
-    def append(self, pairs: DataFrame) -> None:
+    def append(self, pairs: DataFrame, touched: list[int] | None = None) -> None:
         """Append (id, key) rows; the band column is derived here so
         callers can't write an inconsistent banding (and the layout is
         validated first, so an append can't fragment an index built under
         a different banding). Appends are batch-sized (a micro-batch's own
         pairs), so they're funneled through one writer task — one file per
         touched band instead of one per (task, band). The repartition(1)
-        is a shuffle boundary, so the upstream plan keeps its
-        parallelism."""
+        is a shuffle boundary, so the upstream plan keeps its parallelism.
+
+        ``touched`` is the caller's band set covering this append (any
+        SUPERSET of the pairs' bands is valid — the streams reuse the
+        probe's touched-band collect, computed over the pre-filter keys).
+        It feeds maintain()'s batch-proportional fragmentation detection;
+        omitting it never corrupts anything, it just makes the next
+        maintain() pay one full walk to re-learn the index's state."""
         spark = pairs.sparkSession
         creating = not self._exists_raw(spark)
         self._resolve_bands_for_write(spark, pairs)
@@ -369,11 +420,18 @@ class BandedFingerprintIndex:
             .partitionBy("pband")
             .parquet(self.path)
         )
+        if touched is None:
+            # unknown write set: the dirty-band bookkeeping can no longer
+            # claim completeness — next maintain() walks fully
+            self._dirty_bands = None
+            self._band_bytes = None
+        elif self._dirty_bands is not None:
+            self._dirty_bands.update(touched)
         if creating:
             # meta AFTER data: a crash in between leaves an index without
-            # meta, which the next open refuses (rebuild) or upgrades
-            # (explicit n_bands) — never data silently probed under a
-            # different banding than it was written with
+            # meta, which the next open refuses loudly (the stream then
+            # rebuilds from the corpus) — never data silently probed
+            # under a different banding than it was written with
             self._write_meta(spark)
 
     def build_from(self, pairs: DataFrame) -> None:
@@ -413,6 +471,10 @@ class BandedFingerprintIndex:
         )
         self._write_meta(spark)
         self._layout_checked = True
+        # one file per band and fresh bytes, but unmeasured: let the next
+        # maintain() take its one full walk to seed the byte cache
+        self._dirty_bands = None
+        self._band_bytes = None
 
     def invalidate(self, spark: SparkSession) -> None:
         """Delete the index, its marker, AND the compaction siblings.
@@ -441,6 +503,12 @@ class BandedFingerprintIndex:
         if fs.exists(marker):
             fs.delete(marker, False)
         self._layout_checked = False
+        # back to the constructor's world: the adopted layout died with
+        # the data (keeping an old index's adopted n_bands would size a
+        # rebuilt index to a corpus that no longer exists)
+        self.n_bands = self._ctor_n_bands
+        self._dirty_bands = None
+        self._band_bytes = None
 
     # --- crash-window marker -------------------------------------------
     # The heal step (re-appending replayed rows' missing pairs) requires
@@ -533,6 +601,10 @@ class BandedFingerprintIndex:
                 )
             )
         fs.delete(old_path, True)
+        # whole-index rewrite: byte sizes changed everywhere; re-learn on
+        # the next maintain() tick
+        self._dirty_bands = None
+        self._band_bytes = None
 
     # --- per-band maintenance ------------------------------------------
     # compact() rewrites the WHOLE index — right for a one-off cleanup,
@@ -552,6 +624,12 @@ class BandedFingerprintIndex:
         replacement was fully written before any rename: delete it)."""
         old_root = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandold")
         tmp_root = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_bandtmp")
+        if fs.exists(old_root) or fs.exists(tmp_root):
+            # a crashed swap means the on-disk state diverged from this
+            # instance's dirty/byte bookkeeping — re-learn it on the next
+            # maintain() with one full walk
+            self._dirty_bands = None
+            self._band_bytes = None
         if fs.exists(old_root):
             for st in fs.listStatus(old_root):
                 name = st.getPath().getName()
@@ -595,7 +673,20 @@ class BandedFingerprintIndex:
         O(log growth) full rewrites over its life (see the re-banding
         section below). None disables the check. The default 256 MiB
         keeps any single probe's per-band read comfortably inside one
-        executor task."""
+        executor task.
+
+        Detection cost scales with BATCH ACTIVITY, not index size: the
+        writer instance accumulates the touched-band set its appends pass
+        along, and only those directories are listed here — at the
+        deployment shape (tens of thousands of bands on an object store)
+        an index-sized walk would be ~65k LIST calls per tick, paid for a
+        handful of actually-dirty bands. The full walk happens exactly
+        once per "state unknown" event (fresh instance, crash recovery,
+        rebuild, an append without a band set); it also seeds the
+        per-band byte cache, which dirty-mode ticks refresh for the bands
+        they list — bands change only through this single writer, so the
+        cached total stays exact and the re-banding byte trigger needs no
+        walk of its own."""
         fs, root = self._fs(spark)
         jvm = spark._jvm
         # recovery BEFORE the existence check: a crashed re-band can leave
@@ -606,19 +697,49 @@ class BandedFingerprintIndex:
             return 0
         self._check_layout(spark)
         self._band_recover(fs, jvm)
-        fragmented = []
-        total_bytes = 0
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("pband="):
-                continue
-            n_files = 0
-            for f in fs.listStatus(st.getPath()):
-                if f.getPath().getName().endswith(".parquet"):
-                    n_files += 1
-                    total_bytes += f.getLen()
-            if n_files > max_files_per_band:
-                fragmented.append(name)
+        full_walk = self._dirty_bands is None or self._band_bytes is None
+        self.last_maintain_walk = "full" if full_walk else "dirty"
+        fragmented: list[str] = []
+        if full_walk:
+            self._band_bytes = {}
+            inspected = []
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("pband="):
+                    continue
+                band = int(name.split("=", 1)[1])
+                inspected.append(band)
+                n_files = 0
+                nbytes = 0
+                for f in fs.listStatus(st.getPath()):
+                    if f.getPath().getName().endswith(".parquet"):
+                        n_files += 1
+                        nbytes += f.getLen()
+                self._band_bytes[band] = nbytes
+                if n_files > max_files_per_band:
+                    fragmented.append(name)
+            self.last_maintain_inspected = sorted(inspected)
+        else:
+            self.last_maintain_inspected = sorted(self._dirty_bands)
+            for band in self.last_maintain_inspected:
+                band_path = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/pband={band}"
+                )
+                if not fs.exists(band_path):
+                    # touched sets are supersets of the bands actually
+                    # written (probe keys include rows later filtered out)
+                    continue
+                n_files = 0
+                nbytes = 0
+                for f in fs.listStatus(band_path):
+                    if f.getPath().getName().endswith(".parquet"):
+                        n_files += 1
+                        nbytes += f.getLen()
+                self._band_bytes[band] = nbytes
+                if n_files > max_files_per_band:
+                    fragmented.append(f"pband={band}")
+        self._dirty_bands = set()
+        total_bytes = sum(self._band_bytes.values())
         if (
             target_band_bytes
             and self.n_bands < _MAX_BANDS
@@ -663,6 +784,14 @@ class BandedFingerprintIndex:
                     )
                 )
             fs.delete(old, True)
+            # refresh the byte cache for the rewritten band (compaction
+            # changes encoded size) so the re-band trigger's running
+            # total stays exact without any extra walk
+            nbytes = 0
+            for f in fs.listStatus(live):
+                if f.getPath().getName().endswith(".parquet"):
+                    nbytes += f.getLen()
+            self._band_bytes[int(name.split("=", 1)[1])] = nbytes
         fs.delete(jvm.org.apache.hadoop.fs.Path(old_root), True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_root), True)
         return len(fragmented)
@@ -694,6 +823,10 @@ class BandedFingerprintIndex:
         tmp_p = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_rebandtmp")
         live = jvm.org.apache.hadoop.fs.Path(self.path)
         promoted = False
+        if fs.exists(old_p) or fs.exists(tmp_p):
+            # crashed-swap healing invalidates the dirty/byte bookkeeping
+            self._dirty_bands = None
+            self._band_bytes = None
         if fs.exists(old_p):
             if not fs.exists(live):
                 src = tmp_p if fs.exists(tmp_p) else old_p
@@ -727,6 +860,8 @@ class BandedFingerprintIndex:
         old_p = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + "_precompact")
         live = jvm.org.apache.hadoop.fs.Path(self.path)
         if fs.exists(old_p) and not fs.exists(live):
+            self._dirty_bands = None
+            self._band_bytes = None
             if not fs.rename(old_p, live):
                 raise RuntimeError(
                     f"compact recovery: rename {old_p} -> {self.path} failed"
@@ -781,6 +916,10 @@ class BandedFingerprintIndex:
             )
         fs.delete(old_p, True)
         self.n_bands = n_bands_new
+        # every band was rewritten under the new modulus: the old dirty
+        # set and byte cache describe a layout that no longer exists
+        self._dirty_bands = None
+        self._band_bytes = None
 
     def touched_bands(self, keys: DataFrame) -> list[int]:
         """Distinct band values present in ``keys``'s key column — the
@@ -802,3 +941,40 @@ class BandedFingerprintIndex:
             .distinct()
             .collect()
         ]
+
+
+def combined_touched_bands(
+    spark: SparkSession,
+    specs: list[tuple["BandedFingerprintIndex", DataFrame]],
+) -> list[list[int]]:
+    """Touched-band sets for SEVERAL indexes in ONE Spark job.
+
+    A micro-batch that maintains two sidecars (span: winnow ``_fpidx`` +
+    exact ``_exactidx``; near: LSH ``_bandidx`` + ``_exactidx``) would
+    otherwise pay one driver collect per index per batch — measured as a
+    visible slice of the stream's fixed per-batch overhead (each collect
+    is a full job submission for a few hundred distinct ints). Tagging
+    each index's band column with its position and unioning lets one
+    distinct+collect serve them all; outputs are O(Σ n_bands) driver
+    memory by construction, same bound as the per-index calls.
+
+    Each spec is ``(index, keys_df)`` where ``keys_df`` carries the
+    index's ``key_col``. Layout validation runs per index exactly as in
+    :meth:`BandedFingerprintIndex.touched_bands` (same contract: an index
+    that was never written raises via ``band_of``)."""
+    frames = []
+    for i, (idx, keys) in enumerate(specs):
+        idx._check_layout(spark)
+        frames.append(
+            keys.select(
+                F.lit(i).alias("idx_pos"),
+                idx.band_of(F.col(idx.key_col)).alias("band"),
+            )
+        )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.union(f)
+    out: list[list[int]] = [[] for _ in specs]
+    for r in union.distinct().collect():
+        out[r.idx_pos].append(r.band)
+    return out

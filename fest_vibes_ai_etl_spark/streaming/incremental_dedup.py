@@ -20,9 +20,10 @@ reads ONLY the batch's own fpk band directories instead of the whole
 corpus fp column — the linear-per-batch (quadratic-over-a-backfill) read
 the pre-round-8 guard paid forever. The anti-join still compares the full
 md5 string, so an fpk band collision costs extra rows read, never a wrong
-drop. The sidecar persists its layout (``_meta.json``); a restart with
-different banding is detected and rebuilt from the corpus, never probed
-across. ``history_probe="scan"`` keeps the corpus-column path for A/B
+drop. The sidecar persists its layout (``_meta.json``); a restart whose
+key derivation (key_col/schema_tag) contradicts the stored layout is
+rebuilt from the corpus, never probed across (the stored band count
+itself always wins — physical sizing, grown by maintenance). ``history_probe="scan"`` keeps the corpus-column path for A/B
 measurement.
 
 Crash consistency: an in-flight marker brackets the corpus append and the
@@ -39,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._exact_guard import _heal_exact_index, _settle_indexes, exact_index_path
 from .banded_index import BandedFingerprintIndex
 
 
@@ -51,33 +53,18 @@ def fingerprint(text_col: str = "text"):
     return F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
 
 
-def start_incremental_dedup(
-    docs: DataFrame,
+def make_exact_dedup_processor(
     corpus_dir: str,
-    checkpoint_dir: str,
     text_col: str = "text",
-    available_now: bool = True,
     n_bands: int | None = None,
     history_probe: str = "bucketed",
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
 ):
-    """``docs`` is a streaming DataFrame of documents. Appends only
-    never-seen-before rows (exact text match) to ``corpus_dir``, which
-    accumulates (original columns + ``fp``).
-
-    ``n_bands=None`` (the default) adopts an existing index's persisted
-    layout, or auto-sizes a fresh one from the first write's distinct-key
-    count; an explicit value that contradicts the persisted layout makes
-    the stream rebuild the index rather than probe a wrong subset."""
-    # imported here, not at module top: this module is the family's root
-    # (span/near lazily import ``fingerprint`` from it)
-    from .incremental_span_dedup import (
-        _heal_exact_index,
-        _settle_indexes,
-        exact_index_path,
-    )
-
+    """The ``foreachBatch`` processor behind :func:`start_incremental_dedup`,
+    exposed so tests and batch backfills can drive micro-batches directly
+    (plain DataFrames + batch ids) without a streaming query — the
+    processor IS the operator; the stream wrapper only schedules it."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -123,14 +110,24 @@ def start_incremental_dedup(
             if not is_path_not_found(exc):
                 raise
         need_heal = False
-        if not idx_settled and (not use_index or hist is None):
-            # Two reasons a surviving index must die before this batch:
-            # scan mode appends corpus rows WITHOUT maintaining the index
-            # (a stale one would make a later bucketed run miss duplicates
-            # forever — exists() would skip the migration rebuild); and a
-            # FIRST batch (no corpus) alongside a leftover sidecar means
-            # the corpus was deleted out from under its index — probing it
-            # would drop fresh docs that matched the OLD, gone corpus.
+        if hist is None:
+            # The corpus is ABSENT — first batch, or deleted out from
+            # under a RUNNING stream. Either way a surviving sidecar
+            # describes a gone corpus: probing it would silently drop
+            # fresh docs whose text matched old, no-longer-stored rows
+            # (they'd never be stored anywhere), so it must die EVERY
+            # time absence is observed, not once per stream run — the
+            # check is a handful of filesystem stats, and this batch's
+            # own append recreates corpus and index in sync.
+            exact_index.invalidate(spark)
+            if not idx_settled:
+                idx_settled.append(True)
+        elif not use_index and not idx_settled:
+            # scan mode appends corpus rows WITHOUT maintaining the index:
+            # a stale one would make a later bucketed run miss duplicates
+            # forever (exists() would skip the migration rebuild). One
+            # shot per run suffices here — single-writer discipline means
+            # no one else can create an index mid-run.
             exact_index.invalidate(spark)
             idx_settled.append(True)
         if hist is not None and use_index:
@@ -141,6 +138,7 @@ def start_incremental_dedup(
             )
             need_heal = exact_index.was_inflight(spark)
         replayed = None
+        ebands = None
         if hist is not None:
             if use_index and not need_heal:
                 # steady state: bucket-local replay guard — only the
@@ -178,13 +176,49 @@ def start_incremental_dedup(
             # rows, healed on replay — never phantom rows). The re-
             # evaluation of `fresh` here is safe: dropDuplicates may pick a
             # different within-batch survivor on re-run, but the sidecar
-            # stores only (fp, fpk), identical across survivors.
-            exact_index.append(_pairs(fresh))
+            # stores only (fp, fpk), identical across survivors. The
+            # probe's band set (a superset of the surviving rows' bands)
+            # feeds maintain()'s batch-proportional detection.
+            exact_index.append(_pairs(fresh), touched=ebands)
             exact_index.clear_inflight(spark)
         n_done[0] += 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
             exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
+    return process
+
+
+def start_incremental_dedup(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+    n_bands: int | None = None,
+    history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
+):
+    """``docs`` is a streaming DataFrame of documents. Appends only
+    never-seen-before rows (exact text match) to ``corpus_dir``, which
+    accumulates (original columns + ``fp``).
+
+    ``n_bands=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; once the index exists its persisted band count always wins
+    (the count is physical sizing that ``maintain()`` legitimately grows
+    — see ``banded_index``), so an explicit value is a creation-time
+    hint only; the index is rebuilt from the corpus only when its stored
+    ``key_col``/``schema_tag`` contradict this stream's (i.e. the KEYS
+    were derived differently)."""
+    process = make_exact_dedup_processor(
+        corpus_dir,
+        text_col=text_col,
+        n_bands=n_bands,
+        history_probe=history_probe,
+        maintain_every=maintain_every,
+        maintain_max_files=maintain_max_files,
+    )
     writer = (
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -38,9 +38,11 @@ maintains TWO band-partitioned sidecars (see ``banded_index``):
   compares the full md5 string, so an fpk collision costs extra rows
   read, never a wrong drop.
 
-Both sidecars persist their layout (``_meta.json``); a restart with
-different banding parameters is detected and the stream invalidates +
-rebuilds from the corpus instead of probing a wrong subset.
+Both sidecars persist their layout (``_meta.json``); a restart whose
+key-derivation parameters (key_col/schema_tag) contradict the stored
+layout is detected and the stream invalidates + rebuilds from the corpus
+instead of probing a wrong subset (the stored bucket count itself always
+wins — physical sizing, grown by maintenance, never a rebuild trigger).
 ``history_probe="scan"`` keeps the pre-round-7 path (re-derive band
 hashes from all stored ``sig`` arrays per batch) for A/B measurement in
 ``tools/probe_scaling.py``.
@@ -59,14 +61,14 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .banded_index import BandedFingerprintIndex
-from .incremental_span_dedup import (
+from ._exact_guard import (
     _exact_pairs,
     _fpk,
     _heal_exact_index,
     _settle_indexes,
     exact_index_path,
 )
+from .banded_index import BandedFingerprintIndex, combined_touched_bands
 
 
 def near_index_path(corpus_dir: str) -> str:
@@ -163,30 +165,34 @@ def _near_dup_ids(
     return _verified_victims(cand, probe, target, id_col, threshold)
 
 
-def start_incremental_near_dedup(
-    docs: DataFrame,
+def make_near_dedup_processor(
     corpus_dir: str,
-    checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
-    available_now: bool = True,
     n_buckets: int | None = None,
     history_probe: str = "bucketed",
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    metrics: dict | None = None,
 ):
-    """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
-    that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
-    previously stored row, carrying (fp, sig, sh, n) alongside the data.
+    """The ``foreachBatch`` processor behind
+    :func:`start_incremental_near_dedup`, exposed so tests and batch
+    backfills can drive micro-batches directly (plain DataFrames + batch
+    ids) without a streaming query.
 
-    ``n_buckets=None`` (the default) adopts an existing index's persisted
-    layout, or auto-sizes a fresh one from the first write's distinct-key
-    count; an explicit value that contradicts the persisted layout makes
-    the stream rebuild the index rather than probe a wrong subset."""
+    ``metrics`` (optional, a plain dict the caller keeps) accumulates
+    per-batch observability counters: ``batches`` processed,
+    ``verify_launched`` (how many batches' emptiness gate actually opened
+    the exact-Jaccard verify — the stream's one candidate-gated linear
+    term, see SCALE.md), and ``verify_cand_pairs`` (total candidate pairs
+    those verifies scored). The counts are driver-side ints; recording
+    them adds one ``count()`` over the (pruned, batch-sized) candidate
+    frame only on batches where the gate opened — batches that would pay
+    a full verify anyway."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -244,14 +250,25 @@ def start_incremental_near_dedup(
                 raise
             hist = None
         need_heal = False
-        if not idx_settled and (not use_index or hist is None):
-            # Two reasons a surviving index must die before this batch:
-            # scan mode appends corpus rows WITHOUT maintaining any index
-            # (a stale one would make a later bucketed run miss duplicates
-            # forever — exists() would skip the migration rebuild); and a
-            # FIRST batch (no corpus) alongside a leftover sidecar means
-            # the corpus was deleted out from under its index — probing it
-            # would drop fresh docs that matched the OLD, gone corpus.
+        if hist is None:
+            # The corpus is ABSENT — first batch, or deleted out from
+            # under a RUNNING stream. Either way surviving sidecars
+            # describe a gone corpus: probing them would silently drop
+            # fresh docs that matched old, no-longer-stored rows (never
+            # stored anywhere), so they must die EVERY time absence is
+            # observed, not once per stream run — the check is a handful
+            # of filesystem stats, and this batch's own appends recreate
+            # corpus and indexes in sync.
+            band_index.invalidate(spark)
+            exact_index.invalidate(spark)
+            if not idx_settled:
+                idx_settled.append(True)
+        elif not use_index and not idx_settled:
+            # scan mode appends corpus rows WITHOUT maintaining any index:
+            # a stale one would make a later bucketed run miss duplicates
+            # forever (exists() would skip the migration rebuild). One
+            # shot per run suffices — single-writer discipline means no
+            # one else can create an index mid-run.
             band_index.invalidate(spark)
             exact_index.invalidate(spark)
             idx_settled.append(True)
@@ -279,12 +296,30 @@ def start_incremental_near_dedup(
         keep = fresh.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         replayed = None
+        ebands = None
+        bbands = None
         if hist is not None:
             if use_index and not need_heal:
-                # steady state: bucket-local replay guard — only the
-                # batch's own fpk bands are read; the md5 compare keeps an
-                # fpk band collision from ever dropping a fresh row
-                ebands = exact_index.touched_bands(fresh.select(_fpk()))
+                # steady state: ONE driver collect computes BOTH sidecars'
+                # touched-band sets (each collect is a whole job
+                # submission — two per batch was a measured slice of the
+                # stream's fixed overhead). The LSH bucket set is derived
+                # from the CACHED frame (all batch docs, pre-filter), a
+                # superset of the post-filter probe's buckets: supersets
+                # are always valid — a few extra bucket directories read,
+                # never a missed one. The exact guard then reads only the
+                # batch's own fpk bands; the md5 compare keeps an fpk
+                # band collision from ever dropping a fresh row.
+                ebands, bbands = combined_touched_bands(
+                    spark,
+                    [
+                        (exact_index, fresh.select(_fpk())),
+                        (
+                            band_index,
+                            _band_hashes(cached, id_col, num_hashes, bands),
+                        ),
+                    ],
+                )
                 erows = (
                     exact_index.read_bands(spark, ebands) if ebands else None
                 )
@@ -320,10 +355,19 @@ def start_incremental_near_dedup(
                     if replayed is not None
                     else None
                 )
-                probe_keys = pb.select("band_hash")
-                if heal_rows is not None:
-                    probe_keys = probe_keys.union(heal_rows.select("band_hash"))
-                buckets = band_index.touched_bands(probe_keys)
+                if bbands is not None:
+                    # steady state: the fused collect above already named
+                    # the buckets (cached superset covers pb)
+                    buckets = bbands
+                else:
+                    # post-crash heal (rare): the probe must also cover
+                    # the replayed rows' band hashes
+                    probe_keys = pb.select("band_hash")
+                    if heal_rows is not None:
+                        probe_keys = probe_keys.union(
+                            heal_rows.select("band_hash")
+                        )
+                    buckets = band_index.touched_bands(probe_keys)
                 idx_rows = (
                     band_index.read_bands(spark, buckets) if buckets else None
                 )
@@ -363,7 +407,23 @@ def start_incremental_near_dedup(
                         .select(F.col("bid").alias("p_id"), F.col("id").alias("t_id"))
                         .dropDuplicates(["p_id", "t_id"])
                     )
-                    if not cand.isEmpty():
+                    if metrics is None:
+                        gate_open = not cand.isEmpty()
+                    else:
+                        # count() doubles as the emptiness gate when the
+                        # caller wants the trigger telemetry — same pruned
+                        # batch-sized frame, one job either way
+                        n_cand = cand.count()
+                        gate_open = n_cand > 0
+                        if gate_open:
+                            metrics["verify_cand_pairs"] = (
+                                metrics.get("verify_cand_pairs", 0) + n_cand
+                            )
+                    if gate_open:
+                        if metrics is not None:
+                            metrics["verify_launched"] = (
+                                metrics.get("verify_launched", 0) + 1
+                            )
                         hist_victims = _verified_victims(
                             cand, fresh, hist, id_col, threshold
                         )
@@ -386,22 +446,74 @@ def start_incremental_near_dedup(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends
-            exact_index.append(_exact_pairs(fresh, id_col))
+            # brackets both appends. The probe band sets (supersets of
+            # the surviving rows' bands) feed maintain()'s
+            # batch-proportional detection.
+            exact_index.append(_exact_pairs(fresh, id_col), touched=ebands)
             band_index.append(
                 _band_hashes(fresh, id_col, num_hashes, bands).select(
                     F.col("bid").alias("id"), "band", "band_hash"
-                )
+                ),
+                touched=bbands,
             )
             band_index.clear_inflight(spark)
         cached.unpersist()
         if hist_cached is not None:
             hist_cached.unpersist()
         n_done[0] += 1
+        if metrics is not None:
+            metrics["batches"] = metrics.get("batches", 0) + 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
             band_index.maintain(spark, max_files_per_band=maintain_max_files)
             exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
+    return process
+
+
+def start_incremental_near_dedup(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    available_now: bool = True,
+    n_buckets: int | None = None,
+    history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
+    metrics: dict | None = None,
+):
+    """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
+    that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
+    previously stored row, carrying (fp, sig, sh, n) alongside the data.
+
+    ``n_buckets=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; once an index exists its persisted bucket count always wins
+    (the count is physical sizing that ``maintain()`` legitimately grows
+    — see ``banded_index``), so an explicit value is a creation-time hint
+    only; rebuilds happen only when the stored ``key_col``/``schema_tag``
+    contradict this stream's key derivation (k/num_hashes/bands here).
+    ``metrics`` is the observability dict documented on
+    :func:`make_near_dedup_processor`."""
+    process = make_near_dedup_processor(
+        corpus_dir,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        n_buckets=n_buckets,
+        history_probe=history_probe,
+        maintain_every=maintain_every,
+        maintain_max_files=maintain_max_files,
+        metrics=metrics,
+    )
     writer = (
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

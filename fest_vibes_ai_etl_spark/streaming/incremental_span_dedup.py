@@ -33,9 +33,11 @@ maintains TWO band-partitioned sidecars (see ``banded_index``):
   string, so an fpk band collision costs extra rows read, never a wrong
   drop.
 
-Both sidecars persist their layout (``_meta.json``); a restart with
-different banding parameters is detected and the stream invalidates +
-rebuilds from the corpus instead of probing a wrong subset.
+Both sidecars persist their layout (``_meta.json``); a restart whose
+key-derivation parameters (key_col/schema_tag) contradict the stored
+layout is detected and the stream invalidates + rebuilds from the corpus
+instead of probing a wrong subset (the stored band count itself always
+wins — physical sizing, grown by maintenance, never a rebuild trigger).
 ``history_probe="scan"`` keeps the pre-round-7 full-scan path (re-explode
 stored ``wfps`` per batch) for A/B measurement; ``tools/probe_scaling.py``
 records the walls of both at growing accumulated history.
@@ -62,68 +64,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import winnow_fingerprints
-from .banded_index import BandedFingerprintIndex, BandedIndexLayoutError
+from ._exact_guard import (
+    _exact_pairs,
+    _fpk,
+    _heal_exact_index,
+    _settle_indexes,
+    exact_index_path,
+)
+from .banded_index import BandedFingerprintIndex, combined_touched_bands
+
+__all__ = [
+    "span_index_path",
+    "exact_index_path",
+    "make_span_dedup_processor",
+    "start_incremental_span_dedup",
+]
 
 
 def span_index_path(corpus_dir: str) -> str:
     return corpus_dir.rstrip("/") + "_fpidx"
-
-
-def exact_index_path(corpus_dir: str) -> str:
-    """The exact-fingerprint sidecar, shared by the span and near streams
-    (same layout: (id, fp, fpk) banded on fpk)."""
-    return corpus_dir.rstrip("/") + "_exactidx"
-
-
-def _fpk(col="fp"):
-    return F.xxhash64(F.col(col)).alias("fpk")
-
-
-def _exact_pairs(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, fp, fpk) rows for the exact-dup sidecar. The fp is coalesced
-    to the family's null-text sentinel so legacy corpora (fp=NULL rows)
-    stay joinable after migration."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.coalesce("fp", F.lit("null-text")).alias("fp"),
-    ).withColumn("fpk", F.xxhash64(F.col("fp")))
-
-
-def _heal_exact_index(spark, exact_index, repl_pairs: DataFrame) -> None:
-    """Post-crash heal of an ``_exactidx`` sidecar: re-append replayed
-    rows' fingerprints the crashed attempt never got to write.
-    ``repl_pairs`` carries the sidecar's full schema (..., fp, fpk); the
-    anti-join keys on every non-fpk column, so an fpk collision can't
-    mask a genuinely-missing row."""
-    keys = [c for c in repl_pairs.columns if c != "fpk"]
-    ebands = exact_index.touched_bands(repl_pairs.select("fpk"))
-    erows = exact_index.read_bands(spark, ebands) if ebands else None
-    missing = (
-        repl_pairs.join(erows, keys, "left_anti")
-        if erows is not None
-        else (repl_pairs if ebands else None)
-    )
-    if missing is not None and not missing.isEmpty():
-        exact_index.append(missing)
-
-
-def _settle_indexes(spark, idx_builders, idx_settled) -> None:
-    """One-time (per stream) index reconciliation: validate each index's
-    persisted layout, invalidating + rebuilding from the corpus on a
-    mismatch (the corpus is authoritative; probing across a layout
-    mismatch silently admits duplicates), and migration-building any
-    index that doesn't exist yet."""
-    if idx_settled:
-        return
-    for idx, build_pairs in idx_builders:
-        try:
-            present = idx.exists(spark)
-        except BandedIndexLayoutError:
-            idx.invalidate(spark)
-            present = False
-        if not present:
-            idx.build_from(build_pairs())
-    idx_settled.append(True)
 
 
 def _span_victims(
@@ -150,34 +109,23 @@ def _span_victims(
     )
 
 
-def start_incremental_span_dedup(
-    docs: DataFrame,
+def make_span_dedup_processor(
     corpus_dir: str,
-    checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 20,
     w: int = 15,
     min_shared: int = 3,
-    available_now: bool = True,
     n_bands: int | None = None,
     history_probe: str = "bucketed",
     max_doc_chars: int | None = None,
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
 ):
-    """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
-    rows that are neither exact duplicates nor duplicated-passage carriers
-    (≥ ``min_shared`` shared winnowed fingerprints) of any previously
-    stored row, carrying (fp, wfps) alongside the data.
-
-    ``n_bands=None`` (the default) adopts an existing index's persisted
-    layout, or auto-sizes a fresh one from the first write's distinct-key
-    count; an explicit value that contradicts the persisted layout makes
-    the stream rebuild the index rather than probe a wrong subset.
-    ``max_doc_chars`` is the long-doc skew guard passed through to
-    ``winnow_fingerprints`` (fingerprint-set invariant, so corpora built
-    with and without it are interchangeable)."""
+    """The ``foreachBatch`` processor behind
+    :func:`start_incremental_span_dedup`, exposed so tests and batch
+    backfills can drive micro-batches directly (plain DataFrames + batch
+    ids) without a streaming query."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -225,7 +173,6 @@ def start_incremental_span_dedup(
             .persist()
         )
         fresh = cached
-        fresh.count()
         try:
             hist = spark.read.parquet(corpus_dir)
         except AnalysisException as exc:
@@ -239,14 +186,25 @@ def start_incremental_span_dedup(
             hist = None
         use_index = history_probe == "bucketed"
         need_heal = False
-        if not idx_settled and (not use_index or hist is None):
-            # Two reasons a surviving index must die before this batch:
-            # scan mode appends corpus rows WITHOUT maintaining any index
-            # (a stale one would make a later bucketed run miss duplicates
-            # forever — exists() would skip the migration rebuild); and a
-            # FIRST batch (no corpus) alongside a leftover sidecar means
-            # the corpus was deleted out from under its index — probing it
-            # would drop fresh docs that matched the OLD, gone corpus.
+        if hist is None:
+            # The corpus is ABSENT — first batch, or deleted out from
+            # under a RUNNING stream. Either way surviving sidecars
+            # describe a gone corpus: probing them would silently drop
+            # fresh docs that matched old, no-longer-stored rows (never
+            # stored anywhere), so they must die EVERY time absence is
+            # observed, not once per stream run — the check is a handful
+            # of filesystem stats, and this batch's own appends recreate
+            # corpus and indexes in sync.
+            fp_index.invalidate(spark)
+            exact_index.invalidate(spark)
+            if not idx_settled:
+                idx_settled.append(True)
+        elif not use_index and not idx_settled:
+            # scan mode appends corpus rows WITHOUT maintaining any index:
+            # a stale one would make a later bucketed run miss duplicates
+            # forever (exists() would skip the migration rebuild). One
+            # shot per run suffices — single-writer discipline means no
+            # one else can create an index mid-run.
             fp_index.invalidate(spark)
             exact_index.invalidate(spark)
             idx_settled.append(True)
@@ -274,13 +232,26 @@ def start_incremental_span_dedup(
         fresh = fresh.join(keep, ["fp", id_col], "left_semi")
         replayed = None
         replayed_keys = None
+        ebands = None
+        fbands = None
         if hist is not None:
             if use_index and not need_heal:
-                # steady state: bucket-local replay guard — only the
-                # batch's own fpk bands are read; the md5 compare keeps
-                # an fpk band collision from ever dropping a fresh row
-                ebands = exact_index.touched_bands(
-                    fresh.select(_fpk())
+                # steady state: ONE driver collect computes BOTH sidecars'
+                # touched-band sets (each collect is a whole job
+                # submission — two per batch was a measured slice of the
+                # stream's fixed overhead). The fp set is derived from
+                # wf (ALL the batch's winnow fingerprints), a superset of
+                # the post-filter probe keys: supersets are always valid
+                # here — a few extra band directories read, never a
+                # missed one. The exact guard then reads only the batch's
+                # own fpk bands; the md5 compare keeps an fpk band
+                # collision from ever dropping a fresh row.
+                ebands, fbands = combined_touched_bands(
+                    spark,
+                    [
+                        (exact_index, fresh.select(_fpk())),
+                        (fp_index, wf.select("fp")),
+                    ],
                 )
                 erows = (
                     exact_index.read_bands(spark, ebands) if ebands else None
@@ -319,10 +290,17 @@ def start_incremental_span_dedup(
                     if replayed is not None
                     else None
                 )
-                probe_keys = live_fps.select("fp")
-                if heal_fps is not None:
-                    probe_keys = probe_keys.union(heal_fps.select("fp"))
-                bands = fp_index.touched_bands(probe_keys)
+                if fbands is not None:
+                    # steady state: the fused collect above already named
+                    # the bands (wf superset covers live_fps)
+                    bands = fbands
+                else:
+                    # post-crash heal (rare): the probe must also cover
+                    # the replayed rows' fingerprints
+                    probe_keys = live_fps.select("fp")
+                    if heal_fps is not None:
+                        probe_keys = probe_keys.union(heal_fps.select("fp"))
+                    bands = fp_index.touched_bands(probe_keys)
                 idx_rows = (
                     fp_index.read_bands(spark, bands) if bands else None
                 )
@@ -377,12 +355,15 @@ def start_incremental_span_dedup(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends
-            exact_index.append(_exact_pairs(fresh, id_col))
+            # brackets both appends. The probe band sets (supersets of
+            # the surviving rows' bands) feed maintain()'s
+            # batch-proportional detection.
+            exact_index.append(_exact_pairs(fresh, id_col), touched=ebands)
             fp_index.append(
                 wf.join(
                     fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
-                )
+                ),
+                touched=fbands,
             )
             fp_index.clear_inflight(spark)
         cached.unpersist()
@@ -392,6 +373,53 @@ def start_incremental_span_dedup(
             fp_index.maintain(spark, max_files_per_band=maintain_max_files)
             exact_index.maintain(spark, max_files_per_band=maintain_max_files)
 
+    return process
+
+
+def start_incremental_span_dedup(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 15,
+    min_shared: int = 3,
+    available_now: bool = True,
+    n_bands: int | None = None,
+    history_probe: str = "bucketed",
+    max_doc_chars: int | None = None,
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
+):
+    """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
+    rows that are neither exact duplicates nor duplicated-passage carriers
+    (≥ ``min_shared`` shared winnowed fingerprints) of any previously
+    stored row, carrying (fp, wfps) alongside the data.
+
+    ``n_bands=None`` (the default) adopts an existing index's persisted
+    layout, or auto-sizes a fresh one from the first write's distinct-key
+    count; once an index exists its persisted band count always wins (the
+    count is physical sizing that ``maintain()`` legitimately grows — see
+    ``banded_index``), so an explicit value is a creation-time hint only;
+    rebuilds happen only when the stored ``key_col``/``schema_tag``
+    contradict this stream's key derivation (k/w here).
+    ``max_doc_chars`` is the long-doc skew guard passed through to
+    ``winnow_fingerprints`` (fingerprint-set invariant, so corpora built
+    with and without it are interchangeable)."""
+    process = make_span_dedup_processor(
+        corpus_dir,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        w=w,
+        min_shared=min_shared,
+        n_bands=n_bands,
+        history_probe=history_probe,
+        max_doc_chars=max_doc_chars,
+        maintain_every=maintain_every,
+        maintain_max_files=maintain_max_files,
+    )
     writer = (
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -282,11 +282,19 @@ def test_layout_mismatch_never_probes_wrong_subset(spark, tmp_path):
     assert not os.path.exists(base)
 
 
-def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
-    """Pre-round-8 indexes have no _meta.json. An explicit n_bands asserts
-    the layout (exactly the trust the old code extended) and upgrades in
-    place; n_bands=None has nothing to validate against and must refuse
-    so the stream rebuilds from the corpus."""
+def test_legacy_index_without_meta_always_refuses(spark, tmp_path):
+    """Pre-round-8 indexes have no _meta.json. Band data whose true band
+    count is unrecorded must NEVER be probed — an explicit n_bands can be
+    cheaply disproven only when too small (a pband=N dir with N >= claim
+    exists); a too-LARGE claim is unverifiable, and blessing it in
+    _meta.json would make every later probe pmod under the wrong modulus
+    and silently miss duplicates. So any pband data without meta refuses,
+    explicit n_bands or not; the stream callers invalidate + rebuild from
+    the authoritative corpus. A dataless directory (markers only, no
+    pband= dirs) may still adopt an explicit n_bands: nothing to
+    mis-probe."""
+    import json
+
     import pytest
 
     from fest_vibes_ai_etl_spark.streaming.banded_index import (
@@ -300,12 +308,26 @@ def test_legacy_index_without_meta_upgrades_or_refuses(spark, tmp_path):
     os.remove(base + "/_meta.json")  # simulate the legacy layout
     with pytest.raises(BandedIndexLayoutError, match="predates"):
         BandedFingerprintIndex(base, "fp").exists(spark)
-    upgraded = BandedFingerprintIndex(base, "fp", n_bands=8)
-    assert upgraded.exists(spark)
-    assert os.path.exists(base + "/_meta.json")  # upgraded in place
-    assert BandedFingerprintIndex(base, "fp").n_bands is None  # lazy
+    # the CORRECT historical count refuses too: indistinguishable from a
+    # wrong too-large claim, and only refusal is safe for both
+    with pytest.raises(BandedIndexLayoutError, match="predates"):
+        BandedFingerprintIndex(base, "fp", n_bands=8).exists(spark)
+    with pytest.raises(BandedIndexLayoutError, match="predates"):
+        BandedFingerprintIndex(base, "fp", n_bands=1024).exists(spark)
+    # the documented recovery: invalidate, rebuild from source pairs
+    idx = BandedFingerprintIndex(base, "fp", n_bands=8)
+    idx.invalidate(spark)
+    idx.build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
     fresh = BandedFingerprintIndex(base, "fp")
     assert fresh.exists(spark) and fresh.n_bands == 8
+    # dataless dir without meta: explicit n_bands may create the layout
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty + "/_stale_marker_dir")
+    claimed = BandedFingerprintIndex(empty, "fp", n_bands=16)
+    assert claimed.exists(spark)
+    assert json.load(open(empty + "/_meta.json"))["n_bands"] == 16
 
 
 def test_auto_band_sizing_from_first_write(spark, tmp_path):
@@ -502,7 +524,7 @@ def test_span_stream_deleted_corpus_invalidates_sidecars(spark, tmp_path):
     import shutil
 
     shutil.rmtree(corpus)
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -535,7 +557,7 @@ def test_near_heal_catches_batchmate_of_replayed_doc(spark, tmp_path):
     from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
         _with_signatures,
     )
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -681,7 +703,7 @@ def test_span_heal_catches_batchmate_of_replayed_doc(spark, tmp_path):
     # corpus (with fp + wfps), NO index rows, marker up
     from fest_vibes_ai_etl_spark.operators.dedup import winnow_fingerprints
     from fest_vibes_ai_etl_spark.streaming.incremental_dedup import fingerprint
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -788,7 +810,7 @@ def test_span_stream_soak_bounds_files_and_caches(spark, tmp_path):
     assert q.awaitTermination(600), "stream did not finish in 600s"
     assert jsc.getPersistentRDDs().size() == cached_before  # no cache leak
     idx_dir = span_index_path(corpus)
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -828,3 +850,106 @@ def test_span_bucketed_migrates_scan_built_corpus(spark, tmp_path):
     assert 10 not in ids and 2000 not in ids and {1, 2, 3, 11} <= ids
     # migration built the index covering BOTH old and new rows
     assert _index_pairs(spark, span_index_path(corpus)) == _corpus_pairs(spark, corpus)
+
+
+def test_maintain_detection_is_batch_proportional(spark, tmp_path):
+    """Round-8 verdict's scale seam: maintain()'s detection walk must
+    list only the bands dirtied since the last maintenance (the touched
+    sets appends pass along), not every pband= directory — at the
+    deployment shape an index-sized walk is ~65k LIST calls per tick.
+    The first tick after an unknown state (fresh instance / build_from)
+    pays one full walk to seed the byte cache; later ticks are
+    dirty-only, and an append that can't name its bands degrades to one
+    full walk instead of corrupting anything."""
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=16)
+    idx.build_from(
+        spark.range(400).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    before = _index_pairs(spark, base)
+    # tick 1: state unknown after build_from -> one full walk
+    assert idx.maintain(spark, max_files_per_band=4) == 0
+    assert idx.last_maintain_walk == "full"
+    assert idx.last_maintain_inspected == list(range(16))
+    # appends that declare their touched bands: fragment band 3 only
+    # (fp = 16i + 3 => pmod(fp, 16) = 3); a SUPERSET declaration is valid
+    added = set()
+    for i in range(6):
+        idx.append(
+            spark.createDataFrame(
+                [(20_000 + i, 16 * i + 3)], "id long, fp long"
+            ),
+            touched=[3, 9],  # 9: probe superset band never written
+        )
+        added.add((20_000 + i, 16 * i + 3))
+    n = idx.maintain(spark, max_files_per_band=4)
+    assert n == 1  # exactly the fragmented band
+    assert idx.last_maintain_walk == "dirty"
+    assert idx.last_maintain_inspected == [3, 9]  # ONLY dirty bands listed
+    assert _index_pairs(spark, base) == before | added
+    # the next tick has nothing dirty: zero directories listed
+    assert idx.maintain(spark, max_files_per_band=4) == 0
+    assert idx.last_maintain_walk == "dirty"
+    assert idx.last_maintain_inspected == []
+    # an append without a band set: the dirty bookkeeping can no longer
+    # claim completeness, so the next tick re-learns with one full walk
+    idx.append(spark.createDataFrame([(9, 16)], "id long, fp long"))
+    assert idx.maintain(spark, max_files_per_band=4) == 0
+    assert idx.last_maintain_walk == "full"
+    assert _index_pairs(spark, base) == before | added | {(9, 16)}
+
+
+def test_reband_triggers_from_running_byte_cache(spark, tmp_path):
+    """The re-banding byte trigger must fire on a DIRTY-ONLY tick from
+    the running per-band byte cache (seeded by the last full walk,
+    refreshed for the bands each tick lists) — growth detection must not
+    need an index-sized walk of its own."""
+    import json
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    before = _index_pairs(spark, base)
+    # seed the byte cache (byte check disabled on this tick)
+    idx.maintain(spark, max_files_per_band=99, target_band_bytes=None)
+    assert idx.last_maintain_walk == "full"
+    # grow band 1 hard; the append declares its touched band
+    grown = spark.range(4000).select(
+        (F.col("id") + 100_000).alias("id"), (F.col("id") * 4 + 1).alias("fp")
+    )
+    idx.append(grown, touched=[1])
+    rewritten = idx.maintain(
+        spark, max_files_per_band=99, target_band_bytes=2048
+    )
+    assert idx.last_maintain_walk == "dirty"
+    assert idx.last_maintain_inspected == [1]
+    assert rewritten == idx.n_bands and idx.n_bands > 4  # re-band fired
+    assert json.load(open(base + "/_meta.json"))["n_bands"] == idx.n_bands
+    grown_pairs = {(r.id, r.fp) for r in grown.collect()}
+    assert _index_pairs(spark, base) == before | grown_pairs
+
+
+def test_combined_touched_bands_matches_per_index(spark, tmp_path):
+    """The fused one-job collect must return exactly what the per-index
+    touched_bands calls return, for indexes with different band counts
+    and key columns."""
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        combined_touched_bands,
+    )
+
+    a = BandedFingerprintIndex(str(tmp_path / "a"), "fp", n_bands=8)
+    a.build_from(
+        spark.range(200).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    b = BandedFingerprintIndex(str(tmp_path / "b"), "fpk", n_bands=32)
+    b.build_from(
+        spark.range(200).select(F.col("id"), F.xxhash64("id", "id").alias("fpk"))
+    )
+    keys_a = spark.createDataFrame([(3,), (11,), (-5,)], "fp long")
+    keys_b = spark.createDataFrame([(7,), (64,), (-1,)], "fpk long")
+    got_a, got_b = combined_touched_bands(spark, [(a, keys_a), (b, keys_b)])
+    assert sorted(got_a) == sorted(a.touched_bands(keys_a))
+    assert sorted(got_b) == sorted(b.touched_bands(keys_b))
+    assert got_a and got_b

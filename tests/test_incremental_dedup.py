@@ -48,7 +48,7 @@ def test_exact_bucketed_probe_equals_scan_probe(spark, tmp_path):
     import json
     import os
 
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -90,7 +90,7 @@ def test_exact_index_heals_after_crash_between_corpus_and_index(spark, tmp_path)
     from fest_vibes_ai_etl_spark.streaming.banded_index import (
         BandedFingerprintIndex,
     )
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -146,7 +146,7 @@ def test_exact_bucketed_migrates_scan_built_corpus(spark, tmp_path):
     historical duplicates bucket-locally."""
     import os
 
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -183,7 +183,7 @@ def test_deleted_corpus_invalidates_surviving_sidecar(spark, tmp_path):
     import os
     import shutil
 
-    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
         exact_index_path,
     )
 
@@ -244,3 +244,49 @@ def test_legacy_null_fp_history_converges(spark, tmp_path):
     # so it IS appended
     ids = {r.doc_id for r in stored.select("doc_id").collect()}
     assert ids == {1, 2, 4}
+
+
+def test_mid_run_corpus_deletion_kills_sidecar(spark, tmp_path):
+    """The deleted-corpus guard must not be one-shot per stream run: if
+    the corpus vanishes while a bucketed stream is MID-RUN (after its
+    settle flag is set), the next batch must still invalidate the
+    surviving _exactidx before probing or appending — otherwise new docs
+    whose text matches the old, gone corpus are silently dropped and
+    stored nowhere. Driven through the exported batch processor (the
+    exact closure foreachBatch runs) so the deletion lands between two
+    batches of ONE run."""
+    import os
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
+        exact_index_path,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_dedup import (
+        make_exact_dedup_processor,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    proc = make_exact_dedup_processor(corpus)
+    proc(docs.filter("doc_id < 40"), 0)
+    n = spark.read.parquet(corpus).count()
+    assert n > 0 and os.path.exists(exact_index_path(corpus))
+    # the corpus is deleted out from under the RUNNING stream; the
+    # sidecar survives and now describes a gone corpus
+    shutil.rmtree(corpus)
+    # same texts again, same run: every one must be stored (the old
+    # behavior probed the stale sidecar and dropped them all)
+    proc(docs.filter("doc_id < 40"), 1)
+    assert spark.read.parquet(corpus).count() == n
+    # and the recreated sidecar exactly covers the recreated corpus
+    idx_fps = {
+        r.fp
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("fp").collect()
+    }
+    assert idx_fps == {
+        r.fp for r in spark.read.parquet(corpus).select("fp").collect()
+    }
+    # a THIRD batch of the same texts appends nothing (probe healthy)
+    proc(docs.filter("doc_id < 40"), 2)
+    assert spark.read.parquet(corpus).count() == n

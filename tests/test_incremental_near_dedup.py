@@ -67,3 +67,93 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     # replay under a fresh checkpoint appends nothing (convergent)
     _run(spark, src, corpus, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(corpus).count() == n0
+
+
+def test_mid_run_corpus_deletion_kills_sidecars(spark, tmp_path):
+    """Mid-run corpus deletion (settle flag already set) must invalidate
+    BOTH surviving sidecars before the batch probes or appends — a stale
+    _bandidx/_exactidx pair would silently drop every new doc matching
+    the old, gone corpus. Driven through the exported batch processor so
+    the deletion lands between two batches of ONE run."""
+    import os
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
+        exact_index_path,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        make_near_dedup_processor,
+        near_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    proc = make_near_dedup_processor(corpus, threshold=THRESHOLD)
+    proc(docs.filter("doc_id < 40"), 0)
+    n = spark.read.parquet(corpus).count()
+    assert n > 0
+    assert os.path.exists(near_index_path(corpus))
+    assert os.path.exists(exact_index_path(corpus))
+    shutil.rmtree(corpus)
+    proc(docs.filter("doc_id < 40"), 1)
+    # every doc the first batch stored is stored again — nothing silently
+    # dropped against the gone corpus
+    assert spark.read.parquet(corpus).count() == n
+    # the recreated exact sidecar covers the recreated corpus
+    idx_fps = {
+        r.fp
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("fp").collect()
+    }
+    assert idx_fps == {
+        r.fp for r in spark.read.parquet(corpus).select("fp").collect()
+    }
+
+
+def test_near_metrics_reports_verify_gate(spark, tmp_path):
+    """The metrics dict must count batches, how often the emptiness gate
+    actually launched the exact-Jaccard verify (the stream's one
+    candidate-gated linear term), and the candidate pairs scored — the
+    observability the SCALE.md trigger-rate measurement runs on."""
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        make_near_dedup_processor,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the crowded hall tonight"
+    )
+    metrics: dict = {}
+    corpus = str(tmp_path / "corpus")
+    proc = make_near_dedup_processor(
+        corpus, threshold=THRESHOLD, metrics=metrics
+    )
+    proc(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"), 0
+    )
+    # novel batch: no shared band hash with history -> gate stays closed
+    proc(
+        spark.createDataFrame(
+            [(2, "completely different vocabulary about spark query plans "
+                 "and shuffle partitions in a distributed engine")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert metrics.get("verify_launched", 0) == 0
+    # near-dup batch: bands collide -> the gate opens exactly once
+    proc(
+        spark.createDataFrame(
+            [(3, base + " encore")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert metrics["batches"] == 3
+    assert metrics["verify_launched"] == 1
+    assert metrics["verify_cand_pairs"] >= 1
+    # and the near-dup was actually dropped by the launched verify
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(corpus).select("doc_id").collect()
+    }
+    assert ids == {1, 2}

@@ -105,3 +105,45 @@ def test_null_text_rows_survive_once_and_replay_converges(spark, tmp_path):
     assert kept == {1, 2, 4}
     _run(spark, src, corpus, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_mid_run_corpus_deletion_kills_sidecars(spark, tmp_path):
+    """Mid-run corpus deletion (settle flag already set) must invalidate
+    BOTH surviving sidecars before the batch probes or appends — a stale
+    _fpidx/_exactidx pair would silently drop every new doc sharing a
+    passage (or bytes) with the old, gone corpus. Driven through the
+    exported batch processor so the deletion lands between two batches
+    of ONE run."""
+    import os
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
+        exact_index_path,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        make_span_dedup_processor,
+        span_index_path,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    proc = make_span_dedup_processor(corpus, k=K, w=W, min_shared=MIN_SHARED)
+    proc(docs.filter("doc_id < 40"), 0)
+    n = spark.read.parquet(corpus).count()
+    assert n > 0
+    assert os.path.exists(span_index_path(corpus))
+    assert os.path.exists(exact_index_path(corpus))
+    shutil.rmtree(corpus)
+    proc(docs.filter("doc_id < 40"), 1)
+    # every doc the first batch stored is stored again — nothing silently
+    # dropped against the gone corpus
+    assert spark.read.parquet(corpus).count() == n
+    # both recreated sidecars cover the recreated corpus
+    idx_fps = {
+        r.fp
+        for r in spark.read.parquet(exact_index_path(corpus))
+        .select("fp").collect()
+    }
+    assert idx_fps == {
+        r.fp for r in spark.read.parquet(corpus).select("fp").collect()
+    }

@@ -177,9 +177,9 @@ def make_exact_dedup_processor(
             # evaluation of `fresh` here is safe: dropDuplicates may pick a
             # different within-batch survivor on re-run, but the sidecar
             # stores only (fp, fpk), identical across survivors. The
-            # probe's band set (a superset of the surviving rows' bands)
-            # feeds maintain()'s batch-proportional detection.
-            exact_index.append(_pairs(fresh), touched=ebands)
+            # append itself reports the bands it wrote, feeding
+            # maintain()'s batch-proportional detection exactly.
+            exact_index.append(_pairs(fresh))
             exact_index.clear_inflight(spark)
         n_done[0] += 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:

@@ -446,15 +446,14 @@ def make_near_dedup_processor(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends. The probe band sets (supersets of
-            # the surviving rows' bands) feed maintain()'s
-            # batch-proportional detection.
-            exact_index.append(_exact_pairs(fresh, id_col), touched=ebands)
+            # brackets both appends. Each append reports the bands it
+            # wrote, feeding maintain()'s batch-proportional detection
+            # exactly.
+            exact_index.append(_exact_pairs(fresh, id_col))
             band_index.append(
                 _band_hashes(fresh, id_col, num_hashes, bands).select(
                     F.col("bid").alias("id"), "band", "band_hash"
-                ),
-                touched=bbands,
+                )
             )
             band_index.clear_inflight(spark)
         cached.unpersist()

@@ -355,15 +355,14 @@ def make_span_dedup_processor(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends. The probe band sets (supersets of
-            # the surviving rows' bands) feed maintain()'s
-            # batch-proportional detection.
-            exact_index.append(_exact_pairs(fresh, id_col), touched=ebands)
+            # brackets both appends. Each append reports the bands it
+            # wrote, feeding maintain()'s batch-proportional detection
+            # exactly.
+            exact_index.append(_exact_pairs(fresh, id_col))
             fp_index.append(
                 wf.join(
                     fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
-                ),
-                touched=fbands,
+                )
             )
             fp_index.clear_inflight(spark)
         cached.unpersist()

@@ -857,10 +857,10 @@ def test_maintain_detection_is_batch_proportional(spark, tmp_path):
     list only the bands dirtied since the last maintenance (the touched
     sets appends pass along), not every pband= directory — at the
     deployment shape an index-sized walk is ~65k LIST calls per tick.
-    The first tick after an unknown state (fresh instance / build_from)
-    pays one full walk to seed the byte cache; later ticks are
-    dirty-only, and an append that can't name its bands degrades to one
-    full walk instead of corrupting anything."""
+    The first tick after an unknown state (fresh instance / build_from /
+    crash recovery) pays one full walk to seed the byte cache; later
+    ticks are dirty-only, with the dirty set fed exactly by what each
+    append reports it wrote."""
     base = str(tmp_path / "idx")
     idx = BandedFingerprintIndex(base, "fp", n_bands=16)
     idx.build_from(
@@ -871,32 +871,32 @@ def test_maintain_detection_is_batch_proportional(spark, tmp_path):
     assert idx.maintain(spark, max_files_per_band=4) == 0
     assert idx.last_maintain_walk == "full"
     assert idx.last_maintain_inspected == list(range(16))
-    # appends that declare their touched bands: fragment band 3 only
-    # (fp = 16i + 3 => pmod(fp, 16) = 3); a SUPERSET declaration is valid
+    # fragment band 3 only (fp = 16i + 3 => pmod(fp, 16) = 3); the append
+    # itself reports the bands it wrote
     added = set()
     for i in range(6):
-        idx.append(
+        wrote = idx.append(
             spark.createDataFrame(
                 [(20_000 + i, 16 * i + 3)], "id long, fp long"
-            ),
-            touched=[3, 9],  # 9: probe superset band never written
+            )
         )
+        assert wrote == [3]
         added.add((20_000 + i, 16 * i + 3))
     n = idx.maintain(spark, max_files_per_band=4)
     assert n == 1  # exactly the fragmented band
     assert idx.last_maintain_walk == "dirty"
-    assert idx.last_maintain_inspected == [3, 9]  # ONLY dirty bands listed
+    assert idx.last_maintain_inspected == [3]  # ONLY the dirty band listed
     assert _index_pairs(spark, base) == before | added
     # the next tick has nothing dirty: zero directories listed
     assert idx.maintain(spark, max_files_per_band=4) == 0
     assert idx.last_maintain_walk == "dirty"
     assert idx.last_maintain_inspected == []
-    # an append without a band set: the dirty bookkeeping can no longer
-    # claim completeness, so the next tick re-learns with one full walk
-    idx.append(spark.createDataFrame([(9, 16)], "id long, fp long"))
+    # crash-recovery residue (a stale _bandtmp staging dir) invalidates
+    # the bookkeeping: the next tick re-learns with one full walk
+    os.makedirs(base + "_bandtmp/pband=99")
     assert idx.maintain(spark, max_files_per_band=4) == 0
     assert idx.last_maintain_walk == "full"
-    assert _index_pairs(spark, base) == before | added | {(9, 16)}
+    assert _index_pairs(spark, base) == before | added
 
 
 def test_reband_triggers_from_running_byte_cache(spark, tmp_path):
@@ -915,11 +915,11 @@ def test_reband_triggers_from_running_byte_cache(spark, tmp_path):
     # seed the byte cache (byte check disabled on this tick)
     idx.maintain(spark, max_files_per_band=99, target_band_bytes=None)
     assert idx.last_maintain_walk == "full"
-    # grow band 1 hard; the append declares its touched band
+    # grow band 1 hard (every fp ≡ 1 mod 4)
     grown = spark.range(4000).select(
         (F.col("id") + 100_000).alias("id"), (F.col("id") * 4 + 1).alias("fp")
     )
-    idx.append(grown, touched=[1])
+    assert idx.append(grown) == [1]
     rewritten = idx.maintain(
         spark, max_files_per_band=99, target_band_bytes=2048
     )

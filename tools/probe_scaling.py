@@ -292,6 +292,21 @@ def main() -> None:
                 span_index_path(proto) if fam == "span" else near_index_path(proto)
             )
             exact_proto = exact_index_path(proto)
+            # cached protos built by early-round-8 runs predate the
+            # in-directory _meta.json; since round 9 a meta-less index
+            # REFUSES (invalidate+rebuild is the only safe upgrade), so a
+            # stale cached proto would make every timed batch pay a
+            # silent rebuild — rebuild it ONCE here instead, after which
+            # the cache carries its meta
+            for stale in (idx_proto, exact_proto):
+                if (
+                    os.path.exists(stale)
+                    and not os.path.exists(os.path.join(stale, "_meta.json"))
+                    and not os.path.exists(stale.rstrip("/") + "_meta.json")
+                ):
+                    log(f"[{fam}] cached index {stale} predates _meta.json "
+                        f"— rebuilding once")
+                    shutil.rmtree(stale)
             if not os.path.exists(idx_proto):
                 log(f"[{fam}] building x{r} index ...")
                 hist = spark.read.parquet(proto)

@@ -395,6 +395,38 @@ class BandedFingerprintIndex:
         df = spark.read.option("basePath", self.path).parquet(*paths)
         return df.drop("pband")
 
+    def _append_destination(self, spark: SparkSession):
+        """Resolve where direct appends write, through the SAME Hadoop
+        filesystem every other index operation uses — the executor-side
+        pyarrow writer must land bytes exactly where ``read_bands``/
+        ``maintain`` will look. Returns ``(kind, base)``:
+
+        - ``("local", /abs/path)`` — the Hadoop fs is ``file:``;
+        - ``("uri", s3://bucket/key)`` — s3/s3a/s3n map onto pyarrow's
+          S3 support (credentials come from the standard AWS chain on
+          the executors — the documented deployment seam; Hadoop
+          ``fs.s3a.*`` settings are NOT read by pyarrow);
+        - ``(None, None)`` — any other scheme (hdfs, abfs, gs, ...):
+          no pyarrow mapping this code trusts, so append() falls back
+          to the Spark committer write — slower (the per-partition
+          commit cost), never wrong."""
+        fs, p = self._fs(spark)
+        uri = fs.makeQualified(p).toUri()
+        scheme = (uri.getScheme() or "file").lower()
+        if scheme == "file":
+            return "local", uri.getPath()
+        if scheme in ("s3", "s3a", "s3n"):
+            return "uri", f"s3://{uri.getHost()}{uri.getPath()}"
+        return None, None
+
+    # Writer-task count for direct appends. Hash-partitioning on the band
+    # column puts each band in exactly one task at ANY partition count, so
+    # this only trades task-launch overhead against file-creation
+    # parallelism: appends are micro-batch-sized, and inheriting
+    # spark.sql.shuffle.partitions (200 on a stock cluster) would launch
+    # hundreds of mostly-empty Python workers per append, twice per batch.
+    _APPEND_WRITE_TASKS = 16
+
     def append(self, pairs: DataFrame) -> list[int]:
         """Append (id, key) rows; the band column is derived here so
         callers can't write an inconsistent banding (and the layout is
@@ -410,23 +442,59 @@ class BandedFingerprintIndex:
         job-commit/output-listing walk, not file creation), which a
         fingerprint-dense stream (span winnowing, ~10² fps/doc ⇒ hundreds
         of touched bands) pays EVERY micro-batch forever. Direct writes
-        cut that to the file I/O itself. Crash safety is unchanged:
-        files land under a ``_tmp-`` name (parquet readers ignore
-        underscore-prefixed files) and are renamed into place, so a death
-        mid-append leaves only invisible temp files plus MISSING index
-        rows for stored docs — exactly the gap the streams' in-flight
-        marker + heal already covers; never a torn visible file.
+        cut that to the file I/O itself. Filesystems without a trusted
+        pyarrow mapping fall back to the committer path (see
+        ``_append_destination``) — slow, never wrong.
+
+        Failure model, replacing what the Hadoop task-commit protocol
+        gave the old path:
+
+        - *process death mid-append*: files land under a ``_tmp-`` name
+          (parquet readers ignore underscore-prefixed files) and are
+          renamed into place, so a crash leaves only invisible temps
+          (swept by maintain()) plus MISSING index rows for stored docs
+          — exactly the gap the streams' in-flight marker + heal covers;
+          never a torn visible file.
+        - *task retry / speculative attempts*: the FINAL name is
+          deterministic per (append, band) — a driver-generated append
+          id, not a per-attempt uuid — so a second attempt replaces the
+          first attempt's file (same rows for that band) instead of
+          adding a duplicate file whose rows would double-count
+          ``n_shared`` in the span probe and wrongly drop unique docs.
+          Only the ``_tmp-`` staging name is per-attempt.
+
         ``repartition`` by band keeps the one-file-per-touched-band
         invariant (each band's rows land in exactly one task) and is a
         shuffle boundary, so the upstream plan keeps its parallelism.
-
         The returned band set feeds maintain()'s batch-proportional
-        fragmentation detection exactly (no caller-supplied superset
-        needed — the write itself reports what it touched)."""
+        fragmentation detection exactly (the write itself reports what
+        it touched)."""
+        import uuid as _uuid
+
         spark = pairs.sparkSession
         creating = not self._exists_raw(spark)
         self._resolve_bands_for_write(spark, pairs)
-        root = self.path
+        kind, base_dest = self._append_destination(spark)
+        banded = pairs.withColumn(
+            "pband", self.band_of(F.col(self.key_col))
+        )
+        if kind is None:
+            # no trusted pyarrow mapping for this filesystem: correctness
+            # over speed. The write set is unknown afterwards (the
+            # committer reports nothing), so dirty tracking degrades to
+            # one full walk at the next maintenance tick.
+            (
+                banded.repartition(self._APPEND_WRITE_TASKS, F.col("pband"))
+                .write.mode("append")
+                .partitionBy("pband")
+                .parquet(self.path)
+            )
+            self._dirty_bands = None
+            self._band_bytes = None
+            if creating:
+                self._write_meta(spark)
+            return []
+        append_id = _uuid.uuid4().hex  # deterministic final names per append
 
         def write_bands(batches):
             # executor closure: self-contained imports (workers don't
@@ -442,28 +510,30 @@ class BandedFingerprintIndex:
             if not batches:
                 return
             tbl = pa.Table.from_batches(batches)
-            if "://" in root:
-                filesystem, base = pafs.FileSystem.from_uri(root)
+            if kind == "local":
+                filesystem, base = pafs.LocalFileSystem(), base_dest
             else:
-                filesystem, base = pafs.LocalFileSystem(), root
+                filesystem, base = pafs.FileSystem.from_uri(base_dest)
             for band in pc.unique(tbl.column("pband")).to_pylist():
                 sub = tbl.filter(pc.equal(tbl.column("pband"), band)).drop(
                     ["pband"]
                 )
                 band_dir = f"{base.rstrip('/')}/pband={band}"
                 filesystem.create_dir(band_dir, recursive=True)
-                name = f"part-{uuid.uuid4().hex}"
-                tmp = f"{band_dir}/_tmp-{name}.parquet"
+                # per-attempt staging name; DETERMINISTIC final name (a
+                # retried/speculative attempt replaces, never duplicates)
+                tmp = f"{band_dir}/_tmp-{uuid.uuid4().hex}.parquet"
                 with filesystem.open_output_stream(tmp) as out:
                     pq.write_table(sub, out)
-                filesystem.move(tmp, f"{band_dir}/{name}.parquet")
+                filesystem.move(
+                    tmp, f"{band_dir}/part-{append_id}-b{band}.parquet"
+                )
                 yield pa.RecordBatch.from_pylist(
                     [{"pband": int(band), "n": sub.num_rows}]
                 )
 
         written = (
-            pairs.withColumn("pband", self.band_of(F.col(self.key_col)))
-            .repartition("pband")
+            banded.repartition(self._APPEND_WRITE_TASKS, F.col("pband"))
             .mapInArrow(write_bands, "pband long, n long")
             .collect()
         )
@@ -757,10 +827,15 @@ class BandedFingerprintIndex:
                 nbytes = 0
                 for f in fs.listStatus(st.getPath()):
                     name_f = f.getPath().getName()
-                    # skip _tmp- leftovers from a crashed direct append:
-                    # readers ignore underscore-prefixed files, so they
-                    # are not live data and must not trigger compaction
-                    # or inflate the re-band byte total
+                    # _tmp- leftovers from a crashed direct append are
+                    # not live data (readers ignore underscore-prefixed
+                    # files): don't count them, DELETE them — maintain()
+                    # runs between batches under the single-writer rule,
+                    # so any temp seen here is garbage, and without the
+                    # sweep they would pile up in band dirs forever
+                    if name_f.startswith("_tmp-"):
+                        fs.delete(f.getPath(), False)
+                        continue
                     if name_f.endswith(".parquet") and not name_f.startswith("_"):
                         n_files += 1
                         nbytes += f.getLen()
@@ -782,6 +857,11 @@ class BandedFingerprintIndex:
                 nbytes = 0
                 for f in fs.listStatus(band_path):
                     name_f = f.getPath().getName()
+                    if name_f.startswith("_tmp-"):
+                        # crashed-append staging garbage: sweep (see the
+                        # full-walk branch for why this is safe here)
+                        fs.delete(f.getPath(), False)
+                        continue
                     if name_f.endswith(".parquet") and not name_f.startswith("_"):
                         n_files += 1
                         nbytes += f.getLen()

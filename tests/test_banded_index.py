@@ -953,3 +953,60 @@ def test_combined_touched_bands_matches_per_index(spark, tmp_path):
     assert sorted(got_a) == sorted(a.touched_bands(keys_a))
     assert sorted(got_b) == sorted(b.touched_bands(keys_b))
     assert got_a and got_b
+
+
+def test_maintain_sweeps_crashed_append_temps(spark, tmp_path):
+    """A crashed direct append leaves _tmp- staging files: invisible to
+    readers (underscore prefix) and excluded from fragmentation/byte
+    counts, but they must also be DELETED by the maintenance walks —
+    single-writer discipline means any temp maintain() sees is garbage,
+    and without the sweep they'd accumulate in band dirs forever."""
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    idx.build_from(
+        spark.range(100).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    )
+    before = _index_pairs(spark, base)
+    junk = os.path.join(base, "pband=1", "_tmp-deadbeef.parquet")
+    with open(junk, "wb") as fh:
+        fh.write(b"torn partial bytes")
+    # reads ignore the temp; the FULL walk neither counts nor compacts
+    # it, and sweeps it
+    assert _index_pairs(spark, base) == before
+    assert idx.maintain(spark, max_files_per_band=99) == 0
+    assert idx.last_maintain_walk == "full"
+    assert not os.path.exists(junk)
+    # same through the DIRTY walk: dirty band 1 via a real append, plant
+    # another temp beside it
+    assert idx.append(
+        spark.createDataFrame([(7777, 5)], "id long, fp long")
+    ) == [1]
+    junk2 = os.path.join(base, "pband=1", "_tmp-cafebabe.parquet")
+    with open(junk2, "wb") as fh:
+        fh.write(b"torn again")
+    assert idx.maintain(spark, max_files_per_band=99) == 0
+    assert idx.last_maintain_walk == "dirty"
+    assert not os.path.exists(junk2)
+    assert _index_pairs(spark, base) == before | {(7777, 5)}
+
+
+def test_append_final_names_are_deterministic_per_append(spark, tmp_path):
+    """Task retries/speculation must REPLACE a band's file, not add a
+    second one: the final name is keyed by (append id, band), with only
+    the staging name per-attempt. Two separate appends still coexist
+    (different append ids)."""
+    import re
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    assert idx.append(
+        spark.createDataFrame([(1, 5), (2, 9)], "id long, fp long")
+    ) == [1]
+    assert idx.append(
+        spark.createDataFrame([(3, 13)], "id long, fp long")
+    ) == [1]
+    files = sorted(os.listdir(os.path.join(base, "pband=1")))
+    assert len(files) == 2  # one per append, none per attempt
+    pat = re.compile(r"^part-[0-9a-f]{32}-b1\.parquet$")
+    assert all(pat.match(f) for f in files), files
+    assert _index_pairs(spark, base) == {(1, 5), (2, 9), (3, 13)}

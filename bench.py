@@ -90,6 +90,16 @@ def _normalized_block(timings: dict[str, float], total: float) -> dict | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # realdeps visibility (stderr, so stdout stays ONE JSON line): which
+    # optional-package seams became testable — packages appear silently
+    # between rounds, and a newly-available one should have its realdeps
+    # test run the same round (see tools/realdeps_probe.py)
+    try:
+        from tools.realdeps_probe import probe  # noqa: PLC0415
+
+        print(json.dumps({"realdeps": probe()}), file=sys.stderr)
+    except Exception:
+        pass  # visibility only; never fail the bench over it
     spark = get_spark("fest-vibes-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

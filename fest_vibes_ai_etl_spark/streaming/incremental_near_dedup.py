@@ -68,7 +68,11 @@ from ._exact_guard import (
     _settle_indexes,
     exact_index_path,
 )
-from .banded_index import BandedFingerprintIndex, combined_touched_bands
+from .banded_index import (
+    BandedFingerprintIndex,
+    append_many,
+    combined_touched_bands,
+)
 
 
 def near_index_path(corpus_dir: str) -> str:
@@ -446,14 +450,21 @@ def make_near_dedup_processor(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends. Each append reports the bands it
-            # wrote, feeding maintain()'s batch-proportional detection
+            # brackets both appends, which run FUSED as a single Spark
+            # job (two job submissions per batch was a measured slice of
+            # fixed overhead). The write reports each sidecar's band
+            # set, feeding maintain()'s batch-proportional detection
             # exactly.
-            exact_index.append(_exact_pairs(fresh, id_col))
-            band_index.append(
-                _band_hashes(fresh, id_col, num_hashes, bands).select(
-                    F.col("bid").alias("id"), "band", "band_hash"
-                )
+            append_many(
+                [
+                    (exact_index, _exact_pairs(fresh, id_col)),
+                    (
+                        band_index,
+                        _band_hashes(fresh, id_col, num_hashes, bands).select(
+                            F.col("bid").alias("id"), "band", "band_hash"
+                        ),
+                    ),
+                ]
             )
             band_index.clear_inflight(spark)
         cached.unpersist()

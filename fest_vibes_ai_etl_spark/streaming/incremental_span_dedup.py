@@ -71,7 +71,11 @@ from ._exact_guard import (
     _settle_indexes,
     exact_index_path,
 )
-from .banded_index import BandedFingerprintIndex, combined_touched_bands
+from .banded_index import (
+    BandedFingerprintIndex,
+    append_many,
+    combined_touched_bands,
+)
 
 __all__ = [
     "span_index_path",
@@ -355,14 +359,23 @@ def make_span_dedup_processor(
         if use_index:
             # index appends AFTER the corpus commit (crash ⇒ missing index
             # rows, healed on replay — never phantom rows); one marker
-            # brackets both appends. Each append reports the bands it
-            # wrote, feeding maintain()'s batch-proportional detection
+            # brackets both appends, which run FUSED as a single Spark
+            # job (two job submissions per batch was a measured ~4 s of
+            # fixed overhead). The write reports each sidecar's band
+            # set, feeding maintain()'s batch-proportional detection
             # exactly.
-            exact_index.append(_exact_pairs(fresh, id_col))
-            fp_index.append(
-                wf.join(
-                    fresh.select(F.col(id_col).alias("id")), "id", "left_semi"
-                )
+            append_many(
+                [
+                    (exact_index, _exact_pairs(fresh, id_col)),
+                    (
+                        fp_index,
+                        wf.join(
+                            fresh.select(F.col(id_col).alias("id")),
+                            "id",
+                            "left_semi",
+                        ),
+                    ),
+                ]
             )
             fp_index.clear_inflight(spark)
         cached.unpersist()

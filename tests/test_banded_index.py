@@ -1010,3 +1010,199 @@ def test_append_final_names_are_deterministic_per_append(spark, tmp_path):
     pat = re.compile(r"^part-[0-9a-f]{32}-b1\.parquet$")
     assert all(pat.match(f) for f in files), files
     assert _index_pairs(spark, base) == {(1, 5), (2, 9), (3, 13)}
+
+
+def test_failed_append_degrades_dirty_tracking_to_full_walk(
+    spark, tmp_path, monkeypatch
+):
+    """A mid-job append death can strand _tmp- staging files in bands
+    the dirty set never learned (the exception propagates before the
+    band report lands): the failure must degrade tracking to the
+    full-walk state so the NEXT maintain() lists everything and sweeps
+    the temps — otherwise they'd accumulate invisibly until a process
+    restart."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    base = str(tmp_path / "idx")
+    idx = BandedFingerprintIndex(base, "fp", n_bands=4)
+    pairs = spark.range(40).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    idx.append(pairs)
+    idx.maintain(spark)  # seed the byte cache: dirty mode from here on
+    assert idx._dirty_bands == set() and idx._band_bytes is not None
+
+    real_writer = bi._make_band_writer
+
+    def dying_writer(dests, append_id):
+        dest = dests[0]["dest"]
+
+        def writer(batches):
+            # a real task's first act: stage a temp — then die before
+            # the rename, like a process kill mid-append
+            import os
+            import uuid
+
+            list(batches)
+            band_dir = f"{dest}/pband=0"
+            os.makedirs(band_dir, exist_ok=True)
+            with open(f"{band_dir}/_tmp-{uuid.uuid4().hex}.parquet", "wb") as f:
+                f.write(b"torn partial bytes")
+            raise RuntimeError("injected mid-append death")
+            yield  # pragma: no cover - marks this a generator
+
+        return writer
+
+    monkeypatch.setattr(bi, "_make_band_writer", dying_writer)
+    with pytest.raises(Exception):
+        idx.append(pairs)
+    monkeypatch.setattr(bi, "_make_band_writer", real_writer)
+    # tracking degraded: the failure reset both dirty set and byte cache
+    assert idx._dirty_bands is None and idx._band_bytes is None
+    # the next maintain() full-walks and sweeps the stranded temps
+    temps_before = [
+        f
+        for f in os.listdir(os.path.join(base, "pband=0"))
+        if f.startswith("_tmp-")
+    ]
+    assert temps_before, "the injected death should have staged a temp"
+    idx.maintain(spark, max_files_per_band=99)
+    assert idx.last_maintain_walk == "full"
+    assert not any(
+        f.startswith("_tmp-")
+        for band in os.listdir(base)
+        if band.startswith("pband=")
+        for f in os.listdir(os.path.join(base, band))
+    )
+
+
+class _FakeHadoopUri:
+    def __init__(self, scheme, host, port, path):
+        self._s, self._h, self._p, self._path = scheme, host, port, path
+
+    def getScheme(self):
+        return self._s
+
+    def getHost(self):
+        return self._h
+
+    def getPort(self):
+        return self._p
+
+    def getPath(self):
+        return self._path
+
+
+class _FakeHadoopFs:
+    def __init__(self, uri):
+        self._uri = uri
+
+    def makeQualified(self, p):
+        return self
+
+    def toUri(self):
+        return self._uri
+
+
+def test_append_destination_maps_hdfs_when_libhdfs_loads(monkeypatch):
+    """hdfs:// maps onto pyarrow's HadoopFileSystem when the driver-side
+    probe succeeds — no silent committer fallback on exactly the
+    filesystem a real cluster uses. (No HDFS in-sandbox: the Hadoop URI
+    and the pyarrow probe are both faked; what's under test is the
+    mapping + probe wiring.)"""
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    idx = BandedFingerprintIndex("hdfs://nn:8020/idx", "fp", n_bands=4)
+    uri = _FakeHadoopUri("hdfs", "nn", 8020, "/idx")
+    monkeypatch.setattr(
+        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri), None)
+    )
+    probed = []
+    monkeypatch.setattr(
+        bi,
+        "_pyarrow_filesystem",
+        lambda kind, dest, opts: probed.append((kind, dest)) or (object(), "/idx"),
+    )
+    assert idx._append_destination(spark=None) == ("hdfs", "hdfs://nn:8020/idx")
+    assert probed == [("hdfs", "hdfs://nn:8020/idx")]
+    # cached: the probe ran once, not per append
+    assert idx._append_destination(spark=None) == ("hdfs", "hdfs://nn:8020/idx")
+    assert len(probed) == 1
+
+
+def test_append_destination_fallback_is_loud(monkeypatch, caplog):
+    """An untrusted scheme (gs) and a failed hdfs probe both fall back
+    to the committer — ONCE per instance, with a warning naming the
+    cost, so a production stream on exactly these filesystems can't
+    silently reinstate the 12 s-per-dense-append driver tax."""
+    import logging
+
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    idx = BandedFingerprintIndex("gs://bucket/idx", "fp", n_bands=4)
+    uri = _FakeHadoopUri("gs", "bucket", -1, "/idx")
+    monkeypatch.setattr(
+        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri), None)
+    )
+    with caplog.at_level(logging.WARNING, logger=bi.__name__):
+        assert idx._append_destination(spark=None) == (None, None)
+        assert idx._append_destination(spark=None) == (None, None)
+    warnings = [r for r in caplog.records if "committer" in r.getMessage()]
+    assert len(warnings) == 1  # loud, once
+    msg = warnings[0].getMessage()
+    assert "gs" in msg and "per touched band" in msg
+
+    caplog.clear()
+    idx2 = BandedFingerprintIndex("hdfs://nn:8020/idx", "fp", n_bands=4)
+    uri2 = _FakeHadoopUri("hdfs", "nn", 8020, "/idx")
+    monkeypatch.setattr(
+        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri2), None)
+    )
+
+    def failing_probe(kind, dest, opts):
+        raise OSError("Unable to load libhdfs")
+
+    monkeypatch.setattr(bi, "_pyarrow_filesystem", failing_probe)
+    with caplog.at_level(logging.WARNING, logger=bi.__name__):
+        assert idx2._append_destination(spark=None) == (None, None)
+    msgs = [r.getMessage() for r in caplog.records if "committer" in r.getMessage()]
+    assert len(msgs) == 1 and "libhdfs" in msgs[0]
+
+
+def test_append_many_matches_sequential_appends(spark, tmp_path):
+    """The fused two-sidecar append must land byte-equivalent CONTENT to
+    two per-index appends — including across the schema split the real
+    sidecars have (string fp + long fpk vs a data column literally named
+    'band') — and report each index's band set exactly."""
+    from fest_vibes_ai_etl_spark.streaming.banded_index import append_many
+
+    exact_pairs = spark.range(30).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("fp"),
+        F.xxhash64(F.col("id").cast("string")).alias("fpk"),
+    )
+    band_pairs = spark.range(30).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("int").alias("band"),
+        (F.col("id") * 13).alias("band_hash"),
+    )
+    fused_e = BandedFingerprintIndex(str(tmp_path / "f_e"), "fpk", n_bands=4)
+    fused_b = BandedFingerprintIndex(str(tmp_path / "f_b"), "band_hash", n_bands=4)
+    got = append_many([(fused_e, exact_pairs), (fused_b, band_pairs)])
+    solo_e = BandedFingerprintIndex(str(tmp_path / "s_e"), "fpk", n_bands=4)
+    solo_b = BandedFingerprintIndex(str(tmp_path / "s_b"), "band_hash", n_bands=4)
+    want = [solo_e.append(exact_pairs), solo_b.append(band_pairs)]
+    assert got == want
+    for fused, solo in ((fused_e, solo_e), (fused_b, solo_b)):
+        f = spark.read.parquet(fused.path)
+        s = spark.read.parquet(solo.path)
+        assert f.schema == s.schema
+        assert sorted(map(tuple, f.collect())) == sorted(map(tuple, s.collect()))
+        assert fused._dirty_bands == solo._dirty_bands
+    # one file per (index, band), deterministic names, same as solo
+    for fused in (fused_e, fused_b):
+        for band in os.listdir(fused.path):
+            if not band.startswith("pband="):
+                continue
+            files = os.listdir(os.path.join(fused.path, band))
+            assert len([x for x in files if x.endswith(".parquet")]) == 1

@@ -1,0 +1,332 @@
+"""Direct Arrow S3 append against moto's SERVER mode.
+
+``tests/test_s3_commit_moto.py`` covers the boto-side commit backend, but
+moto's ``mock_aws`` intercepts botocore only — pyarrow's S3FileSystem is
+a C++ HTTP client it never sees, so the banded index's direct-append S3
+branch (``_make_band_writer``'s s3 path) had NEVER executed anywhere
+before this suite. ``ThreadedMotoServer`` gives pyarrow a real endpoint;
+what runs here for the first time: ``create_dir`` against a bucket
+(S3 no-op semantics), ``open_output_stream`` (multipart upload),
+``move`` (the non-atomic copy+delete rename), deterministic final names
+under a retried append, and ``_tmp-`` staging invisibility to dataset
+readers.
+
+Environment boundary, stated honestly: this pyspark distribution ships
+no hadoop-aws jars, so Spark's Hadoop layer cannot open ``s3://`` paths
+— the index's CONTROL plane (meta, exists, read_bands, maintain) stays
+on local-fs coverage. The DATA plane — the executor closure that
+actually writes bytes — runs here through a real Spark ``mapInArrow``
+job whose Python workers talk to the moto endpoint over HTTP, exactly
+the path cluster executors take. The ``fs_options`` seam
+(endpoint_override + explicit credentials) is the same one a MinIO /
+on-prem S3-compatible deployment uses.
+
+Reference parity note: the reference repo (src/loader/service.py)
+delegates persistence to managed Postgres and has no object-store index
+machinery; this sidecar exists for the streaming-dedup extension.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+from fest_vibes_ai_etl_spark.streaming.banded_index import (  # noqa: E402
+    _make_band_writer,
+    _pyarrow_filesystem,
+)
+
+OUT_SCHEMA = "idx_pos long, pband long, n long"
+
+
+def _s3_result_root_fix(app):
+    """moto serializes CompleteMultipartUpload's 200 body with root
+    element ``<CompleteMultipartUploadResponse>``; real S3 sends
+    ``<CompleteMultipartUploadResult>``, and the AWS C++ SDK inside
+    pyarrow treats the unexpected root as an error embedded in a 200 OK
+    (S3's documented complete-multipart failure mode), failing every
+    ``close()`` with INTERNAL_FAILURE — found by running this suite, a
+    real divergence this branch would never have hit under botocore-only
+    mocking. Rewrite the root element to the real service's name; the
+    rest of the moto response passes through untouched."""
+
+    def wsgi(environ, start_response):
+        cap = {}
+
+        def capture(status, headers, exc_info=None):
+            cap["status"], cap["headers"], cap["exc"] = status, headers, exc_info
+
+        body = b"".join(app(environ, capture))
+        headers = cap["headers"]
+        if b"CompleteMultipartUploadResponse" in body:
+            body = body.replace(
+                b"CompleteMultipartUploadResponse",
+                b"CompleteMultipartUploadResult",
+            )
+            # only when rewritten: HEAD responses carry the OBJECT size
+            # in Content-Length, which must pass through untouched
+            headers = [
+                (k, str(len(body)) if k.lower() == "content-length" else v)
+                for k, v in headers
+            ]
+        start_response(cap["status"], headers, cap["exc"])
+        return [body]
+
+    return wsgi
+
+
+@pytest.fixture(scope="module")
+def moto_s3():
+    """A live moto server (wrapped in the result-root fix above) + a
+    bucket, torn down with the module. Returns (endpoint_url,
+    fs_options, boto3 client)."""
+    import logging
+    import threading
+
+    from moto.moto_server.werkzeug_app import (
+        DomainDispatcherApplication,
+        create_backend_app,
+    )
+    from werkzeug.serving import make_server
+
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = make_server(
+        "127.0.0.1",
+        0,
+        _s3_result_root_fix(DomainDispatcherApplication(create_backend_app)),
+        threaded=True,
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    endpoint = f"http://{host}:{port}"
+    client = boto3.client(
+        "s3",
+        endpoint_url=endpoint,
+        region_name="us-east-1",
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+    client.create_bucket(Bucket="bkt")
+    fs_options = {
+        "endpoint_override": endpoint,
+        "access_key": "testing",
+        "secret_key": "testing",
+        "region": "us-east-1",
+    }
+    yield endpoint, fs_options, client
+    server.shutdown()
+    thread.join()
+
+
+def _keys(client, prefix):
+    """Object keys under a prefix, excluding the zero-byte directory
+    markers pyarrow's create_dir leaves (keys ending in '/')."""
+    out = []
+    token = None
+    while True:
+        kw = {"Bucket": "bkt", "Prefix": prefix}
+        if token:
+            kw["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kw)
+        out += [
+            o["Key"]
+            for o in resp.get("Contents", [])
+            if not o["Key"].endswith("/")
+        ]
+        if not resp.get("IsTruncated"):
+            return sorted(out)
+        token = resp["NextContinuationToken"]
+
+
+def _run_append(spark, dests, append_id, rows=64, n_bands=8, pos=0):
+    """Drive the REAL executor writer through a real Spark job: the
+    banded frame is shaped exactly as append_many ships it (idx_pos tag
+    + prefixed columns)."""
+    df = spark.range(rows).select(
+        F.lit(pos).cast("int").alias("idx_pos"),
+        F.pmod(F.col("id") * 7, F.lit(n_bands)).cast("int").alias("pband"),
+        F.col("id").alias(f"i{pos}_id"),
+        (F.col("id") * 7).alias(f"i{pos}_key"),
+    )
+    return (
+        df.repartition(4, F.col("idx_pos"), F.col("pband"))
+        .mapInArrow(_make_band_writer(dests, append_id), OUT_SCHEMA)
+        .collect()
+    )
+
+
+def test_pyarrow_filesystem_resolves_s3_options(moto_s3):
+    """The driver-side resolver twin: fs_options build an S3FileSystem
+    bound to the endpoint, base is bucket/key (scheme stripped)."""
+    _, fs_options, client = moto_s3
+    client.put_object(Bucket="bkt", Key="probe/x", Body=b"1")
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/probe", fs_options)
+    assert base == "bkt/probe"
+    info = fs.get_file_info(f"{base}/x")
+    assert info.size == 1
+
+
+def test_direct_append_lands_on_s3_with_deterministic_names(spark, moto_s3):
+    """One real mapInArrow append: every touched band gets exactly ONE
+    object named part-{append_id}-b{band}.parquet, no _tmp- staging
+    leftovers survive the move, and a pyarrow dataset read returns the
+    rows under their ORIGINAL (unprefixed) column names."""
+    _, fs_options, client = moto_s3
+    append_id = uuid.uuid4().hex
+    dests = [
+        {
+            "kind": "s3",
+            "dest": "s3://bkt/idx1",
+            "fs_options": fs_options,
+            "cols": [("i0_id", "id"), ("i0_key", "key")],
+        }
+    ]
+    written = _run_append(spark, dests, append_id, rows=64, n_bands=8)
+    bands = sorted({r.pband for r in written})
+    assert bands and sum(r.n for r in written) == 64
+    keys = _keys(client, "idx1/")
+    assert keys == sorted(
+        f"idx1/pband={b}/part-{append_id}-b{b}.parquet" for b in bands
+    )
+    assert not any("_tmp-" in k for k in keys)
+    import pyarrow.dataset as ds
+
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/idx1", fs_options)
+    tbl = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert sorted(tbl.column_names) == ["id", "key", "pband"]
+    got = sorted(zip(tbl.column("id").to_pylist(), tbl.column("key").to_pylist()))
+    assert got == [(i, i * 7) for i in range(64)]
+
+
+def test_retried_append_replaces_instead_of_duplicating(spark, moto_s3):
+    """A task retry / speculative attempt re-runs the writer with the
+    SAME append_id: the deterministic final name must overwrite the
+    first attempt's object, never add a second file whose rows would
+    double-count n_shared in the span probe."""
+    _, fs_options, client = moto_s3
+    append_id = uuid.uuid4().hex
+    dests = [
+        {
+            "kind": "s3",
+            "dest": "s3://bkt/idx_retry",
+            "fs_options": fs_options,
+            "cols": [("i0_id", "id"), ("i0_key", "key")],
+        }
+    ]
+    _run_append(spark, dests, append_id, rows=32, n_bands=4)
+    first = _keys(client, "idx_retry/")
+    _run_append(spark, dests, append_id, rows=32, n_bands=4)
+    assert _keys(client, "idx_retry/") == first  # replaced, not duplicated
+    import pyarrow.dataset as ds
+
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/idx_retry", fs_options)
+    tbl = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert tbl.num_rows == 32
+
+
+def test_crash_window_tmp_is_invisible_to_readers(spark, moto_s3):
+    """The failure model's S3 shape: a writer death between the staging
+    write and the move leaves a ``_tmp-`` object in the band dir. It
+    must be invisible to dataset readers (underscore prefix), and the
+    healed re-append must land beside it untroubled."""
+    _, fs_options, client = moto_s3
+    append_id = uuid.uuid4().hex
+    dests = [
+        {
+            "kind": "s3",
+            "dest": "s3://bkt/idx_crash",
+            "fs_options": fs_options,
+            "cols": [("i0_id", "id"), ("i0_key", "key")],
+        }
+    ]
+    _run_append(spark, dests, append_id, rows=16, n_bands=2)
+    # simulate the crash leftover: a staged-but-never-renamed temp (its
+    # bytes are a torn partial write — readers must never open it)
+    client.put_object(
+        Bucket="bkt",
+        Key="idx_crash/pband=0/_tmp-deadbeef.parquet",
+        Body=b"torn partial parquet bytes",
+    )
+    import pyarrow.dataset as ds
+
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/idx_crash", fs_options)
+    tbl = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert tbl.num_rows == 16  # the torn temp contributed nothing
+    # a later append (the heal) works beside the leftover
+    _run_append(spark, dests, uuid.uuid4().hex, rows=16, n_bands=2)
+    tbl = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert tbl.num_rows == 32
+    assert "idx_crash/pband=0/_tmp-deadbeef.parquet" in _keys(
+        client, "idx_crash/"
+    )
+
+
+def test_fused_writer_routes_two_indexes_to_their_roots(spark, moto_s3):
+    """append_many's fused frame over S3: one job, two destination
+    roots, each receiving only its own columns under original names —
+    including a DATA column literally named 'band' and the string-fp /
+    long-key schema split the exact/near sidecars actually have."""
+    _, fs_options, client = moto_s3
+    append_id = uuid.uuid4().hex
+    dests = [
+        {
+            "kind": "s3",
+            "dest": "s3://bkt/fused_exact",
+            "fs_options": fs_options,
+            "cols": [("i0_id", "id"), ("i0_fp", "fp"), ("i0_fpk", "fpk")],
+        },
+        {
+            "kind": "s3",
+            "dest": "s3://bkt/fused_band",
+            "fs_options": fs_options,
+            "cols": [("i1_id", "id"), ("i1_band", "band"), ("i1_band_hash", "band_hash")],
+        },
+    ]
+    base_a = spark.range(20).select(
+        F.lit(0).cast("int").alias("idx_pos"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(4))
+        .cast("int")
+        .alias("pband"),
+        F.col("id").alias("i0_id"),
+        F.md5(F.col("id").cast("string")).alias("i0_fp"),
+        F.xxhash64(F.col("id").cast("string")).alias("i0_fpk"),
+        F.lit(None).cast("long").alias("i1_id"),
+        F.lit(None).cast("int").alias("i1_band"),
+        F.lit(None).cast("long").alias("i1_band_hash"),
+    )
+    base_b = spark.range(20).select(
+        F.lit(1).cast("int").alias("idx_pos"),
+        F.pmod(F.col("id") * 13, F.lit(4)).cast("int").alias("pband"),
+        F.lit(None).cast("long").alias("i0_id"),
+        F.lit(None).cast("string").alias("i0_fp"),
+        F.lit(None).cast("long").alias("i0_fpk"),
+        F.col("id").alias("i1_id"),
+        (F.col("id") % 8).cast("int").alias("i1_band"),
+        (F.col("id") * 13).alias("i1_band_hash"),
+    )
+    written = (
+        base_a.unionByName(base_b)
+        .repartition(4, F.col("idx_pos"), F.col("pband"))
+        .mapInArrow(_make_band_writer(dests, append_id), OUT_SCHEMA)
+        .collect()
+    )
+    assert sum(r.n for r in written if r.idx_pos == 0) == 20
+    assert sum(r.n for r in written if r.idx_pos == 1) == 20
+    import pyarrow.dataset as ds
+
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/fused_exact", fs_options)
+    ta = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert sorted(ta.column_names) == ["fp", "fpk", "id", "pband"]
+    assert ta.num_rows == 20 and ta.column("fp").type == "string"
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/fused_band", fs_options)
+    tb = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert sorted(tb.column_names) == ["band", "band_hash", "id", "pband"]
+    assert tb.num_rows == 20
+    # no cross-contamination: neither root holds the other's columns
+    assert "band_hash" not in ta.column_names and "fp" not in tb.column_names

@@ -1169,21 +1169,18 @@ def _make_band_writer(dests: list[dict], append_id: str):
         if not batches:
             return
         tbl = pa.Table.from_batches(batches)
-        fs_cache: dict[int, tuple] = {}
         for pos in pc.unique(tbl.column("idx_pos")).to_pylist():
             d = dests[int(pos)]
-            if int(pos) not in fs_cache:
-                # keep in sync with _pyarrow_filesystem (driver-side twin)
-                if d["kind"] == "local":
-                    fs_cache[int(pos)] = (pafs.LocalFileSystem(), d["dest"])
-                elif d["kind"] == "s3" and d.get("fs_options"):
-                    fs_cache[int(pos)] = (
-                        pafs.S3FileSystem(**d["fs_options"]),
-                        d["dest"].split("://", 1)[1],
-                    )
-                else:
-                    fs_cache[int(pos)] = pafs.FileSystem.from_uri(d["dest"])
-            filesystem, base = fs_cache[int(pos)]
+            # keep in sync with _pyarrow_filesystem (driver-side twin)
+            if d["kind"] == "local":
+                filesystem, base = pafs.LocalFileSystem(), d["dest"]
+            elif d["kind"] == "s3" and d.get("fs_options"):
+                filesystem, base = (
+                    pafs.S3FileSystem(**d["fs_options"]),
+                    d["dest"].split("://", 1)[1],
+                )
+            else:
+                filesystem, base = pafs.FileSystem.from_uri(d["dest"])
             mine = tbl.filter(pc.equal(tbl.column("idx_pos"), pos))
             spec = mine.select(["pband"] + [p for p, _ in d["cols"]])
             spec = spec.rename_columns(["pband"] + [o for _, o in d["cols"]])
@@ -1194,13 +1191,22 @@ def _make_band_writer(dests: list[dict], append_id: str):
                 band_dir = f"{base.rstrip('/')}/pband={band}"
                 filesystem.create_dir(band_dir, recursive=True)
                 # per-attempt staging name; DETERMINISTIC final name (a
-                # retried/speculative attempt replaces, never duplicates)
+                # retried/speculative attempt replaces, never duplicates).
+                # The replace is an explicit delete-then-move: POSIX
+                # rename clobbers and S3 copy overwrites, but HDFS rename
+                # REFUSES an existing destination — without the delete, a
+                # speculative rerun of an already-renamed band would fail
+                # every retry on exactly the filesystem that needs it.
+                # (Crash between delete and move = this append attempt
+                # fails = the batch replays under the in-flight marker
+                # and heals, same as any other mid-append death.)
+                final = f"{band_dir}/part-{append_id}-b{band}.parquet"
+                if filesystem.get_file_info(final).type != pafs.FileType.NotFound:
+                    filesystem.delete_file(final)
                 tmp = f"{band_dir}/_tmp-{uuid.uuid4().hex}.parquet"
                 with filesystem.open_output_stream(tmp) as out:
                     pq.write_table(sub, out)
-                filesystem.move(
-                    tmp, f"{band_dir}/part-{append_id}-b{band}.parquet"
-                )
+                filesystem.move(tmp, final)
                 yield pa.RecordBatch.from_pylist(
                     [
                         {
@@ -1313,14 +1319,23 @@ def append_many(
     for r in written:
         out[r.idx_pos].append(r.pband)
     out = [sorted(set(b)) for b in out]
-    for (idx, _), bands, was_creating in zip(specs, out, creating):
-        if idx._dirty_bands is not None:
-            idx._dirty_bands.update(bands)
-        if was_creating:
-            # meta AFTER data: a crash in between leaves an index
-            # without meta, which the next open refuses loudly (the
-            # stream then rebuilds from the corpus) — never data
-            # silently probed under a different banding than it was
-            # written with
-            idx._write_meta(spark)
+    try:
+        for (idx, _), bands, was_creating in zip(specs, out, creating):
+            if idx._dirty_bands is not None:
+                idx._dirty_bands.update(bands)
+            if was_creating:
+                # meta AFTER data: a crash in between leaves an index
+                # without meta, which the next open refuses loudly (the
+                # stream then rebuilds from the corpus) — never data
+                # silently probed under a different banding than it was
+                # written with
+                idx._write_meta(spark)
+    except BaseException:
+        # band files HAVE landed by now; a bookkeeping failure (e.g. a
+        # creating spec's meta write) must still honor the "any failure
+        # degrades EVERY spec" contract, or the specs after the failing
+        # one keep dirty sets that never learned this append's bands
+        for idx, _ in specs:
+            idx._reset_maintenance_state()
+        raise
     return out

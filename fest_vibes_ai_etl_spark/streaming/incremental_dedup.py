@@ -60,11 +60,15 @@ def make_exact_dedup_processor(
     history_probe: str = "bucketed",
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    fs_options: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind :func:`start_incremental_dedup`,
     exposed so tests and batch backfills can drive micro-batches directly
     (plain DataFrames + batch ids) without a streaming query — the
-    processor IS the operator; the stream wrapper only schedules it."""
+    processor IS the operator; the stream wrapper only schedules it.
+    ``fs_options`` passes through to the sidecar's direct-append writer
+    (pyarrow S3FileSystem options: endpoint_override + credentials for
+    S3-compatible stores — see ``banded_index``)."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -78,6 +82,7 @@ def make_exact_dedup_processor(
         # sidecars, so pointing a different stream family at this corpus
         # rebuilds instead of appending a second schema into the index
         schema_tag="exact:md5-xxh64:fp-only",
+        fs_options=fs_options,
     )
     idx_settled: list[bool] = []
     n_done: list[int] = [0]  # completed batches, drives maintenance
@@ -198,6 +203,7 @@ def start_incremental_dedup(
     history_probe: str = "bucketed",
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    fs_options: dict | None = None,
 ):
     """``docs`` is a streaming DataFrame of documents. Appends only
     never-seen-before rows (exact text match) to ``corpus_dir``, which
@@ -218,6 +224,7 @@ def start_incremental_dedup(
         history_probe=history_probe,
         maintain_every=maintain_every,
         maintain_max_files=maintain_max_files,
+        fs_options=fs_options,
     )
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -182,11 +182,15 @@ def make_near_dedup_processor(
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
     metrics: dict | None = None,
+    fs_options: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind
     :func:`start_incremental_near_dedup`, exposed so tests and batch
     backfills can drive micro-batches directly (plain DataFrames + batch
-    ids) without a streaming query.
+    ids) without a streaming query. ``fs_options`` passes through to
+    both sidecars' direct-append writers (pyarrow S3FileSystem options:
+    endpoint_override + credentials for S3-compatible stores — see
+    ``banded_index``).
 
     ``metrics`` (optional, a plain dict the caller keeps) accumulates
     per-batch observability counters: ``batches`` processed,
@@ -207,12 +211,14 @@ def make_near_dedup_processor(
         key_col="band_hash",
         n_bands=n_buckets,
         schema_tag=f"minhash:k={k},nh={num_hashes},bands={bands}",
+        fs_options=fs_options,
     )
     exact_index = BandedFingerprintIndex(
         exact_index_path(corpus_dir),
         key_col="fpk",
         n_bands=n_buckets,
         schema_tag="exact:md5-xxh64",
+        fs_options=fs_options,
     )
     # one-time per-stream index reconciliation flag. Meaning depends on
     # mode: bucketed — "both indexes validated/migrated, skip further
@@ -496,6 +502,7 @@ def start_incremental_near_dedup(
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
     metrics: dict | None = None,
+    fs_options: dict | None = None,
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only rows
     that are neither exact nor near (Jaccard ≥ threshold) duplicates of any
@@ -523,6 +530,7 @@ def start_incremental_near_dedup(
         maintain_every=maintain_every,
         maintain_max_files=maintain_max_files,
         metrics=metrics,
+        fs_options=fs_options,
     )
     writer = (
         docs.writeStream.foreachBatch(process)

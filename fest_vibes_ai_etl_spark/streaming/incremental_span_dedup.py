@@ -125,11 +125,15 @@ def make_span_dedup_processor(
     max_doc_chars: int | None = None,
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    fs_options: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind
     :func:`start_incremental_span_dedup`, exposed so tests and batch
     backfills can drive micro-batches directly (plain DataFrames + batch
-    ids) without a streaming query."""
+    ids) without a streaming query. ``fs_options`` passes through to
+    both sidecars' direct-append writers (pyarrow S3FileSystem options:
+    endpoint_override + credentials for S3-compatible stores — see
+    ``banded_index``)."""
     if history_probe not in ("bucketed", "scan"):
         raise ValueError(
             f"unknown history_probe {history_probe!r}: "
@@ -140,12 +144,14 @@ def make_span_dedup_processor(
         key_col="fp",
         n_bands=n_bands,
         schema_tag=f"winnow:k={k},w={w}",
+        fs_options=fs_options,
     )
     exact_index = BandedFingerprintIndex(
         exact_index_path(corpus_dir),
         key_col="fpk",
         n_bands=n_bands,
         schema_tag="exact:md5-xxh64",
+        fs_options=fs_options,
     )
     # one-time per-stream index reconciliation flag. Meaning depends on
     # mode: bucketed — "both indexes validated/migrated, skip further
@@ -403,6 +409,7 @@ def start_incremental_span_dedup(
     max_doc_chars: int | None = None,
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    fs_options: dict | None = None,
 ):
     """``docs`` is a streaming DataFrame. Appends to ``corpus_dir`` only
     rows that are neither exact duplicates nor duplicated-passage carriers
@@ -431,6 +438,7 @@ def start_incremental_span_dedup(
         max_doc_chars=max_doc_chars,
         maintain_every=maintain_every,
         maintain_max_files=maintain_max_files,
+        fs_options=fs_options,
     )
     writer = (
         docs.writeStream.foreachBatch(process)

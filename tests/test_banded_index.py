@@ -1206,3 +1206,65 @@ def test_append_many_matches_sequential_appends(spark, tmp_path):
                 continue
             files = os.listdir(os.path.join(fused.path, band))
             assert len([x for x in files if x.endswith(".parquet")]) == 1
+
+
+def test_bookkeeping_failure_after_fused_write_degrades_all_specs(
+    spark, tmp_path, monkeypatch
+):
+    """The fused append's POST-write bookkeeping can also fail (e.g. a
+    creating spec's meta write): by then band files HAVE landed, so every
+    spec's dirty tracking must degrade to the full-walk state — a spec
+    later in the loop would otherwise keep a dirty set that never
+    learned this append's bands."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import append_many
+
+    pairs = spark.range(20).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    a = BandedFingerprintIndex(str(tmp_path / "a"), "fp", n_bands=4)  # creating
+    b = BandedFingerprintIndex(str(tmp_path / "b"), "fp", n_bands=4)
+    b.append(pairs)
+    b.maintain(spark)  # b is in dirty mode with a seeded byte cache
+    assert b._dirty_bands == set() and b._band_bytes is not None
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected meta-write failure")
+
+    monkeypatch.setattr(a, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="injected meta-write failure"):
+        append_many([(a, pairs), (b, pairs)])
+    # a's failure fired BEFORE b's dirty update: both must be degraded
+    assert a._dirty_bands is None and a._band_bytes is None
+    assert b._dirty_bands is None and b._band_bytes is None
+    # and the degradation is recoverable: one full walk re-seeds b
+    b.maintain(spark, max_files_per_band=99)
+    assert b.last_maintain_walk == "full" and b._dirty_bands == set()
+
+
+def test_stream_factories_plumb_fs_options(monkeypatch):
+    """The S3-compatible-endpoint seam must reach the indexes from the
+    code that owns them in production: every stream factory forwards
+    fs_options to EVERY sidecar it constructs (a seam that only works
+    for hand-built indexes in tests is not a deployment seam)."""
+    from fest_vibes_ai_etl_spark.streaming import (
+        incremental_dedup,
+        incremental_near_dedup,
+        incremental_span_dedup,
+    )
+
+    opts = {"endpoint_override": "http://minio.local:9000"}
+    for mod, factory, n_expected in [
+        (incremental_dedup, incremental_dedup.make_exact_dedup_processor, 1),
+        (incremental_span_dedup, incremental_span_dedup.make_span_dedup_processor, 2),
+        (incremental_near_dedup, incremental_near_dedup.make_near_dedup_processor, 2),
+    ]:
+        captured = []
+        real = mod.BandedFingerprintIndex
+
+        def spy(*args, _real=real, _cap=captured, **kwargs):
+            _cap.append(kwargs.get("fs_options"))
+            return _real(*args, **kwargs)
+
+        monkeypatch.setattr(mod, "BandedFingerprintIndex", spy)
+        factory("/tmp/fsopts_probe_corpus", fs_options=opts)
+        assert captured == [opts] * n_expected, (mod.__name__, captured)

@@ -218,4 +218,3 @@ def test_real_tokenizer_through_pack_budget(spark):
     # bins are contiguous in doc_id order within each lang partition
     en = sorted((d, b) for d, (b, _) in rows.items() if d != 3)
     assert [b for _, b in en] == sorted(b for _, b in en)
-

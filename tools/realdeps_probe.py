@@ -9,10 +9,10 @@ round rather than carried forward: this probe prints one JSON line
 naming each seam's import status, and any seam that flips to available
 should have its realdeps test run the same round.
 
-Usage: ``python tools/realdeps_probe.py`` — prints one JSON object:
-``{"available": [...], "missing": [...], "newly_testable_hint": ...}``.
-bench.py emits the same line to stderr each run so the round artifacts
-carry it.
+Usage: ``python tools/realdeps_probe.py`` — prints one JSON line
+``{"realdeps": {"available": [...], "missing": [...], "seams": {pkg:
+where-it-unblocks}}}`` (``probe()`` returns the inner object). bench.py
+emits the same line to stderr each run so the round artifacts carry it.
 """
 
 from __future__ import annotations

@@ -283,28 +283,79 @@ def start_incremental_index_add(
     vectors become searchable at the next probe with NO index rebuild
     (periodic re-train is a separate offline decision, exactly FAISS's
     add-vs-train split). Already-present ids are dropped per batch by an
-    anti-join on the stored id column, so replays converge. The partitioned
-    append touches only the cells the batch lands in."""
+    anti-join, so replays converge.
+
+    Both per-batch costs are BATCH-proportional, not index-proportional
+    (the same two seams the incremental-dedup family closed in rounds
+    7-10, see ``streaming/banded_index.py``):
+
+    - the replay guard reads ONLY the batch's own cell directories: the
+      quantizer is frozen and assignment deterministic, so a replayed
+      vector lands in the same cell it was stored under — other cells
+      cannot hold its id. (Corollary of the same contract: the index is
+      append-only per id; an id re-sent with a DIFFERENT embedding is
+      an update, which belongs to the rebuild path, not add.) The
+      pre-round-10 guard re-read the ENTIRE stored id column every
+      micro-batch — linear per batch, quadratic over a backfill.
+    - the append writes directly from executors
+      (``direct_partitioned_append``) instead of through the
+      dynamic-partition committer's ~10 ms-per-cell-directory
+      driver-side commit work; a mid-job death leaves invisible
+      ``_tmp-`` staging files (swept here, bounded to the batch's own
+      cells) and possibly PARTIAL landed cells, which the replay's
+      anti-join converges — the guard reads exactly the cells any
+      partial files landed in. Untrusted filesystems fall back to the
+      committer write.
+    """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from ..streaming.banded_index import direct_partitioned_append
 
         spark = batch_df.sparkSession
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
-        # "First batch" is decided by an explicit existence probe, not by
-        # swallowing read errors: a corrupt footer / transient IO failure on
-        # an EXISTING index must propagate, or a replayed batch would skip
-        # the id anti-join and append duplicates — breaking the replays-
-        # converge contract exactly when the index is unhealthy.
-        if os.path.isdir(index_dir) and any(
-            not name.startswith((".", "_spark_metadata"))
-            for name in os.listdir(index_dir)
-        ):
-            seen = spark.read.parquet(index_dir).select(id_col)
+        # the batch's touched cells: bounded by nlist (the quantizer
+        # size) by construction, so the collect is driver-safe
+        cells = sorted(
+            r.cell_id for r in assigned.select("cell_id").distinct().collect()
+        )
+        # Existence + cell listing through the Hadoop fs API (works on
+        # hdfs/s3a too, unlike os.listdir): an explicit probe, not
+        # swallowed read errors — a corrupt footer / transient IO failure
+        # on an EXISTING index must propagate, or a replayed batch would
+        # skip the anti-join and append duplicates, breaking the
+        # replays-converge contract exactly when the index is unhealthy.
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        existing_cells: set[str] = set()
+        if fs.exists(root):
+            existing_cells = {
+                st.getPath().getName()
+                for st in fs.listStatus(root)
+                if st.getPath().getName().startswith("cell_id=")
+            }
+        touched_existing = [
+            f"{index_dir}/cell_id={c}" for c in cells if f"cell_id={c}" in existing_cells
+        ]
+        if touched_existing:
+            # sweep crashed-append temps in the batch's own cells (the
+            # only ones a prior attempt of THIS data could have staged
+            # into); single-writer discipline makes any temp garbage
+            for d in touched_existing:
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
+                    if st.getPath().getName().startswith("_tmp-"):
+                        fs.delete(st.getPath(), False)
+            seen = (
+                spark.read.option("basePath", index_dir)
+                .parquet(*touched_existing)
+                .select(id_col)
+            )
             assigned = assigned.join(seen, id_col, "left_anti")
-        assigned.repartition("cell_id").write.mode("append").partitionBy(
-            "cell_id"
-        ).parquet(index_dir)
+        if direct_partitioned_append(assigned, index_dir, "cell_id") is None:
+            # no trusted pyarrow mapping: committer write, never wrong
+            assigned.repartition("cell_id").write.mode("append").partitionBy(
+                "cell_id"
+            ).parquet(index_dir)
 
     writer = (
         vectors.writeStream.foreachBatch(process)

@@ -446,32 +446,10 @@ class BandedFingerprintIndex:
           fallback logs ONCE per instance naming that cost."""
         if self._append_dest is not None:
             return self._append_dest
-        fs, p = self._fs(spark)
-        uri = fs.makeQualified(p).toUri()
-        scheme = (uri.getScheme() or "file").lower()
-        if scheme == "file":
-            self._append_dest = ("local", uri.getPath())
-        elif scheme in ("s3", "s3a", "s3n"):
-            self._append_dest = ("s3", f"s3://{uri.getHost()}{uri.getPath()}")
-        elif scheme == "hdfs":
-            port = uri.getPort()
-            authority = str(uri.getHost()) + (
-                f":{port}" if port is not None and int(port) != -1 else ""
-            )
-            dest = f"hdfs://{authority}{uri.getPath()}"
-            try:
-                _pyarrow_filesystem("hdfs", dest, None)
-                self._append_dest = ("hdfs", dest)
-            except Exception as exc:  # libhdfs absent / misconfigured
-                self._warn_committer_fallback(
-                    f"pyarrow HadoopFileSystem probe failed: {exc}"
-                )
-                self._append_dest = (None, None)
-        else:
-            self._warn_committer_fallback(
-                f"no trusted pyarrow mapping for filesystem scheme {scheme!r}"
-            )
-            self._append_dest = (None, None)
+        kind, dest, reason = _resolve_direct_destination(spark, self.path)
+        if kind is None:
+            self._warn_committer_fallback(reason)
+        self._append_dest = (kind, dest)
         return self._append_dest
 
     def _warn_committer_fallback(self, reason: str) -> None:
@@ -1116,6 +1094,58 @@ def combined_touched_bands(
     return out
 
 
+def _resolve_direct_destination(
+    spark: SparkSession, path: str
+) -> tuple[str | None, str | None, str | None]:
+    """Map a Hadoop-qualified path onto a pyarrow direct-write
+    destination: ``(kind, dest, fallback_reason)`` where kind/dest are
+    None (and the reason says why) when no trusted mapping exists and
+    the caller must take the Spark-committer write instead. Shared by
+    the banded index and any other per-batch partitioned append (the
+    IVF cell index) — the qualification goes through the SAME Hadoop
+    filesystem the readers use, so executor-side bytes land exactly
+    where the probes will look. hdfs is PROBED driver-side (a JNI
+    libhdfs load) before being trusted: failing every executor task on
+    a missing native lib would be a far worse failure mode than one
+    slow-but-correct committer write."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    uri = fs.makeQualified(p).toUri()
+    port = uri.getPort()
+    return _map_destination(
+        (uri.getScheme() or "file").lower(),
+        uri.getHost(),
+        None if port is None or int(port) == -1 else int(port),
+        uri.getPath(),
+    )
+
+
+def _map_destination(
+    scheme: str, host: str | None, port: int | None, path: str
+) -> tuple[str | None, str | None, str | None]:
+    """The pure scheme→destination mapping behind
+    :func:`_resolve_direct_destination` (split out so the mapping and
+    the hdfs probe are testable without a JVM)."""
+    if scheme == "file":
+        return "local", path, None
+    if scheme in ("s3", "s3a", "s3n"):
+        return "s3", f"s3://{host}{path}", None
+    if scheme == "hdfs":
+        authority = str(host) + (f":{port}" if port is not None else "")
+        dest = f"hdfs://{authority}{path}"
+        try:
+            _pyarrow_filesystem("hdfs", dest, None)
+            return "hdfs", dest, None
+        except Exception as exc:  # libhdfs absent / misconfigured
+            return None, None, f"pyarrow HadoopFileSystem probe failed: {exc}"
+    return (
+        None,
+        None,
+        f"no trusted pyarrow mapping for filesystem scheme {scheme!r}",
+    )
+
+
 def _pyarrow_filesystem(kind: str, dest: str, fs_options: dict | None):
     """(pyarrow filesystem, base-path-within-filesystem) for a direct-
     append destination. DRIVER-side use (the hdfs availability probe and
@@ -1184,11 +1214,12 @@ def _make_band_writer(dests: list[dict], append_id: str):
             mine = tbl.filter(pc.equal(tbl.column("idx_pos"), pos))
             spec = mine.select(["pband"] + [p for p, _ in d["cols"]])
             spec = spec.rename_columns(["pband"] + [o for _, o in d["cols"]])
+            prefix = d.get("part_prefix", "pband")
             for band in pc.unique(spec.column("pband")).to_pylist():
                 sub = spec.filter(pc.equal(spec.column("pband"), band)).drop(
                     ["pband"]
                 )
-                band_dir = f"{base.rstrip('/')}/pband={band}"
+                band_dir = f"{base.rstrip('/')}/{prefix}={band}"
                 filesystem.create_dir(band_dir, recursive=True)
                 # per-attempt staging name; DETERMINISTIC final name (a
                 # retried/speculative attempt replaces, never duplicates).
@@ -1339,3 +1370,60 @@ def append_many(
             idx._reset_maintenance_state()
         raise
     return out
+
+
+def direct_partitioned_append(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    fs_options: dict | None = None,
+    write_tasks: int = BandedFingerprintIndex._APPEND_WRITE_TASKS,
+) -> list[int] | None:
+    """Direct executor-side append of ``df`` under hive-style
+    ``path/<part_col>=<value>/`` directories — the general form of the
+    banded index's append, for any OTHER per-micro-batch partitioned
+    append that would otherwise pay the dynamic-partition committer's
+    ~10 ms-per-directory driver-side commit work (the IVF cell index is
+    the in-repo consumer). ``part_col`` must be integer-valued (hive
+    partition inference reads the directory names back as ints, matching
+    a Spark-written layout). Returns the partition values written, or
+    None when the filesystem has no trusted pyarrow mapping — the caller
+    must then fall back to the committer write (slower, never wrong).
+
+    Failure model is the banded index's: per-attempt ``_tmp-`` staging
+    (invisible to parquet readers), deterministic delete-then-move final
+    names so task retries replace rather than duplicate, and a mid-job
+    death leaves some partitions' files landed and others missing —
+    callers must be replay-convergent (an anti-join/idempotence guard on
+    replay), exactly as a committer append's task-level atomicity never
+    covered multi-batch crashes either."""
+    spark = df.sparkSession
+    kind, dest, _reason = _resolve_direct_destination(spark, path)
+    if kind is None:
+        return None
+    import uuid as _uuid
+
+    append_id = _uuid.uuid4().hex
+    data_cols = [f for f in df.schema.fields if f.name != part_col]
+    frame = df.select(
+        F.lit(0).cast("int").alias("idx_pos"),
+        F.col(part_col).cast("int").alias("pband"),
+        *[F.col(f.name).alias(f"i0_{f.name}") for f in data_cols],
+    )
+    dests = [
+        {
+            "kind": kind,
+            "dest": dest,
+            "fs_options": fs_options,
+            "cols": [(f"i0_{f.name}", f.name) for f in data_cols],
+            "part_prefix": part_col,
+        }
+    ]
+    written = (
+        frame.repartition(write_tasks, F.col("pband"))
+        .mapInArrow(
+            _make_band_writer(dests, append_id), "idx_pos long, pband long, n long"
+        )
+        .collect()
+    )
+    return sorted({r.pband for r in written})

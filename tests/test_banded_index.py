@@ -1076,46 +1076,20 @@ def test_failed_append_degrades_dirty_tracking_to_full_walk(
     )
 
 
-class _FakeHadoopUri:
-    def __init__(self, scheme, host, port, path):
-        self._s, self._h, self._p, self._path = scheme, host, port, path
-
-    def getScheme(self):
-        return self._s
-
-    def getHost(self):
-        return self._h
-
-    def getPort(self):
-        return self._p
-
-    def getPath(self):
-        return self._path
-
-
-class _FakeHadoopFs:
-    def __init__(self, uri):
-        self._uri = uri
-
-    def makeQualified(self, p):
-        return self
-
-    def toUri(self):
-        return self._uri
-
-
-def test_append_destination_maps_hdfs_when_libhdfs_loads(monkeypatch):
-    """hdfs:// maps onto pyarrow's HadoopFileSystem when the driver-side
-    probe succeeds — no silent committer fallback on exactly the
-    filesystem a real cluster uses. (No HDFS in-sandbox: the Hadoop URI
-    and the pyarrow probe are both faked; what's under test is the
-    mapping + probe wiring.)"""
+def test_destination_mapping_trusts_local_s3_and_probed_hdfs(monkeypatch):
+    """The scheme->destination mapping behind direct appends: local and
+    s3 map unconditionally; hdfs maps ONLY when the driver-side pyarrow
+    probe (a JNI libhdfs load) succeeds — no silent committer fallback
+    on exactly the filesystem a real cluster uses, and no executor-wide
+    failures when the native lib is absent. (No HDFS in-sandbox: the
+    probe is faked; what's under test is the mapping + probe wiring.)"""
     from fest_vibes_ai_etl_spark.streaming import banded_index as bi
 
-    idx = BandedFingerprintIndex("hdfs://nn:8020/idx", "fp", n_bands=4)
-    uri = _FakeHadoopUri("hdfs", "nn", 8020, "/idx")
-    monkeypatch.setattr(
-        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri), None)
+    assert bi._map_destination("file", None, None, "/idx") == (
+        "local", "/idx", None
+    )
+    assert bi._map_destination("s3a", "bkt", None, "/idx") == (
+        "s3", "s3://bkt/idx", None
     )
     probed = []
     monkeypatch.setattr(
@@ -1123,27 +1097,39 @@ def test_append_destination_maps_hdfs_when_libhdfs_loads(monkeypatch):
         "_pyarrow_filesystem",
         lambda kind, dest, opts: probed.append((kind, dest)) or (object(), "/idx"),
     )
-    assert idx._append_destination(spark=None) == ("hdfs", "hdfs://nn:8020/idx")
+    assert bi._map_destination("hdfs", "nn", 8020, "/idx") == (
+        "hdfs", "hdfs://nn:8020/idx", None
+    )
     assert probed == [("hdfs", "hdfs://nn:8020/idx")]
-    # cached: the probe ran once, not per append
-    assert idx._append_destination(spark=None) == ("hdfs", "hdfs://nn:8020/idx")
-    assert len(probed) == 1
+
+    def failing_probe(kind, dest, opts):
+        raise OSError("Unable to load libhdfs")
+
+    monkeypatch.setattr(bi, "_pyarrow_filesystem", failing_probe)
+    kind, dest, reason = bi._map_destination("hdfs", "nn", 8020, "/idx")
+    assert kind is None and dest is None and "libhdfs" in reason
+    kind, dest, reason = bi._map_destination("gs", "bucket", None, "/idx")
+    assert kind is None and "gs" in reason
 
 
-def test_append_destination_fallback_is_loud(monkeypatch, caplog):
-    """An untrusted scheme (gs) and a failed hdfs probe both fall back
-    to the committer — ONCE per instance, with a warning naming the
-    cost, so a production stream on exactly these filesystems can't
-    silently reinstate the 12 s-per-dense-append driver tax."""
+def test_append_destination_fallback_is_loud_and_cached(monkeypatch, caplog):
+    """An untrusted destination falls back to the committer ONCE per
+    instance, with a warning naming the cost, so a production stream on
+    such a filesystem can't silently reinstate the 12 s-per-dense-append
+    driver tax; the resolution (and with it the hdfs probe) is cached —
+    one call per instance, not per append."""
     import logging
 
     from fest_vibes_ai_etl_spark.streaming import banded_index as bi
 
+    calls = []
+
+    def fake_resolve(spark, path):
+        calls.append(path)
+        return None, None, "no trusted pyarrow mapping for filesystem scheme 'gs'"
+
+    monkeypatch.setattr(bi, "_resolve_direct_destination", fake_resolve)
     idx = BandedFingerprintIndex("gs://bucket/idx", "fp", n_bands=4)
-    uri = _FakeHadoopUri("gs", "bucket", -1, "/idx")
-    monkeypatch.setattr(
-        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri), None)
-    )
     with caplog.at_level(logging.WARNING, logger=bi.__name__):
         assert idx._append_destination(spark=None) == (None, None)
         assert idx._append_destination(spark=None) == (None, None)
@@ -1151,22 +1137,7 @@ def test_append_destination_fallback_is_loud(monkeypatch, caplog):
     assert len(warnings) == 1  # loud, once
     msg = warnings[0].getMessage()
     assert "gs" in msg and "per touched band" in msg
-
-    caplog.clear()
-    idx2 = BandedFingerprintIndex("hdfs://nn:8020/idx", "fp", n_bands=4)
-    uri2 = _FakeHadoopUri("hdfs", "nn", 8020, "/idx")
-    monkeypatch.setattr(
-        BandedFingerprintIndex, "_fs", lambda self, spark: (_FakeHadoopFs(uri2), None)
-    )
-
-    def failing_probe(kind, dest, opts):
-        raise OSError("Unable to load libhdfs")
-
-    monkeypatch.setattr(bi, "_pyarrow_filesystem", failing_probe)
-    with caplog.at_level(logging.WARNING, logger=bi.__name__):
-        assert idx2._append_destination(spark=None) == (None, None)
-    msgs = [r.getMessage() for r in caplog.records if "committer" in r.getMessage()]
-    assert len(msgs) == 1 and "libhdfs" in msgs[0]
+    assert len(calls) == 1  # resolution cached per instance
 
 
 def test_append_many_matches_sequential_appends(spark, tmp_path):

@@ -60,3 +60,74 @@ def test_incremental_index_add_and_probe(spark, tmp_path):
     # replay under a fresh checkpoint appends nothing
     _run(spark, src, index_dir, centers, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(index_dir).count() == n_total
+
+
+def test_incremental_add_uses_direct_appends_and_sweeps_temps(spark, tmp_path):
+    """Round-10 scale seams, observable on disk: streamed cells land as
+    deterministic direct-append files (part-{appendid}-b{cell}.parquet —
+    the executor-side pyarrow path, not the committer's task files), a
+    crashed append's _tmp- leftover in a touched cell is swept by the
+    next batch and never double-counts rows, and the batch-pruned replay
+    guard still converges a replay."""
+    import os
+    import re
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 400")
+    assigned, centers = ivf.build_ivf_index(base, k=8, seed=7)
+    index_dir = str(tmp_path / "index")
+    assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(index_dir)
+
+    src = str(tmp_path / "src")
+    emb.filter("vec_id >= 400 and vec_id < 450").coalesce(1).write.parquet(src)
+    _run(spark, src, index_dir, centers, str(tmp_path / "ckpt1"))
+
+    direct_pat = re.compile(r"^part-[0-9a-f]{32}-b\d+\.parquet$")
+    direct_files = [
+        f
+        for cell in os.listdir(index_dir)
+        if cell.startswith("cell_id=")
+        for f in os.listdir(os.path.join(index_dir, cell))
+        if direct_pat.match(f)
+    ]
+    assert direct_files, "incremental adds should take the direct-append path"
+
+    # plant a crash leftover in a cell the NEXT batch will touch, plus
+    # one in a cell it won't: only the touched one is swept (the sweep
+    # is batch-bounded by design), and neither is ever read
+    next_batch = emb.filter("vec_id >= 450 and vec_id < 500")
+    touched = sorted(
+        r.cell_id
+        for r in ivf.assign_to_centers(next_batch, centers)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    untouched = [
+        int(c.split("=")[1])
+        for c in os.listdir(index_dir)
+        if c.startswith("cell_id=") and int(c.split("=")[1]) not in touched
+    ]
+    junk_touched = os.path.join(index_dir, f"cell_id={touched[0]}", "_tmp-dead.parquet")
+    with open(junk_touched, "wb") as fh:
+        fh.write(b"torn partial bytes")
+    junk_other = None
+    if untouched:
+        junk_other = os.path.join(
+            index_dir, f"cell_id={untouched[0]}", "_tmp-beef.parquet"
+        )
+        with open(junk_other, "wb") as fh:
+            fh.write(b"torn partial bytes")
+    before = spark.read.parquet(index_dir).count()
+    assert before == 450  # temps invisible to readers
+
+    next_batch.coalesce(1).write.mode("append").parquet(src)
+    # SAME checkpoint: the continuing stream processes only the new file,
+    # so the sweep's bound is exactly this batch's cells
+    _run(spark, src, index_dir, centers, str(tmp_path / "ckpt1"))
+    assert not os.path.exists(junk_touched)  # swept by the touched-cell walk
+    if junk_other:
+        assert os.path.exists(junk_other)  # untouched cells aren't walked
+    stored = spark.read.parquet(index_dir)
+    assert stored.count() == 500
+    assert stored.select("vec_id").distinct().count() == 500

@@ -268,16 +268,17 @@ def assign_to_centers(vectors: DataFrame, centers: list[list[float]],
     )
 
 
-def start_incremental_index_add(
-    vectors: DataFrame,
+def make_index_add_processor(
     index_dir: str,
     centers: list[list[float]],
-    checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    available_now: bool = True,
+    replay_guard: str = "pruned",
 ):
-    """Streaming index maintenance: each micro-batch of new vectors is
+    """The ``foreachBatch`` processor behind
+    :func:`start_incremental_index_add`, exposed (the incremental-dedup
+    family's convention) so tests, batch backfills, and A/B measurement
+    can drive micro-batches directly. Each micro-batch of new vectors is
     assigned to the frozen quantizer's cells and appended to the
     cell-partitioned ``assigned`` table that ``ivf_topk`` probes — new
     vectors become searchable at the next probe with NO index rebuild
@@ -289,14 +290,17 @@ def start_incremental_index_add(
     (the same two seams the incremental-dedup family closed in rounds
     7-10, see ``streaming/banded_index.py``):
 
-    - the replay guard reads ONLY the batch's own cell directories: the
-      quantizer is frozen and assignment deterministic, so a replayed
-      vector lands in the same cell it was stored under — other cells
-      cannot hold its id. (Corollary of the same contract: the index is
-      append-only per id; an id re-sent with a DIFFERENT embedding is
-      an update, which belongs to the rebuild path, not add.) The
-      pre-round-10 guard re-read the ENTIRE stored id column every
-      micro-batch — linear per batch, quadratic over a backfill.
+    - ``replay_guard="pruned"`` (default) reads ONLY the batch's own
+      cell directories: the quantizer is frozen and assignment
+      deterministic, so a replayed vector lands in the same cell it was
+      stored under — other cells cannot hold its id. (Corollary of the
+      same contract: the index is append-only per id; an id re-sent
+      with a DIFFERENT embedding is an update, which belongs to the
+      rebuild path, not add.) ``"full"`` keeps the pre-round-10
+      whole-id-column anti-join — linear per batch, quadratic over a
+      backfill (~8 GB/batch of id column at 10⁹ vectors), kept for A/B
+      measurement (``tools/ivf_add_scaling.py``) and for an operator
+      who explicitly wants update-tolerant adds at that cost.
     - the append writes directly from executors
       (``direct_partitioned_append``) instead of through the
       dynamic-partition committer's ~10 ms-per-cell-directory
@@ -307,6 +311,10 @@ def start_incremental_index_add(
       partial files landed in. Untrusted filesystems fall back to the
       committer write.
     """
+    if replay_guard not in ("pruned", "full"):
+        raise ValueError(
+            f"unknown replay_guard {replay_guard!r}: expected 'pruned' or 'full'"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..streaming.banded_index import direct_partitioned_append
@@ -345,6 +353,10 @@ def start_incremental_index_add(
                 for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
                     if st.getPath().getName().startswith("_tmp-"):
                         fs.delete(st.getPath(), False)
+        if existing_cells and replay_guard == "full":
+            seen = spark.read.parquet(index_dir).select(id_col)
+            assigned = assigned.join(seen, id_col, "left_anti")
+        elif touched_existing:
             seen = (
                 spark.read.option("basePath", index_dir)
                 .parquet(*touched_existing)
@@ -357,6 +369,25 @@ def start_incremental_index_add(
                 "cell_id"
             ).parquet(index_dir)
 
+    return process
+
+
+def start_incremental_index_add(
+    vectors: DataFrame,
+    index_dir: str,
+    centers: list[list[float]],
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    replay_guard: str = "pruned",
+):
+    """Streaming wrapper over :func:`make_index_add_processor` (see it
+    for the batch-proportional replay-guard and direct-append design)."""
+    process = make_index_add_processor(
+        index_dir, centers, id_col=id_col, vec_col=vec_col,
+        replay_guard=replay_guard,
+    )
     writer = (
         vectors.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -131,3 +131,34 @@ def test_incremental_add_uses_direct_appends_and_sweeps_temps(spark, tmp_path):
     stored = spark.read.parquet(index_dir)
     assert stored.count() == 500
     assert stored.select("vec_id").distinct().count() == 500
+
+
+def test_replay_guard_modes_converge_identically(spark, tmp_path):
+    """replay_guard='pruned' (batch's own cells) and 'full' (whole id
+    column, the pre-round-10 shape kept for A/B and update-tolerant
+    adds) must persist IDENTICAL indexes through adds + a replay — the
+    pruning is a read-scope optimization, never a semantic change,
+    because a frozen quantizer pins a replayed id to its stored cell."""
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 400")
+    assigned, centers = ivf.build_ivf_index(base, k=8, seed=7)
+    stored = {}
+    for mode in ("pruned", "full"):
+        index_dir = str(tmp_path / f"index_{mode}")
+        assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(
+            index_dir
+        )
+        process = ivf.make_index_add_processor(
+            index_dir, centers, replay_guard=mode
+        )
+        batch = emb.filter("vec_id >= 400 and vec_id < 460")
+        process(batch, 0)
+        process(batch, 1)  # replay: must append nothing
+        overlap = emb.filter("vec_id >= 440 and vec_id < 500")
+        process(overlap, 2)  # partial overlap: only 460-499 are new
+        rows = spark.read.parquet(index_dir)
+        stored[mode] = sorted(
+            (r.vec_id, r.cell_id) for r in rows.select("vec_id", "cell_id").collect()
+        )
+        assert len(stored[mode]) == 500  # exactly once each
+    assert stored["pruned"] == stored["full"]

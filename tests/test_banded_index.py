@@ -1239,3 +1239,44 @@ def test_stream_factories_plumb_fs_options(monkeypatch):
         monkeypatch.setattr(mod, "BandedFingerprintIndex", spy)
         factory("/tmp/fsopts_probe_corpus", fs_options=opts)
         assert captured == [opts] * n_expected, (mod.__name__, captured)
+
+
+def test_committer_fallback_append_writes_correctly_and_degrades(
+    spark, tmp_path, monkeypatch
+):
+    """The no-trusted-mapping path END TO END (not just its warning): a
+    fused append on an untrusted filesystem falls back to one committer
+    write per index, lands the same rows and layout as the direct path,
+    returns empty band sets (the committer reports nothing), and
+    degrades both indexes' dirty tracking to the full-walk state."""
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    pairs_a = spark.range(30).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    pairs_b = spark.range(30).select(
+        F.col("id"), (F.col("id") * 13).alias("fp")
+    )
+    a = BandedFingerprintIndex(str(tmp_path / "a"), "fp", n_bands=4)
+    b = BandedFingerprintIndex(str(tmp_path / "b"), "fp", n_bands=4)
+    b.append(pairs_b)
+    b.maintain(spark)  # dirty mode with a seeded byte cache
+    monkeypatch.setattr(
+        bi,
+        "_resolve_direct_destination",
+        lambda spark_, path: (None, None, "scheme 'gs' untrusted (test)"),
+    )
+    got = bi.append_many([(a, pairs_a), (b, pairs_b)])
+    assert got == [[], []]  # the committer reports no band set
+    # degradation: unknown write set forces the next tick's full walk
+    assert a._dirty_bands is None and b._dirty_bands is None
+    monkeypatch.undo()
+    # rows + meta landed exactly as a direct append would persist them
+    assert _index_pairs(spark, str(tmp_path / "a")) == {
+        (r.id, r.fp) for r in pairs_a.collect()
+    }
+    assert _index_pairs(spark, str(tmp_path / "b")) == {
+        (r.id, r.fp) for r in pairs_b.collect()
+    } | {(r.id, r.fp) for r in pairs_b.collect()}
+    fresh = BandedFingerprintIndex(str(tmp_path / "a"), "fp")
+    assert fresh.exists(spark) and fresh.n_bands == 4  # meta written
+    b.maintain(spark, max_files_per_band=99)
+    assert b.last_maintain_walk == "full"

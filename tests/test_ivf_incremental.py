@@ -162,3 +162,26 @@ def test_replay_guard_modes_converge_identically(spark, tmp_path):
         )
         assert len(stored[mode]) == 500  # exactly once each
     assert stored["pruned"] == stored["full"]
+
+
+def test_incremental_add_committer_fallback_converges(spark, tmp_path, monkeypatch):
+    """When no trusted pyarrow mapping exists (direct_partitioned_append
+    returns None) the processor must take the committer write and still
+    converge a replay — slower, never wrong."""
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    monkeypatch.setattr(
+        bi, "direct_partitioned_append", lambda *a, **k: None
+    )
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 400")
+    assigned, centers = ivf.build_ivf_index(base, k=8, seed=7)
+    index_dir = str(tmp_path / "index")
+    assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(index_dir)
+    process = ivf.make_index_add_processor(index_dir, centers)
+    batch = emb.filter("vec_id >= 400 and vec_id < 460")
+    process(batch, 0)
+    process(batch, 1)  # replay appends nothing
+    stored = spark.read.parquet(index_dir)
+    assert stored.count() == 460
+    assert stored.select("vec_id").distinct().count() == 460

@@ -438,12 +438,17 @@ class BandedFingerprintIndex:
           unloadable falls back loudly rather than failing every
           executor task (drivers and executors run the same image on a
           real cluster, so a driver-side load is the cheap proxy);
-        - ``(None, None)`` — any other scheme (abfs, gs, ...): no
-          pyarrow mapping this code trusts, so append() falls back to
-          the Spark committer write — slower (the per-partition commit
-          cost) and it degrades maintenance detection to full walks
-          (the committer reports no band set), never wrong. The
-          fallback logs ONCE per instance naming that cost."""
+        - ``("gs"/"abfs"/"abfss", <uri>)`` — pyarrow's GcsFileSystem /
+          AzureFileSystem, same driver-side construction probe; the
+          abfs container (the URI's userinfo part) is preserved.
+          Credentials are ambient on the executors (application-default
+          / managed identity — see ``_map_destination``);
+        - ``(None, None)`` — any other scheme: no pyarrow mapping this
+          code trusts, so append() falls back to the Spark committer
+          write — slower (the per-partition commit cost) and it
+          degrades maintenance detection to full walks (the committer
+          reports no band set), never wrong. The fallback logs ONCE per
+          instance naming that cost."""
         if self._append_dest is not None:
             return self._append_dest
         kind, dest, reason = _resolve_direct_destination(spark, self.path)
@@ -1115,6 +1120,7 @@ def _resolve_direct_destination(
     port = uri.getPort()
     return _map_destination(
         (uri.getScheme() or "file").lower(),
+        uri.getUserInfo(),
         uri.getHost(),
         None if port is None or int(port) == -1 else int(port),
         uri.getPath(),
@@ -1122,23 +1128,49 @@ def _resolve_direct_destination(
 
 
 def _map_destination(
-    scheme: str, host: str | None, port: int | None, path: str
+    scheme: str,
+    userinfo: str | None,
+    host: str | None,
+    port: int | None,
+    path: str,
 ) -> tuple[str | None, str | None, str | None]:
     """The pure scheme→destination mapping behind
     :func:`_resolve_direct_destination` (split out so the mapping and
-    the hdfs probe are testable without a JVM)."""
+    the probes are testable without a JVM). ``userinfo`` matters for
+    abfs, whose Hadoop URIs carry the CONTAINER there
+    (``abfs://container@account.dfs.core.windows.net/path``) — dropping
+    it would write into the wrong (or no) container.
+
+    hdfs/gs/abfs destinations are PROBED (constructing the pyarrow
+    filesystem driver-side) before being trusted. For hdfs the probe is
+    a real signal — the JNI libhdfs load fails when the native lib is
+    absent. For gs/abfs construction is lazy about credentials, so the
+    probe validates availability/URI shape only; auth happens at IO
+    time on the executors, which on a GCP/Azure cluster carry the
+    ambient credentials (application-default / managed identity) the
+    Hadoop connectors themselves rely on. A misconfigured deployment
+    fails the append job LOUDLY — preferred over the committer
+    fallback's silent per-directory driver cost, same tradeoff the
+    hdfs mapping took."""
     if scheme == "file":
         return "local", path, None
     if scheme in ("s3", "s3a", "s3n"):
         return "s3", f"s3://{host}{path}", None
-    if scheme == "hdfs":
-        authority = str(host) + (f":{port}" if port is not None else "")
-        dest = f"hdfs://{authority}{path}"
+    if scheme in ("hdfs", "gs", "abfs", "abfss"):
+        if scheme == "hdfs":
+            authority = str(host) + (f":{port}" if port is not None else "")
+        else:
+            authority = (f"{userinfo}@" if userinfo else "") + str(host)
+        dest = f"{scheme}://{authority}{path}"
         try:
-            _pyarrow_filesystem("hdfs", dest, None)
-            return "hdfs", dest, None
-        except Exception as exc:  # libhdfs absent / misconfigured
-            return None, None, f"pyarrow HadoopFileSystem probe failed: {exc}"
+            _pyarrow_filesystem(scheme, dest, None)
+            return scheme, dest, None
+        except Exception as exc:  # native lib absent / unsupported build
+            return (
+                None,
+                None,
+                f"pyarrow filesystem probe for {scheme!r} failed: {exc}",
+            )
     return (
         None,
         None,
@@ -1158,7 +1190,8 @@ def _pyarrow_filesystem(kind: str, dest: str, fs_options: dict | None):
     - s3 with ``fs_options`` → ``S3FileSystem(**fs_options)`` (the
       endpoint_override / explicit-credentials seam for S3-compatible
       stores and test servers), base = ``bucket/key``;
-    - anything else (s3 default chain, hdfs) → ``FileSystem.from_uri``.
+    - anything else (s3 default chain, hdfs, gs, abfs/abfss) →
+      ``FileSystem.from_uri``.
     """
     from pyarrow import fs as pafs
 

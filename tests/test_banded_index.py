@@ -1076,28 +1076,37 @@ def test_failed_append_degrades_dirty_tracking_to_full_walk(
     )
 
 
-def test_destination_mapping_trusts_local_s3_and_probed_hdfs(monkeypatch):
+def test_destination_mapping_trusts_local_s3_and_probed_schemes(monkeypatch):
     """The scheme->destination mapping behind direct appends: local and
-    s3 map unconditionally; hdfs maps ONLY when the driver-side pyarrow
-    probe (a JNI libhdfs load) succeeds — no silent committer fallback
-    on exactly the filesystem a real cluster uses, and no executor-wide
-    failures when the native lib is absent. (No HDFS in-sandbox: the
-    probe is faked; what's under test is the mapping + probe wiring.)"""
+    s3 map unconditionally; hdfs/gs/abfs map ONLY when the driver-side
+    pyarrow construction probe succeeds — no silent committer fallback
+    on exactly the filesystems real clusters use, and no executor-wide
+    failures when a native lib is absent. The abfs CONTAINER (the URI's
+    userinfo) must be preserved — dropping it would write into the
+    wrong container. (No HDFS in-sandbox: that probe is faked; gs/abfs
+    construction is real — pyarrow ships both filesystems.)"""
     from fest_vibes_ai_etl_spark.streaming import banded_index as bi
 
-    assert bi._map_destination("file", None, None, "/idx") == (
+    assert bi._map_destination("file", None, None, None, "/idx") == (
         "local", "/idx", None
     )
-    assert bi._map_destination("s3a", "bkt", None, "/idx") == (
+    assert bi._map_destination("s3a", None, "bkt", None, "/idx") == (
         "s3", "s3://bkt/idx", None
     )
+    # gs/abfs probes run against the REAL pyarrow filesystems
+    assert bi._map_destination("gs", None, "bucket", None, "/idx") == (
+        "gs", "gs://bucket/idx", None
+    )
+    assert bi._map_destination(
+        "abfss", "container", "acct.dfs.core.windows.net", None, "/idx"
+    ) == ("abfss", "abfss://container@acct.dfs.core.windows.net/idx", None)
     probed = []
     monkeypatch.setattr(
         bi,
         "_pyarrow_filesystem",
         lambda kind, dest, opts: probed.append((kind, dest)) or (object(), "/idx"),
     )
-    assert bi._map_destination("hdfs", "nn", 8020, "/idx") == (
+    assert bi._map_destination("hdfs", None, "nn", 8020, "/idx") == (
         "hdfs", "hdfs://nn:8020/idx", None
     )
     assert probed == [("hdfs", "hdfs://nn:8020/idx")]
@@ -1106,10 +1115,10 @@ def test_destination_mapping_trusts_local_s3_and_probed_hdfs(monkeypatch):
         raise OSError("Unable to load libhdfs")
 
     monkeypatch.setattr(bi, "_pyarrow_filesystem", failing_probe)
-    kind, dest, reason = bi._map_destination("hdfs", "nn", 8020, "/idx")
+    kind, dest, reason = bi._map_destination("hdfs", None, "nn", 8020, "/idx")
     assert kind is None and dest is None and "libhdfs" in reason
-    kind, dest, reason = bi._map_destination("gs", "bucket", None, "/idx")
-    assert kind is None and "gs" in reason
+    kind, dest, reason = bi._map_destination("wasbs", "c", "a.net", None, "/p")
+    assert kind is None and "wasbs" in reason
 
 
 def test_append_destination_fallback_is_loud_and_cached(monkeypatch, caplog):

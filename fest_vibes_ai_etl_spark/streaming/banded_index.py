@@ -1256,21 +1256,28 @@ def _make_band_writer(dests: list[dict], append_id: str):
                 filesystem.create_dir(band_dir, recursive=True)
                 # per-attempt staging name; DETERMINISTIC final name (a
                 # retried/speculative attempt replaces, never duplicates).
-                # The replace is an explicit delete-then-move: POSIX
-                # rename clobbers and S3 copy overwrites, but HDFS rename
-                # REFUSES an existing destination — without the delete, a
-                # speculative rerun of an already-renamed band would fail
-                # every retry on exactly the filesystem that needs it.
-                # (Crash between delete and move = this append attempt
-                # fails = the batch replays under the in-flight marker
-                # and heals, same as any other mid-append death.)
+                # A final that ALREADY EXISTS is skipped outright: final
+                # names only ever appear via a move() from a fully-written
+                # staging file, and content for a given (append_id, band)
+                # is a pure function of the shuffled batch data, so an
+                # existing file IS this write's output — some earlier
+                # attempt of this task landed it. Skipping (rather than
+                # the pre-round-11 delete-then-move, needed because HDFS
+                # rename refuses an existing destination) closes a zombie
+                # window: a speculative attempt killed between the delete
+                # and the move could erase the winning attempt's
+                # already-reported band AFTER the job succeeded — which no
+                # replay would heal, since the dirty set claims coverage.
+                # Two racing attempts that both pass the NotFound check
+                # both write staging files and race the move: POSIX/S3
+                # clobber with equivalent content (harmless); HDFS fails
+                # the loser, whose retry then sees the file and skips.
                 final = f"{band_dir}/part-{append_id}-b{band}.parquet"
-                if filesystem.get_file_info(final).type != pafs.FileType.NotFound:
-                    filesystem.delete_file(final)
-                tmp = f"{band_dir}/_tmp-{uuid.uuid4().hex}.parquet"
-                with filesystem.open_output_stream(tmp) as out:
-                    pq.write_table(sub, out)
-                filesystem.move(tmp, final)
+                if filesystem.get_file_info(final).type == pafs.FileType.NotFound:
+                    tmp = f"{band_dir}/_tmp-{uuid.uuid4().hex}.parquet"
+                    with filesystem.open_output_stream(tmp) as out:
+                        pq.write_table(sub, out)
+                    filesystem.move(tmp, final)
                 yield pa.RecordBatch.from_pylist(
                     [
                         {
@@ -1424,7 +1431,7 @@ def direct_partitioned_append(
     must then fall back to the committer write (slower, never wrong).
 
     Failure model is the banded index's: per-attempt ``_tmp-`` staging
-    (invisible to parquet readers), deterministic delete-then-move final
+    (invisible to parquet readers), deterministic skip-if-landed final
     names so task retries replace rather than duplicate, and a mid-job
     death leaves some partitions' files landed and others missing —
     callers must be replay-convergent (an anti-join/idempotence guard on

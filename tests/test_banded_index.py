@@ -1289,3 +1289,53 @@ def test_committer_fallback_append_writes_correctly_and_degrades(
     assert fresh.exists(spark) and fresh.n_bands == 4  # meta written
     b.maintain(spark, max_files_per_band=99)
     assert b.last_maintain_walk == "full"
+
+
+def test_existing_final_band_file_is_never_deleted_or_rewritten(spark, tmp_path):
+    """Round-11 zombie-window fix: a deterministic final name that already
+    exists is SKIPPED outright by the executor writer. The pre-round-11
+    delete-then-move meant a speculative/retried attempt killed between
+    its delete and its move could erase the winning attempt's
+    already-landed (and already-reported) band file AFTER the job
+    succeeded — no replay would heal it, since the dirty set claims
+    coverage. Pin: the landed file is neither deleted nor rewritten, the
+    band is still reported (the content IS this write's output), and
+    bands without a pre-existing final land normally."""
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    base = str(tmp_path / "idx")
+    append_id = "a" * 32
+    band_dir = os.path.join(base, "pband=1")
+    os.makedirs(band_dir)
+    final = os.path.join(band_dir, f"part-{append_id}-b1.parquet")
+    with open(final, "wb") as f:
+        f.write(b"winning attempt bytes")
+    dests = [
+        {
+            "kind": "local",
+            "dest": base,
+            "fs_options": None,
+            "cols": [("i0_id", "id"), ("i0_fp", "fp")],
+        }
+    ]
+    df = spark.createDataFrame([(7, 1), (8, 2)], "id long, fp long").select(
+        F.lit(0).cast("int").alias("idx_pos"),
+        F.pmod(F.col("fp"), F.lit(4)).cast("int").alias("pband"),
+        F.col("id").alias("i0_id"),
+        F.col("fp").alias("i0_fp"),
+    )
+    written = (
+        df.repartition(2, F.col("idx_pos"), F.col("pband"))
+        .mapInArrow(
+            bi._make_band_writer(dests, append_id),
+            "idx_pos long, pband long, n long",
+        )
+        .collect()
+    )
+    assert sorted({r.pband for r in written}) == [1, 2]
+    with open(final, "rb") as f:
+        assert f.read() == b"winning attempt bytes"
+    assert os.path.exists(
+        os.path.join(base, "pband=2", f"part-{append_id}-b2.parquet")
+    )
+    assert not any(f.startswith("_tmp-") for f in os.listdir(band_dir))

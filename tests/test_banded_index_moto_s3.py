@@ -206,9 +206,10 @@ def test_direct_append_lands_on_s3_with_deterministic_names(spark, moto_s3):
 
 def test_retried_append_replaces_instead_of_duplicating(spark, moto_s3):
     """A task retry / speculative attempt re-runs the writer with the
-    SAME append_id: the deterministic final name must overwrite the
-    first attempt's object, never add a second file whose rows would
-    double-count n_shared in the span probe."""
+    SAME append_id: the deterministic final name means the retry skips
+    the already-landed object (round 11: never deletes or rewrites it),
+    never adds a second file whose rows would double-count n_shared in
+    the span probe."""
     _, fs_options, client = moto_s3
     append_id = uuid.uuid4().hex
     dests = [

@@ -18,6 +18,8 @@ vectorized scan.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -268,12 +270,154 @@ def assign_to_centers(vectors: DataFrame, centers: list[list[float]],
     )
 
 
+class IVFIndexLayoutError(RuntimeError):
+    """The on-disk incremental-add index contradicts the caller's quantizer
+    configuration. Appending across the mismatch is silent corruption: the
+    cell-pruned replay guard trusts that a frozen quantizer pins a replayed
+    id to its stored cell, so a re-trained (or fat-fingered k/seed)
+    ``centers`` matrix over an existing ``index_dir`` makes replays append
+    duplicates, and probes computed under the new centers miss every vector
+    stored under the old ones — hence a loud error instead. Rebuild the
+    index under the new quantizer (the corpus is authoritative; the index
+    is always derivable from it), or point at a fresh directory."""
+
+
+def centers_fingerprint(centers: list[list[float]]) -> str:
+    """Canonical fingerprint of a coarse-quantizer centers matrix: sha256
+    over the float64 bytes + shape, so lists, tuples, and numpy arrays of
+    the same values fingerprint identically."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    h = hashlib.sha256()
+    h.update(repr(C.shape).encode("ascii"))
+    h.update(C.tobytes())
+    return h.hexdigest()
+
+
+def _dir_has_data_files(fs, jpath, d: str) -> bool:
+    """True when a directory holds at least one non-hidden file — i.e.
+    something a parquet reader would actually open. An append-crash can
+    leave cell directories that exist but are EMPTY (created before any
+    final rename landed); schema inference over zero data files throws,
+    which would wedge every replay of exactly the crash the replay guard
+    exists to heal, so reads are gated on this check. Listing is bounded:
+    callers only probe the batch's own cells (≤ nlist directories)."""
+    return any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(jpath(d))
+    )
+
+
+def _check_add_layout(
+    spark,
+    fs,
+    jvm,
+    index_dir: str,
+    centers: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Reconcile the caller's quantizer with the on-disk index, once per
+    processor instance (same config-drift guard class as
+    ``BandedFingerprintIndex._check_layout``, see
+    ``streaming/banded_index.py``):
+
+    - ``_meta.json`` present → the stored ``centers_fingerprint`` /
+      ``id_col`` / ``vec_col`` must match exactly, else
+      :class:`IVFIndexLayoutError`;
+    - meta absent but cell data present (an index built offline, or by a
+      pre-round-11 processor) → the claim IS verifiable here, unlike the
+      banded index's n_bands: assignment is a deterministic function of
+      (vector, centers), so a bounded sample of stored ``(vec, cell_id)``
+      rows is re-assigned under the caller's centers and any mismatch
+      refuses. On a clean pass the meta is written, pinning the
+      fingerprint so all future drift is exact-checked;
+    - nothing on disk → the meta is written FIRST (before any data):
+      unlike the banded index's n_bands it encodes nothing data-derived,
+      so meta-then-data has no unverifiable-claim crash window — a death
+      in between leaves a meta over an empty index, which is simply the
+      layout the next batch appends under.
+    """
+    from ..streaming.banded_index import hadoop_read_json, hadoop_write_json
+
+    import numpy as np
+
+    fp = centers_fingerprint(centers)
+    meta_path = index_dir.rstrip("/") + "/_meta.json"
+    meta = hadoop_read_json(spark, meta_path)
+    if meta is not None:
+        errs = []
+        if meta.get("centers_fingerprint") != fp:
+            errs.append(
+                f"centers_fingerprint: stored {meta.get('centers_fingerprint')!r}"
+                f" != {fp!r} (k={meta.get('k')}/dim={meta.get('dim')} stored vs"
+                f" k={len(centers)}/dim={len(centers[0]) if centers else 0} passed)"
+            )
+        for name, want in (("id_col", id_col), ("vec_col", vec_col)):
+            if meta.get(name) != want:
+                errs.append(f"{name}: stored {meta.get(name)!r} != {want!r}")
+        if errs:
+            raise IVFIndexLayoutError(
+                f"IVF add index {index_dir} layout mismatch — appending "
+                f"across it would silently duplicate replays and strand "
+                f"stored vectors in unprobed cells: " + "; ".join(errs)
+            )
+        return
+    jpath = jvm.org.apache.hadoop.fs.Path
+    root = jpath(index_dir)
+    has_data = fs.exists(root) and any(
+        st.getPath().getName().startswith("cell_id=")
+        and _dir_has_data_files(fs, jpath, str(st.getPath()))
+        for st in fs.listStatus(root)
+    )
+    if has_data:
+        # legacy adoption: verify the claim against a bounded sample
+        stored = (
+            spark.read.parquet(index_dir)
+            .select(vec_col, "cell_id")
+            .limit(2048)
+            .collect()
+        )
+        if stored:
+            C = np.asarray(centers, dtype=np.float64)
+            X = np.vstack(
+                [np.asarray(r[vec_col], dtype=np.float64) for r in stored]
+            )
+            got = np.argmax(X @ C.T, axis=1)
+            want = np.asarray([r.cell_id for r in stored])
+            bad = int((got != want).sum())
+            if bad:
+                raise IVFIndexLayoutError(
+                    f"IVF add index {index_dir} predates layout metadata and "
+                    f"the passed centers CONTRADICT its data: {bad}/{len(stored)} "
+                    f"sampled stored vectors re-assign to a different cell "
+                    f"under them — the index was built by a different "
+                    f"quantizer; rebuild it (or pass the quantizer it was "
+                    f"built with)"
+                )
+    hadoop_write_json(
+        spark,
+        meta_path,
+        {
+            "centers_fingerprint": fp,
+            "k": len(centers),
+            "dim": len(centers[0]) if centers else 0,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
 def make_index_add_processor(
     index_dir: str,
     centers: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     replay_guard: str = "pruned",
+    fs_options: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind
     :func:`start_incremental_index_add`, exposed (the incremental-dedup
@@ -309,17 +453,44 @@ def make_index_add_processor(
       cells) and possibly PARTIAL landed cells, which the replay's
       anti-join converges — the guard reads exactly the cells any
       partial files landed in. Untrusted filesystems fall back to the
-      committer write.
+      committer write, warning ONCE per processor instance and naming
+      the cost; the destination probe itself runs once, not per batch.
+
+    Config drift is refused, not absorbed: the index persists a
+    ``_meta.json`` (centers fingerprint + column names) validated at the
+    first batch — see :func:`_check_add_layout` /
+    :class:`IVFIndexLayoutError`.
+
+    ``fs_options`` are extra pyarrow ``S3FileSystem`` constructor options
+    for the direct append (endpoint_override / explicit credentials for
+    MinIO-class S3-compatible stores and test servers) — the same seam
+    ``BandedFingerprintIndex`` exposes.
     """
     if replay_guard not in ("pruned", "full"):
         raise ValueError(
             f"unknown replay_guard {replay_guard!r}: expected 'pruned' or 'full'"
         )
+    # per-instance once-only state: layout reconciliation, the resolved
+    # direct-append destination (the probe constructs a pyarrow
+    # filesystem — a JNI load for hdfs — so it must not rerun per batch),
+    # and the committer-fallback warning
+    state: dict = {"checked": False, "dest": None, "warned": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..streaming.banded_index import direct_partitioned_append
+        from ..streaming.banded_index import (
+            _resolve_direct_destination,
+            direct_partitioned_append,
+        )
 
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not state["checked"]:
+            _check_add_layout(
+                spark, fs, jvm, index_dir, centers, id_col, vec_col
+            )
+            state["checked"] = True
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
         # the batch's touched cells: bounded by nlist (the quantizer
         # size) by construction, so the collect is driver-safe
@@ -332,9 +503,7 @@ def make_index_add_processor(
         # on an EXISTING index must propagate, or a replayed batch would
         # skip the anti-join and append duplicates, breaking the
         # replays-converge contract exactly when the index is unhealthy.
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(index_dir)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        jpath = jvm.org.apache.hadoop.fs.Path
         existing_cells: set[str] = set()
         if fs.exists(root):
             existing_cells = {
@@ -345,26 +514,68 @@ def make_index_add_processor(
         touched_existing = [
             f"{index_dir}/cell_id={c}" for c in cells if f"cell_id={c}" in existing_cells
         ]
-        if touched_existing:
-            # sweep crashed-append temps in the batch's own cells (the
-            # only ones a prior attempt of THIS data could have staged
-            # into); single-writer discipline makes any temp garbage
-            for d in touched_existing:
-                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
-                    if st.getPath().getName().startswith("_tmp-"):
-                        fs.delete(st.getPath(), False)
+        # sweep crashed-append temps in the batch's own cells (the only
+        # ones a prior attempt of THIS data could have staged into;
+        # single-writer discipline makes any temp garbage) — and drop
+        # cells left with NO data files from the guard read: a
+        # first-attempt death after create_dir but before any final
+        # rename leaves exactly such an empty directory, and these rows
+        # would otherwise be read as zero rows anyway
+        live = []
+        for d in touched_existing:
+            has_data = False
+            for st in fs.listStatus(jpath(d)):
+                name = st.getPath().getName()
+                if name.startswith("_tmp-"):
+                    fs.delete(st.getPath(), False)
+                elif not name.startswith(("_", ".")):
+                    has_data = True
+            if has_data:
+                live.append(d)
         if existing_cells and replay_guard == "full":
-            seen = spark.read.parquet(index_dir).select(id_col)
-            assigned = assigned.join(seen, id_col, "left_anti")
-        elif touched_existing:
+            # the whole-index read still needs ≥1 data file somewhere for
+            # schema inference; the presence probe short-circuits at the
+            # first populated cell (≤ nlist listings, the mode's own
+            # index-proportional read dwarfs them)
+            has_any = bool(live) or any(
+                _dir_has_data_files(fs, jpath, f"{index_dir}/{c}")
+                for c in sorted(existing_cells)
+            )
+            if has_any:
+                seen = spark.read.parquet(index_dir).select(id_col)
+                assigned = assigned.join(seen, id_col, "left_anti")
+        elif live:
             seen = (
                 spark.read.option("basePath", index_dir)
-                .parquet(*touched_existing)
+                .parquet(*live)
                 .select(id_col)
             )
             assigned = assigned.join(seen, id_col, "left_anti")
-        if direct_partitioned_append(assigned, index_dir, "cell_id") is None:
-            # no trusted pyarrow mapping: committer write, never wrong
+        if state["dest"] is None:
+            state["dest"] = _resolve_direct_destination(spark, index_dir)
+        kind, dest, reason = state["dest"]
+        written = None
+        if kind is not None:
+            written = direct_partitioned_append(
+                assigned, index_dir, "cell_id",
+                fs_options=fs_options, resolved=(kind, dest),
+            )
+        if written is None:
+            # no trusted pyarrow mapping: committer write, never wrong —
+            # but name the cost once, like the banded index does
+            if not state["warned"]:
+                logging.getLogger(__name__).warning(
+                    "IVF add index %s: direct executor-side appends "
+                    "unavailable (%s) — falling back to the Spark "
+                    "dynamic-partition committer, which pays ~10 ms of "
+                    "driver-side commit work per touched cell directory "
+                    "per micro-batch; extend the direct-append filesystem "
+                    "mapping for this scheme to restore batch-proportional "
+                    "appends",
+                    index_dir,
+                    reason or "direct append declined",
+                )
+                state["warned"] = True
             assigned.repartition("cell_id").write.mode("append").partitionBy(
                 "cell_id"
             ).parquet(index_dir)
@@ -381,12 +592,14 @@ def start_incremental_index_add(
     vec_col: str = "embedding",
     available_now: bool = True,
     replay_guard: str = "pruned",
+    fs_options: dict | None = None,
 ):
     """Streaming wrapper over :func:`make_index_add_processor` (see it
-    for the batch-proportional replay-guard and direct-append design)."""
+    for the batch-proportional replay-guard, the layout meta, and the
+    direct-append design)."""
     process = make_index_add_processor(
         index_dir, centers, id_col=id_col, vec_col=vec_col,
-        replay_guard=replay_guard,
+        replay_guard=replay_guard, fs_options=fs_options,
     )
     writer = (
         vectors.writeStream.foreachBatch(process)

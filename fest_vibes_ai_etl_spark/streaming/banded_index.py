@@ -65,6 +65,39 @@ _AUTO_BANDS_FACTOR = 8
 _MAX_AUTO_BANDS = 1024
 
 
+def hadoop_write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    """Write ``obj`` as one JSON file through the Hadoop filesystem API
+    (works on hdfs/s3a/... exactly like the data it describes). Shared by
+    every persisted-store layout meta (the banded index, the IVF cell
+    index): underscore-prefixed names keep the file invisible to parquet
+    listings, so layout and data move as one unit through directory
+    renames."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    out.close()
+
+
+def hadoop_read_json(spark: SparkSession, path: str) -> dict | None:
+    """Read a JSON file written by :func:`hadoop_write_json`; None when
+    absent. py4j passes byte[] buffers BY VALUE (a Java-side read into a
+    Python bytearray never reflects back), so the read happens wholly
+    JVM-side via commons-io."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 class BandedIndexLayoutError(RuntimeError):
     """The on-disk index layout (``_meta.json``) contradicts the caller's
     configuration. Probing across this mismatch is silent corruption —
@@ -195,37 +228,25 @@ class BandedFingerprintIndex:
 
     def _write_meta(self, spark: SparkSession, root: str | None = None,
                     n_bands: int | None = None) -> None:
-        fs, _ = self._fs(spark)
-        out = fs.create(self._meta_path(spark, root), True)
-        out.write(
-            bytearray(
-                json.dumps(
-                    {
-                        "key_col": self.key_col,
-                        "n_bands": self.n_bands if n_bands is None else n_bands,
-                        "schema_tag": self.schema_tag,
-                    }
-                ).encode("utf-8")
-            )
+        hadoop_write_json(
+            spark,
+            (root or self.path).rstrip("/") + "/_meta.json",
+            {
+                "key_col": self.key_col,
+                "n_bands": self.n_bands if n_bands is None else n_bands,
+                "schema_tag": self.schema_tag,
+            },
         )
-        out.close()
 
     def _read_meta(self, spark: SparkSession) -> dict | None:
-        fs, _ = self._fs(spark)
-        for p in (self._meta_path(spark), self._legacy_meta_path(spark)):
-            if not fs.exists(p):
-                continue
-            stream = fs.open(p)
-            try:
-                # py4j passes byte[] buffers BY VALUE (a Java-side read
-                # into a Python bytearray never reflects back), so the
-                # read must happen wholly JVM-side
-                text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8"
-                )
-            finally:
-                stream.close()
-            return json.loads(text)
+        for p in (
+            self.path.rstrip("/") + "/_meta.json",
+            # early round-8 builds kept the meta as a SIBLING file
+            self.path.rstrip("/") + "_meta.json",
+        ):
+            meta = hadoop_read_json(spark, p)
+            if meta is not None:
+                return meta
         return None
 
     def _check_layout(self, spark: SparkSession) -> None:
@@ -1418,6 +1439,7 @@ def direct_partitioned_append(
     part_col: str,
     fs_options: dict | None = None,
     write_tasks: int = BandedFingerprintIndex._APPEND_WRITE_TASKS,
+    resolved: tuple[str, str] | None = None,
 ) -> list[int] | None:
     """Direct executor-side append of ``df`` under hive-style
     ``path/<part_col>=<value>/`` directories — the general form of the
@@ -1436,9 +1458,18 @@ def direct_partitioned_append(
     death leaves some partitions' files landed and others missing —
     callers must be replay-convergent (an anti-join/idempotence guard on
     replay), exactly as a committer append's task-level atomicity never
-    covered multi-batch crashes either."""
+    covered multi-batch crashes either.
+
+    ``resolved`` is a pre-resolved ``(kind, dest)`` from
+    :func:`_resolve_direct_destination` — per-batch callers (the IVF add
+    processor) resolve ONCE and pass it in, so the driver-side probe
+    (pyarrow filesystem construction, a JNI load for hdfs) doesn't rerun
+    every micro-batch."""
     spark = df.sparkSession
-    kind, dest, _reason = _resolve_direct_destination(spark, path)
+    if resolved is None:
+        kind, dest, _reason = _resolve_direct_destination(spark, path)
+    else:
+        kind, dest = resolved
     if kind is None:
         return None
     import uuid as _uuid

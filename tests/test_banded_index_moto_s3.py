@@ -331,3 +331,53 @@ def test_fused_writer_routes_two_indexes_to_their_roots(spark, moto_s3):
     assert tb.num_rows == 20
     # no cross-contamination: neither root holds the other's columns
     assert "band_hash" not in ta.column_names and "fp" not in tb.column_names
+
+
+def test_ivf_direct_append_and_probe_over_moto_s3(spark, moto_s3):
+    """Round-11 fs_options plumbing for the IVF add path: the
+    cell-partitioned index append runs through direct_partitioned_append
+    against a real S3 endpoint (endpoint_override + explicit credentials —
+    the MinIO-class seam), with the resolution pre-computed the way
+    make_index_add_processor now caches it (Spark's Hadoop layer here
+    ships no s3 jars, so the control-plane resolution itself stays on
+    local-fs coverage; the DATA plane below is the real executor path).
+    The landed index is then probed: a pyarrow dataset read of the cells
+    feeds ivf_topk, whose full-probe results must equal brute force."""
+    from fest_vibes_ai_etl_spark.operators import ivf
+    from fest_vibes_ai_etl_spark.operators.similarity import topk_cosine
+    from fest_vibes_ai_etl_spark.sources import table
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        direct_partitioned_append,
+    )
+    from conftest import SF_DIR
+
+    _, fs_options, client = moto_s3
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter("vec_id < 200")
+    assigned, centers = ivf.build_ivf_index(corpus, k=4, seed=7)
+
+    written = direct_partitioned_append(
+        assigned,
+        "s3://bkt/ivf_idx",
+        "cell_id",
+        fs_options=fs_options,
+        resolved=("s3", "s3://bkt/ivf_idx"),
+    )
+    assert written, "direct append should report the cells it wrote"
+    keys = _keys(client, "ivf_idx/")
+    assert keys and all("/cell_id=" in k for k in keys)
+    assert not any("_tmp-" in k for k in keys)
+
+    import pyarrow.dataset as ds
+
+    fs, base = _pyarrow_filesystem("s3", "s3://bkt/ivf_idx", fs_options)
+    tbl = ds.dataset(base, filesystem=fs, partitioning="hive").to_table()
+    assert tbl.num_rows == corpus.count()
+    stored = spark.createDataFrame(tbl.to_pandas())
+
+    queries = corpus.filter("vec_id >= 190")
+    got = ivf.ivf_topk(stored, centers, queries, topk=3, nprobe=4).collect()
+    exact = topk_cosine(corpus, queries, k=3).collect()
+    assert sorted((r.query_id, r.vec_id, r.rk) for r in got) == sorted(
+        (r.query_id, r.vec_id, r.rk) for r in exact
+    )

@@ -1312,6 +1312,27 @@ def _make_band_writer(dests: list[dict], append_id: str):
     return write_bands
 
 
+def _fused_frame_contract(dests: list[dict]) -> int:
+    """Freeze :func:`append_many`'s fused-frame invariant: every prefixed
+    column name is unique across sidecars, and the union row is exactly
+    ``(idx_pos, pband)`` + one slot per (index, field) — returned as the
+    expected width. The executor writer slices each index's columns back
+    out BY NAME, so a collision (today structurally impossible under the
+    ``i{pos}_`` scheme, but one prefix-scheme edit away) would silently
+    cross-contaminate sidecars; a width drift (a third sidecar wired in
+    wrong, a renamed pair column) would silently fatten every append's
+    rows. Cheap to check, loud to break."""
+    prefixed = [name for d in dests for name, _ in d["cols"]]
+    if len(set(prefixed)) != len(prefixed):
+        dupes = sorted({n for n in prefixed if prefixed.count(n) > 1})
+        raise AssertionError(
+            f"append_many fused-frame invariant violated: prefixed column "
+            f"names collide across sidecars ({dupes}) — the per-index "
+            f"slices would cross-contaminate"
+        )
+    return 2 + len(prefixed)
+
+
 def append_many(
     specs: list[tuple[BandedFingerprintIndex, DataFrame]],
 ) -> list[list[int]]:
@@ -1372,6 +1393,7 @@ def append_many(
     schemas = [pairs.schema for _, pairs in specs]
     for i, schema in enumerate(schemas):
         dests[i]["cols"] = [(f"i{i}_{f.name}", f.name) for f in schema.fields]
+    expected_width = _fused_frame_contract(dests)
     frames = []
     for i, (idx, pairs) in enumerate(specs):
         cols = [
@@ -1388,6 +1410,13 @@ def append_many(
     union = frames[0]
     for f in frames[1:]:
         union = union.unionByName(f)
+    if len(union.columns) != expected_width:
+        raise AssertionError(
+            f"append_many fused-frame invariant violated: union carries "
+            f"{len(union.columns)} columns, expected {expected_width} "
+            f"(idx_pos + pband + one per (index, field)) — a sidecar's "
+            f"schema leaked extra columns into every appended row"
+        )
     writer = _make_band_writer(dests, append_id)
     try:
         written = (

@@ -1339,3 +1339,51 @@ def test_existing_final_band_file_is_never_deleted_or_rewritten(spark, tmp_path)
         os.path.join(base, "pband=2", f"part-{append_id}-b2.parquet")
     )
     assert not any(f.startswith("_tmp-") for f in os.listdir(band_dir))
+
+
+def test_fused_frame_contract_pins_width_and_disjoint_prefixes(spark, tmp_path):
+    """append_many's fused union is sliced back per-index BY NAME, so the
+    contract — disjoint prefixed names, width exactly 2 + one slot per
+    (index, field) — must break loudly, not silently widen rows or
+    cross-contaminate sidecars, when a future prefix-scheme edit or a
+    third sidecar is wired in wrong."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    # the real two-sidecar shape (string fp next to long key, a data
+    # column literally named 'band'): contract passes, width is exact
+    dests = [
+        {"cols": [("i0_id", "id"), ("i0_fp", "fp")]},
+        {"cols": [("i1_id", "id"), ("i1_band", "band")]},
+    ]
+    assert bi._fused_frame_contract(dests) == 6
+
+    # a colliding prefix scheme is refused by name
+    broken = [
+        {"cols": [("ix_id", "id"), ("ix_fp", "fp")]},
+        {"cols": [("ix_id", "id"), ("ix_band", "band")]},
+    ]
+    with pytest.raises(AssertionError, match="ix_id"):
+        bi._fused_frame_contract(broken)
+
+    # end-to-end: the invariant holds on a real fused append (and the
+    # per-root slices carry ONLY their own original columns)
+    a = BandedFingerprintIndex(str(tmp_path / "a"), "fpk", n_bands=4)
+    b = BandedFingerprintIndex(str(tmp_path / "b"), "band_hash", n_bands=4)
+    pairs_a = spark.range(12).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("fp"),
+        F.xxhash64(F.col("id").cast("string")).alias("fpk"),
+    )
+    pairs_b = spark.range(12).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("int").alias("band"),
+        (F.col("id") * 13).alias("band_hash"),
+    )
+    bi.append_many([(a, pairs_a), (b, pairs_b)])
+    ta = spark.read.parquet(str(tmp_path / "a"))
+    tb = spark.read.parquet(str(tmp_path / "b"))
+    assert sorted(ta.columns) == ["fp", "fpk", "id", "pband"]
+    assert sorted(tb.columns) == ["band", "band_hash", "id", "pband"]
+    assert ta.count() == 12 and tb.count() == 12

@@ -411,6 +411,81 @@ def _check_add_layout(
     )
 
 
+def _record_staleness_metrics(
+    metrics: dict, assigned: DataFrame, centers: list[list[float]], vec_col: str
+) -> None:
+    """Per-batch quantizer-staleness stats for the incremental add (the
+    FAISS train-vs-add split's blind spot: adds under a frozen quantizer
+    degrade recall as the vector distribution drifts away from the one
+    the centroids were fit on, and nothing else measures it). One extra
+    batch-proportional job — a vectorized top-2 centroid-sim pass plus a
+    ≤ nlist-row groupBy collect — recording into the caller's dict:
+
+    - ``last_mean_top1_sim``: mean cosine to the assigned centroid. The
+      primary drift signal — compare against its value on the build
+      corpus; a sustained drop means vectors no longer sit near any
+      centroid.
+    - ``last_mean_margin``: mean (top1 − top2) centroid-sim gap. Shrinks
+      toward 0 as assignments become ambiguous (cell boundaries no
+      longer separate the incoming data). A DIFFERENCE rather than the
+      top1/top2 ratio: cosine sims can be ≤ 0, where a ratio flips sign
+      and misorders; the gap is monotone in assignment confidence
+      everywhere. (k=1 indexes record 0 — there is no second cell.)
+    - ``last_cell_skew``: hottest cell's share of the batch × nlist
+      (1 = uniform). Drifted batches pile into few cells, inflating
+      those cells' probe cost and starving the rest.
+    - cumulative ``n_vectors`` / ``sum_top1_sim`` / ``sum_margin`` for
+      lifetime means, and ``batches``.
+
+    Re-train trigger these feed (documented contract, not automated —
+    re-training is an offline decision exactly like FAISS's): alarm when
+    ``last_mean_top1_sim`` falls below ~90% of the index build's own
+    mean (measure it once at build time on the assigned corpus), or
+    ``last_mean_margin`` halves, or ``last_cell_skew`` exceeds ~4 —
+    then rebuild via :func:`build_ivf_index` and re-point the stream at
+    the fresh directory (the add path's meta refuses the old one)."""
+
+    @pandas_udf("array<double>")
+    def _top2(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        Cm = np.asarray(centers, dtype=np.float64)
+        Xb = np.vstack(vs.to_numpy()).astype(np.float64)
+        sims = Xb @ Cm.T
+        if sims.shape[1] < 2:
+            top1 = sims[:, 0]
+            return pd.Series([[float(s), float(s)] for s in top1])
+        part = np.partition(sims, sims.shape[1] - 2, axis=1)
+        return pd.Series(
+            [[float(a), float(b)] for a, b in zip(part[:, -1], part[:, -2])]
+        )
+
+    per_cell = (
+        assigned.select("cell_id", _top2(F.col(vec_col)).alias("t"))
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vec"),
+            F.sum(F.element_at("t", 1)).alias("s_top1"),
+            F.sum(F.element_at("t", 1) - F.element_at("t", 2)).alias("s_margin"),
+        )
+        .collect()
+    )
+    n = sum(r.n_vec for r in per_cell)
+    metrics["batches"] = metrics.get("batches", 0) + 1
+    if not n:
+        return
+    s_top1 = sum(r.s_top1 for r in per_cell)
+    s_margin = sum(r.s_margin for r in per_cell)
+    metrics["n_vectors"] = metrics.get("n_vectors", 0) + n
+    metrics["sum_top1_sim"] = metrics.get("sum_top1_sim", 0.0) + s_top1
+    metrics["sum_margin"] = metrics.get("sum_margin", 0.0) + s_margin
+    metrics["last_mean_top1_sim"] = s_top1 / n
+    metrics["last_mean_margin"] = s_margin / n
+    metrics["last_cell_skew"] = max(r.n_vec for r in per_cell) * len(centers) / n
+
+
 def make_index_add_processor(
     index_dir: str,
     centers: list[list[float]],
@@ -418,6 +493,7 @@ def make_index_add_processor(
     vec_col: str = "embedding",
     replay_guard: str = "pruned",
     fs_options: dict | None = None,
+    metrics: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind
     :func:`start_incremental_index_add`, exposed (the incremental-dedup
@@ -465,6 +541,11 @@ def make_index_add_processor(
     for the direct append (endpoint_override / explicit credentials for
     MinIO-class S3-compatible stores and test servers) — the same seam
     ``BandedFingerprintIndex`` exposes.
+
+    ``metrics`` (optional, a plain dict the caller keeps — the dedup
+    streams' convention) accumulates per-batch quantizer-staleness
+    stats and the re-train trigger they feed: see
+    :func:`_record_staleness_metrics`.
     """
     if replay_guard not in ("pruned", "full"):
         raise ValueError(
@@ -492,6 +573,10 @@ def make_index_add_processor(
             )
             state["checked"] = True
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
+        if metrics is not None:
+            # staleness is a property of the INCOMING batch (pre
+            # anti-join: replays and updates drift too)
+            _record_staleness_metrics(metrics, assigned, centers, vec_col)
         # the batch's touched cells: bounded by nlist (the quantizer
         # size) by construction, so the collect is driver-safe
         cells = sorted(
@@ -593,13 +678,14 @@ def start_incremental_index_add(
     available_now: bool = True,
     replay_guard: str = "pruned",
     fs_options: dict | None = None,
+    metrics: dict | None = None,
 ):
     """Streaming wrapper over :func:`make_index_add_processor` (see it
-    for the batch-proportional replay-guard, the layout meta, and the
-    direct-append design)."""
+    for the batch-proportional replay-guard, the layout meta, the
+    staleness metrics, and the direct-append design)."""
     process = make_index_add_processor(
         index_dir, centers, id_col=id_col, vec_col=vec_col,
-        replay_guard=replay_guard, fs_options=fs_options,
+        replay_guard=replay_guard, fs_options=fs_options, metrics=metrics,
     )
     writer = (
         vectors.writeStream.foreachBatch(process)

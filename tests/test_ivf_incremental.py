@@ -389,3 +389,87 @@ def test_processor_plumbs_fs_options_and_caches_resolution(
     assert all(c["resolved"] == ("local", index_dir) for c in calls)
     assert len(resolutions) == 1  # probed once, cached across batches
     assert spark.read.parquet(index_dir).count() == 80
+
+
+def test_staleness_metrics_flag_drifted_adds_and_recall_floor(spark, tmp_path):
+    """Round-11 quantizer-staleness metric: adds under a frozen quantizer
+    degrade as the vector distribution drifts, and the metrics hook must
+    SEE it. Drift here is maximal and deterministic — vectors drawn from
+    the null space of the centroid matrix (orthogonal to every centroid,
+    so top-1 centroid sim is ~0) — versus an in-distribution batch from
+    the same table the quantizer was fit on. Asserts the discrimination
+    the documented re-train trigger relies on, plus recall floors on an
+    index grown by the drifted adds: full probe stays exact (drifted
+    vectors remain findable — they land in SOME cell), while the
+    nprobe-limited probe measurably degrades, which is precisely why the
+    trigger exists."""
+    import numpy as np
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 300")
+    assigned, centers = ivf.build_ivf_index(base, k=8, seed=7)
+
+    C = np.asarray(centers, dtype=np.float64)
+    _, _, Vt = np.linalg.svd(C, full_matrices=True)
+    null_basis = Vt[len(centers):]
+    rng = np.random.default_rng(123)
+    W = rng.normal(size=(100, null_basis.shape[0])) @ null_basis
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    drift = spark.createDataFrame(
+        [(10000 + i, [float(x) for x in W[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+
+    index_dir = str(tmp_path / "index")
+    assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(index_dir)
+    metrics: dict = {}
+    process = ivf.make_index_add_processor(index_dir, centers, metrics=metrics)
+
+    process(emb.filter("vec_id >= 300 and vec_id < 400"), 0)
+    indist_top1 = metrics["last_mean_top1_sim"]
+    indist_margin = metrics["last_mean_margin"]
+    assert metrics["batches"] == 1 and metrics["n_vectors"] == 100
+    assert indist_top1 > 0.05 and metrics["last_cell_skew"] >= 1.0
+
+    process(drift, 1)
+    assert metrics["batches"] == 2 and metrics["n_vectors"] == 200
+    # the drift signal: orthogonal-to-every-centroid vectors read ~0
+    assert metrics["last_mean_top1_sim"] < 0.5 * indist_top1
+    assert metrics["last_mean_margin"] < 0.5 * indist_margin
+    # ~0 up to float32 storage rounding of the drifted vectors
+    assert abs(metrics["last_mean_top1_sim"]) < 1e-6
+
+    # recall on the grown index: full probe exact, pruned probe degraded
+    # but above the floor (measured 0.633 at nprobe=4 for this seed)
+    from fest_vibes_ai_etl_spark.operators.similarity import topk_cosine
+
+    stored = spark.read.parquet(index_dir)
+    assert stored.count() == 500
+    queries = drift.filter("vec_id >= 10080")
+    corpus = stored.select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in topk_cosine(corpus, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf.ivf_topk(stored, centers, queries, topk=3, nprobe=8).collect()
+    }
+    assert full == exact  # adds remain findable: full probe is exact
+    pruned = {
+        (r.query_id, r.vec_id)
+        for r in ivf.ivf_topk(stored, centers, queries, topk=3, nprobe=4).collect()
+    }
+    recall = len(pruned & exact) / len(exact)
+    assert 0.5 <= recall < 1.0, recall  # degraded — the trigger's point
+
+
+def test_empty_batch_records_batch_but_no_vector_stats(spark, tmp_path):
+    """An empty micro-batch must not poison the staleness means (0/0) —
+    it counts as a batch, records no vector stats, and appends nothing."""
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    _, centers = ivf.build_ivf_index(emb.filter("vec_id < 300"), k=8, seed=7)
+    index_dir = str(tmp_path / "index")
+    metrics: dict = {}
+    process = ivf.make_index_add_processor(index_dir, centers, metrics=metrics)
+    process(emb.filter("vec_id < 0"), 0)
+    assert metrics == {"batches": 1}

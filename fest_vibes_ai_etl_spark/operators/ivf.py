@@ -588,13 +588,15 @@ def make_index_add_processor(
         # on an EXISTING index must propagate, or a replayed batch would
         # skip the anti-join and append duplicates, breaking the
         # replays-converge contract exactly when the index is unhealthy.
+        from ..streaming.banded_index import hadoop_list_names
+
         jpath = jvm.org.apache.hadoop.fs.Path
         existing_cells: set[str] = set()
         if fs.exists(root):
             existing_cells = {
-                st.getPath().getName()
-                for st in fs.listStatus(root)
-                if st.getPath().getName().startswith("cell_id=")
+                n
+                for n in hadoop_list_names(jvm, fs, root)
+                if n.startswith("cell_id=")
             }
         touched_existing = [
             f"{index_dir}/cell_id={c}" for c in cells if f"cell_id={c}" in existing_cells

@@ -65,6 +65,65 @@ _AUTO_BANDS_FACTOR = 8
 _MAX_AUTO_BANDS = 1024
 
 
+def _read_parquet_dirs(
+    spark: SparkSession, fs, base_path: str, paths: list[str], schema=None
+):
+    """``spark.read.option("basePath", ...).parquet(*paths)`` with the
+    file-listing strategy matched to the filesystem, and an optional
+    explicit ``schema`` — schema inference re-reads parquet footers for
+    every NEW path set, which measured ~1 s per pruned probe (each
+    batch touches a different band set, so the footer cache never
+    helps); callers that know the schema (the banded index caches it
+    per instance after the first read) skip inference entirely. Above
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
+    32) paths, DataFrame creation launches a whole Spark JOB with one
+    task per directory just to list files — measured ~2 s of every
+    pruned probe's wall for a few hundred touched band directories,
+    where a driver-side readdir is microseconds on local disk and a
+    ~1 ms NameNode RPC on HDFS. On those filesystems the threshold is
+    raised (scoped to this plan creation: the listing happens eagerly
+    inside ``.parquet()``, and the prior value is restored in a finally)
+    so the driver lists sequentially. Object stores (s3/gs/abfs) keep
+    Spark's default: their per-directory LIST calls are ~30 ms network
+    round-trips, exactly the case the distributed listing exists for."""
+    reader = spark.read.option("basePath", base_path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    scheme = (fs.getUri().getScheme() or "file").lower()
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if scheme in ("file", "hdfs") and len(paths) > int(spark.conf.get(key)):
+        prior = spark.conf.get(key)
+        spark.conf.set(key, str(len(paths)))
+        try:
+            return reader.parquet(*paths)
+        finally:
+            spark.conf.set(key, prior)
+    return reader.parquet(*paths)
+
+
+def hadoop_list_names(jvm, fs, path) -> list[str]:
+    """Child names of a directory in THREE py4j round-trips total. The
+    obvious ``[st.getPath().getName() for st in fs.listStatus(p)]`` pays
+    two Python↔JVM calls PER ENTRY — measured ~0.8 s for a 2048-band
+    index root, turning every pruned probe's existence filter into the
+    probe's dominant driver cost (vs ~0.1 s here). The FileStatus[] is
+    stringified JVM-side (``ArrayUtils.toString`` — the one array-joining
+    method py4j's reflection can match, since it takes a single
+    ``Object``; commons-lang3 ships with Spark) and split in Python.
+    Child names in this layout (``pband=N``/``cell_id=N``/part files)
+    never contain the ``,`` separator; a COMMA IN THE PARENT PATH would
+    corrupt the split, so that rare case falls back to the per-entry
+    walk."""
+    statuses = fs.listStatus(path)
+    if len(statuses) == 0:
+        return []
+    if "," in str(path):
+        return [st.getPath().getName() for st in statuses]
+    jpaths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(statuses)
+    joined = jvm.org.apache.commons.lang3.ArrayUtils.toString(jpaths)
+    return [p.rsplit("/", 1)[-1] for p in joined[1:-1].split(",")]
+
+
 def hadoop_write_json(spark: SparkSession, path: str, obj: dict) -> None:
     """Write ``obj`` as one JSON file through the Hadoop filesystem API
     (works on hdfs/s3a/... exactly like the data it describes). Shared by
@@ -165,6 +224,10 @@ class BandedFingerprintIndex:
         # hdfs probe (a JNI libhdfs load) and the fallback warning should
         # both happen once, not per append
         self._append_dest: tuple[str | None, str | None] | None = None
+        # the index's parquet schema, cached after the first pruned read
+        # (inference re-reads footers for every new band set — ~1 s per
+        # probe); cleared by invalidate()
+        self._data_schema = None
         # Maintenance-detection state (in-memory, per writer instance).
         # The single-writer stream owns every append, and each append()
         # REPORTS the exact band set it wrote — so the bands dirtied
@@ -430,13 +493,22 @@ class BandedFingerprintIndex:
         self._check_layout(spark)
         if not fs.exists(root):
             return None
-        existing = {st.getPath().getName() for st in fs.listStatus(root)}
+        existing = set(hadoop_list_names(spark._jvm, fs, root))
         paths = [
             f"{self.path}/pband={b}" for b in bands if f"pband={b}" in existing
         ]
         if not paths:
             return None
-        df = spark.read.option("basePath", self.path).parquet(*paths)
+        df = _read_parquet_dirs(
+            spark, fs, self.path, paths, schema=self._data_schema
+        )
+        if self._data_schema is None:
+            # cache the inferred schema for the instance's later probes:
+            # appends/compaction/re-banding never change it (single-writer
+            # discipline; rewrites preserve columns), and invalidate()
+            # resets it with the rest of the instance state. A mismatched
+            # external rewrite fails the read loudly, never silently.
+            self._data_schema = df.schema
         return df.drop("pband")
 
     def _append_destination(self, spark: SparkSession):
@@ -636,6 +708,7 @@ class BandedFingerprintIndex:
         # the data (keeping an old index's adopted n_bands would size a
         # rebuilt index to a corpus that no longer exists)
         self.n_bands = self._ctor_n_bands
+        self._data_schema = None  # a rebuilt index may store new columns
         self._reset_maintenance_state()
 
     # --- crash-window marker -------------------------------------------

@@ -56,6 +56,9 @@ def main() -> None:
     ap.add_argument("--batch-docs", type=int, default=12)
     ap.add_argument("--n-bands", type=int, default=2048)
     ap.add_argument("--out", default="/tmp/festvibes_probe_scale_r10")
+    ap.add_argument("--steady-warmup", type=int, default=0,
+                    help="1 = warm the processor instance with one disjoint "
+                         "batch first and report the steady-state shape")
     args = ap.parse_args()
 
     from probe_scaling import (
@@ -158,8 +161,23 @@ def main() -> None:
     # corpus write (which evaluates the dedup lineage) has no seam to
     # wrap without touching product code: report it as the remainder
     process = make_span_dedup_processor(corpus, n_bands=args.n_bands)
+    if args.steady_warmup:
+        # steady-state shape: drive THIS processor instance through one
+        # disjoint novel batch first, so its per-instance caches (the
+        # sidecars' parquet-schema cache, resolved append destinations)
+        # are warm — a long-running stream's batches all run warm; only
+        # the very first batch after a restart pays the cold costs the
+        # default (steady_warmup=0) run reports.
+        warm_src = os.path.join(args.out, "batch_src_warm")
+        write_batch_source(
+            spark, args.base, warm_src, args.batch_docs, salt="wq",
+            id_off=910_000_000,
+        )
+        log("instance warmup batch (steady-state mode) ...")
+        process(spark.read.parquet(warm_src), 0)
+        walls.clear()
     t0 = time.monotonic()
-    process(batch, 0)
+    process(batch, 1 if args.steady_warmup else 0)
     walls["total"] = time.monotonic() - t0
     walls["corpus_write_plus_other"] = walls["total"] - sum(
         v for k, v in walls.items() if k not in ("total",)
@@ -167,6 +185,7 @@ def main() -> None:
 
     print(json.dumps({"span_phase_breakdown": {
         "scale": args.scale, "n_bands": args.n_bands,
+        "steady_warmup": args.steady_warmup,
         "walls": {k: round(v, 3) for k, v in walls.items()},
     }}))
     print()

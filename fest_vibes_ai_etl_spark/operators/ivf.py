@@ -350,11 +350,14 @@ def _check_add_layout(
     meta = hadoop_read_json(spark, meta_path)
     if meta is not None:
         errs = []
+        # len()-based emptiness: `if centers` raises on a numpy matrix,
+        # which centers_fingerprint explicitly supports
+        dim = len(centers[0]) if len(centers) else 0
         if meta.get("centers_fingerprint") != fp:
             errs.append(
                 f"centers_fingerprint: stored {meta.get('centers_fingerprint')!r}"
                 f" != {fp!r} (k={meta.get('k')}/dim={meta.get('dim')} stored vs"
-                f" k={len(centers)}/dim={len(centers[0]) if centers else 0} passed)"
+                f" k={len(centers)}/dim={dim} passed)"
             )
         for name, want in (("id_col", id_col), ("vec_col", vec_col)):
             if meta.get(name) != want:
@@ -404,7 +407,7 @@ def _check_add_layout(
         {
             "centers_fingerprint": fp,
             "k": len(centers),
-            "dim": len(centers[0]) if centers else 0,
+            "dim": len(centers[0]) if len(centers) else 0,
             "id_col": id_col,
             "vec_col": vec_col,
         },
@@ -413,13 +416,16 @@ def _check_add_layout(
 
 def _record_staleness_metrics(
     metrics: dict, assigned: DataFrame, centers: list[list[float]], vec_col: str
-) -> None:
+) -> list[int]:
     """Per-batch quantizer-staleness stats for the incremental add (the
     FAISS train-vs-add split's blind spot: adds under a frozen quantizer
     degrade recall as the vector distribution drifts away from the one
     the centroids were fit on, and nothing else measures it). One extra
     batch-proportional job — a vectorized top-2 centroid-sim pass plus a
-    ≤ nlist-row groupBy collect — recording into the caller's dict:
+    ≤ nlist-row groupBy collect, whose keys double as the batch's sorted
+    distinct cell ids (returned, so the caller's touched-cells collect
+    folds into this job instead of evaluating the assignment a third
+    time) — recording into the caller's dict:
 
     - ``last_mean_top1_sim``: mean cosine to the assigned centroid. The
       primary drift signal — compare against its value on the build
@@ -472,10 +478,11 @@ def _record_staleness_metrics(
         )
         .collect()
     )
+    cells = sorted(r.cell_id for r in per_cell)
     n = sum(r.n_vec for r in per_cell)
     metrics["batches"] = metrics.get("batches", 0) + 1
     if not n:
-        return
+        return cells
     s_top1 = sum(r.s_top1 for r in per_cell)
     s_margin = sum(r.s_margin for r in per_cell)
     metrics["n_vectors"] = metrics.get("n_vectors", 0) + n
@@ -484,6 +491,7 @@ def _record_staleness_metrics(
     metrics["last_mean_top1_sim"] = s_top1 / n
     metrics["last_mean_margin"] = s_margin / n
     metrics["last_cell_skew"] = max(r.n_vec for r in per_cell) * len(centers) / n
+    return cells
 
 
 def make_index_add_processor(
@@ -573,15 +581,20 @@ def make_index_add_processor(
             )
             state["checked"] = True
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
-        if metrics is not None:
-            # staleness is a property of the INCOMING batch (pre
-            # anti-join: replays and updates drift too)
-            _record_staleness_metrics(metrics, assigned, centers, vec_col)
         # the batch's touched cells: bounded by nlist (the quantizer
-        # size) by construction, so the collect is driver-safe
-        cells = sorted(
-            r.cell_id for r in assigned.select("cell_id").distinct().collect()
-        )
+        # size) by construction, so the collect is driver-safe. The
+        # staleness pass doubles as the cells collect (its groupBy keys
+        # ARE the distinct cells) so metrics never cost a third
+        # evaluation of the assignment lineage; staleness is measured on
+        # the INCOMING batch (pre anti-join: replays and updates drift
+        # too).
+        if metrics is not None:
+            cells = _record_staleness_metrics(metrics, assigned, centers, vec_col)
+        else:
+            cells = sorted(
+                r.cell_id
+                for r in assigned.select("cell_id").distinct().collect()
+            )
         # Existence + cell listing through the Hadoop fs API (works on
         # hdfs/s3a too, unlike os.listdir): an explicit probe, not
         # swallowed read errors — a corrupt footer / transient IO failure

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
+import uuid
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +65,10 @@ _AUTO_BANDS_FACTOR = 8
 # per-band cost is always proportional to what the index HOLDS, not to
 # what its first batch implied.
 _MAX_AUTO_BANDS = 1024
+
+# serializes the scoped parallelPartitionDiscovery.threshold raise in
+# _read_parquet_dirs (spark.conf is session-global; see there)
+_DISCOVERY_THRESHOLD_LOCK = threading.Lock()
 
 
 def _read_parquet_dirs(
@@ -92,12 +98,26 @@ def _read_parquet_dirs(
     scheme = (fs.getUri().getScheme() or "file").lower()
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     if scheme in ("file", "hdfs") and len(paths) > int(spark.conf.get(key)):
-        prior = spark.conf.get(key)
-        spark.conf.set(key, str(len(paths)))
-        try:
-            return reader.parquet(*paths)
-        finally:
-            spark.conf.set(key, prior)
+        # spark.conf is SESSION-global: the raise is serialized behind a
+        # module lock so two concurrent probes can't interleave their
+        # set/restore (restoring the other's temporary value as "prior").
+        # A concurrent UNRELATED plan creation in the same session could
+        # still observe the raised value for the milliseconds the listing
+        # takes — worst case one sequential directory listing where a
+        # distributed one was preferred, a bounded perf wobble, never a
+        # correctness change. A non-blocking acquire keeps the fallback
+        # conservative: if another probe holds the lock, just list with
+        # whatever the current setting is.
+        if _DISCOVERY_THRESHOLD_LOCK.acquire(blocking=False):
+            try:
+                prior = spark.conf.get(key)
+                spark.conf.set(key, str(len(paths)))
+                try:
+                    return reader.parquet(*paths)
+                finally:
+                    spark.conf.set(key, prior)
+            finally:
+                _DISCOVERY_THRESHOLD_LOCK.release()
     return reader.parquet(*paths)
 
 
@@ -130,13 +150,32 @@ def hadoop_write_json(spark: SparkSession, path: str, obj: dict) -> None:
     every persisted-store layout meta (the banded index, the IVF cell
     index): underscore-prefixed names keep the file invisible to parquet
     listings, so layout and data move as one unit through directory
-    renames."""
+    renames.
+
+    ATOMIC via stage-then-rename: a direct create-truncate-write would
+    leave a TORN file if the driver dies mid-write, and a torn meta
+    wedges every restart (json.loads raises on each replay — the exact
+    replay-wedge class the empty-cell-dir fix closes elsewhere). A crash
+    here instead leaves either the old meta, no meta (the callers' loud
+    rebuild/adopt paths), or the staged temp (underscore-invisible,
+    clobbered by the next write). The delete-then-rename is safe here —
+    unlike the band writer's executor-side finals there is exactly one
+    driver-side writer, so no concurrent attempt can interleave."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path + ".tmp-" + uuid.uuid4().hex
+    )
+    out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(obj).encode("utf-8")))
     out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        # Hadoop rename reports failure as a boolean, not an exception —
+        # surfacing it keeps "meta missing" loud instead of mysterious
+        raise IOError(f"atomic meta write failed: rename {tmp} -> {p}")
 
 
 def hadoop_read_json(spark: SparkSession, path: str) -> dict | None:

@@ -53,6 +53,54 @@ def fingerprint(text_col: str = "text"):
     return F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
 
 
+# Above this many input rows, the single-evaluation rebuild falls back
+# to re-evaluating the dedup lineage per write (the pre-round-11 shape:
+# slower, never wrong). 5M longs is ~250 MB of collected Row traffic —
+# comfortably under the default 1g spark.driver.maxResultSize and the
+# broadcast limit; a bulk backfill delivered as ONE availableNow
+# micro-batch can be arbitrarily larger, and must not wedge the stream
+# on a driver OOM just to save a second evaluation.
+_SINGLE_EVAL_MAX_IDS = 5_000_000
+
+
+def rebuild_from_survivor_ids(
+    batch_df: DataFrame, cached: DataFrame, fresh: DataFrame, id_col: str
+) -> DataFrame:
+    """ONE evaluation of a dedup stream's expensive lineage, shared by the
+    span and near processors. ``fresh`` is ``cached`` narrowed by a chain
+    of semi/anti joins (pure row filters — never column transforms), and
+    it used to be evaluated twice per batch: once under the corpus write,
+    once re-evaluated under the fused index append. Instead, one job
+    collects the SURVIVOR IDS and the returned frame rebuilds ``fresh``
+    as the persisted ``cached`` semi-joined to the broadcast id list — a
+    cache read plus a broadcast filter for both downstream writes, no
+    external state in the plan. Exact because ids are unique post
+    ``dropDuplicates([id_col])``.
+
+    The collect is batch-bounded, but a micro-batch is NOT always small
+    (``trigger(availableNow)`` with no rate limit delivers a whole
+    backfill as one batch), so batches above ``_SINGLE_EVAL_MAX_IDS``
+    input rows fall back to returning ``fresh`` unchanged — the double
+    evaluation, unbounded-safe. The gate reads ``batch_df``'s row count
+    (a plain source-scan count, no dedup lineage; parquet batches answer
+    it from footers).
+
+    persist() of the post-join frame itself is NOT an option at this
+    seam: the round-7 cache-substitution hazard (see the note at the
+    verify gate in incremental_near_dedup.py)."""
+    from pyspark.sql import types as T
+
+    if batch_df.count() > _SINGLE_EVAL_MAX_IDS:
+        return fresh
+    spark = cached.sparkSession
+    survivor_ids = [r[0] for r in fresh.select(id_col).collect()]
+    ids_df = spark.createDataFrame(
+        [(i,) for i in survivor_ids],
+        T.StructType([cached.schema[id_col]]),
+    )
+    return cached.join(F.broadcast(ids_df), id_col, "left_semi")
+
+
 def make_exact_dedup_processor(
     corpus_dir: str,
     text_col: str = "text",

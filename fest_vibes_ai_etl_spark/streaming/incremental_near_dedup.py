@@ -229,6 +229,8 @@ def make_near_dedup_processor(
     n_done: list[int] = [0]  # completed batches, drives maintenance
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from .incremental_dedup import rebuild_from_survivor_ids
+
         spark = batch_df.sparkSession
         use_index = history_probe == "bucketed"
         # keep a handle to the persisted frame itself: unpersist() requires
@@ -450,24 +452,10 @@ def make_near_dedup_processor(
                     self_pairs_ordered=False,
                 )
                 fresh = fresh.join(hist_victims, id_col, "left_anti")
-        # ONE evaluation of the dedup lineage (same rationale and the
-        # same soundness argument as the span variant, see
-        # incremental_span_dedup.py): collect the batch-bounded survivor
-        # ids, then rebuild `fresh` as the persisted `cached` semi-joined
-        # to the broadcast id list so the corpus write and the fused
-        # index append are cache reads, not lineage re-evaluations.
-        # Every `fresh` reassignment above is a semi/anti join — pure row
-        # filtering of `cached` — so the rebuild is exact. persist() of
-        # the post-join frame itself is NOT an option at this seam (the
-        # round-7 cache-substitution hazard, noted above).
-        from pyspark.sql import types as T
-
-        survivor_ids = [r[0] for r in fresh.select(id_col).collect()]
-        ids_df = spark.createDataFrame(
-            [(i,) for i in survivor_ids],
-            T.StructType([cached.schema[id_col]]),
-        )
-        fresh = cached.join(F.broadcast(ids_df), id_col, "left_semi")
+        # ONE evaluation of the dedup lineage (every `fresh` step above
+        # is a semi/anti row filter of the persisted `cached`, so the
+        # rebuild is exact); size-gated, see rebuild_from_survivor_ids
+        fresh = rebuild_from_survivor_ids(batch_df, cached, fresh, id_col)
         if use_index:
             band_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)

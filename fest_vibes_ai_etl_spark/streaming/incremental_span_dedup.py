@@ -166,7 +166,7 @@ def make_span_dedup_processor(
         # the family's shared null-safe fingerprint: null text must still
         # produce a joinable key, or the exact-dedup survivor semi-join
         # drops the row entirely and replay re-appends it
-        from .incremental_dedup import fingerprint
+        from .incremental_dedup import fingerprint, rebuild_from_survivor_ids
 
         fresh = batch_df.dropDuplicates([id_col]).withColumn("fp", fingerprint(text_col))
         wf = winnow_fingerprints(
@@ -359,29 +359,11 @@ def make_span_dedup_processor(
                     live_fps, hist_fps, id_col, min_shared, False
                 )
                 fresh = fresh.join(hvictims, id_col, "left_anti")
-        # The dedup lineage (exact guard, within-batch span, history span
-        # probe) is the batch's expensive plan, and it used to run TWICE —
-        # once under the corpus write, once re-evaluated under the fused
-        # index append (a measured ~1.5-2 s slice of the fixed per-batch
-        # overhead). Collapse to ONE evaluation: a single job runs the
-        # lineage and collects the SURVIVOR IDS (batch-bounded — at most
-        # the micro-batch's own distinct ids — so the collect is
-        # driver-safe, same class as the touched-band collects), then the
-        # corpus write and the append rebuild `fresh` as the persisted
-        # `cached` semi-joined to the broadcast id list: a cache read plus
-        # a broadcast filter, no external state in the plan. Sound because
-        # the lineage only ever FILTERS `cached`'s rows (semi/anti joins),
-        # never transforms columns. persist() of the post-join frame
-        # itself is NOT an option at this seam — see the round-7 cache-
-        # substitution hazard note in incremental_near_dedup.py.
-        from pyspark.sql import types as T
-
-        survivor_ids = [r[0] for r in fresh.select(id_col).collect()]
-        ids_df = spark.createDataFrame(
-            [(i,) for i in survivor_ids],
-            T.StructType([cached.schema[id_col]]),
-        )
-        fresh = cached.join(F.broadcast(ids_df), id_col, "left_semi")
+        # ONE evaluation of the dedup lineage (exact guard, within-batch
+        # span, history span probe — a measured ~1.5-2 s slice of the
+        # fixed per-batch overhead when run twice); size-gated, see
+        # rebuild_from_survivor_ids
+        fresh = rebuild_from_survivor_ids(batch_df, cached, fresh, id_col)
         if use_index:
             fp_index.mark_inflight(spark)
         fresh.write.mode("append").parquet(corpus_dir)

@@ -1387,3 +1387,33 @@ def test_fused_frame_contract_pins_width_and_disjoint_prefixes(spark, tmp_path):
     assert sorted(ta.columns) == ["fp", "fpk", "id", "pband"]
     assert sorted(tb.columns) == ["band", "band_hash", "id", "pband"]
     assert ta.count() == 12 and tb.count() == 12
+
+
+def test_meta_writes_are_staged_then_renamed(spark, tmp_path):
+    """hadoop_write_json must never leave a TORN meta: a truncated
+    _meta.json wedges every restart (json.loads raises on each replay —
+    the same replay-wedge class as the empty-cell-dir fix). Staging +
+    rename means a crash leaves the old meta, no meta (the loud
+    rebuild/adopt paths), or an underscore-invisible temp — never a
+    half-written file. Pin: overwrite works, content is the new value,
+    and no staging temp survives."""
+    import json
+    import os
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        hadoop_read_json,
+        hadoop_write_json,
+    )
+
+    d = tmp_path / "store"
+    d.mkdir()
+    meta = str(d / "_meta.json")
+    hadoop_write_json(spark, meta, {"v": 1})
+    hadoop_write_json(spark, meta, {"v": 2})  # overwrite, not append/fail
+    assert hadoop_read_json(spark, meta) == {"v": 2}
+    with open(meta) as fh:
+        assert json.load(fh) == {"v": 2}
+    # no staging temps survive (Hadoop's local ChecksumFileSystem .crc
+    # sidecar is expected and harmless — dot-prefixed, reader-invisible)
+    assert not [f for f in os.listdir(d) if ".tmp-" in f]
+    assert "_meta.json" in os.listdir(d)

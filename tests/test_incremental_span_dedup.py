@@ -147,3 +147,42 @@ def test_mid_run_corpus_deletion_kills_sidecars(spark, tmp_path):
     assert idx_fps == {
         r.fp for r in spark.read.parquet(corpus).select("fp").collect()
     }
+
+
+def test_oversized_batch_falls_back_to_double_evaluation(spark, tmp_path, monkeypatch):
+    """The single-evaluation rebuild collects the batch's survivor ids to
+    the driver — safe for real micro-batches but NOT for a bulk backfill
+    delivered as one availableNow batch. Above the gate the processor
+    must fall back to the pre-round-11 double evaluation and still
+    produce the identical corpus."""
+    from fest_vibes_ai_etl_spark.streaming import incremental_dedup as idd
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        make_span_dedup_processor,
+    )
+
+    docs = [
+        (1, "alpha beta the quick brown fox jumps over the lazy dog one"),
+        (2, "totally novel content about storage engines and query planners"),
+        (3, "alpha beta the quick brown fox jumps over the lazy dog one"),
+        (4, "fourth separate document with its own words entirely"),
+    ]
+    outs = {}
+    for gate, label in ((0, "fallback"), (5_000_000, "single_eval")):
+        monkeypatch.setattr(idd, "_SINGLE_EVAL_MAX_IDS", gate)
+        corpus = str(tmp_path / f"corpus_{label}")
+        process = make_span_dedup_processor(corpus, n_bands=8)
+        process(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+        process(
+            spark.createDataFrame(
+                [(10, "alpha beta the quick brown fox jumps over the lazy dog one"),
+                 (11, "a genuinely fresh second batch document")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+        outs[label] = sorted(
+            r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+        )
+    assert outs["fallback"] == outs["single_eval"]
+    assert 10 not in outs["fallback"]  # exact dup of doc 1's text dropped
+    assert 11 in outs["fallback"]

@@ -473,3 +473,27 @@ def test_empty_batch_records_batch_but_no_vector_stats(spark, tmp_path):
     process = ivf.make_index_add_processor(index_dir, centers, metrics=metrics)
     process(emb.filter("vec_id < 0"), 0)
     assert metrics == {"batches": 1}
+
+
+def test_numpy_centers_matrix_accepted_end_to_end(spark, tmp_path):
+    """centers_fingerprint advertises numpy support and assign/probe accept
+    ndarrays — the layout check must too (`if centers` on a matrix raises
+    'truth value of an array is ambiguous')."""
+    import numpy as np
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    _, centers = ivf.build_ivf_index(emb.filter("vec_id < 300"), k=8, seed=7)
+    C = np.asarray(centers, dtype=np.float64)
+    assert ivf.centers_fingerprint(C) == ivf.centers_fingerprint(centers)
+    index_dir = str(tmp_path / "index")
+    process = ivf.make_index_add_processor(index_dir, C)
+    process(emb.filter("vec_id < 50"), 0)
+    assert spark.read.parquet(index_dir).count() == 50
+    # and the mismatch message path is ndarray-safe too
+    import pytest
+
+    _, other = ivf.build_ivf_index(emb.filter("vec_id < 300"), k=8, seed=99)
+    with pytest.raises(ivf.IVFIndexLayoutError, match="centers_fingerprint"):
+        ivf.make_index_add_processor(
+            index_dir, np.asarray(other, dtype=np.float64)
+        )(emb.filter("vec_id >= 50 and vec_id < 60"), 0)

@@ -562,8 +562,12 @@ def make_index_add_processor(
     # per-instance once-only state: layout reconciliation, the resolved
     # direct-append destination (the probe constructs a pyarrow
     # filesystem — a JNI load for hdfs — so it must not rerun per batch),
-    # and the committer-fallback warning
-    state: dict = {"checked": False, "dest": None, "warned": False}
+    # the committer-fallback warning, and the stored index's parquet
+    # schema (inference re-reads footers for every new cell set — the
+    # same per-probe cost the banded index's schema cache removes; the
+    # schema is layout-pinned by _meta.json, so caching is sound)
+    state: dict = {"checked": False, "dest": None, "warned": False,
+                   "schema": None}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..streaming.banded_index import (
@@ -642,15 +646,21 @@ def make_index_add_processor(
                 for c in sorted(existing_cells)
             )
             if has_any:
-                seen = spark.read.parquet(index_dir).select(id_col)
-                assigned = assigned.join(seen, id_col, "left_anti")
+                seen = spark.read.parquet(index_dir)
+                if state["schema"] is None:
+                    state["schema"] = seen.schema
+                assigned = assigned.join(
+                    seen.select(id_col), id_col, "left_anti"
+                )
         elif live:
-            seen = (
-                spark.read.option("basePath", index_dir)
-                .parquet(*live)
-                .select(id_col)
+            from ..streaming.banded_index import _read_parquet_dirs
+
+            seen = _read_parquet_dirs(
+                spark, fs, index_dir, live, schema=state["schema"]
             )
-            assigned = assigned.join(seen, id_col, "left_anti")
+            if state["schema"] is None:
+                state["schema"] = seen.schema
+            assigned = assigned.join(seen.select(id_col), id_col, "left_anti")
         if state["dest"] is None:
             state["dest"] = _resolve_direct_destination(spark, index_dir)
         kind, dest, reason = state["dest"]

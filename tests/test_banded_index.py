@@ -1417,3 +1417,69 @@ def test_meta_writes_are_staged_then_renamed(spark, tmp_path):
     # sidecar is expected and harmless — dot-prefixed, reader-invisible)
     assert not [f for f in os.listdir(d) if ".tmp-" in f]
     assert "_meta.json" in os.listdir(d)
+
+
+def test_read_parquet_dirs_schema_and_listing_strategy(spark, tmp_path):
+    """_read_parquet_dirs: an explicit schema skips footer inference; the
+    parallelPartitionDiscovery threshold raise is scoped (restored after
+    plan creation, even on error) and applies only to file/hdfs schemes
+    — object stores keep Spark's distributed listing."""
+    import pytest
+
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    base = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(8)).cast("int").alias("pband")
+    )
+    df.write.partitionBy("pband").parquet(base)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    paths = [f"{base}/pband={b}" for b in range(8)]
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prior = spark.conf.get(key)
+
+    # inferred read (below the default threshold: no conf fiddling)
+    got = bi._read_parquet_dirs(spark, fs, base, paths)
+    assert got.count() == 40 and spark.conf.get(key) == prior
+
+    # explicit schema read returns the same rows
+    got2 = bi._read_parquet_dirs(spark, fs, base, paths, schema=got.schema)
+    assert sorted(r.id for r in got2.collect()) == list(range(40))
+
+    # above-threshold file-scheme read: raised during creation, restored
+    spark.conf.set(key, "2")
+    try:
+        got3 = bi._read_parquet_dirs(spark, fs, base, paths, schema=got.schema)
+        assert spark.conf.get(key) == "2"  # restored to the (lowered) prior
+        assert got3.count() == 40
+        # error inside plan creation still restores (finally)
+        with pytest.raises(Exception):
+            bi._read_parquet_dirs(
+                spark, fs, base, [f"{base}/pband=77", f"{base}/pband=78",
+                                  f"{base}/pband=79"],
+                schema=got.schema,
+            ).collect()
+        assert spark.conf.get(key) == "2"
+    finally:
+        spark.conf.set(key, prior)
+
+    # a non-file scheme never touches the conf: a stub fs whose URI says
+    # s3 must go straight to the default-listing branch
+    class _U:
+        def getScheme(self):
+            return "s3a"
+
+    class _S3Stub:
+        def getUri(self):
+            return _U()
+
+    spark.conf.set(key, "2")
+    try:
+        got4 = bi._read_parquet_dirs(spark, _S3Stub(), base, paths,
+                                     schema=got.schema)
+        assert spark.conf.get(key) == "2"
+        assert got4.count() == 40
+    finally:
+        spark.conf.set(key, prior)

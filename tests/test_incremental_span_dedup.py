@@ -186,3 +186,34 @@ def test_oversized_batch_falls_back_to_double_evaluation(spark, tmp_path, monkey
     assert outs["fallback"] == outs["single_eval"]
     assert 10 not in outs["fallback"]  # exact dup of doc 1's text dropped
     assert 11 in outs["fallback"]
+
+
+def test_steady_batch_job_count_bounded(spark, tmp_path):
+    """A machine-independent canary for the fixed per-batch overhead the
+    round-8-11 work keeps cutting: a steady-state span batch submits a
+    BOUNDED number of Spark jobs (43 measured with AQE's per-stage jobs;
+    60 allows planner drift). Gross regressions this catches at test
+    time instead of on the bench: a per-batch index rebuild, duplicate
+    evaluations of the dedup lineage, per-sidecar appends/collects
+    coming un-fused, or per-band job fan-out."""
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        make_span_dedup_processor,
+    )
+
+    sc = spark.sparkContext
+    corpus = str(tmp_path / "c")
+    proc = make_span_dedup_processor(corpus, n_bands=64)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    proc(mk([(i, f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30)))
+             for i in range(8)]), 0)
+    proc(mk([(100 + i, f"other {i} " + " ".join(f"x{i}{j}" for j in range(30)))
+             for i in range(8)]), 1)  # warm the instance caches
+    sc.setJobGroup("steady_span", "counted steady batch")
+    try:
+        proc(mk([(200 + i, f"third {i} " + " ".join(f"y{i}{j}" for j in range(30)))
+                 for i in range(8)] + [(300, "alpha " + passage + " omega")]), 2)
+    finally:
+        sc.setJobGroup("steady_span_done", "after")
+    n = len(sc.statusTracker().getJobIdsForGroup("steady_span"))
+    assert 0 < n <= 60, f"steady span batch submitted {n} Spark jobs"

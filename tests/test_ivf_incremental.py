@@ -497,3 +497,26 @@ def test_numpy_centers_matrix_accepted_end_to_end(spark, tmp_path):
         ivf.make_index_add_processor(
             index_dir, np.asarray(other, dtype=np.float64)
         )(emb.filter("vec_id >= 50 and vec_id < 60"), 0)
+
+
+def test_steady_add_batch_job_count_bounded(spark, tmp_path):
+    """Job-count canary for the IVF add path (5 measured steady-state: the
+    touched-cells collect, the guard read + anti-join + append, and AQE
+    stage jobs; 8 allows planner drift). Catches re-introduction of
+    per-batch full-index reads, a third evaluation of the assignment
+    lineage, or per-cell job fan-out at test time instead of on the
+    scaling tool."""
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    assigned, centers = ivf.build_ivf_index(emb.filter("vec_id < 300"), k=8, seed=7)
+    index_dir = str(tmp_path / "idx")
+    assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(index_dir)
+    process = ivf.make_index_add_processor(index_dir, centers)
+    process(emb.filter("vec_id >= 300 and vec_id < 350"), 0)  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("steady_ivf", "counted steady batch")
+    try:
+        process(emb.filter("vec_id >= 350 and vec_id < 400"), 1)
+    finally:
+        sc.setJobGroup("steady_ivf_done", "after")
+    n = len(sc.statusTracker().getJobIdsForGroup("steady_ivf"))
+    assert 0 < n <= 8, f"steady IVF add batch submitted {n} Spark jobs"

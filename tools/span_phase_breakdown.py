@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-phase wall-clock breakdown of one steady-state span-dedup batch.
+"""Per-phase wall-clock breakdown of one steady-state span- or near-dedup batch.
 
 Rounds 8-10 found every major streaming regression (the
 dynamic-partition committer's 12 s appends, the double probe collect,
@@ -26,9 +26,10 @@ jobs it launches):
 - ``other``          — everything else (markers, settlement stats, ...)
 - ``total``          — the whole ``process(batch, 0)`` call
 
-Usage: python tools/span_phase_breakdown.py [--base /root/testdata/sf0.1]
-        [--scale 64] [--batch-docs 12] [--n-bands 2048]
-        [--out /tmp/festvibes_probe_scale_r10]
+Usage: python tools/span_phase_breakdown.py [--family span|near]
+        [--base /root/testdata/sf0.1] [--scale 64] [--batch-docs 12]
+        [--n-bands 2048] [--out /tmp/festvibes_probe_scale_r10]
+        [--steady-warmup 0|1]
 Reuses probe_scaling's corpus builders (cached under --out), times ONE
 batch on a COPY of the corpus+indexes (a batch mutates them), prints one
 JSON line + a markdown table.
@@ -51,6 +52,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("span", "near"), default="span")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scale", type=int, default=64)
     ap.add_argument("--batch-docs", type=int, default=12)
@@ -64,36 +66,59 @@ def main() -> None:
     from probe_scaling import (
         build_history_docs,
         log,
+        prebuild_near_corpus,
         prebuild_span_corpus,
         write_batch_source,
     )
 
     from fest_vibes_ai_etl_spark.session import get_spark
+    from fest_vibes_ai_etl_spark.streaming import incremental_near_dedup as near
     from fest_vibes_ai_etl_spark.streaming import incremental_span_dedup as span
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import (
+        _exact_pairs,
+        exact_index_path,
+    )
     from fest_vibes_ai_etl_spark.streaming.banded_index import (
         BandedFingerprintIndex,
     )
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        _band_hashes,
+        make_near_dedup_processor,
+        near_index_path,
+    )
     from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
-        exact_index_path,
         make_span_dedup_processor,
         span_index_path,
     )
     from pyspark.sql import functions as F
 
-    spark = get_spark("span-phase-breakdown")
+    fam = args.family
+    mod = span if fam == "span" else near
+
+    spark = get_spark(f"{fam}-phase-breakdown")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.out, exist_ok=True)
 
     # history corpus + indexes, cached across runs (probe_scaling layout)
     docs_dir = build_history_docs(args.base, args.out, args.scale)
-    proto = os.path.join(args.out, f"span_hist_x{args.scale}")
+    proto = os.path.join(args.out, f"{fam}_hist_x{args.scale}")
     if not os.path.exists(os.path.join(proto, "_SUCCESS")):
-        log(f"building x{args.scale} span history corpus ...")
-        prebuild_span_corpus(spark, docs_dir, proto, 20, 15)
-    for sidecar_path, key_col, tag in (
-        (span_index_path(proto), "fp", "winnow:k=20,w=15"),
-        (exact_index_path(proto), "fpk", "exact:md5-xxh64"),
-    ):
+        log(f"building x{args.scale} {fam} history corpus ...")
+        if fam == "span":
+            prebuild_span_corpus(spark, docs_dir, proto, 20, 15)
+        else:
+            prebuild_near_corpus(spark, docs_dir, proto, 3, 32)
+    if fam == "span":
+        sidecars = (
+            (span_index_path(proto), "fp", "winnow:k=20,w=15"),
+            (exact_index_path(proto), "fpk", "exact:md5-xxh64"),
+        )
+    else:
+        sidecars = (
+            (near_index_path(proto), "band_hash", "minhash:k=3,nh=32,bands=8"),
+            (exact_index_path(proto), "fpk", "exact:md5-xxh64"),
+        )
+    for sidecar_path, key_col, tag in sidecars:
         idx = BandedFingerprintIndex(
             sidecar_path, key_col, n_bands=args.n_bands, schema_tag=tag
         )
@@ -106,11 +131,13 @@ def main() -> None:
                         F.col("doc_id").alias("id"), F.explode("wfps").alias("fp")
                     )
                 )
-            else:
-                from fest_vibes_ai_etl_spark.streaming._exact_guard import (
-                    _exact_pairs,
+            elif key_col == "band_hash":
+                idx.build_from(
+                    _band_hashes(hist, "doc_id", 32, 8).select(
+                        F.col("bid").alias("id"), "band", "band_hash"
+                    )
                 )
-
+            else:
                 idx.build_from(_exact_pairs(hist, "doc_id"))
 
     src = os.path.join(args.out, "batch_src")
@@ -124,18 +151,23 @@ def main() -> None:
             shutil.rmtree(work)
         os.makedirs(work)
         for name in os.listdir(args.out):
-            if name.startswith(f"span_hist_x{args.scale}"):
+            if name.startswith(f"{fam}_hist_x{args.scale}"):
                 shutil.copytree(
                     os.path.join(args.out, name),
                     os.path.join(work, name.replace(f"_x{args.scale}", "")),
                 )
-        return os.path.join(work, "span_hist")
+        return os.path.join(work, f"{fam}_hist")
 
     # warm the Python-worker/codegen machinery on a throwaway copy, same
     # as probe_scaling: the steady-state phase shape is the deliverable,
     # not the one-off session spin-up
+    def make_processor(corpus_dir):
+        if fam == "span":
+            return make_span_dedup_processor(corpus_dir, n_bands=args.n_bands)
+        return make_near_dedup_processor(corpus_dir, n_buckets=args.n_bands)
+
     log("warmup batch ...")
-    make_span_dedup_processor(fresh_copy(), n_bands=args.n_bands)(batch, 0)
+    make_processor(fresh_copy())(batch, 0)
 
     corpus = fresh_copy()
     walls: dict[str, float] = {}
@@ -151,16 +183,16 @@ def main() -> None:
 
         return wrap
 
-    span.combined_touched_bands = timed(
-        "touched_bands", span.combined_touched_bands
+    mod.combined_touched_bands = timed(
+        "touched_bands", mod.combined_touched_bands
     )
-    span.append_many = timed("append_many", span.append_many)
+    mod.append_many = timed("append_many", mod.append_many)
     BandedFingerprintIndex.read_bands = timed(
         "read_bands", BandedFingerprintIndex.read_bands
     )
     # corpus write (which evaluates the dedup lineage) has no seam to
     # wrap without touching product code: report it as the remainder
-    process = make_span_dedup_processor(corpus, n_bands=args.n_bands)
+    process = make_processor(corpus)
     if args.steady_warmup:
         # steady-state shape: drive THIS processor instance through one
         # disjoint novel batch first, so its per-instance caches (the
@@ -183,7 +215,7 @@ def main() -> None:
         v for k, v in walls.items() if k not in ("total",)
     )
 
-    print(json.dumps({"span_phase_breakdown": {
+    print(json.dumps({f"{fam}_phase_breakdown": {
         "scale": args.scale, "n_bands": args.n_bands,
         "steady_warmup": args.steady_warmup,
         "walls": {k: round(v, 3) for k, v in walls.items()},

@@ -332,3 +332,75 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_group_size"),
         F.max("n").cast("long").alias("max_group_size"),
     )
+
+
+L_DIV = 3
+
+
+@register(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000.0) AS INT) AS bal_band,
+             c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    groups AS (
+      SELECT c_nationkey, bal_band,
+             CAST(SUM(c) AS BIGINT)   AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c) + 0.00000001, 6)
+               AS entropy
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_distinct < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_distinct < {L_DIV} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n_distinct) AS BIGINT) AS min_distinct_sensitive,
+           ROUND(MIN(entropy) + 0.00000001, 4) AS min_group_entropy
+    FROM groups
+    """,
+    tags=("dq", "privacy", "l-diversity"),
+    doc="l-diversity audit — the companion gate to privacy_k_anonymity_audit "
+    "(k-anonymity alone cannot stop attribute disclosure when a small "
+    "equivalence class is homogeneous in the sensitive value): per "
+    "quasi-identifier group (nation, balance band), how many DISTINCT "
+    "sensitive values (market segment) appear and the group's sensitive-"
+    "value entropy ln(n) − Σc·ln(c)/n; groups below l=3 are violations "
+    "and their rows are at attribute-disclosure risk. Two chained hash "
+    "aggregates ((QI, sensitive) cells, then QI groups) — both partial-"
+    "aggregable, bounded by the QI domain, the same 100-TB cost shape as "
+    "any two-level GROUP BY.",
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            + 1e-8,
+            6,
+        ).alias("entropy"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_distinct") < L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("n_distinct") < L_DIV, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n_distinct").cast("long").alias("min_distinct_sensitive"),
+        round_div(F.min("entropy"), 4).alias("min_group_entropy"),
+    )

@@ -1301,3 +1301,176 @@ def events_bootstrap_lift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias("significant"),
         )
     )
+
+
+EWMA_A = 0.7  # decay base: weight of a day k days back is EWMA_A**k
+EWMA_LOOKBACK = 7
+
+
+@register(
+    "events_ewma_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.day, a.n,
+             SUM(POWER({EWMA_A}, date_diff('day', b.day, a.day)) * b.n) AS wsum,
+             SUM(POWER({EWMA_A}, date_diff('day', b.day, a.day)))       AS wnorm
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day >= a.day - INTERVAL {EWMA_LOOKBACK} DAY AND b.day < a.day
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           ROUND(wsum / wnorm + 0.00000001, 4)     AS ewma_forecast,
+           ROUND(n * wnorm / wsum + 0.00000001, 4) AS resid_ratio,
+           (ROUND(n * wnorm / wsum + 0.00000001, 4) >= 1.5
+            OR ROUND(n * wnorm / wsum + 0.00000001, 4) <= 0.6667) AS is_anomaly
+    FROM j ORDER BY event_type, day
+    """,
+    tags=("stats", "forecast", "ewma", "anomaly"),
+    doc="Exponentially-weighted moving-average forecast + anomaly flag per "
+    "(event_type, day): today's volume vs the decay-weighted mean of the "
+    "prior 7 days (weight a^k for a day k back, truncated-window EWMA — "
+    "robust to calendar gaps because the exponent is the DAY DISTANCE, "
+    "not the row offset). Complements the seasonal-naive backtest "
+    "(events_forecast_backtest_mape) with the other classical baseline. "
+    "The Spark plan is one daily aggregate, then a range-frame window "
+    "whose collect_list feeds a JVM-side F.aggregate fold — no self-join, "
+    "no UDF; at 100 TB the window state is bounded by lookback × groups, "
+    "and the daily table it runs over is already days×types-sized.",
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .withColumn("di", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-EWMA_LOOKBACK, -1)
+    )
+    hist = daily.withColumn(
+        "hist", F.collect_list(F.struct("di", "n")).over(w)
+    ).filter(F.size("hist") > 0)
+    decay = lambda x: F.pow(F.lit(EWMA_A), (F.col("di") - x["di"]).cast("double"))
+    wsum = F.aggregate(
+        "hist", F.lit(0.0), lambda acc, x: acc + decay(x) * x["n"]
+    )
+    wnorm = F.aggregate("hist", F.lit(0.0), lambda acc, x: acc + decay(x))
+    scored = hist.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        round_div(wsum / wnorm, 4).alias("ewma_forecast"),
+        round_div(F.col("n") * wnorm / wsum, 4).alias("resid_ratio"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        (F.col("resid_ratio") >= 1.5) | (F.col("resid_ratio") <= 0.6667),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "regression_multifeature_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(l_quantity)                  AS sx1,
+             SUM(l_discount)                  AS sx2,
+             SUM(l_extendedprice)             AS sy,
+             SUM(l_quantity * l_quantity)     AS sx11,
+             SUM(l_discount * l_discount)     AS sx22,
+             SUM(l_quantity * l_discount)     AS sx12,
+             SUM(l_quantity * l_extendedprice) AS sx1y,
+             SUM(l_discount * l_extendedprice) AS sx2y,
+             SUM(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l_returnflag, n,
+             sx11 - sx1 * sx1 / n AS c11,
+             sx22 - sx2 * sx2 / n AS c22,
+             sx12 - sx1 * sx2 / n AS c12,
+             sx1y - sx1 * sy / n  AS c1y,
+             sx2y - sx2 * sy / n  AS c2y,
+             syy  - sy * sy / n   AS cyy,
+             sx1, sx2, sy
+      FROM s
+    ),
+    b AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, c1y, c2y, cyy,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(b1 + 0.00000001, 4) AS beta_qty,
+           ROUND(b2 + 0.00000001, 4) AS beta_disc,
+           ROUND((sy - b1 * sx1 - b2 * sx2) / n + 0.00000001, 4) AS intercept,
+           ROUND((b1 * c1y + b2 * c2y) / cyy + 0.00000001, 4)    AS r2
+    FROM b ORDER BY l_returnflag
+    """,
+    tags=("stats", "regression", "ml"),
+    doc="Multi-feature OLS (extendedprice ~ quantity + discount per return "
+    "flag) solved in closed form from SUFFICIENT STATISTICS: one "
+    "partial-aggregable pass collects the 10 moment sums, the 2×2 normal "
+    "equations solve by Cramer's rule inside the projection — the "
+    "distributed-ML pattern where model fitting costs exactly one "
+    "map-side-combined aggregate regardless of row count (p features ⇒ "
+    "O(p²) sums, never a second data pass; the same shape fits ridge by "
+    "adding λ to the diagonal). Extends the built-in simple-regression "
+    "aggregates (events_trend_per_user) to the multivariate case Spark "
+    "and DuckDB lack natively.",
+)
+def regression_multifeature_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx1"),
+        F.sum("l_discount").alias("sx2"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sx11"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("sx22"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("sx12"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sx1y"),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias("sx2y"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    c = s.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        (F.col("sx11") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("c11"),
+        (F.col("sx22") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("c22"),
+        (F.col("sx12") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("c12"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy", "c1y", "c2y", "cyy",
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det).alias("b2"),
+    )
+    return b.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        round_div(F.col("b1"), 4).alias("beta_qty"),
+        round_div(F.col("b2"), 4).alias("beta_disc"),
+        round_div(
+            (F.col("sy") - F.col("b1") * F.col("sx1") - F.col("b2") * F.col("sx2"))
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+        round_div(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y")) / F.col("cyy"), 4
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -230,6 +230,123 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    persist: bool = True,
+    sig: DataFrame | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT near-dup pairs: C(src→dst) =
+    |S_src ∩ S_dst| / |S_src|, the asymmetric overlap measure. Returns
+    (src_id, dst_id, containment) with src ≠ dst and the rounded
+    containment ≥ ``threshold``.
+
+    Jaccard misses the partial-copy contamination mode: a paragraph lifted
+    wholesale into a much longer document scores J = |A|/|B| ≈ 0 however
+    exact the copy, while C(A→B) = 1. Containment is what quote/excerpt
+    dedup and eval-contamination sweeps actually need (it is also what
+    the winnowing span family approximates at the substring level —
+    this is the word-shingle analogue with an exact ratio).
+
+    Same two physical plans as :func:`ngram_jaccard_pairs`, adapted to the
+    asymmetric bound (C ≥ t constrains only the SRC side's set size —
+    there is no upper length filter on dst):
+
+    - ``strategy="count"``: inverted-index join on the 8-byte shingle
+      hash, dst-side length filter ``nb ≥ ⌈t·na⌉`` (an overlap of t·na
+      cannot fit in a smaller dst set), map-side-combined COUNT per
+      directed pair. Shuffles carry only ids/sizes, never arrays.
+    - ``strategy="prefix"``: PPJoin-style prefix filter on the SRC side
+      only — if C(src→dst) ≥ t then among src's first
+      ``na − ⌈t·na⌉ + 1`` sorted shingles at least one is common, and a
+      match at 0-based position ``pos`` bounds the overlap by
+      ``na − pos``, so candidates need ``na − pos ≥ ⌈t·na⌉``. The dst
+      side explodes fully (no prefix exists for it), candidates are
+      distinct-ed, and ``array_intersect`` on the signature arrays
+      verifies. Wins when t is high (src prefixes collapse) on large
+      corpora; the count path's agg hash map wins below the crossover.
+    - ``strategy="auto"``: the same measured ~2M-shingle-rows crossover
+      as the Jaccard family, decided by one SUM(n) over the signature
+      table.
+
+    Both are lossless (the prefix bound is backed off by 1e-3 so pairs
+    whose true containment rounds up to ``threshold`` under round_div's
+    +1e-8 HALF_UP still generate candidates) and produce identical
+    output — cross-checked in tests/test_dedup_similarity.py. Skew and
+    stop-shingle degree caps from the Jaccard family apply unchanged
+    (the join key is the same shingle hash); at corpus scales beyond the
+    exhaustive join, bucket first with MinHash-LSH and verify candidates
+    with this exact ratio.
+    """
+    if sig is None:
+        sig = shingle_signature(df, id_col, text_col, k)
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    tp = max(threshold - 1e-3, 0.0)
+    if strategy == "auto":
+        total_shingles = sig.agg(F.sum("n")).collect()[0][0] or 0
+        strategy = "prefix" if total_shingles > 2_000_000 else "count"
+    if strategy == "count":
+        ex = sig.select("id", "n", F.explode("sh").alias("shingle"))
+        a = ex.select(F.col("id").alias("src_id"), F.col("n").alias("na"), "shingle")
+        b = ex.select(F.col("id").alias("dst_id"), F.col("n").alias("nb"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(
+                (F.col("src_id") != F.col("dst_id"))
+                # dst-side length filter: integer nb ≥ real t·na ⇔ nb ≥ ceil
+                & (F.col("nb") >= F.ceil(F.lit(tp) * F.col("na")))
+            )
+            .groupBy("src_id", "dst_id", "na")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return (
+            inter.withColumn("containment", round_div(F.col("i") / F.col("na"), 4))
+            .filter(F.col("containment") >= threshold)
+            .select("src_id", "dst_id", "containment")
+        )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    p = (F.col("n") - F.ceil(F.lit(tp) * F.col("n")) + 1).cast("int")
+    pre = sig.select(
+        "id",
+        "n",
+        F.posexplode(F.slice("sh", 1, F.greatest(p, F.lit(1)))).alias("pos", "shingle"),
+    )
+    full = sig.select(
+        F.col("id").alias("dst_id"), F.col("n").alias("nb"), F.explode("sh").alias("shingle")
+    )
+    alpha = F.ceil(F.lit(tp) * F.col("n"))
+    cand = (
+        pre.join(
+            full,
+            (pre["shingle"] == full["shingle"])
+            & (F.col("id") != F.col("dst_id"))
+            & (F.col("nb") >= alpha)
+            # positional bound: overlap ≤ na − pos (0-based pos in src)
+            & (F.col("n") - F.col("pos") >= alpha),
+        )
+        .select(F.col("id").alias("src_id"), "dst_id")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("src_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
+    sb = sig.select(F.col("id").alias("dst_id"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "src_id")
+        .join(sb, "dst_id")
+        .withColumn(
+            "containment",
+            round_div(F.size(F.array_intersect("sh_a", "sh_b")) / F.col("na"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:

@@ -83,6 +83,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src_id, dst_id, containment FROM (
+      SELECT src_id, dst_id,
+             ROUND(CAST(i AS DOUBLE) / sa.n + 0.00000001, 4) AS containment
+      FROM inter JOIN sizes sa ON src_id = sa.doc_id
+    ) WHERE containment >= 0.5
+    ORDER BY src_id, dst_id
+    """,
+    tags=("dedup", "containment"),
+    prepare=lambda spark, sf_dir: dedup.load_or_build_signature_store(
+        spark, table(spark, sf_dir, "documents"), sf_dir
+    ),
+    doc="Directed shingle-containment pairs C(src→dst) = |S∩D|/|S| ≥ 0.5 — "
+    "the asymmetric measure that catches PARTIAL copies (a paragraph "
+    "lifted into a longer doc scores Jaccard ≈ |A|/|B| but containment "
+    "1.0), the contamination mode symmetric dedup misses. Runs off the "
+    "same persisted shingle-signature store as the Jaccard family; the "
+    "count and PPJoin-prefix physical plans are output-identical "
+    "(tests/test_dedup_similarity.py) with the same measured crossover.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, sig=sig
+    ).orderBy("src_id", "dst_id")
+
+
+@register(
     "dedup_minhash_lsh",
     oracle="""
     WITH toks AS (

@@ -554,3 +554,60 @@ def test_winnow_store_fp_df_matches_recount(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_containment_detects_partial_copy(spark):
+    """A short doc lifted verbatim into a much longer one: Jaccard is tiny
+    (|A|/|B|) but containment(src→dst) is 1.0 — the asymmetric measure's
+    reason to exist. Direction matters: the long doc is NOT contained in
+    the short one."""
+    filler = " ".join(f"filler{i} word{i} token{i}" for i in range(40))
+    short = "the quoted passage appears verbatim inside the longer document"
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.src_id, r.dst_id): r.containment
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5, persist=False
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (2, 1) not in pairs
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.5, persist=False
+    ).collect()
+    assert jac == []  # symmetric Jaccard misses the same pair
+
+
+def test_containment_strategies_identical(spark):
+    """count and prefix are physically different plans; their directed pair
+    sets and rounded containment values must be bit-identical at a low and
+    a high threshold."""
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    sig = dedup.shingle_signature(docs, "doc_id", "text", 3)
+    for t in (0.3, 0.8):
+        a = sorted(map(tuple, dedup.containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            persist=False, strategy="count").collect()))
+        b = sorted(map(tuple, dedup.containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            persist=False, strategy="prefix").collect()))
+        c = sorted(map(tuple, dedup.containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=t, sig=sig,
+            persist=False, strategy="auto").collect()))
+        assert a == b == c
+        if t == 0.3:
+            assert len(a) > 0
+
+
+def test_containment_bounded_by_one_and_directed(spark):
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    rows = dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, persist=False
+    ).collect()
+    assert all(0.2 <= r.containment <= 1.0 for r in rows)
+    assert all(r.src_id != r.dst_id for r in rows)

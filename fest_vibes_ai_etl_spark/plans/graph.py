@@ -566,3 +566,83 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+AA_ANCHOR_MAX = 20   # anchor customers: c_custkey < 20 (packed even ids < 40)
+AA_TOPN = 25
+
+
+@register(
+    "graph_link_prediction_aa",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS d FROM pairs GROUP BY s),
+    a AS (
+      SELECT p.c AS ca, p.s, deg.d FROM pairs p JOIN deg USING (s)
+      WHERE p.c < {AA_ANCHOR_MAX * 2}
+    ),
+    b AS (SELECT c AS cb, s FROM pairs),
+    scored AS (
+      SELECT ca, cb,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ROUND(SUM(1.0 / LN(d)) + 0.00000001, 4) AS aa_score
+      FROM a JOIN b USING (s) WHERE ca <> cb
+      GROUP BY ca, cb
+    )
+    SELECT CAST(ca // 2 AS BIGINT) AS c_anchor,
+           CAST(cb // 2 AS BIGINT) AS c_other,
+           n_common, aa_score
+    FROM scored
+    ORDER BY aa_score DESC, c_anchor, c_other
+    LIMIT {AA_TOPN}
+    """,
+    tags=("graph", "link-prediction", "adamic-adar"),
+    prepare=_graph_prepare,
+    doc="Link prediction by Adamic-Adar over the bipartite customer-"
+    "supplier graph: for 20 anchor customers, the top-25 most-similar "
+    "other customers scored Σ 1/ln(deg(z)) over shared suppliers z — "
+    "the classical common-neighbor score that discounts hub neighbors "
+    "(a supplier serving everyone says nothing; AA's 1/ln weight encodes "
+    "exactly that). The serving shape: the anchors' adjacency (rows = "
+    "Σ anchor degrees) BROADCASTS into one equi-join on the shared-"
+    "neighbor key against the persisted edge store — candidate volume is "
+    "bounded by the anchors' two-hop neighborhood, never |V|². A z with "
+    "degree 1 cannot produce a pair (two distinct endpoints need d≥2), "
+    "so ln(d) is never 0. All-pairs AA at 100 TB adds the triangle "
+    "census's degree-ordered enumeration + a hub cap; the per-query "
+    "anchor form is what a recommender actually serves.",
+)
+def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = load_or_build_cs_edges(spark, sf_dir)
+    # supplier-side rows of the symmetrized store: (z=supplier, dst=customer,
+    # d = supplier degree = distinct customers)
+    sup = edges.filter(F.col("src") % 2 == 1).select(
+        F.col("src").alias("z"), F.col("dst").alias("c"), F.col("d").cast("double").alias("d")
+    )
+    anchors = sup.filter(F.col("c") < AA_ANCHOR_MAX * 2).select(
+        "z", F.col("c").alias("ca"), "d"
+    )
+    others = sup.select("z", F.col("c").alias("cb"))
+    scored = (
+        others.join(F.broadcast(anchors), "z")
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            round_div(F.sum(F.lit(1.0) / F.log("d")), 4).alias("aa_score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("aa_score"), "ca", "cb")
+        .limit(AA_TOPN)
+        .select(
+            (F.col("ca") / 2).cast("long").alias("c_anchor"),
+            (F.col("cb") / 2).cast("long").alias("c_other"),
+            F.col("n_common").cast("long").alias("n_common"),
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), "c_anchor", "c_other")
+    )

@@ -68,3 +68,83 @@ def bm25_topk(
         .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), id_col).limit(topn)
+
+
+def rocchio_expanded_topk(
+    postings: DataFrame,
+    doclen: DataFrame,
+    seed_terms: list[str],
+    id_col: str = "doc_id",
+    fb_k: int = 5,
+    expand_n: int = 5,
+    beta: float = 0.5,
+    topn: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio): run BM25 for the seed
+    terms, take the top ``fb_k`` docs as assumed-relevant feedback, score
+    every non-seed term in them by the Rocchio centroid weight
+    idf(t) · Σ_fb tf(t,d), add the ``expand_n`` best as expansion terms at
+    weight ``beta``, and re-rank the corpus under the weighted BM25
+    score Σ_t w_t · bm25(t, d). Classic recall repair for vocabulary
+    mismatch: a doc discussing the topic in different words is invisible
+    to the seed query but shares terms with the feedback set.
+
+    Every selection step (feedback docs, expansion terms, final ranking)
+    orders by a 4-decimal-rounded score with a total id/term tie-break, so
+    the EXPANSION ITSELF — not just the final list — is reproducible
+    across engines, reruns, and partitionings.
+
+    Scale shape: the feedback set is ``fb_k`` rows (broadcast); candidate
+    terms are the feedback docs' vocabulary (broadcast); their corpus df
+    comes from one semi-join-pruned pass over the postings; final scoring
+    touches only the ≤ len(seeds)+expand_n query terms' posting lists.
+    Nothing scales with |corpus| except the pruned posting scans — the
+    same query-time cost model as bm25_topk, ×2 passes.
+    """
+    spark = postings.sparkSession
+    fb = bm25_topk(
+        postings, doclen, seed_terms, id_col, k1, b, topn=fb_k
+    ).select(id_col)
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+
+    fb_terms = postings.join(broadcast(fb), id_col)
+    cand = fb_terms.filter(~F.col("term").isin(seed_terms))
+    cdf = (
+        postings.join(broadcast(cand.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cw = (
+        cand.groupBy("term")
+        .agg(F.sum("tf").alias("stf"))
+        .join(broadcast(cdf), "term")
+        .crossJoin(broadcast(stats))
+        .select("term", F.round(idf * F.col("stf") + 1e-8, 4).alias("w"))
+    )
+    expansion = (
+        cw.orderBy(F.desc("w"), "term")
+        .limit(expand_n)
+        .select("term", F.lit(float(beta)).alias("wq"))
+    )
+    seeds = spark.createDataFrame(
+        [(t, 1.0) for t in seed_terms], "term string, wq double"
+    )
+    qw = seeds.unionAll(expansion)
+
+    hits = postings.join(broadcast(qw), "term")
+    fdf = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = F.col("wq") * idf * F.col("tf") * (k1 + 1.0) / norm
+    scored = (
+        hits.join(broadcast(fdf), "term")
+        .join(doclen, id_col)
+        .crossJoin(broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(topn)

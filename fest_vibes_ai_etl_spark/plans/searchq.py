@@ -55,3 +55,101 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     postings, doclen = build_postings(docs)
     return bm25_topk(postings, doclen, TERMS, topn=TOPN)
+
+
+FB_K = 5
+EXPAND_N = 5
+BETA = 0.5
+
+
+@register(
+    "search_rocchio_expansion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    sdf AS (
+      SELECT term, COUNT(*) AS df FROM post WHERE term IN ({_TERMS_SQL})
+      GROUP BY term
+    ),
+    sscore AS (
+      SELECT post.doc_id,
+             ROUND(SUM( LN((stats.n_docs - sdf.df + 0.5) / (sdf.df + 0.5) + 1.0)
+                        * post.tf * (1.2 + 1.0)
+                        / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+                   + 0.00000001, 4) AS score
+      FROM post JOIN sdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY post.doc_id
+    ),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM sscore) WHERE rk <= {FB_K}
+    ),
+    cand AS (
+      SELECT p.term, SUM(p.tf) AS stf
+      FROM post p JOIN fb USING (doc_id)
+      WHERE p.term NOT IN ({_TERMS_SQL})
+      GROUP BY p.term
+    ),
+    cdf AS (
+      SELECT term, COUNT(*) AS df FROM post
+      WHERE term IN (SELECT term FROM cand) GROUP BY term
+    ),
+    cw AS (
+      SELECT cand.term,
+             ROUND(LN((stats.n_docs - cdf.df + 0.5) / (cdf.df + 0.5) + 1.0)
+                   * cand.stf + 0.00000001, 4) AS w
+      FROM cand JOIN cdf USING (term) CROSS JOIN stats
+    ),
+    expansion AS (
+      SELECT term, {BETA} AS wq FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY w DESC, term) AS rk FROM cw)
+      WHERE rk <= {EXPAND_N}
+    ),
+    qw AS (
+      SELECT term, 1.0 AS wq FROM (VALUES ({_TERMS_SQL.replace("', '", "'), ('")})) v(term)
+      UNION ALL SELECT term, wq FROM expansion
+    ),
+    fdf AS (
+      SELECT term, COUNT(*) AS df FROM post
+      WHERE term IN (SELECT term FROM qw) GROUP BY term
+    )
+    SELECT post.doc_id,
+           ROUND(SUM( qw.wq
+                      * LN((stats.n_docs - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0)
+                      * post.tf * (1.2 + 1.0)
+                      / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+                 + 0.00000001, 4) AS score
+    FROM post JOIN qw USING (term) JOIN fdf USING (term)
+    JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY post.doc_id
+    ORDER BY score DESC, post.doc_id
+    LIMIT {TOPN}
+    """,
+    tags=("search", "rocchio", "query-expansion"),
+    doc="Pseudo-relevance-feedback retrieval (Rocchio): BM25 top-5 for the "
+    "seed bag {merge, hash, window} becomes the feedback set, its "
+    "vocabulary is scored by the centroid weight idf·Σtf, the 5 best "
+    "non-seed terms join the query at weight 0.5, and the corpus is "
+    "re-ranked under the weighted BM25 sum — the classical recall repair "
+    "for vocabulary mismatch. Every selection (feedback docs, expansion "
+    "terms, final list) ranks a ROUNDED score with a total tie-break, so "
+    "the expansion itself is engine- and partitioning-reproducible. "
+    "Query-time cost stays proportional to the chosen terms' posting "
+    "lists: feedback set and candidate vocabulary broadcast, corpus df "
+    "comes from one semi-join-pruned postings pass.",
+)
+def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import rocchio_expanded_topk
+
+    docs = table(spark, sf_dir, "documents")
+    postings, doclen = build_postings(docs)
+    return rocchio_expanded_topk(
+        postings, doclen, TERMS, fb_k=FB_K, expand_n=EXPAND_N,
+        beta=BETA, topn=TOPN,
+    )

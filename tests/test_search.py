@@ -39,3 +39,46 @@ def test_bm25_multi_term_accumulates(spark):
     out = {r.doc_id: r.score for r in bm25_topk(postings, doclen, ["x", "y"]).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1] > out[2] == out[3]  # both terms beat either alone; symmetry
+
+
+def test_rocchio_recovers_vocabulary_mismatch(spark):
+    """A doc that never mentions the seed term but shares the feedback
+    docs' vocabulary ('compaction') must enter the expanded ranking —
+    the recall-repair property that is Rocchio's reason to exist."""
+    from fest_vibes_ai_etl_spark.operators.search import rocchio_expanded_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge compaction compaction merge strategy"),
+            (2, "merge compaction compaction merge scheduling"),
+            (3, "compaction pauses hurt tail latency"),   # no seed term
+            (4, "unrelated text about gardening and soil"),
+            (5, "merge sort analysis"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, doclen = build_postings(docs)
+    seed_only = {r.doc_id for r in bm25_topk(postings, doclen, ["merge"], topn=10).collect()}
+    assert 3 not in seed_only
+    expanded = rocchio_expanded_topk(
+        postings, doclen, ["merge"], fb_k=2, expand_n=2, beta=0.5, topn=10
+    ).collect()
+    ids = {r.doc_id for r in expanded}
+    assert 3 in ids          # recovered through the expansion term
+    assert 4 not in ids      # noise stays out
+    # seed-term docs still outrank the expansion-only doc (beta < 1)
+    scores = {r.doc_id: r.score for r in expanded}
+    assert scores[1] > scores[3] and scores[2] > scores[3]
+
+
+def test_rocchio_deterministic_across_runs(spark):
+    from fest_vibes_ai_etl_spark.operators.search import rocchio_expanded_topk
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    postings, doclen = build_postings(docs)
+    a = rocchio_expanded_topk(postings, doclen, ["merge", "hash"], topn=10).collect()
+    b = rocchio_expanded_topk(
+        postings.repartition(7), doclen, ["merge", "hash"], topn=10
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -111,6 +111,81 @@ def pack_budget(
     return df.withColumn("bin", F.floor(cum_before / budget).cast("int"))
 
 
+def nfd_fold(weights: list[int], capacity: int) -> list[int]:
+    """Pure-python mirror of the next-fit bin fold over an ALREADY-ORDERED
+    weight sequence: a row that would overflow the open bin closes it and
+    opens the next (an oversized first-or-next row gets a bin to itself).
+    Kept module-level for property tests; ``pack_capacity`` inlines the
+    identical fold inside its applyInPandas closure (executor closures must
+    be self-contained — no package refs)."""
+    bins: list[int] = []
+    b, fill = 0, 0
+    for i, wt in enumerate(weights):
+        if i == 0:
+            fill = wt
+        elif fill + wt > capacity:
+            b, fill = b + 1, wt
+        else:
+            fill += wt
+        bins.append(b)
+    return bins
+
+
+def pack_capacity(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+) -> DataFrame:
+    """NO-STRADDLE next-fit-decreasing bin packing: within each group,
+    rows sort by (weight DESC, id) and fold sequentially — a row that
+    would push the open bin past ``capacity`` closes it and opens the
+    next. Adds ``bin`` (int). Unlike :func:`pack_budget` (contiguous
+    token-budget bins where a doc may straddle a boundary — the
+    concat-and-chunk recipe), no bin except a singleton-oversized row
+    ever exceeds capacity, which is what sequence packing without
+    document truncation requires; decreasing order is the classical
+    waste-reducing heuristic (NFD).
+
+    The bin index is a prefix-dependent fold — inherently sequential, not
+    expressible with plain windows — so it runs per group inside
+    applyInPandas (the custom-operator escape hatch for semantics the
+    built-ins can't express). Parallelism and memory are governed by the
+    GROUPING: pack within (lang, shard) where shard is a hash bucket, and
+    each task folds one bounded shard — the standard industrial
+    formulation (packing quality is per-shard; cross-shard waste is at
+    most one underfull bin per shard). The fold itself is O(rows) with
+    zero Python-loop-per-row Spark overhead — one Arrow batch in, one
+    out."""
+    import pandas as pd  # noqa: F401  (executors import locally anyway)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField("bin", IntegerType())])
+    asc = [False, True]
+    sort_cols = [weight_col, id_col]
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols, ascending=asc, kind="mergesort").reset_index(
+            drop=True
+        )
+        bins = []
+        b, fill = 0, 0
+        for i, wt in enumerate(pdf[weight_col]):
+            if i == 0:
+                fill = wt
+            elif fill + wt > capacity:
+                b, fill = b + 1, wt
+            else:
+                fill += wt
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int32")
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(fn, schema=out_schema)
+
+
 def global_positions(df: DataFrame, key: Column) -> DataFrame:
     """Deterministic global shuffle: total order by ``key`` with a global
     0-based ``pos`` — WITHOUT a single-partition window.

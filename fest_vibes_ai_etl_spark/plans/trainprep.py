@@ -832,3 +832,89 @@ def corpus_dsir_bucket_diagnostics(spark: SparkSession, sf_dir: str) -> DataFram
     return top.withColumn("rank", F.row_number().over(win)).select(
         "rank", "b", "ct", "cq", "lr"
     )
+
+
+PACK_CAP = 2000
+PACK_SHARDS = 4
+
+
+@register(
+    "corpus_pack_capacity",
+    oracle=f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('pack-v1:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % {PACK_SHARDS} AS shard,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      FROM documents
+    ),
+    seq AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang, shard ORDER BY nt DESC, doc_id) AS rn
+      FROM sized
+    ),
+    fold AS (
+      SELECT lang, shard, rn, doc_id, nt, CAST(0 AS INT) AS bin, nt AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.lang, s.shard, s.rn, s.doc_id, s.nt,
+             CASE WHEN f.fill + s.nt > {PACK_CAP} THEN f.bin + 1 ELSE f.bin END,
+             CASE WHEN f.fill + s.nt > {PACK_CAP} THEN s.nt ELSE f.fill + s.nt END
+      FROM fold f
+      JOIN seq s ON s.lang = f.lang AND s.shard = f.shard AND s.rn = f.rn + 1
+    )
+    SELECT lang, CAST(shard AS INT) AS shard, bin,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(nt) AS BIGINT)   AS bin_tokens,
+           ROUND(SUM(nt) / {PACK_CAP}.0 + 0.00000001, 4) AS fill_frac,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM fold GROUP BY 1, 2, 3
+    ORDER BY lang, shard, bin
+    """,
+    tags=("trainprep", "packing", "capacity"),
+    doc="NO-STRADDLE sequence packing (next-fit-decreasing under a 2000-"
+    "token capacity, per (lang, hash-shard)): the training-prep step for "
+    "models that must not truncate documents — corpus_pack_budget's "
+    "concat-and-chunk bins split a doc across boundaries; these never "
+    "do. The bin index is a prefix-dependent fold (inexpressible with "
+    "plain windows), run per bounded shard inside applyInPandas and "
+    "oracled against a recursive-CTE transcription of the SAME fold — "
+    "shard assignment, NFD order, and the fold are all deterministic "
+    "(portable md5 shard, total (nt DESC, doc_id) order), so Spark and "
+    "DuckDB must agree bin-for-bin. Reports per-bin doc counts, token "
+    "mass, and fill fraction — the packing-waste audit.",
+)
+def corpus_pack_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack-v1:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PACK_SHARDS
+    ).cast("int")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    packed = trainprep.pack_capacity(
+        sized, ["lang", "shard"], "doc_id", "nt", PACK_CAP
+    )
+    return (
+        packed.groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").alias("bin_tokens"),
+            round_div(F.sum("nt") / float(PACK_CAP), 4).alias("fill_frac"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard", "bin")
+    )

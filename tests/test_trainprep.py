@@ -283,3 +283,68 @@ def test_token_counts_fallback_matches_bpe_ish_and_fake_counter_plumbing(spark):
     )
     bins = {r.doc_id: r.bin for r in packed.collect()}
     assert bins[1] == 0 and bins[2] == 0 and bins[3] == 0
+
+
+def test_pack_capacity_matches_pure_python_fold(spark):
+    """Spark's per-group applyInPandas fold must agree row-for-row with the
+    module-level nfd_fold mirror on every group."""
+    rows = [(i, i % 3, 1 + (i * 37) % 900) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, g int, w long")
+    out = trainprep.pack_capacity(df, ["g"], "id", "w", 1000).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.g, []).append(r)
+    for g, rs in by_group.items():
+        rs = sorted(rs, key=lambda r: (-r.w, r.id))
+        expect = trainprep.nfd_fold([r.w for r in rs], 1000)
+        assert [r.bin for r in rs] == expect
+
+
+def test_pack_capacity_no_bin_overflows(spark):
+    """No bin exceeds capacity unless it is a single oversized row; bins
+    are contiguous 0..max within each group."""
+    rows = [(i, 0, w) for i, w in enumerate([2500, 900, 800, 700, 600, 500, 50, 40])]
+    df = spark.createDataFrame(rows, "id long, g int, w long")
+    out = trainprep.pack_capacity(df, ["g"], "id", "w", 1000).collect()
+    fills, members = {}, {}
+    for r in out:
+        fills[r.bin] = fills.get(r.bin, 0) + r.w
+        members[r.bin] = members.get(r.bin, 0) + 1
+    for b, tot in fills.items():
+        assert tot <= 1000 or members[b] == 1
+    assert sorted(fills) == list(range(len(fills)))
+    # the oversized row is alone in bin 0 (NFD puts it first)
+    assert members[0] == 1 and fills[0] == 2500
+
+
+def test_pack_capacity_deterministic_under_repartition(spark):
+    rows = [(i, i % 5, 1 + (i * 13) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g int, w long")
+    a = sorted(map(tuple, trainprep.pack_capacity(df, ["g"], "id", "w", 777).collect()))
+    b = sorted(map(tuple, trainprep.pack_capacity(
+        df.repartition(11), ["g"], "id", "w", 777).collect()))
+    assert a == b
+
+
+def test_nfd_fold_property():
+    """Pure fold invariants under random weights (hypothesis): monotone
+    non-decreasing bins, capacity respected except singleton-oversized,
+    never an empty bin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=1500), min_size=1, max_size=60))
+    def check(ws):
+        ws = sorted(ws, reverse=True)
+        bins = trainprep.nfd_fold(ws, 1000)
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        fills, counts = {}, {}
+        for w, b in zip(ws, bins):
+            fills[b] = fills.get(b, 0) + w
+            counts[b] = counts.get(b, 0) + 1
+        for b, tot in fills.items():
+            assert tot <= 1000 or counts[b] == 1
+
+    check()

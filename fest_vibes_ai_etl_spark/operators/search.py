@@ -171,3 +171,46 @@ def rocchio_expanded_topk(
         .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), id_col).limit(topn)
+
+
+# --- persisted postings store: build once, search many ----------------------
+
+
+def postings_store_path(sf_dir: str, table_name: str = "documents") -> str:
+    """Keyed by (sf basename, source table, source fingerprint) — the
+    signature/ivf store convention: a regenerated dataset keys a fresh
+    build, never serves stale postings."""
+    import os
+
+    from ..fingerprint import source_fingerprint
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
+    return os.path.join(repo, "spark-warehouse", "postings", f"{tag}_{table_name}{stamp}")
+
+
+def load_or_build_postings_store(
+    spark,
+    docs: DataFrame,
+    sf_dir: str,
+    table_name: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The inverted index staged to parquet: postings (term, doc_id, tf)
+    REPARTITIONED BY TERM (the in-session stand-in for bucketed-by-term —
+    a query's posting lists co-locate in few files) plus the doclen
+    sidecar. Built once per (sf, table, source fingerprint) and shared by
+    every lexical-search consumer (BM25, Rocchio); at 100 TB the corpus
+    tokenize is the dominant search cost and this is the standard
+    build/probe split — queries become pruned columnar scans, never a
+    tokenize pass."""
+    import os
+
+    path = postings_store_path(sf_dir, table_name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        postings, doclen = build_postings(docs, id_col, text_col)
+        postings.repartition("term").write.mode("overwrite").parquet(path)
+        doclen.coalesce(4).write.mode("overwrite").parquet(path + "_dl")
+    return spark.read.parquet(path), spark.read.parquet(path + "_dl")

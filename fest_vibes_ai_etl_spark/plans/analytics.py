@@ -107,6 +107,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY src_id, dst_id
     """,
     tags=("dedup", "containment"),
+    bench=True,
     prepare=lambda spark, sf_dir: dedup.load_or_build_signature_store(
         spark, table(spark, sf_dir, "documents"), sf_dir
     ),

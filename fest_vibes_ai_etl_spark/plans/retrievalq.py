@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_div
 from ..operators import vectorml
-from ..operators.search import bm25_topk, build_postings
+from ..operators.search import bm25_topk, load_or_build_postings_store
 from ..operators.topk import topk_per_group
 from ..sources import table
 from .catalog import register
@@ -101,7 +101,7 @@ _BM25_SQL = f"""toks AS (
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    postings, doclen = build_postings(docs)
+    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
     from pyspark.sql import Window
 
     bm = bm25_topk(postings, doclen, TERMS, topn=FUSE_N).select(
@@ -270,7 +270,7 @@ def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rerank import rerank_topk
 
     docs = table(spark, sf_dir, "documents")
-    postings, doclen = build_postings(docs)
+    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
     cand = (
         bm25_topk(postings, doclen, TERMS, topn=RERANK_CAND)
         .join(docs.select("doc_id", "text"), "doc_id")

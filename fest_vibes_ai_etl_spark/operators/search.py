@@ -103,7 +103,7 @@ def rocchio_expanded_topk(
     down as ``isin`` filters on the postings (driver-side sets of k and n
     rows, the repo's bounded-collect discipline). Without that, every
     broadcast materialization re-executes the selection subtree: measured
-    12.5 → 3.3 s at sf0.1, jobs 9 → 5. Candidate-term corpus df comes
+    12.5 → 3.3 s at sf0.1. Candidate-term corpus df comes
     from one semi-join-pruned postings pass; final scoring touches only
     the ≤ len(seeds)+expand_n query terms' posting lists. Nothing scales
     with |corpus| except the pruned posting scans — the same query-time

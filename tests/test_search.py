@@ -82,3 +82,53 @@ def test_rocchio_deterministic_across_runs(spark):
         postings.repartition(7), doclen, ["merge", "hash"], topn=10
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_store_steady_state_never_tokenizes(spark):
+    """Plan lock for the postings store: once the index is staged, the
+    BM25 query must be a pruned parquet scan — no tokenize (Generate
+    explode over the split), no corpus re-derivation. This is the
+    build/probe split the store exists for; a regression here silently
+    reintroduces a full-corpus tokenize per query."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        bm25_topk,
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    load_or_build_postings_store(spark, docs, "/root/testdata/sf0.001")  # stage
+    postings, doclen = load_or_build_postings_store(
+        spark, docs, "/root/testdata/sf0.001"
+    )
+    df = bm25_topk(postings, doclen, ["merge", "hash"], topn=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan
+    assert "Scan parquet" in plan
+    # the query-term prune must reach the store scan as a pushed filter
+    assert "term" in plan and "PushedFilters" in plan
+
+
+def test_rocchio_store_steady_state_never_tokenizes(spark):
+    """Plan lock: the store-backed Rocchio query's scoring plan must be a
+    pruned store scan, never a corpus tokenize (a regression here
+    silently reintroduces the full tokenize the store removed). AQE
+    fragments actions into many small jobs, so the lock is on the plan
+    shape, not job counts."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+        rocchio_expanded_topk,
+    )
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    load_or_build_postings_store(spark, docs, "/root/testdata/sf0.001")
+    postings, doclen = load_or_build_postings_store(
+        spark, docs, "/root/testdata/sf0.001"
+    )
+    df = rocchio_expanded_topk(postings, doclen, ["merge", "hash"], topn=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan
+    assert "Scan parquet" in plan

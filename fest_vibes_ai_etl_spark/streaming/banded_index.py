@@ -1581,6 +1581,7 @@ def direct_partitioned_append(
     fs_options: dict | None = None,
     write_tasks: int = BandedFingerprintIndex._APPEND_WRITE_TASKS,
     resolved: tuple[str, str] | None = None,
+    append_id: str | None = None,
 ) -> list[int] | None:
     """Direct executor-side append of ``df`` under hive-style
     ``path/<part_col>=<value>/`` directories — the general form of the
@@ -1605,7 +1606,17 @@ def direct_partitioned_append(
     :func:`_resolve_direct_destination` — per-batch callers (the IVF add
     processor) resolve ONCE and pass it in, so the driver-side probe
     (pyarrow filesystem construction, a JNI load for hdfs) doesn't rerun
-    every micro-batch."""
+    every micro-batch.
+
+    ``append_id`` (default: a fresh uuid) names the final files
+    ``part-{append_id}-b{partition}``; the writer skips a final name that
+    already exists. A caller that derives it DETERMINISTICALLY from its
+    micro-batch id (and replays identical batch content, as foreachBatch
+    under a checkpoint does) therefore gets REPLAY-IDEMPOTENT appends:
+    a crashed attempt's landed partitions are skipped, missing ones are
+    filled — no duplicate rows across replays, not just across task
+    retries. Callers with non-deterministic per-call content must keep
+    the uuid default and guard with an anti-join instead."""
     spark = df.sparkSession
     if resolved is None:
         kind, dest, _reason = _resolve_direct_destination(spark, path)
@@ -1613,9 +1624,10 @@ def direct_partitioned_append(
         kind, dest = resolved
     if kind is None:
         return None
-    import uuid as _uuid
+    if append_id is None:
+        import uuid as _uuid
 
-    append_id = _uuid.uuid4().hex
+        append_id = _uuid.uuid4().hex
     data_cols = [f for f in df.schema.fields if f.name != part_col]
     frame = df.select(
         F.lit(0).cast("int").alias("idx_pos"),

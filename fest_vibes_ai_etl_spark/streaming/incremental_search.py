@@ -1,0 +1,376 @@
+"""Incremental lexical-search index maintenance: the postings store as
+streaming state.
+
+The batch search family (``operators/search.py``) stages the inverted
+index once per corpus fingerprint; a production corpus is never static.
+This stream keeps the SAME index shape current per micro-batch — the
+third index family to get the corpus-as-state treatment, after the dedup
+sidecars and the IVF cell store:
+
+- ``<index_dir>/doclen`` — (doc_id, dl) rows, ONE atomic Spark append per
+  batch. This is the authoritative "this document is indexed" record
+  (the corpus-analog of the dedup streams): committer v1 atomicity means
+  a crashed append leaves no visible rows.
+- ``<index_dir>/postings/tb=<bucket>/`` — (term, tf, doc_id) rows under
+  hive-style term-bucket directories (tb = pmod(xxhash64(term),
+  n_term_buckets)), appended EXECUTOR-DIRECT via
+  :func:`banded_index.direct_partitioned_append` with an append id
+  derived from the micro-batch id — deterministic final names + the
+  writer's skip-if-landed rule make the postings append REPLAY-
+  IDEMPOTENT: a crashed attempt's landed buckets are skipped, holes are
+  filled, never duplicated. Untrusted filesystems fall back to the
+  dynamic-partition committer (slower, never wrong; warned once).
+- ``<index_dir>_docidx`` — a :class:`BandedFingerprintIndex` over the
+  indexed doc ids, so the per-batch "already indexed?" replay guard
+  reads only the batch's OWN id bands instead of the whole doclen
+  column (``history_probe="scan"`` keeps the full-column path for A/B).
+
+Layout guard: ``<index_dir>/_meta.json`` pins ``n_term_buckets`` /
+``id_col`` (staged-then-renamed write — a torn meta cannot wedge
+replays). A processor or probe whose configuration contradicts the
+stored layout REFUSES loudly: probing across a bucket-count change would
+silently miss posting lists — the config-drift class the banded and IVF
+indexes already close.
+
+Crash matrix (marker brackets all three writes, doclen FIRST):
+- die before the doclen append: nothing visible anywhere; replay redoes
+  the batch from scratch.
+- die between doclen and postings/docidx: the replay sees the surviving
+  marker, falls back to the authoritative doclen scan, and captures the
+  crashed window's docs as the ids doclen recorded but the docidx append
+  never reached (ids already in the sidecar were fully committed by
+  EARLIER batches — their postings live under a different append id, so
+  re-appending them would duplicate, not fill). It re-derives those
+  docs' postings from the batch and re-appends under the same
+  deterministic append id (landed buckets skip, holes fill), then heals
+  their docidx rows. Checkpointed foreachBatch replays the crashed batch
+  next with identical content — the same single-writer immediate-replay
+  discipline the dedup streams assume.
+- die after postings, before the marker clears: same heal path; every
+  re-append is a no-op or harmless.
+
+Probe: :func:`bm25_over_index` — the batch BM25 scorer over a
+partition-pruned scan of the query terms' buckets only. At 100 TB the
+probe reads |terms| buckets of the store, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .banded_index import (
+    BandedFingerprintIndex,
+    direct_partitioned_append,
+    hadoop_read_json,
+    hadoop_write_json,
+)
+from ._exact_guard import _settle_indexes
+
+_META = "_meta.json"
+_SCHEMA_TAG = "search:doclen-id:id-only"
+
+
+class SearchIndexLayoutError(RuntimeError):
+    pass
+
+
+def _postings_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/postings"
+
+
+def _doclen_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/doclen"
+
+
+def _docidx_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_docidx"
+
+
+def _id_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(fp = doc id as string, fpk = xxhash64) rows for the id sidecar —
+    the exact-dedup sidecar layout with ids in place of fingerprints."""
+    fp = F.col(id_col).cast("string")
+    return df.select(fp.alias("fp")).withColumn("fpk", F.xxhash64(F.col("fp")))
+
+
+def term_bucket(col, n_term_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_term_buckets)).cast("int")
+
+
+def _check_meta(spark, index_dir: str, n_term_buckets: int, id_col: str) -> None:
+    """Adopt-or-refuse against the persisted layout; write it if absent."""
+    path = index_dir.rstrip("/") + "/" + _META
+    meta = hadoop_read_json(spark, path)
+    if meta is None:
+        hadoop_write_json(
+            spark, path, {"n_term_buckets": int(n_term_buckets), "id_col": id_col}
+        )
+        return
+    if int(meta.get("n_term_buckets", -1)) != int(n_term_buckets) or meta.get(
+        "id_col"
+    ) != id_col:
+        raise SearchIndexLayoutError(
+            f"search index at {index_dir} was built with "
+            f"n_term_buckets={meta.get('n_term_buckets')}, "
+            f"id_col={meta.get('id_col')!r}; this configuration says "
+            f"n_term_buckets={n_term_buckets}, id_col={id_col!r}. Probing "
+            f"or appending across a bucket-count change silently corrupts "
+            f"posting-list lookups — re-point the stream or rebuild the "
+            f"index directory."
+        )
+
+
+def load_index_meta(spark, index_dir: str) -> dict:
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
+    if meta is None:
+        raise SearchIndexLayoutError(
+            f"no _meta.json under {index_dir}: not an incremental search "
+            f"index (or its first batch never committed)"
+        )
+    return meta
+
+
+def make_search_index_processor(
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+    n_bands: int | None = None,
+    history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
+    fs_options: dict | None = None,
+):
+    """The ``foreachBatch`` processor behind :func:`start_incremental_search_index`,
+    exposed so tests and batch backfills can drive micro-batches directly.
+
+    Contract: the index is append-only per document id — a replayed or
+    re-sent id is skipped (its first indexed text wins). Re-indexing
+    changed documents belongs to a rebuild, exactly like the IVF add
+    path's frozen-quantizer contract."""
+    from ..functions import text as T
+
+    if history_probe not in ("bucketed", "scan"):
+        raise ValueError(
+            f"unknown history_probe {history_probe!r}: expected 'bucketed' or 'scan'"
+        )
+    docidx = BandedFingerprintIndex(
+        _docidx_path(index_dir),
+        key_col="fpk",
+        n_bands=n_bands,
+        schema_tag=_SCHEMA_TAG,
+        fs_options=fs_options,
+    )
+    idx_settled: list[bool] = []
+    n_done: list[int] = [0]
+    meta_ok: list[bool] = []
+    resolved_dest: list = []  # cached (kind, dest) for the postings append
+    warned_committer: list[bool] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..errors import is_path_not_found
+
+        spark = batch_df.sparkSession
+        if not meta_ok:
+            _check_meta(spark, index_dir, n_term_buckets, id_col)
+            meta_ok.append(True)
+        use_index = history_probe == "bucketed"
+        fresh = batch_df.dropDuplicates([id_col])
+        doclen_dir = _doclen_dir(index_dir)
+        hist = None
+        try:
+            hist = spark.read.parquet(doclen_dir)
+            hist.schema
+        except AnalysisException as exc:
+            if not is_path_not_found(exc):
+                raise
+        if hist is None:
+            # no doclen ⇒ nothing is authoritatively indexed; a surviving
+            # sidecar describes a gone index and must die on every
+            # observation of absence (the exact-dedup rule)
+            docidx.invalidate(spark)
+            if not idx_settled:
+                idx_settled.append(True)
+        elif not use_index and not idx_settled:
+            docidx.invalidate(spark)
+            idx_settled.append(True)
+        need_heal = False
+        if hist is not None and use_index:
+            _settle_indexes(
+                spark, ((docidx, lambda: _id_pairs(hist, id_col)),), idx_settled
+            )
+            need_heal = docidx.was_inflight(spark)
+        replayed = None
+        if hist is not None:
+            if use_index and not need_heal:
+                bands = docidx.touched_bands(_id_pairs(fresh, id_col).select("fpk"))
+                rows = docidx.read_bands(spark, bands) if bands else None
+                if rows is not None:
+                    fresh = fresh.join(
+                        rows.select(F.col("fp").cast("string").alias("__seen")),
+                        fresh[id_col].cast("string") == F.col("__seen"),
+                        "left_anti",
+                    )
+            else:
+                seen = hist.select(F.col(id_col))
+                if need_heal:
+                    # the crashed window's docs are the ones doclen recorded
+                    # but the docidx append never reached — ids ALREADY in
+                    # the sidecar were fully committed by earlier batches
+                    # (their postings live under a DIFFERENT append id, so
+                    # re-appending them would duplicate, not fill holes)
+                    repl = fresh.join(seen, id_col, "left_semi")
+                    rb = docidx.touched_bands(_id_pairs(repl, id_col).select("fpk"))
+                    rrows = docidx.read_bands(spark, rb) if rb else None
+                    if rrows is not None:
+                        repl = repl.join(
+                            rrows.select(F.col("fp").cast("string").alias("__done")),
+                            repl[id_col].cast("string") == F.col("__done"),
+                            "left_anti",
+                        )
+                    replayed = repl
+                fresh = fresh.join(seen, id_col, "left_anti")
+
+        def postings_of(df: DataFrame) -> DataFrame:
+            toks = df.select(
+                F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
+            )
+            return (
+                toks.groupBy("term", id_col)
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tb", term_bucket(F.col("term"), n_term_buckets))
+            )
+
+        def doclen_of(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(id_col), F.size(T.tokens(F.col(text_col))).alias("dl")
+            ).filter(F.col("dl") > 0)
+
+        def append_postings(post: DataFrame) -> None:
+            written = direct_partitioned_append(
+                post,
+                _postings_dir(index_dir),
+                "tb",
+                fs_options=fs_options,
+                resolved=resolved_dest[0] if resolved_dest else None,
+                append_id=f"srchb{batch_id:012x}",
+            )
+            if written is None:
+                if not warned_committer:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "incremental search index at %s: no trusted direct-"
+                        "append mapping for this filesystem — falling back "
+                        "to the dynamic-partition committer (~10 ms driver "
+                        "commit per bucket directory per batch). Replay "
+                        "safety then rests on the doclen guard alone.",
+                        index_dir,
+                    )
+                    warned_committer.append(True)
+                post.repartition("tb").write.partitionBy("tb").mode(
+                    "append"
+                ).parquet(_postings_dir(index_dir))
+
+        if not resolved_dest:
+            from .banded_index import _resolve_direct_destination
+
+            kind, dest, _ = _resolve_direct_destination(
+                spark, _postings_dir(index_dir)
+            )
+            resolved_dest.append((kind, dest) if kind is not None else None)
+
+        if use_index and need_heal and replayed is not None:
+            # docs recorded in doclen whose postings/docidx rows the
+            # crashed attempt may not have landed: idempotent re-append
+            append_postings(postings_of(replayed))
+            from ._exact_guard import _heal_exact_index
+
+            _heal_exact_index(spark, docidx, _id_pairs(replayed, id_col))
+        if use_index:
+            docidx.mark_inflight(spark)
+        doclen_of(fresh).write.mode("append").parquet(doclen_dir)
+        append_postings(postings_of(fresh))
+        if use_index:
+            docidx.append(_id_pairs(fresh, id_col))
+            docidx.clear_inflight(spark)
+        n_done[0] += 1
+        if use_index and maintain_every and n_done[0] % maintain_every == 0:
+            docidx.maintain(spark, max_files_per_band=maintain_max_files)
+
+    return process
+
+
+def start_incremental_search_index(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+    available_now: bool = True,
+    history_probe: str = "bucketed",
+    maintain_every: int | None = 16,
+    maintain_max_files: int = 8,
+    fs_options: dict | None = None,
+):
+    """``docs`` is a streaming DataFrame of documents. Maintains the
+    term-bucketed postings store + doclen sidecar + id replay guard under
+    ``index_dir``; probe with :func:`bm25_over_index`."""
+    process = make_search_index_processor(
+        index_dir,
+        id_col=id_col,
+        text_col=text_col,
+        n_term_buckets=n_term_buckets,
+        history_probe=history_probe,
+        maintain_every=maintain_every,
+        maintain_max_files=maintain_max_files,
+        fs_options=fs_options,
+    )
+    writer = docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_over_index(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    topn: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``topn`` over the INCREMENTALLY-MAINTAINED index: the
+    query terms' buckets are computed from the persisted layout meta and
+    pushed as a partition-pruning ``isin`` on ``tb`` — the scan touches
+    ≤ |terms| bucket directories of the postings store, never the
+    corpus. Scoring is the batch scorer (``operators/search.bm25_topk``),
+    so stream-maintained and batch-staged indexes rank identically."""
+    from ..operators.search import bm25_topk
+
+    meta = load_index_meta(spark, index_dir)
+    ntb = int(meta["n_term_buckets"])
+    # the bucket of each query term, via the same engine expression the
+    # writer used (bounded driver-side set: |terms| rows)
+    tbs = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(term_bucket(F.col("term"), ntb).alias("tb"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(_postings_dir(index_dir))
+        .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
+        .select("term", id_col, "tf")
+    )
+    doclen = spark.read.parquet(_doclen_dir(index_dir))
+    return bm25_topk(postings, doclen, terms, id_col=id_col, topn=topn)

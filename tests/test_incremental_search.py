@@ -1,0 +1,152 @@
+"""Incremental lexical-search index: stream ≡ batch ranking, replay
+convergence, crash heal, layout guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.operators.search import bm25_topk, build_postings
+from fest_vibes_ai_etl_spark.sources import table
+from fest_vibes_ai_etl_spark.streaming import incremental_search as inc
+
+TERMS = ["merge", "hash", "window"]
+
+
+def _slices(spark):
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return [
+        docs.filter("doc_id < 60"),
+        docs.filter("doc_id >= 40 AND doc_id < 100"),  # overlap: replay guard
+        docs.filter("doc_id >= 80 AND doc_id < 140"),
+    ]
+
+
+def _batch_rank(spark, upto=140):
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(f"doc_id < {upto}")
+    )
+    postings, doclen = build_postings(docs)
+    return [tuple(r) for r in bm25_topk(postings, doclen, TERMS, topn=10).collect()]
+
+
+def test_stream_index_ranks_like_batch(spark, tmp_path):
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    for i, b in enumerate(_slices(spark)):
+        proc(b, i)
+    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
+    assert got == _batch_rank(spark)
+    # doclen holds each doc exactly once despite the overlapping batches
+    dl = spark.read.parquet(idx + "/doclen")
+    assert dl.count() == dl.select("doc_id").distinct().count()
+
+
+def test_stream_index_replay_convergent(spark, tmp_path):
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    batches = _slices(spark)
+    for i, b in enumerate(batches):
+        proc(b, i)
+    before_post = spark.read.parquet(idx + "/postings").count()
+    before_rank = [
+        tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
+    ]
+    # replay the last batch (same batch id, fresh processor = restart)
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc2(batches[2], 2)
+    assert spark.read.parquet(idx + "/postings").count() == before_post
+    after_rank = [
+        tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
+    ]
+    assert after_rank == before_rank
+
+
+def test_stream_index_crash_between_doclen_and_postings_heals(spark, tmp_path, monkeypatch):
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    batches = _slices(spark)
+    proc(batches[0], 0)
+    # crash the postings append of batch 1 AFTER doclen committed: the
+    # processor writes doclen first, so killing direct_partitioned_append
+    # simulates a death inside the marker window
+    calls = {"n": 0}
+    real = inc.direct_partitioned_append
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash in postings append")
+
+    monkeypatch.setattr(inc, "direct_partitioned_append", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc(batches[1], 1)
+    assert calls["n"] == 1
+    monkeypatch.setattr(inc, "direct_partitioned_append", real)
+    # replay batch 1 on a fresh processor (restart): marker survives,
+    # heal path re-derives the replayed docs' postings idempotently
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc2(batches[1], 1)
+    proc2(batches[2], 2)
+    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
+    assert got == _batch_rank(spark)
+    dl = spark.read.parquet(idx + "/doclen")
+    assert dl.count() == dl.select("doc_id").distinct().count()
+    # postings hold each (term, doc) once — the deterministic append id
+    # made the healed re-append fill holes, not duplicate
+    post = spark.read.parquet(idx + "/postings")
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+
+
+def test_stream_index_layout_guard_refuses_bucket_change(spark, tmp_path):
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(_slices(spark)[0], 0)
+    bad = inc.make_search_index_processor(idx, n_term_buckets=16)
+    with pytest.raises(inc.SearchIndexLayoutError, match="n_term_buckets=8"):
+        bad(_slices(spark)[1], 1)
+    # probe under the persisted layout still works
+    assert inc.bm25_over_index(spark, idx, TERMS, topn=5).count() == 5
+
+
+def test_stream_index_scan_guard_equals_bucketed(spark, tmp_path):
+    outs = []
+    for mode, name in (("bucketed", "a"), ("scan", "b")):
+        idx = str(tmp_path / name)
+        proc = inc.make_search_index_processor(
+            idx, n_term_buckets=8, history_probe=mode
+        )
+        for i, b in enumerate(_slices(spark)):
+            proc(b, i)
+        outs.append(
+            [
+                tuple(r)
+                for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
+            ]
+        )
+        post = spark.read.parquet(idx + "/postings")
+        assert post.count() == post.select("term", "doc_id").distinct().count()
+    assert outs[0] == outs[1]
+
+
+def test_stream_wrapper_end_to_end(spark, tmp_path):
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "sidx")
+    docs.filter("doc_id < 60").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 40 AND doc_id < 140").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = inc.start_incremental_search_index(
+        stream, idx, str(tmp_path / "ckpt"), n_term_buckets=8
+    )
+    assert q.awaitTermination(120), "stream did not finish in 120s"
+    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
+    assert got == _batch_rank(spark)

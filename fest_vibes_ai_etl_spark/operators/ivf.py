@@ -646,9 +646,10 @@ def make_index_add_processor(
                 for c in sorted(existing_cells)
             )
             if has_any:
+                # no schema-cache here: replay_guard is fixed per
+                # processor, so the pruned branch (the cache's only
+                # reader) is unreachable in full mode
                 seen = spark.read.parquet(index_dir)
-                if state["schema"] is None:
-                    state["schema"] = seen.schema
                 assigned = assigned.join(
                     seen.select(id_col), id_col, "left_anti"
                 )

@@ -109,13 +109,16 @@ def rocchio_expanded_topk(
     with |corpus| except the pruned posting scans — the same query-time
     cost model as bm25_topk, ×2 passes.
 
-    ``persist=True`` caches postings + doclen (MEMORY_AND_DISK): the two
-    frames feed the feedback ranking, the candidate pass, and the final
-    scoring — uncached, Catalyst re-derives the full corpus tokenize per
-    consumer. At 100 TB these ARE the search index — staged
-    bucketed-by-term parquet, as the module docstring specifies; the
-    persist is the in-session stand-in.
+    ``persist=True`` caches postings + doclen (MEMORY_AND_DISK) for the
+    two bounded selection passes, then UNPERSISTS both before building
+    the returned frame — the final scoring plan reads the original
+    lineage, and repeated calls in one session cannot leak cache entries.
+    Uncached, Catalyst re-derives the inputs' full lineage per consumer
+    (a corpus tokenize when fed from build_postings). At 100 TB the
+    inputs ARE the staged store (load_or_build_postings_store), where
+    the persist merely saves re-scans.
     """
+    raw_postings, raw_doclen = postings, doclen
     if persist:
         from pyspark.storagelevel import StorageLevel
 
@@ -156,17 +159,25 @@ def rocchio_expanded_topk(
         + [(t, float(beta)) for t in expansion_terms],
         "term string, wq double",
     )
+    if persist:
+        # both bounded selections are collected; the returned frame must
+        # not pin cache entries for the session
+        postings.unpersist()
+        doclen.unpersist()
 
-    hits = postings.filter(
+    hits = raw_postings.filter(
         F.col("term").isin(seed_terms + expansion_terms)
     ).join(broadcast(qw), "term")
     fdf = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    fstats = raw_doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = F.col("wq") * idf * F.col("tf") * (k1 + 1.0) / norm
     scored = (
         hits.join(broadcast(fdf), "term")
-        .join(doclen, id_col)
-        .crossJoin(broadcast(stats))
+        .join(raw_doclen, id_col)
+        .crossJoin(broadcast(fstats))
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
     )
@@ -209,8 +220,12 @@ def load_or_build_postings_store(
     import os
 
     path = postings_store_path(sf_dir, table_name)
+    # doclen first, postings LAST: the load gate is the postings
+    # _SUCCESS, so a build interrupted between the two writes re-runs
+    # both (overwrite) instead of wedging every lexical query on a
+    # missing doclen sidecar
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         postings, doclen = build_postings(docs, id_col, text_col)
-        postings.repartition("term").write.mode("overwrite").parquet(path)
         doclen.coalesce(4).write.mode("overwrite").parquet(path + "_dl")
+        postings.repartition("term").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path), spark.read.parquet(path + "_dl")

@@ -32,20 +32,29 @@ stored layout REFUSES loudly: probing across a bucket-count change would
 silently miss posting lists — the config-drift class the banded and IVF
 indexes already close.
 
-Crash matrix (marker brackets all three writes, doclen FIRST):
-- die before the doclen append: nothing visible anywhere; replay redoes
-  the batch from scratch.
-- die between doclen and postings/docidx: the replay sees the surviving
-  marker, falls back to the authoritative doclen scan, and captures the
-  crashed window's docs as the ids doclen recorded but the docidx append
-  never reached (ids already in the sidecar were fully committed by
-  EARLIER batches — their postings live under a different append id, so
-  re-appending them would duplicate, not fill). It re-derives those
-  docs' postings from the batch and re-appends under the same
-  deterministic append id (landed buckets skip, holes fill), then heals
-  their docidx rows. Checkpointed foreachBatch replays the crashed batch
+Crash matrix (postings FIRST — that append is replay-idempotent in both
+guard modes, so every window before the doclen commit replays cleanly
+with no marker at all; the marker brackets only doclen → docidx):
+- die during/after the postings append, before doclen: nothing is
+  authoritatively indexed; the replay's guard passes every doc, the
+  postings re-append under the SAME append id skips landed buckets and
+  fills holes (direct path) or anti-joins (term, doc) against the
+  batch's buckets (committer fallback), doclen commits once. This is
+  the whole crash story for ``history_probe="scan"``, which keeps no
+  marker.
+- die between doclen and the docidx append (bucketed only): the replay
+  sees the surviving marker, falls back to the authoritative doclen
+  scan, and captures the crashed window's docs as the ids doclen
+  recorded but the docidx append never reached (ids already in the
+  sidecar were fully committed by EARLIER batches — their postings live
+  under a different append id, so re-appending them would duplicate,
+  not fill). Their postings re-append is a no-op (same append id,
+  already landed, postings were written before doclen); their docidx
+  rows are healed. Checkpointed foreachBatch replays the crashed batch
   next with identical content — the same single-writer immediate-replay
-  discipline the dedup streams assume.
+  discipline the dedup streams assume; the append id additionally pins
+  the CONTENT (a raw-batch fingerprint), so a re-pointed checkpoint
+  reusing batch ids with different data can never be silently skipped.
 - die after postings, before the marker clears: same heal path; every
   re-append is a no-op or harmless.
 
@@ -234,6 +243,23 @@ def make_search_index_processor(
                     replayed = repl
                 fresh = fresh.join(seen, id_col, "left_anti")
 
+        # Content fingerprint of the RAW batch: a checkpointed replay
+        # carries identical content → identical append id → the direct
+        # writer's skip-if-landed names converge; a DIFFERENT batch that
+        # happens to reuse a batch id (deleted/re-pointed checkpoint,
+        # second backfill driver starting at 0) gets a different
+        # fingerprint → different names → its postings are never silently
+        # skipped. One tiny column-agg job over the batch.
+        fp_row = batch_df.select(
+            F.coalesce(
+                F.sum(F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        batch_fp = int(fp_row["s"]) % (1 << 60)
+        append_id = f"srchb{batch_id:x}-{batch_fp:015x}-{int(fp_row['n']):x}"
+
         def postings_of(df: DataFrame) -> DataFrame:
             toks = df.select(
                 F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
@@ -244,11 +270,6 @@ def make_search_index_processor(
                 .withColumn("tb", term_bucket(F.col("term"), n_term_buckets))
             )
 
-        def doclen_of(df: DataFrame) -> DataFrame:
-            return df.select(
-                F.col(id_col), F.size(T.tokens(F.col(text_col))).alias("dl")
-            ).filter(F.col("dl") > 0)
-
         def append_postings(post: DataFrame) -> None:
             written = direct_partitioned_append(
                 post,
@@ -256,7 +277,7 @@ def make_search_index_processor(
                 "tb",
                 fs_options=fs_options,
                 resolved=resolved_dest[0] if resolved_dest else None,
-                append_id=f"srchb{batch_id:012x}",
+                append_id=append_id,
             )
             if written is None:
                 if not warned_committer:
@@ -266,14 +287,41 @@ def make_search_index_processor(
                         "incremental search index at %s: no trusted direct-"
                         "append mapping for this filesystem — falling back "
                         "to the dynamic-partition committer (~10 ms driver "
-                        "commit per bucket directory per batch). Replay "
-                        "safety then rests on the doclen guard alone.",
+                        "commit per bucket directory per batch), with a "
+                        "(term, doc) anti-join over the batch's buckets "
+                        "standing in for the direct path's idempotent names.",
                         index_dir,
                     )
                     warned_committer.append(True)
-                post.repartition("tb").write.partitionBy("tb").mode(
-                    "append"
-                ).parquet(_postings_dir(index_dir))
+                # The committer has no skip-if-landed names, so replay
+                # idempotence comes from an explicit (term, doc) guard —
+                # reading ONLY the batch's own bucket directories.
+                post = post.persist()
+                try:
+                    tbs = [r[0] for r in post.select("tb").distinct().collect()]
+                    existing = None
+                    if tbs:
+                        try:
+                            existing = (
+                                spark.read.parquet(_postings_dir(index_dir))
+                                .filter(F.col("tb").isin(tbs))
+                                .select("term", id_col)
+                            )
+                            existing.schema
+                        except AnalysisException as exc:
+                            if not is_path_not_found(exc):
+                                raise
+                            existing = None
+                    guarded = (
+                        post.join(existing, ["term", id_col], "left_anti")
+                        if existing is not None
+                        else post
+                    )
+                    guarded.repartition("tb").write.partitionBy("tb").mode(
+                        "append"
+                    ).parquet(_postings_dir(index_dir))
+                finally:
+                    post.unpersist()
 
         if not resolved_dest:
             from .banded_index import _resolve_direct_destination
@@ -281,22 +329,53 @@ def make_search_index_processor(
             kind, dest, _ = _resolve_direct_destination(
                 spark, _postings_dir(index_dir)
             )
-            resolved_dest.append((kind, dest) if kind is not None else None)
+            # cache even the untrusted (None, ...) answer: the probe
+            # (pyarrow construction / JNI load) must run once per stream,
+            # not once per micro-batch
+            resolved_dest.append((kind, dest))
 
         if use_index and need_heal and replayed is not None:
             # docs recorded in doclen whose postings/docidx rows the
-            # crashed attempt may not have landed: idempotent re-append
+            # crashed attempt may not have landed: the postings re-append
+            # lands only holes (same deterministic append id), the sidecar
+            # heal appends only missing rows
             append_postings(postings_of(replayed))
             from ._exact_guard import _heal_exact_index
 
             _heal_exact_index(spark, docidx, _id_pairs(replayed, id_col))
-        if use_index:
-            docidx.mark_inflight(spark)
-        doclen_of(fresh).write.mode("append").parquet(doclen_dir)
-        append_postings(postings_of(fresh))
-        if use_index:
-            docidx.append(_id_pairs(fresh, id_col))
-            docidx.clear_inflight(spark)
+
+        from pyspark.storagelevel import StorageLevel
+
+        # one tokenize for postings + doclen + sidecar (batch-bounded
+        # persist, unpersisted before return — the foreachBatch rule)
+        enriched = fresh.select(
+            F.col(id_col), T.tokens(F.col(text_col)).alias("tk")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            post = (
+                enriched.select(F.col(id_col), F.explode("tk").alias("term"))
+                .groupBy("term", id_col)
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tb", term_bucket(F.col("term"), n_term_buckets))
+            )
+            # postings FIRST: this append is replay-idempotent, so a crash
+            # anywhere before the doclen commit replays cleanly in BOTH
+            # guard modes (scan mode has no marker — it must not have a
+            # loss window after doclen)
+            append_postings(post)
+            if use_index:
+                docidx.mark_inflight(spark)
+            (
+                enriched.select(F.col(id_col), F.size("tk").alias("dl"))
+                .filter(F.col("dl") > 0)
+                .write.mode("append")
+                .parquet(doclen_dir)
+            )
+            if use_index:
+                docidx.append(_id_pairs(enriched, id_col))
+                docidx.clear_inflight(spark)
+        finally:
+            enriched.unpersist()
         n_done[0] += 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
             docidx.maintain(spark, max_files_per_band=maintain_max_files)

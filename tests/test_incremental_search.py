@@ -66,19 +66,30 @@ def test_stream_index_replay_convergent(spark, tmp_path):
     assert after_rank == before_rank
 
 
-def test_stream_index_crash_between_doclen_and_postings_heals(spark, tmp_path, monkeypatch):
+def _assert_converged(spark, idx, upto=140):
+    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
+    assert got == _batch_rank(spark, upto)
+    dl = spark.read.parquet(idx + "/doclen")
+    assert dl.count() == dl.select("doc_id").distinct().count()
+    post = spark.read.parquet(idx + "/postings")
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+
+
+@pytest.mark.parametrize("mode", ["bucketed", "scan"])
+def test_stream_index_crash_in_postings_append_heals(spark, tmp_path, monkeypatch, mode):
+    """Die during the postings append (before doclen commits): the replay
+    must converge in BOTH guard modes — scan mode has no marker, so its
+    whole crash story is the postings append's replay idempotence."""
     idx = str(tmp_path / "sidx")
-    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8, history_probe=mode)
     batches = _slices(spark)
     proc(batches[0], 0)
-    # crash the postings append of batch 1 AFTER doclen committed: the
-    # processor writes doclen first, so killing direct_partitioned_append
-    # simulates a death inside the marker window
     calls = {"n": 0}
     real = inc.direct_partitioned_append
 
     def dying(*a, **kw):
         calls["n"] += 1
+        real(*a, **kw)  # the files LAND (worst case), then the driver dies
         raise RuntimeError("injected crash in postings append")
 
     monkeypatch.setattr(inc, "direct_partitioned_append", dying)
@@ -86,19 +97,75 @@ def test_stream_index_crash_between_doclen_and_postings_heals(spark, tmp_path, m
         proc(batches[1], 1)
     assert calls["n"] == 1
     monkeypatch.setattr(inc, "direct_partitioned_append", real)
-    # replay batch 1 on a fresh processor (restart): marker survives,
-    # heal path re-derives the replayed docs' postings idempotently
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8, history_probe=mode)
+    proc2(batches[1], 1)
+    proc2(batches[2], 2)
+    _assert_converged(spark, idx)
+
+
+def test_stream_index_crash_between_doclen_and_docidx_heals(spark, tmp_path, monkeypatch):
+    """Die inside the marker window (doclen committed, sidecar append
+    never ran): the replay's heal must fill the sidecar without
+    duplicating postings or doclen."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    batches = _slices(spark)
+    proc(batches[0], 0)
+    from fest_vibes_ai_etl_spark.streaming.banded_index import BandedFingerprintIndex
+
+    real_append = BandedFingerprintIndex.append
+
+    def dying(self, pairs):
+        raise RuntimeError("injected crash in docidx append")
+
+    monkeypatch.setattr(BandedFingerprintIndex, "append", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc(batches[1], 1)
+    monkeypatch.setattr(BandedFingerprintIndex, "append", real_append)
     proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
     proc2(batches[1], 1)
     proc2(batches[2], 2)
-    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
-    assert got == _batch_rank(spark)
-    dl = spark.read.parquet(idx + "/doclen")
-    assert dl.count() == dl.select("doc_id").distinct().count()
-    # postings hold each (term, doc) once — the deterministic append id
-    # made the healed re-append fill holes, not duplicate
-    post = spark.read.parquet(idx + "/postings")
-    assert post.count() == post.select("term", "doc_id").distinct().count()
+    _assert_converged(spark, idx)
+
+
+def test_stream_index_batch_id_reuse_with_new_content_not_skipped(spark, tmp_path):
+    """A re-pointed checkpoint restarts batch ids at 0 against an existing
+    index. The append id carries a raw-batch content fingerprint, so the
+    new batch's postings must NOT be skipped as already-landed."""
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    for i, b in enumerate(_slices(spark)):
+        proc(b, i)
+    # a NEW driver, batch ids restarting at 0, with new docs
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc2(docs.filter("doc_id >= 140 AND doc_id < 200"), 0)
+    _assert_converged(spark, idx, upto=200)
+
+
+def test_stream_index_committer_fallback_replay_idempotent(spark, tmp_path, monkeypatch):
+    """Untrusted filesystem ⇒ committer fallback: replay idempotence then
+    rests on the explicit (term, doc) anti-join over the batch's buckets."""
+    from fest_vibes_ai_etl_spark.streaming import banded_index as bi
+
+    real_resolve = bi._resolve_direct_destination
+    monkeypatch.setattr(
+        bi,
+        "_resolve_direct_destination",
+        lambda spark, path: (None, None, "forced-untrusted (test)"),
+    )
+    try:
+        idx = str(tmp_path / "sidx")
+        batches = _slices(spark)
+        proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+        for i, b in enumerate(batches):
+            proc(b, i)
+        # replay the last batch on a fresh processor
+        proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+        proc2(batches[2], 2)
+        _assert_converged(spark, idx)
+    finally:
+        monkeypatch.setattr(bi, "_resolve_direct_destination", real_resolve)
 
 
 def test_stream_index_layout_guard_refuses_bucket_change(spark, tmp_path):

@@ -280,3 +280,99 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+CAL_LONG_CHARS = 1000
+CAL_TEMP = 10.0  # logit temperature: spreads the cluster-near-0 raw logits across deciles
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             CAST(len(tok) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(tok, t ->
+               ('0x' || substr(md5('w' || CAST(('0x' || substr(md5(t), 1, 2))::BIGINT % {_N_BUCKETS} AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000
+             )) AS BIGINT) AS wsum
+      FROM toks WHERE len(tok) >= 1
+    ),
+    probs AS (
+      SELECT doc_id,
+             1.0 / (1.0 + EXP(-10.0 * (ROUND(wsum / (1000.0 * n_tokens) + 0.00000001, 4)))) AS p,
+             CASE WHEN n_chars >= {CAL_LONG_CHARS} THEN 1.0 ELSE 0.0 END AS label
+      FROM scored
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bucket, p, label FROM probs
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p) + 0.00000001, 4)     AS avg_pred,
+           ROUND(AVG(label) + 0.00000001, 4) AS label_rate,
+           ROUND(ABS(AVG(p) - AVG(label)) + 0.00000001, 4) AS abs_gap
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("quality", "classifier", "calibration", "ml-eval"),
+    doc="Reliability diagram (calibration report) for the hashed quality "
+    "classifier: sigmoid probabilities bucketed into deciles, per-bucket "
+    "mean predicted probability vs observed label rate and their gap — "
+    "the standard check before a classifier's scores gate a corpus (a "
+    "miscalibrated filter silently over/under-prunes). Label here is the "
+    "long-form indicator (n_chars ≥ 1000) as the deterministic stand-in; "
+    "a real relevance/quality label drops into the same column. One "
+    "map-side score pass + one bounded (≤10-group) aggregate — the "
+    "eval costs one scan at any corpus size.",
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = _TOK_W.format(t="t")
+    scored = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr("filter(split(lower(text), '[^a-z]+'), t -> t != '')").alias("tok"),
+        )
+        .filter(F.size("tok") >= 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("tok").alias("n_tokens"),
+            F.expr(f"aggregate(tok, cast(0 as bigint), (acc, t) -> acc + ({w}))").alias(
+                "wsum"
+            ),
+        )
+    )
+    probs = scored.select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -CAL_TEMP
+                    * round_div(F.col("wsum") / (1000.0 * F.col("n_tokens")), 4)
+                )
+            )
+        ).alias("p"),
+        F.when(F.col("n_chars") >= CAL_LONG_CHARS, 1.0).otherwise(0.0).alias("label"),
+    )
+    b = probs.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bucket"),
+        "p",
+        "label",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_div(F.avg("p"), 4).alias("avg_pred"),
+            round_div(F.avg("label"), 4).alias("label_rate"),
+            round_div(F.abs(F.avg("p") - F.avg("label")), 4).alias("abs_gap"),
+        )
+        .orderBy("bucket")
+    )

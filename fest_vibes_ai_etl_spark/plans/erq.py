@@ -286,3 +286,207 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+MK_ITERS = 12
+MK_CONV = "purchase"
+
+
+def _markov_oracle() -> str:
+    """K-step absorption chains for every removal variant, unrolled into
+    chained CTEs (the pagerank-oracle convention: the Spark loop and the
+    SQL unrolling are generated from the same constant, so they cannot
+    drift)."""
+    its = []
+    prev = "it0"
+    for i in range(1, MK_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+      SELECT f.ch, t.dst AS state, SUM(f.p * t.p) AS p
+      FROM {prev} f JOIN atrans t ON t.ch = f.ch AND t.src = f.state
+      GROUP BY 1, 2
+    )"""
+        )
+        prev = f"it{i}"
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS fp_rn FROM seq
+      WHERE event_type = '{MK_CONV}' GROUP BY user_id
+    ),
+    path AS (
+      SELECT s.user_id, s.event_type, s.rn, fp.fp_rn
+      FROM seq s LEFT JOIN fp USING (user_id)
+      WHERE fp.fp_rn IS NULL OR s.rn < fp.fp_rn
+    ),
+    steps AS (
+      SELECT COALESCE(LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY rn), 'start') AS src,
+             event_type AS dst
+      FROM path
+    ),
+    lastrow AS (SELECT user_id, MAX(rn) AS mx FROM path GROUP BY user_id),
+    terminals AS (
+      SELECT p.event_type AS src,
+             CASE WHEN p.fp_rn IS NOT NULL THEN 'conv' ELSE 'null' END AS dst
+      FROM path p JOIN lastrow l ON p.user_id = l.user_id AND p.rn = l.mx
+      UNION ALL
+      SELECT 'start' AS src, 'conv' AS dst FROM fp WHERE fp_rn = 1
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+        SELECT src, dst FROM steps UNION ALL SELECT src, dst FROM terminals)
+      GROUP BY src, dst
+    ),
+    probs AS MATERIALIZED (
+      SELECT src, dst, c / SUM(c) OVER (PARTITION BY src) AS p FROM trans
+    ),
+    channels AS (SELECT DISTINCT src AS ch FROM probs WHERE src <> 'start'),
+    variants AS (SELECT 'base' AS ch UNION ALL SELECT ch FROM channels),
+    vtrans AS (
+      SELECT v.ch, p.src,
+             CASE WHEN v.ch <> 'base' AND p.dst = v.ch
+                  THEN 'null' ELSE p.dst END AS dst,
+             SUM(p.p) AS p
+      FROM probs p, variants v
+      WHERE v.ch = 'base' OR p.src <> v.ch
+      GROUP BY 1, 2, 3
+    ),
+    atrans AS MATERIALIZED (
+      SELECT * FROM vtrans
+      UNION ALL SELECT ch, 'conv', 'conv', CAST(1.0 AS DOUBLE) FROM variants
+      UNION ALL SELECT ch, 'null', 'null', CAST(1.0 AS DOUBLE) FROM variants
+    ),
+    it0 AS (SELECT ch, 'start' AS state, CAST(1.0 AS DOUBLE) AS p FROM variants),
+    {chain},
+    cr AS MATERIALIZED (
+      SELECT ch, SUM(p) AS cr FROM {prev} WHERE state = 'conv' GROUP BY ch),
+    base AS (SELECT cr AS base_cr FROM cr WHERE ch = 'base'),
+    eff AS (
+      SELECT c.ch AS channel, c.cr,
+             (SELECT base_cr FROM base) - c.cr AS raw_eff
+      FROM cr c WHERE c.ch <> 'base'
+    ),
+    tot AS (SELECT SUM(raw_eff) AS s FROM eff)
+    SELECT channel,
+           ROUND((SELECT base_cr FROM base) + 0.00000001, 4) AS base_conv_rate,
+           ROUND(cr + 0.00000001, 4) AS conv_rate_without,
+           ROUND(1.0 - cr / (SELECT base_cr FROM base) + 0.00000001, 4)
+             AS removal_effect,
+           ROUND(raw_eff / (SELECT s FROM tot) + 0.00000001, 4)
+             AS attribution_share
+    FROM eff ORDER BY channel
+    """
+
+
+@register(
+    "events_attribution_markov",
+    oracle=_markov_oracle(),
+    tags=("behavior", "markov", "attribution"),
+    doc="Markov removal-effect attribution (the data-driven alternative "
+    "to last-touch): per-user journeys up to first purchase become a "
+    "first-order chain (start → channels → conv/null absorbers); each "
+    "channel's credit is how much the K-step absorption probability of "
+    "conv drops when that channel's inbound transitions redirect to "
+    "null. The DISTRIBUTED work is the journey scan (one user-keyed "
+    "window + one ≤(types+1)² aggregate); the chain itself is a bounded "
+    "driver-side table, iterated K=12 steps in plain floats — the same "
+    "fixed-iteration-unrolled-into-CTEs oracle discipline as pagerank, "
+    "so both engines compute the IDENTICAL K-step value (convergence is "
+    "irrelevant to equality). Removal redirects to null without "
+    "renormalizing (the standard construction), so effects are "
+    "non-negative and shares sum to 1.",
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.scalar import epoch_us
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(epoch_us(F.col("ts")), "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w))
+    fp = (
+        seq.filter(F.col("event_type") == MK_CONV)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    j = seq.join(fp, "user_id", "left")
+    path = j.filter(F.col("fp_rn").isNull() | (F.col("rn") < F.col("fp_rn")))
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    steps = path.select(
+        F.coalesce(F.lag("event_type").over(w2), F.lit("start")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    last = path.groupBy("user_id").agg(F.max("rn").alias("mx"))
+    terminals = (
+        path.join(last, "user_id")
+        .filter(F.col("rn") == F.col("mx"))
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("fp_rn").isNotNull(), F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("dst"),
+        )
+    )
+    start_conv = (
+        fp.filter(F.col("fp_rn") == 1)
+        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    )
+    trans = (
+        steps.unionAll(terminals)
+        .unionAll(start_conv)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded driver-side chain: ≤ (|event types| + 1)² rows
+    rows = trans.collect()
+    totals: dict[str, float] = {}
+    for r in rows:
+        totals[r.src] = totals.get(r.src, 0.0) + float(r.c)
+    probs = [(r.src, r.dst, float(r.c) / totals[r.src]) for r in rows]
+    channels = sorted({s for s, _, _ in probs if s != "start"})
+
+    def absorb(removed: str | None) -> float:
+        t: dict[str, list[tuple[str, float]]] = {}
+        for s, d, p in probs:
+            if removed is not None and s == removed:
+                continue
+            d2 = "null" if (removed is not None and d == removed) else d
+            t.setdefault(s, []).append((d2, p))
+        t.setdefault("conv", []).append(("conv", 1.0))
+        t.setdefault("null", []).append(("null", 1.0))
+        vec = {"start": 1.0}
+        for _ in range(MK_ITERS):
+            nxt: dict[str, float] = {}
+            for s, mass in vec.items():
+                for d, p in t.get(s, []):
+                    nxt[d] = nxt.get(d, 0.0) + mass * p
+            vec = nxt
+        return vec.get("conv", 0.0)
+
+    base_cr = absorb(None)
+    crs = {c: absorb(c) for c in channels}
+    s = sum(base_cr - crs[c] for c in channels)
+    out = [
+        (
+            c,
+            round(base_cr + 1e-8, 4),
+            round(crs[c] + 1e-8, 4),
+            round(1.0 - crs[c] / base_cr + 1e-8, 4),
+            round((base_cr - crs[c]) / s + 1e-8, 4),
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, base_conv_rate double, conv_rate_without double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")

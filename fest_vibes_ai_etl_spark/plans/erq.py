@@ -490,3 +490,145 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv_rate double, conv_rate_without double, "
         "removal_effect double, attribution_share double",
     ).orderBy("channel")
+
+
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+SHAPLEY_CUTOFF = "2024-01-04"   # exposure window: first 3 days
+SHAPLEY_MIN_VALUE = 150         # conversion: a later purchase at least this large
+
+
+def _shapley_terms() -> dict[str, list[tuple[float, str, str]]]:
+    """Per channel: (weight, key(S∪c), key(S)) over every subset S of the
+    other channels — the exact Shapley formula for n=4, generated once and
+    shared by the Spark driver loop and the SQL oracle so they cannot
+    drift. Weights are |S|!·(n−1−|S|)!/n! as shortest-repr doubles (both
+    engines parse them to the identical IEEE value)."""
+    from itertools import combinations
+    from math import factorial
+
+    n = len(SHAPLEY_CHANNELS)
+    out: dict[str, list[tuple[float, str, str]]] = {}
+    for c in SHAPLEY_CHANNELS:
+        rest = [x for x in SHAPLEY_CHANNELS if x != c]
+        terms = []
+        for k in range(n):
+            for s in combinations(rest, k):
+                w = factorial(k) * factorial(n - 1 - k) / factorial(n)
+                with_c = ",".join(sorted(s + (c,)))
+                without = ",".join(s)
+                terms.append((w, with_c, without))
+        out[c] = terms
+    return out
+
+
+def _shapley_oracle() -> str:
+    def v(key: str) -> str:
+        return f"COALESCE((SELECT rate FROM vals WHERE key = '{key}'), 0.0)"
+
+    rows = []
+    for c, terms in _shapley_terms().items():
+        expr = " + ".join(f"{w!r} * ({v(a)} - {v(b)})" for w, a, b in terms)
+        rows.append(f"('{c}', {expr})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH x AS (
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS key
+      FROM events
+      WHERE CAST(ts AS DATE) < DATE '{SHAPLEY_CUTOFF}'
+        AND event_type <> '{MK_CONV}'
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id,
+             BOOL_OR(event_type = '{MK_CONV}'
+                     AND CAST(ts AS DATE) >= DATE '{SHAPLEY_CUTOFF}'
+                     AND value >= {SHAPLEY_MIN_VALUE}) AS conv
+      FROM events GROUP BY user_id
+    ),
+    uk AS (
+      SELECT c.user_id, COALESCE(x.key, '') AS key, c.conv
+      FROM c LEFT JOIN x USING (user_id)
+    ),
+    vals AS MATERIALIZED (
+      SELECT key,
+             CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS rate
+      FROM uk GROUP BY key
+    ),
+    phi(channel, raw) AS (
+      VALUES
+      {values}
+    ),
+    tot AS (SELECT SUM(raw) AS s FROM phi)
+    SELECT channel,
+           ROUND(raw + 0.00000001, 4) AS shapley_value,
+           ROUND(raw / (SELECT s FROM tot) + 0.00000001, 4) AS shapley_share
+    FROM phi ORDER BY channel
+    """
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=_shapley_oracle(),
+    tags=("behavior", "shapley", "attribution"),
+    doc="Shapley-value attribution — the coalition-game companion to the "
+    "Markov removal effect (events_attribution_markov). DISJOINT windows "
+    "keep the game honest: the coalition is the set of non-purchase "
+    "channels a user touched in the first three days, the outcome is a "
+    "later high-value purchase — exposure cannot mechanically compete "
+    "with the outcome for event slots (the exactly-S formulation on a "
+    "shared window drives every marginal negative). v(S) is the observed "
+    "outcome rate of users with coalition exactly S (v(∅) = the organic "
+    "baseline); credit is the exact n=4 Shapley sum, efficiency "
+    "Σφ = v(grand) − v(∅) by construction. The distributed work is two "
+    "map-side-combined aggregates over the fact table into ≤2ⁿ coalition "
+    "rows; the game arithmetic runs on that bounded table — driver-side "
+    "in Spark, a generated VALUES expression over a MATERIALIZED CTE in "
+    "the oracle, both from the same generated term list.",
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    x = (
+        ev.filter(
+            (F.to_date("ts") < F.lit(SHAPLEY_CUTOFF))
+            & (F.col("event_type") != MK_CONV)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("key")
+        )
+    )
+    c = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == MK_CONV)
+                & (F.to_date("ts") >= F.lit(SHAPLEY_CUTOFF))
+                & (F.col("value") >= SHAPLEY_MIN_VALUE),
+                True,
+            ).otherwise(False)
+        ).alias("conv")
+    )
+    uk = c.join(x, "user_id", "left").select(
+        F.coalesce("key", F.lit("")).alias("key"), "conv"
+    )
+    vals = uk.groupBy("key").agg(
+        (
+            F.sum(F.when(F.col("conv"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rate")
+    )
+    # bounded driver-side game table: ≤ 2^n coalition rows
+    v = {r["key"]: r["rate"] for r in vals.collect()}
+    phi = {
+        c_: sum(w_ * (v.get(a, 0.0) - v.get(b, 0.0)) for w_, a, b in terms)
+        for c_, terms in _shapley_terms().items()
+    }
+    s = sum(phi.values())
+    out = [
+        (c_, round(phi[c_] + 1e-8, 4), round(phi[c_] / s + 1e-8, 4))
+        for c_ in sorted(phi)
+    ]
+    return spark.createDataFrame(
+        out, "channel string, shapley_value double, shapley_share double"
+    ).orderBy("channel")

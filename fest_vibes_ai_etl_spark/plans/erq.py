@@ -366,7 +366,9 @@ def _markov_oracle() -> str:
     it0 AS (SELECT ch, 'start' AS state, CAST(1.0 AS DOUBLE) AS p FROM variants),
     {chain},
     cr AS MATERIALIZED (
-      SELECT ch, SUM(p) AS cr FROM {prev} WHERE state = 'conv' GROUP BY ch),
+      SELECT v.ch, COALESCE(SUM(i.p), 0.0) AS cr
+      FROM variants v LEFT JOIN {prev} i ON i.ch = v.ch AND i.state = 'conv'
+      GROUP BY v.ch),
     base AS (SELECT cr AS base_cr FROM cr WHERE ch = 'base'),
     eff AS (
       SELECT c.ch AS channel, c.cr,
@@ -377,10 +379,12 @@ def _markov_oracle() -> str:
     SELECT channel,
            ROUND((SELECT base_cr FROM base) + 0.00000001, 4) AS base_conv_rate,
            ROUND(cr + 0.00000001, 4) AS conv_rate_without,
-           ROUND(1.0 - cr / (SELECT base_cr FROM base) + 0.00000001, 4)
-             AS removal_effect,
-           ROUND(raw_eff / (SELECT s FROM tot) + 0.00000001, 4)
-             AS attribution_share
+           ROUND(CASE WHEN (SELECT base_cr FROM base) = 0 THEN 0.0
+                      ELSE 1.0 - cr / (SELECT base_cr FROM base) END
+                 + 0.00000001, 4) AS removal_effect,
+           ROUND(CASE WHEN (SELECT s FROM tot) = 0 THEN 0.0
+                      ELSE raw_eff / (SELECT s FROM tot) END
+                 + 0.00000001, 4) AS attribution_share
     FROM eff ORDER BY channel
     """
 
@@ -404,10 +408,6 @@ def _markov_oracle() -> str:
     "non-negative and shares sum to 1.",
 )
 def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions.scalar import epoch_us
-
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
@@ -475,13 +475,15 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_cr = absorb(None)
     crs = {c: absorb(c) for c in channels}
     s = sum(base_cr - crs[c] for c in channels)
+    # zero-denominator guards mirror the oracle's CASE arms exactly: no
+    # conversions at all, or removals that change nothing, report 0 credit
     out = [
         (
             c,
             round(base_cr + 1e-8, 4),
             round(crs[c] + 1e-8, 4),
-            round(1.0 - crs[c] / base_cr + 1e-8, 4),
-            round((base_cr - crs[c]) / s + 1e-8, 4),
+            round((0.0 if base_cr == 0 else 1.0 - crs[c] / base_cr) + 1e-8, 4),
+            round((0.0 if s == 0 else (base_cr - crs[c]) / s) + 1e-8, 4),
         )
         for c in channels
     ]
@@ -563,7 +565,9 @@ def _shapley_oracle() -> str:
     tot AS (SELECT SUM(raw) AS s FROM phi)
     SELECT channel,
            ROUND(raw + 0.00000001, 4) AS shapley_value,
-           ROUND(raw / (SELECT s FROM tot) + 0.00000001, 4) AS shapley_share
+           ROUND(CASE WHEN (SELECT s FROM tot) = 0 THEN 0.0
+                      ELSE raw / (SELECT s FROM tot) END
+                 + 0.00000001, 4) AS shapley_share
     FROM phi ORDER BY channel
     """
 
@@ -625,8 +629,14 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c_, terms in _shapley_terms().items()
     }
     s = sum(phi.values())
+    # degenerate game (e.g. no qualifying outcomes): shares report 0, the
+    # oracle's CASE arm exactly
     out = [
-        (c_, round(phi[c_] + 1e-8, 4), round(phi[c_] / s + 1e-8, 4))
+        (
+            c_,
+            round(phi[c_] + 1e-8, 4),
+            round((0.0 if s == 0 else phi[c_] / s) + 1e-8, 4),
+        )
         for c_ in sorted(phi)
     ]
     return spark.createDataFrame(

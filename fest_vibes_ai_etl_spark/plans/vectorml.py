@@ -174,6 +174,13 @@ def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5('w'||bucket)-derived integer in [-1000, 1000]. Integer per-doc sums are
 # EXACT (no float order exposure); the logit divides once at the end.
 _N_BUCKETS = 64
+# DuckDB twin of _TOK_W below — interpolated into BOTH oracles that score
+# tokens (classifier + calibration), so a weight-scheme change cannot edit
+# one and silently desynchronize the other.
+_TOK_W_SQL = (
+    "('0x' || substr(md5('w' || CAST(('0x' || substr(md5(t), 1, 2))::BIGINT % "
+    f"{_N_BUCKETS} AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000"
+)
 _TOK_W = (
     "cast(conv(substr(md5(concat('w', cast(cast(conv(substr(md5({t}), 1, 2), 16, 10) "
     f"as bigint) % {_N_BUCKETS} as string))), 1, 4), 16, 10) as bigint) % 2001 - 1000"
@@ -192,7 +199,7 @@ _TOK_W = (
       SELECT doc_id,
              CAST(len(tok) AS INT) AS n_tokens,
              CAST(list_sum(list_transform(tok, t ->
-               ('0x' || substr(md5('w' || CAST(('0x' || substr(md5(t), 1, 2))::BIGINT % {_N_BUCKETS} AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000
+               {_TOK_W_SQL}
              )) AS BIGINT) AS wsum
       FROM toks WHERE len(tok) >= 1
     )
@@ -298,13 +305,13 @@ CAL_TEMP = 10.0  # logit temperature: spreads the cluster-near-0 raw logits acro
       SELECT doc_id, n_chars,
              CAST(len(tok) AS INT) AS n_tokens,
              CAST(list_sum(list_transform(tok, t ->
-               ('0x' || substr(md5('w' || CAST(('0x' || substr(md5(t), 1, 2))::BIGINT % {_N_BUCKETS} AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000
+               {_TOK_W_SQL}
              )) AS BIGINT) AS wsum
       FROM toks WHERE len(tok) >= 1
     ),
     probs AS (
       SELECT doc_id,
-             1.0 / (1.0 + EXP(-10.0 * (ROUND(wsum / (1000.0 * n_tokens) + 0.00000001, 4)))) AS p,
+             1.0 / (1.0 + EXP(-{CAL_TEMP} * (ROUND(wsum / (1000.0 * n_tokens) + 0.00000001, 4)))) AS p,
              CASE WHEN n_chars >= {CAL_LONG_CHARS} THEN 1.0 ELSE 0.0 END AS label
       FROM scored
     ),

@@ -43,6 +43,10 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
     os.makedirs(args.out, exist_ok=True)
+    # per-run nonce: a second run over a persisted --out must not replay
+    # run 1's timed batches — the append-only-per-id guard would skip every
+    # doc and under-report the batch wall
+    run_nonce = int(time.time()) % 1_000_000
 
     from pyspark.sql import functions as F
 
@@ -77,8 +81,8 @@ def main() -> None:
                 .orderBy("doc_id")
                 .limit(args.batch_docs)
                 .select(
-                    (F.col("doc_id") + 900_000_000 + i * 1_000_000).alias("doc_id"),
-                    F.regexp_replace("text", r"(\S+)", f"$1zq{r}x{i}").alias("text"),
+                    (F.col("doc_id") + 900_000_000 + run_nonce * 100_000_000 + i * 1_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1zq{run_nonce}r{r}x{i}").alias("text"),
                 )
             ).localCheckpoint()
             t0 = time.perf_counter()

@@ -282,3 +282,42 @@ def test_dsir_store_reregisters_across_sessions_and_paths_agree(spark):
     assert tb2.count() == n1
     desc = spark.sql(f"DESCRIBE EXTENDED {tbl}").toPandas().to_string().lower()
     assert "bucket" in desc  # the re-registered table keeps the bucket spec
+
+
+def test_attribution_queries_degenerate_no_conversions(spark, tmp_path, duck):
+    """A corpus with zero purchases must yield matching all-zero rows from
+    both engines for the Markov and Shapley attribution queries — not a
+    driver ZeroDivisionError vs an empty oracle frame (the round-11
+    review's parity-break finding, pinned)."""
+    import os
+
+    from conftest import SF_DIR
+
+    from fest_vibes_ai_etl_spark.plans import catalog
+
+    d2 = str(tmp_path / "noconv_sf")
+    os.makedirs(d2)
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter("event_type <> 'purchase'")
+        .write.parquet(f"{d2}/events.parquet")
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{d2}/{t}.parquet")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d2}/events.parquet/*.parquet'"
+    )
+    qs, osql = catalog.queries(), catalog.oracle_sql()
+    for name in ("events_attribution_markov", "events_attribution_shapley"):
+        srows = sorted(map(tuple, qs[name](spark, d2).collect()))
+        drows = sorted(map(tuple, con.execute(osql[name]).fetchall()))
+        assert srows == drows, f"{name}: {srows} != {drows}"
+        assert len(srows) == 4
+        for r in srows:
+            assert all(v == 0.0 for v in r[1:]), r
+    con.close()

@@ -110,20 +110,24 @@ def rocchio_expanded_topk(
     cost model as bm25_topk, ×2 passes.
 
     ``persist=True`` caches postings + doclen (MEMORY_AND_DISK) for the
-    two bounded selection passes, then UNPERSISTS both before building
-    the returned frame — the final scoring plan reads the original
-    lineage, and repeated calls in one session cannot leak cache entries.
-    Uncached, Catalyst re-derives the inputs' full lineage per consumer
-    (a corpus tokenize when fed from build_postings). At 100 TB the
-    inputs ARE the staged store (load_or_build_postings_store), where
-    the persist merely saves re-scans.
+    two bounded selection passes, then UNPERSISTS before returning so
+    repeated calls in one session cannot leak cache entries — but only
+    the entries THIS call created: inputs the caller already persisted
+    (persist() returns self, so a second persist would be a no-op and an
+    unconditional unpersist would evict the caller's cache) are left
+    alone. Uncached, Catalyst re-derives the inputs' full lineage per
+    consumer (a corpus tokenize when fed from build_postings). At 100 TB
+    the inputs ARE the staged store (load_or_build_postings_store),
+    where the persist merely saves re-scans.
     """
-    raw_postings, raw_doclen = postings, doclen
+    ours = []
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        doclen = doclen.persist(StorageLevel.MEMORY_AND_DISK)
+        for frame in (postings, doclen):
+            if not frame.is_cached:
+                frame.persist(StorageLevel.MEMORY_AND_DISK)
+                ours.append(frame)
     spark = postings.sparkSession
     fb_ids = [
         r[0]
@@ -159,25 +163,21 @@ def rocchio_expanded_topk(
         + [(t, float(beta)) for t in expansion_terms],
         "term string, wq double",
     )
-    if persist:
-        # both bounded selections are collected; the returned frame must
-        # not pin cache entries for the session
-        postings.unpersist()
-        doclen.unpersist()
+    # both bounded selections are collected; drop ONLY the cache entries
+    # this call created before building the returned frame
+    for frame in ours:
+        frame.unpersist()
 
-    hits = raw_postings.filter(
+    hits = postings.filter(
         F.col("term").isin(seed_terms + expansion_terms)
     ).join(broadcast(qw), "term")
     fdf = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    fstats = raw_doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = F.col("wq") * idf * F.col("tf") * (k1 + 1.0) / norm
     scored = (
         hits.join(broadcast(fdf), "term")
-        .join(raw_doclen, id_col)
-        .crossJoin(broadcast(fstats))
+        .join(doclen, id_col)
+        .crossJoin(broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
     )

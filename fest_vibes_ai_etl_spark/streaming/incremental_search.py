@@ -48,13 +48,16 @@ with no marker at all; the marker brackets only doclen → docidx):
   recorded but the docidx append never reached (ids already in the
   sidecar were fully committed by EARLIER batches — their postings live
   under a different append id, so re-appending them would duplicate,
-  not fill). Their postings re-append is a no-op (same append id,
-  already landed, postings were written before doclen); their docidx
-  rows are healed. Checkpointed foreachBatch replays the crashed batch
-  next with identical content — the same single-writer immediate-replay
-  discipline the dedup streams assume; the append id additionally pins
-  the CONTENT (a raw-batch fingerprint), so a re-pointed checkpoint
-  reusing batch ids with different data can never be silently skipped.
+  not fill). Their postings are re-appended GUARDED — a (term, doc)
+  anti-join against the touched buckets, under an id distinct from the
+  main append's — because the crashed attempt's append id is unknowable
+  after a checkpoint re-point, so name-based skipping cannot be trusted
+  on this path (and sharing the main id would let heal-written files
+  make the main append's same-band files skip); their docidx rows are
+  healed. The append id pins the CONTENT (a raw-batch id+text
+  fingerprint), so a re-pointed checkpoint reusing batch ids with
+  different data can neither be silently skipped nor mix two texts'
+  postings under one landed/unlanded bucket split.
 - die after postings, before the marker clears: same heal path; every
   re-append is a no-op or harmless.
 
@@ -243,16 +246,21 @@ def make_search_index_processor(
                     replayed = repl
                 fresh = fresh.join(seen, id_col, "left_anti")
 
-        # Content fingerprint of the RAW batch: a checkpointed replay
-        # carries identical content → identical append id → the direct
-        # writer's skip-if-landed names converge; a DIFFERENT batch that
-        # happens to reuse a batch id (deleted/re-pointed checkpoint,
-        # second backfill driver starting at 0) gets a different
-        # fingerprint → different names → its postings are never silently
-        # skipped. One tiny column-agg job over the batch.
+        # Content fingerprint of the RAW batch — ids AND text, because the
+        # append id's job is to pin the CONTENT: a checkpointed replay
+        # (identical batch) converges on the same skip-if-landed names,
+        # while a re-pointed checkpoint reusing a batch id with corrected
+        # text gets different names and can never mix two texts' postings
+        # under one document. One tiny column-agg job over the batch.
         fp_row = batch_df.select(
             F.coalesce(
-                F.sum(F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")),
+                F.sum(
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"), F.col(text_col)
+                        )
+                    ).cast("decimal(38,0)")
+                ),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("s"),
             F.count(F.lit(1)).alias("n"),
@@ -270,58 +278,77 @@ def make_search_index_processor(
                 .withColumn("tb", term_bucket(F.col("term"), n_term_buckets))
             )
 
-        def append_postings(post: DataFrame) -> None:
-            written = direct_partitioned_append(
-                post,
-                _postings_dir(index_dir),
-                "tb",
-                fs_options=fs_options,
-                resolved=resolved_dest[0] if resolved_dest else None,
-                append_id=append_id,
-            )
-            if written is None:
-                if not warned_committer:
-                    import logging
+        def _anti_join_existing(post: DataFrame) -> DataFrame:
+            """(term, doc) rows of ``post`` not already in the store —
+            reading only the batch's own bucket directories (column-pruned
+            to the join key). The explicit guard for appends that cannot
+            rely on deterministic names."""
+            tbs = [r[0] for r in post.select("tb").distinct().collect()]
+            if not tbs:
+                return post
+            try:
+                existing = (
+                    spark.read.parquet(_postings_dir(index_dir))
+                    .filter(F.col("tb").isin(tbs))
+                    .select("term", id_col)
+                )
+                existing.schema
+            except AnalysisException as exc:
+                if not is_path_not_found(exc):
+                    raise
+                return post
+            return post.join(existing, ["term", id_col], "left_anti")
 
-                    logging.getLogger(__name__).warning(
-                        "incremental search index at %s: no trusted direct-"
-                        "append mapping for this filesystem — falling back "
-                        "to the dynamic-partition committer (~10 ms driver "
-                        "commit per bucket directory per batch), with a "
-                        "(term, doc) anti-join over the batch's buckets "
-                        "standing in for the direct path's idempotent names.",
-                        index_dir,
-                    )
-                    warned_committer.append(True)
-                # The committer has no skip-if-landed names, so replay
-                # idempotence comes from an explicit (term, doc) guard —
-                # reading ONLY the batch's own bucket directories.
-                post = post.persist()
-                try:
-                    tbs = [r[0] for r in post.select("tb").distinct().collect()]
-                    existing = None
-                    if tbs:
-                        try:
-                            existing = (
-                                spark.read.parquet(_postings_dir(index_dir))
-                                .filter(F.col("tb").isin(tbs))
-                                .select("term", id_col)
-                            )
-                            existing.schema
-                        except AnalysisException as exc:
-                            if not is_path_not_found(exc):
-                                raise
-                            existing = None
-                    guarded = (
-                        post.join(existing, ["term", id_col], "left_anti")
-                        if existing is not None
-                        else post
-                    )
-                    guarded.repartition("tb").write.partitionBy("tb").mode(
+        def append_postings(post: DataFrame, aid: str, guard: bool) -> None:
+            """``guard=False`` (the steady-state batch append) relies on the
+            deterministic append id for replay idempotence on the direct
+            path; ``guard=True`` (the heal path) anti-joins at (term, doc)
+            first — a heal's rows may have landed under a DIFFERENT
+            append id (the crashed attempt's), so name-based skipping
+            cannot see them, and the heal's own id must differ from the
+            main append's so a heal that writes files can never cause the
+            main append's same-band files to be skipped."""
+            post = post.persist()
+            try:
+                if guard:
+                    post_w = _anti_join_existing(post).persist()
+                else:
+                    post_w = post
+                written = direct_partitioned_append(
+                    post_w,
+                    _postings_dir(index_dir),
+                    "tb",
+                    fs_options=fs_options,
+                    resolved=resolved_dest[0] if resolved_dest else None,
+                    append_id=aid,
+                )
+                if written is None:
+                    if not warned_committer:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "incremental search index at %s: no trusted "
+                            "direct-append mapping for this filesystem — "
+                            "falling back to the dynamic-partition committer "
+                            "(~10 ms driver commit per bucket directory per "
+                            "batch) plus a (term, doc) anti-join whose read "
+                            "is INDEX-PROPORTIONAL in the touched buckets "
+                            "every batch. Add the filesystem to the trusted "
+                            "direct-append mapping for batch-proportional "
+                            "appends.",
+                            index_dir,
+                        )
+                        warned_committer.append(True)
+                    # the committer has no skip-if-landed names: the guard
+                    # is mandatory here
+                    final = post_w if guard else _anti_join_existing(post_w)
+                    final.repartition("tb").write.partitionBy("tb").mode(
                         "append"
                     ).parquet(_postings_dir(index_dir))
-                finally:
-                    post.unpersist()
+                if guard:
+                    post_w.unpersist()
+            finally:
+                post.unpersist()
 
         if not resolved_dest:
             from .banded_index import _resolve_direct_destination
@@ -336,10 +363,12 @@ def make_search_index_processor(
 
         if use_index and need_heal and replayed is not None:
             # docs recorded in doclen whose postings/docidx rows the
-            # crashed attempt may not have landed: the postings re-append
-            # lands only holes (same deterministic append id), the sidecar
-            # heal appends only missing rows
-            append_postings(postings_of(replayed))
+            # crashed attempt may not have landed: guarded re-append under
+            # a DISTINCT id — their rows may sit under the crashed
+            # attempt's (unknowable) append id, and sharing the main
+            # append's id would let a heal that writes files make the main
+            # append's same-band files skip
+            append_postings(postings_of(replayed), append_id + "h", guard=True)
             from ._exact_guard import _heal_exact_index
 
             _heal_exact_index(spark, docidx, _id_pairs(replayed, id_col))
@@ -362,7 +391,7 @@ def make_search_index_processor(
             # anywhere before the doclen commit replays cleanly in BOTH
             # guard modes (scan mode has no marker — it must not have a
             # loss window after doclen)
-            append_postings(post)
+            append_postings(post, append_id, guard=False)
             if use_index:
                 docidx.mark_inflight(spark)
             (

@@ -217,3 +217,41 @@ def test_stream_wrapper_end_to_end(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not finish in 120s"
     got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
     assert got == _batch_rank(spark)
+
+
+def test_stream_index_repointed_checkpoint_heal_no_collision(spark, tmp_path, monkeypatch):
+    """The nastiest recovery shape: a batch dies inside the marker window
+    (postings landed, sidecar not), then the checkpoint is RE-POINTED —
+    the replacement batch reuses batch id 0 and carries the crashed docs
+    PLUS genuinely new ones. The heal must not duplicate the landed
+    postings (their append id is unknowable) and must not make the main
+    append's same-band files skip (heal and main use distinct ids)."""
+    from fest_vibes_ai_etl_spark.streaming.banded_index import BandedFingerprintIndex
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(docs.filter("doc_id < 40"), 0)
+
+    real_append = BandedFingerprintIndex.append
+
+    def dying(self, pairs):
+        raise RuntimeError("injected crash in docidx append")
+
+    monkeypatch.setattr(BandedFingerprintIndex, "append", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc(docs.filter("doc_id >= 40 AND doc_id < 80"), 1)
+    monkeypatch.setattr(BandedFingerprintIndex, "append", real_append)
+
+    # re-pointed checkpoint: fresh processor, batch ids restart at 0, the
+    # batch holds the crashed docs AND new ones
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc2(docs.filter("doc_id >= 40 AND doc_id < 120"), 0)
+    proc2(docs.filter("doc_id >= 120 AND doc_id < 140"), 1)
+
+    got = [tuple(r) for r in inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()]
+    assert got == _batch_rank(spark)
+    post = spark.read.parquet(idx + "/postings")
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+    dl = spark.read.parquet(idx + "/doclen")
+    assert dl.count() == dl.select("doc_id").distinct().count()

@@ -311,7 +311,7 @@ CAL_TEMP = 10.0  # logit temperature: spreads the cluster-near-0 raw logits acro
     ),
     probs AS (
       SELECT doc_id,
-             1.0 / (1.0 + EXP(-{CAL_TEMP} * (ROUND(wsum / (1000.0 * n_tokens) + 0.00000001, 4)))) AS p,
+             ROUND(1.0 / (1.0 + EXP(-{CAL_TEMP} * (ROUND(wsum / (1000.0 * n_tokens) + 0.00000001, 4)))) + 0.00000001, 6) AS p,
              CASE WHEN n_chars >= {CAL_LONG_CHARS} THEN 1.0 ELSE 0.0 END AS label
       FROM scored
     ),
@@ -355,8 +355,13 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+    # p is rounded (the repo's +1e-8 convention, scale 6) BEFORE the
+    # decile bucketing: Spark's JVM and DuckDB's libm exp() can differ in
+    # the last ulp, and an unrounded p within ~1 ulp of a 0.1 boundary
+    # would flip a doc's bucket — a whole-row count diff, not a 4th-
+    # decimal wobble. Same pre-nonlinearity rounding as the logit's.
     probs = scored.select(
-        (
+        round_div(
             1.0
             / (
                 1.0
@@ -364,7 +369,8 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
                     -CAL_TEMP
                     * round_div(F.col("wsum") / (1000.0 * F.col("n_tokens")), 4)
                 )
-            )
+            ),
+            6,
         ).alias("p"),
         F.when(F.col("n_chars") >= CAL_LONG_CHARS, 1.0).otherwise(0.0).alias("label"),
     )

@@ -54,10 +54,11 @@ with no marker at all; the marker brackets only doclen → docidx):
   after a checkpoint re-point, so name-based skipping cannot be trusted
   on this path (and sharing the main id would let heal-written files
   make the main append's same-band files skip); their docidx rows are
-  healed. The append id pins the CONTENT (a raw-batch id+text
-  fingerprint), so a re-pointed checkpoint reusing batch ids with
-  different data can neither be silently skipped nor mix two texts'
-  postings under one landed/unlanded bucket split.
+  healed. The append id pins the CONTENT (an id+text fingerprint of the
+  deterministically-deduped batch — min text per id, so a replay
+  re-derives byte-identical rows), so a re-pointed checkpoint reusing
+  batch ids with different data can neither be silently skipped nor mix
+  two texts' postings under one landed/unlanded bucket split.
 - die after postings, before the marker clears: same heal path; every
   re-append is a no-op or harmless.
 
@@ -190,7 +191,18 @@ def make_search_index_processor(
             _check_meta(spark, index_dir, n_term_buckets, id_col)
             meta_ok.append(True)
         use_index = history_probe == "bucketed"
-        fresh = batch_df.dropDuplicates([id_col])
+        # Intra-batch winner must be DETERMINISTIC (min text per id), not
+        # dropDuplicates' partition-order pick: the append id fingerprints
+        # the batch CONTENT, so a crashed-then-replayed batch that chose a
+        # different winner would skip the crashed attempt's landed buckets
+        # (text A's postings) by name while filling unlanded ones with
+        # text B's — exactly the mixed-postings state the fingerprint
+        # exists to prevent. min(text) re-derives byte-identical rows on
+        # every replay, and the fingerprint below is computed over THESE
+        # deduped rows so two raw batches that dedup identically converge
+        # on the same append id.
+        deduped = batch_df.groupBy(id_col).agg(F.min(text_col).alias(text_col))
+        fresh = deduped
         doclen_dir = _doclen_dir(index_dir)
         hist = None
         try:
@@ -246,13 +258,16 @@ def make_search_index_processor(
                     replayed = repl
                 fresh = fresh.join(seen, id_col, "left_anti")
 
-        # Content fingerprint of the RAW batch — ids AND text, because the
-        # append id's job is to pin the CONTENT: a checkpointed replay
-        # (identical batch) converges on the same skip-if-landed names,
-        # while a re-pointed checkpoint reusing a batch id with corrected
-        # text gets different names and can never mix two texts' postings
-        # under one document. One tiny column-agg job over the batch.
-        fp_row = batch_df.select(
+        # Content fingerprint of the DEDUPED batch — ids AND winner text,
+        # because the append id's job is to pin the CONTENT THAT WILL BE
+        # INDEXED: a checkpointed replay (identical batch, deterministic
+        # winner) converges on the same skip-if-landed names, while a
+        # re-pointed checkpoint reusing a batch id with corrected text
+        # gets different names and can never mix two texts' postings
+        # under one document. Computed over `deduped` (not the raw batch)
+        # so a raw batch that merely reorders or repeats rows of the same
+        # logical content still converges. One tiny column-agg job.
+        fp_row = deduped.select(
             F.coalesce(
                 F.sum(
                     F.xxhash64(

@@ -219,6 +219,47 @@ def test_stream_wrapper_end_to_end(spark, tmp_path):
     assert got == _batch_rank(spark)
 
 
+def test_stream_index_intra_batch_duplicate_id_deterministic(spark, tmp_path, monkeypatch):
+    """One micro-batch carrying the same doc_id with DIFFERING texts: the
+    winner must be deterministic (min text), and a crashed-then-replayed
+    batch — even one whose rows arrive reordered — must converge on the
+    same winner's postings, never a mix of the two texts' postings under
+    one landed/unlanded bucket split."""
+    rows = [(1, "zz yy xx ww"), (1, "aa bb merge"), (2, "hash merge window")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    calls = {"n": 0}
+    real = inc.direct_partitioned_append
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        real(*a, **kw)  # worst case: the winner's files LAND, then we die
+        raise RuntimeError("injected crash in postings append")
+
+    monkeypatch.setattr(inc, "direct_partitioned_append", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc(batch, 0)
+    monkeypatch.setattr(inc, "direct_partitioned_append", real)
+    # replay: fresh processor (restart), same batch id, rows REORDERED —
+    # the deterministic winner + content fingerprint must re-derive the
+    # same append id and skip the landed buckets instead of filling the
+    # holes with the other text's postings
+    replay = spark.createDataFrame(
+        [rows[1], rows[2], rows[0]], "doc_id long, text string"
+    )
+    proc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc2(replay, 0)
+    post = spark.read.parquet(idx + "/postings")
+    terms_1 = sorted(
+        r.term for r in post.filter("doc_id = 1").select("term").distinct().collect()
+    )
+    assert terms_1 == ["aa", "bb", "merge"]  # min-text winner, no mixing
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+    dl = [tuple(r) for r in spark.read.parquet(idx + "/doclen").orderBy("doc_id").collect()]
+    assert dl == [(1, 3), (2, 3)]
+
+
 def test_stream_index_repointed_checkpoint_heal_no_collision(spark, tmp_path, monkeypatch):
     """The nastiest recovery shape: a batch dies inside the marker window
     (postings landed, sidecar not), then the checkpoint is RE-POINTED —

@@ -70,8 +70,21 @@ def main() -> None:
             proc(hist, 0)
             log(f"x{r}: backfill batch ({hist.count()} docs) "
                 f"{time.perf_counter() - t0:.1f}s")
-            Path(stamp).touch()
-        index_docs[r] = spark.read.parquet(idx + "/doclen").count()
+            # record the PREBUILT doc count in the stamp: a rerun against
+            # a persisted --out would otherwise count the prior run's
+            # nonce-distinct timed batches into index_docs and drift the
+            # history ratios / fitted slope across reruns
+            Path(stamp).write_text(json.dumps(
+                {"index_docs": spark.read.parquet(idx + "/doclen").count()}
+            ))
+        try:
+            index_docs[r] = json.loads(Path(stamp).read_text())["index_docs"]
+        except (ValueError, KeyError):  # pre-round-12 empty stamp
+            index_docs[r] = (
+                spark.read.parquet(idx + "/doclen")
+                .filter("doc_id < 900000000")
+                .count()
+            )
         best = math.inf
         for i in range(args.repeats):
             # each timed run is a GENUINE novel batch (distinct salt+ids):

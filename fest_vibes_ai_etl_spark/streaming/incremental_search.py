@@ -62,6 +62,16 @@ with no marker at all; the marker brackets only doclen → docidx):
 - die after postings, before the marker clears: same heal path; every
   re-append is a no-op or harmless.
 
+Maintenance: every ``maintain_every`` batches the processor compacts the
+``_docidx`` sidecar (the banded index's own per-band maintenance) AND the
+postings/doclen directories (:func:`maintain_search_index`) — each batch
+appends one file per touched ``tb=`` bucket plus one doclen file, and
+without compaction probe listing/footer cost grows linearly with stream
+age. The compactor is size-tiered (small files merge into a segment;
+segments ≥ the byte target graduate and are never rewritten) and
+journaled (crash mid-merge heals at the next open — processor, probe,
+and maintenance all run :func:`recover_search_index` first).
+
 Probe: :func:`bm25_over_index` — the batch BM25 scorer over a
 partition-pruned scan of the query terms' buckets only. At 100 TB the
 probe reads |terms| buckets of the store, never the corpus.
@@ -76,7 +86,6 @@ from .banded_index import (
     BandedFingerprintIndex,
     direct_partitioned_append,
     hadoop_read_json,
-    hadoop_write_json,
 )
 from ._exact_guard import _settle_indexes
 
@@ -112,26 +121,22 @@ def term_bucket(col, n_term_buckets: int):
 
 
 def _check_meta(spark, index_dir: str, n_term_buckets: int, id_col: str) -> None:
-    """Adopt-or-refuse against the persisted layout; write it if absent."""
-    path = index_dir.rstrip("/") + "/" + _META
-    meta = hadoop_read_json(spark, path)
-    if meta is None:
-        hadoop_write_json(
-            spark, path, {"n_term_buckets": int(n_term_buckets), "id_col": id_col}
-        )
-        return
-    if int(meta.get("n_term_buckets", -1)) != int(n_term_buckets) or meta.get(
-        "id_col"
-    ) != id_col:
-        raise SearchIndexLayoutError(
-            f"search index at {index_dir} was built with "
-            f"n_term_buckets={meta.get('n_term_buckets')}, "
-            f"id_col={meta.get('id_col')!r}; this configuration says "
-            f"n_term_buckets={n_term_buckets}, id_col={id_col!r}. Probing "
-            f"or appending across a bucket-count change silently corrupts "
-            f"posting-list lookups — re-point the stream or rebuild the "
-            f"index directory."
-        )
+    """Adopt-or-refuse against the persisted layout; write it if absent
+    (the families' shared meta-guard helper — see ``state_store``)."""
+    from .state_store import adopt_or_refuse_meta
+
+    adopt_or_refuse_meta(
+        spark,
+        index_dir.rstrip("/") + "/" + _META,
+        {"n_term_buckets": int(n_term_buckets), "id_col": id_col},
+        SearchIndexLayoutError,
+        f"search index at {index_dir}",
+        consequence=(
+            "Probing or appending across a bucket-count change silently "
+            "corrupts posting-list lookups — re-point the stream or "
+            "rebuild the index directory."
+        ),
+    )
 
 
 def load_index_meta(spark, index_dir: str) -> dict:
@@ -142,6 +147,90 @@ def load_index_meta(spark, index_dir: str) -> dict:
             f"index (or its first batch never committed)"
         )
     return meta
+
+
+def _postings_bucket_dirs(spark, index_dir: str) -> list[str]:
+    """Existing ``tb=`` bucket directory paths under the postings store
+    (one root readdir; [] when the store was never written)."""
+    from .banded_index import hadoop_list_names
+
+    jvm = spark._jvm
+    pdir = _postings_dir(index_dir)
+    jp = jvm.org.apache.hadoop.fs.Path(pdir)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return []
+    return [
+        f"{pdir}/{name}"
+        for name in hadoop_list_names(jvm, fs, jp)
+        if name.startswith("tb=")
+    ]
+
+
+def recover_search_index(spark, index_dir: str, buckets: list[int] | None = None) -> None:
+    """Heal any crashed compaction on the index's append-per-batch
+    directories (doclen + the postings buckets — ``buckets=None`` walks
+    all of them, a bounded ≤ n_term_buckets listing; a probe passes just
+    its query terms' buckets). Must run before reading an index a dead
+    maintenance pass may have left mid-merge — the owners (the stream
+    processor at open, :func:`bm25_over_index` per probe,
+    :func:`maintain_search_index` itself) all do."""
+    from .state_store import recover_dir_compaction
+
+    recover_dir_compaction(spark, _doclen_dir(index_dir))
+    if buckets is None:
+        dirs = _postings_bucket_dirs(spark, index_dir)
+    else:
+        pdir = _postings_dir(index_dir)
+        dirs = [f"{pdir}/tb={b}" for b in buckets]
+    for d in dirs:
+        recover_dir_compaction(spark, d)
+
+
+def maintain_search_index(
+    spark,
+    index_dir: str,
+    buckets: list[int] | None = None,
+    max_files_per_bucket: int = 8,
+    target_segment_bytes: int = 32 << 20,
+) -> dict:
+    """Bound the postings/doclen small-file growth: every micro-batch
+    appends one file per touched ``tb=`` bucket plus one doclen file, so
+    without maintenance probe listing/footer cost grows linearly with
+    stream age — the failure class the banded index's ``maintain()``
+    closes for the dedup sidecars. Merges each over-threshold directory's
+    small files into one segment (size-tiered: segments ≥
+    ``target_segment_bytes`` graduate and are never rewritten, so rewrite
+    work amortizes to O(log) per byte, the LSM argument). ``buckets``
+    narrows the census to the buckets the caller knows it dirtied (the
+    processor passes its appends' reported bucket sets — detection cost
+    scales with batch activity, not index size); None walks all buckets.
+    Untouched buckets' files are never rewritten. Crash-safe via the
+    manifest journal in ``state_store`` (single-writer discipline: run
+    between batches, never concurrently with a probe)."""
+    from .state_store import compact_small_files
+
+    recover_search_index(spark, index_dir, buckets)
+    if buckets is None:
+        dirs = _postings_bucket_dirs(spark, index_dir)
+    else:
+        pdir = _postings_dir(index_dir)
+        dirs = [f"{pdir}/tb={b}" for b in buckets]
+    buckets_compacted = 0
+    files_merged = 0
+    for d in dirs:
+        n = compact_small_files(
+            spark, d, max_files=max_files_per_bucket,
+            target_bytes=target_segment_bytes,
+        )
+        if n:
+            buckets_compacted += 1
+            files_merged += n
+    files_merged += compact_small_files(
+        spark, _doclen_dir(index_dir), max_files=max_files_per_bucket,
+        target_bytes=target_segment_bytes,
+    )
+    return {"buckets_compacted": buckets_compacted, "files_merged": files_merged}
 
 
 def make_search_index_processor(
@@ -180,6 +269,14 @@ def make_search_index_processor(
     meta_ok: list[bool] = []
     resolved_dest: list = []  # cached (kind, dest) for the postings append
     warned_committer: list[bool] = []
+    # buckets dirtied since the last maintenance tick, reported by the
+    # direct append itself — so maintain() lists only what this stream
+    # actually touched (batch-proportional detection, the banded index's
+    # dirty-set discipline). The committer fallback reports nothing:
+    # dirty_unknown degrades the next tick to one full (≤ n_term_buckets)
+    # walk.
+    dirty_tb: set[int] = set()
+    dirty_unknown: list[bool] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -188,6 +285,10 @@ def make_search_index_processor(
 
         spark = batch_df.sparkSession
         if not meta_ok:
+            # open-time heal BEFORE anything reads postings/doclen: a
+            # prior process may have died mid-compaction, leaving a
+            # merged segment and its inputs simultaneously visible
+            recover_search_index(spark, index_dir)
             _check_meta(spark, index_dir, n_term_buckets, id_col)
             meta_ok.append(True)
         use_index = history_probe == "bucketed"
@@ -337,6 +438,8 @@ def make_search_index_processor(
                     resolved=resolved_dest[0] if resolved_dest else None,
                     append_id=aid,
                 )
+                if written is not None:
+                    dirty_tb.update(written)
                 if written is None:
                     if not warned_committer:
                         import logging
@@ -360,6 +463,10 @@ def make_search_index_processor(
                     final.repartition("tb").write.partitionBy("tb").mode(
                         "append"
                     ).parquet(_postings_dir(index_dir))
+                    # the committer reports no bucket set: degrade the
+                    # next maintenance tick to a full bucket walk
+                    if not dirty_unknown:
+                        dirty_unknown.append(True)
                 if guard:
                     post_w.unpersist()
             finally:
@@ -421,8 +528,20 @@ def make_search_index_processor(
         finally:
             enriched.unpersist()
         n_done[0] += 1
-        if use_index and maintain_every and n_done[0] % maintain_every == 0:
-            docidx.maintain(spark, max_files_per_band=maintain_max_files)
+        if maintain_every and n_done[0] % maintain_every == 0:
+            if use_index:
+                docidx.maintain(spark, max_files_per_band=maintain_max_files)
+            # postings + doclen gain one file per batch in BOTH guard
+            # modes; compact the buckets this stream dirtied (full walk
+            # only after a committer-fallback append, which reports none)
+            maintain_search_index(
+                spark,
+                index_dir,
+                buckets=None if dirty_unknown else sorted(dirty_tb),
+                max_files_per_bucket=maintain_max_files,
+            )
+            dirty_tb.clear()
+            dirty_unknown.clear()
 
     return process
 
@@ -490,6 +609,11 @@ def bm25_over_index(
             .collect()
         }
     )
+    # open-time heal, scoped to what this probe reads (doclen + the query
+    # terms' buckets): a dead maintenance pass may have left a merged
+    # segment and its inputs simultaneously visible — one exists() stat
+    # per directory in the steady state
+    recover_search_index(spark, index_dir, buckets=tbs)
     postings = (
         spark.read.parquet(_postings_dir(index_dir))
         .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))

@@ -173,7 +173,7 @@ def test_stream_index_layout_guard_refuses_bucket_change(spark, tmp_path):
     proc = inc.make_search_index_processor(idx, n_term_buckets=8)
     proc(_slices(spark)[0], 0)
     bad = inc.make_search_index_processor(idx, n_term_buckets=16)
-    with pytest.raises(inc.SearchIndexLayoutError, match="n_term_buckets=8"):
+    with pytest.raises(inc.SearchIndexLayoutError, match="n_term_buckets: stored 8"):
         bad(_slices(spark)[1], 1)
     # probe under the persisted layout still works
     assert inc.bm25_over_index(spark, idx, TERMS, topn=5).count() == 5

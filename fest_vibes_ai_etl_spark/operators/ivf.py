@@ -599,6 +599,17 @@ def make_index_add_processor(
                 r.cell_id
                 for r in assigned.select("cell_id").distinct().collect()
             )
+        # burned ids: a tombstoned vector id can never be re-added (the
+        # delete contract in delete_from_ivf_index) — applied AFTER the
+        # staleness pass, which deliberately measures the raw incoming
+        # batch, and cheap: one fs stat per batch until a delete exists
+        from ..streaming.tombstones import read_tombstones
+
+        tomb = read_tombstones(spark, index_dir)
+        if tomb is not None:
+            assigned = assigned.join(
+                F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti"
+            )
         # Existence + cell listing through the Hadoop fs API (works on
         # hdfs/s3a too, unlike os.listdir): an explicit probe, not
         # swallowed read errors — a corrupt footer / transient IO failure
@@ -692,6 +703,54 @@ def make_index_add_processor(
             ).parquet(index_dir)
 
     return process
+
+
+def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
+    """Tombstone vector ids in an incremental-add IVF index — the
+    documented IVF delete contract: **tombstone-at-probe, physical
+    removal at rebuild**. The cell files are append-only (the frozen-
+    quantizer add contract), so a delete appends the ids to a
+    ``<index_dir>_tombstones`` sibling; :func:`read_ivf_index` (the probe
+    read path) anti-joins them, and the add processor burns them at batch
+    entry so a tombstoned id can never be re-added. Physical removal
+    happens when the quantizer is re-trained and the index rebuilt from
+    the (already-erased) corpus via :func:`build_ivf_index` — the same
+    offline event that absorbs updates. Returns how many of the ids are
+    currently stored (all requested ids are tombstoned regardless)."""
+    from pyspark.sql import types as T
+
+    from ..streaming.banded_index import hadoop_read_json
+    from ..streaming.tombstones import tombstones_path
+
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
+    id_col = (meta or {}).get("id_col", "vec_id")
+    stored_df = spark.read.parquet(index_dir).select(id_col)
+    ids_df = spark.createDataFrame(
+        [(i,) for i in ids], T.StructType([stored_df.schema[id_col]])
+    )
+    stored = stored_df.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    ids_df.distinct().coalesce(1).write.mode("append").parquet(
+        tombstones_path(index_dir)
+    )
+    return int(stored)
+
+
+def read_ivf_index(spark, index_dir: str) -> DataFrame:
+    """The incremental-add index as probes must see it: stored (id, vec,
+    cell_id) rows minus tombstoned ids. Feed this to :func:`ivf_topk` —
+    a deleted vector is then unretrievable NOW, and the eventual rebuild
+    (which drops the rows physically and the tombstones with the old
+    directory) returns identical results."""
+    from ..streaming.banded_index import hadoop_read_json
+    from ..streaming.tombstones import read_tombstones
+
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
+    id_col = (meta or {}).get("id_col", "vec_id")
+    df = spark.read.parquet(index_dir)
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti")
 
 
 def start_incremental_index_add(

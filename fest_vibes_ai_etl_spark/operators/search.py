@@ -82,6 +82,7 @@ def rocchio_expanded_topk(
     k1: float = K1,
     b: float = B,
     persist: bool = True,
+    pruned=None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio): run BM25 for the seed
     terms, take the top ``fb_k`` docs as assumed-relevant feedback, score
@@ -119,7 +120,18 @@ def rocchio_expanded_topk(
     consumer (a corpus tokenize when fed from build_postings). At 100 TB
     the inputs ARE the staged store (load_or_build_postings_store),
     where the persist merely saves re-scans.
+
+    ``pruned`` (optional ``terms -> DataFrame``) supplies the
+    term-filtered posting lists for the two by-term passes (the seed BM25
+    and the final weighted rescore) — callers on the shared tb= index
+    layout pass :func:`pruned_postings_for_terms` so those passes
+    PARTITION-PRUNE to the chosen terms' buckets; the candidate-vocabulary
+    passes (whose term set is data-derived, not query-derived) stay on the
+    full ``postings``. Default: an ``isin`` filter over ``postings``.
     """
+    prune = pruned if pruned is not None else (
+        lambda ts: postings.filter(F.col("term").isin(ts))
+    )
     ours = []
     if persist:
         from pyspark.storagelevel import StorageLevel
@@ -131,7 +143,9 @@ def rocchio_expanded_topk(
     spark = postings.sparkSession
     fb_ids = [
         r[0]
-        for r in bm25_topk(postings, doclen, seed_terms, id_col, k1, b, topn=fb_k)
+        for r in bm25_topk(
+            prune(seed_terms), doclen, seed_terms, id_col, k1, b, topn=fb_k
+        )
         .select(id_col)
         .collect()
     ]
@@ -168,9 +182,7 @@ def rocchio_expanded_topk(
     for frame in ours:
         frame.unpersist()
 
-    hits = postings.filter(
-        F.col("term").isin(seed_terms + expansion_terms)
-    ).join(broadcast(qw), "term")
+    hits = prune(seed_terms + expansion_terms).join(broadcast(qw), "term")
     fdf = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = F.col("wq") * idf * F.col("tf") * (k1 + 1.0) / norm
@@ -185,12 +197,24 @@ def rocchio_expanded_topk(
 
 
 # --- persisted postings store: build once, search many ----------------------
+#
+# Since round 12 the batch-staged store and the stream-maintained index
+# (streaming/incremental_search.py) are ONE artifact layout:
+# <store>/_meta.json (n_term_buckets, id_col), <store>/postings/tb=<b>/
+# hive term-bucket directories, <store>/doclen. A batch-built store can be
+# probed, incrementally maintained, compacted, and tombstone-deleted by
+# the stream module's ops, and a stream-built index serves every batch
+# lexical query verbatim; probes PARTITION-PRUNE to the query terms'
+# buckets instead of leaning on row-group stats (the pre-round-12 flat
+# repartition("term") layout's weaker guarantee).
 
 
 def postings_store_path(sf_dir: str, table_name: str = "documents") -> str:
     """Keyed by (sf basename, source table, source fingerprint) — the
     signature/ivf store convention: a regenerated dataset keys a fresh
-    build, never serves stale postings."""
+    build, never serves stale postings. The ``_tb`` suffix versions the
+    round-12 term-bucketed layout (pre-round-12 flat stores at the
+    unsuffixed path are orphaned, never misread)."""
     import os
 
     from ..fingerprint import source_fingerprint
@@ -198,7 +222,9 @@ def postings_store_path(sf_dir: str, table_name: str = "documents") -> str:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     stamp = "_" + source_fingerprint(os.path.join(sf_dir, f"{table_name}.parquet"))
-    return os.path.join(repo, "spark-warehouse", "postings", f"{tag}_{table_name}{stamp}")
+    return os.path.join(
+        repo, "spark-warehouse", "postings", f"{tag}_{table_name}{stamp}_tb"
+    )
 
 
 def load_or_build_postings_store(
@@ -208,24 +234,52 @@ def load_or_build_postings_store(
     table_name: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_term_buckets: int = 64,
+    store_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """The inverted index staged to parquet: postings (term, doc_id, tf)
-    REPARTITIONED BY TERM (the in-session stand-in for bucketed-by-term —
-    a query's posting lists co-locate in few files) plus the doclen
-    sidecar. Built once per (sf, table, source fingerprint) and shared by
-    every lexical-search consumer (BM25, Rocchio); at 100 TB the corpus
-    tokenize is the dominant search cost and this is the standard
-    build/probe split — queries become pruned columnar scans, never a
-    tokenize pass."""
+    """The inverted index staged to parquet in the SHARED index layout
+    (see the section comment): postings under hive ``tb=`` term-bucket
+    directories plus the doclen sidecar, pinned by ``_meta.json``. Built
+    once per (sf, table, source fingerprint) and shared by every lexical
+    consumer (BM25, Rocchio, RRF, rerank); at 100 TB the corpus tokenize
+    is the dominant search cost and this is the standard build/probe
+    split — queries become PARTITION-PRUNED columnar scans of their
+    terms' buckets (:func:`pruned_postings_for_terms`), never a tokenize
+    pass. Returns (postings incl. the ``tb`` column, doclen) for
+    consumers that need the full index (Rocchio's candidate passes).
+
+    Write order: doclen, postings, meta LAST — the meta is the load
+    gate, so a build interrupted anywhere re-runs whole (overwrite)
+    instead of serving a torn store."""
     import os
 
-    path = postings_store_path(sf_dir, table_name)
-    # doclen first, postings LAST: the load gate is the postings
-    # _SUCCESS, so a build interrupted between the two writes re-runs
-    # both (overwrite) instead of wedging every lexical query on a
-    # missing doclen sidecar
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = store_path or postings_store_path(sf_dir, table_name)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        from ..streaming.incremental_search import _check_meta, term_bucket
+
         postings, doclen = build_postings(docs, id_col, text_col)
-        doclen.coalesce(4).write.mode("overwrite").parquet(path + "_dl")
-        postings.repartition("term").write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path), spark.read.parquet(path + "_dl")
+        doclen.coalesce(4).write.mode("overwrite").parquet(path + "/doclen")
+        (
+            postings.withColumn("tb", term_bucket(F.col("term"), n_term_buckets))
+            .repartition("tb")
+            .write.partitionBy("tb")
+            .mode("overwrite")
+            .parquet(path + "/postings")
+        )
+        _check_meta(spark, path, n_term_buckets, id_col)
+    return (
+        spark.read.parquet(path + "/postings"),
+        spark.read.parquet(path + "/doclen"),
+    )
+
+
+def pruned_postings_for_terms(
+    spark, store_dir: str, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Partition-pruned posting lists for a query's terms over the shared
+    index layout — the scan opens ≤ |terms| ``tb=`` bucket directories,
+    never the whole store (delegates to the stream module's probe
+    plumbing, tombstone-aware and crash-heal-aware)."""
+    from ..streaming.incremental_search import pruned_postings
+
+    return pruned_postings(spark, store_dir, terms, id_col=id_col)

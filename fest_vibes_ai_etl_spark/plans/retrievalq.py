@@ -101,10 +101,14 @@ _BM25_SQL = f"""toks AS (
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    _, doclen = load_or_build_postings_store(spark, docs, sf_dir)
     from pyspark.sql import Window
 
-    bm = bm25_topk(postings, doclen, TERMS, topn=FUSE_N).select(
+    from ..operators.search import postings_store_path, pruned_postings_for_terms
+
+    # the BM25 leg partition-prunes to the query terms' tb= buckets
+    pruned = pruned_postings_for_terms(spark, postings_store_path(sf_dir), TERMS)
+    bm = bm25_topk(pruned, doclen, TERMS, topn=FUSE_N).select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.desc("score"), "doc_id"))
@@ -270,9 +274,12 @@ def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rerank import rerank_topk
 
     docs = table(spark, sf_dir, "documents")
-    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    _, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    from ..operators.search import postings_store_path, pruned_postings_for_terms
+
+    pruned = pruned_postings_for_terms(spark, postings_store_path(sf_dir), TERMS)
     cand = (
-        bm25_topk(postings, doclen, TERMS, topn=RERANK_CAND)
+        bm25_topk(pruned, doclen, TERMS, topn=RERANK_CAND)
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id", "text", F.lit(RERANK_QUERY).alias("q"), F.lit(0).alias("_g")

@@ -51,16 +51,90 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in TERMS)
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for the bag-of-words query {merge, hash, window}:
-    inverted-index postings pruned to the query terms before any shuffle,
-    tiny df/corpus-stats aggregates broadcast into a single codegen'd score
-    expression, one groupBy over candidate docs. The postings + doclen come
-    from the persisted term-partitioned store (load_or_build — the search
-    index, amortized across every lexical query), so the steady-state query
-    never tokenizes the corpus. The oracle recomputes the identical formula
-    in SQL."""
+    the steady-state probe over the persisted term-bucketed index (the
+    SAME artifact layout the incremental search stream maintains — one
+    probe path for batch-staged and stream-built indexes). The scan
+    PARTITION-PRUNES to the query terms' tb= buckets; tiny df/corpus-stat
+    aggregates broadcast into a single codegen'd score expression, one
+    groupBy over candidate docs — the query never tokenizes the corpus.
+    The oracle recomputes the identical formula in SQL."""
+    from ..operators.search import postings_store_path
+    from ..streaming.incremental_search import bm25_over_index
+
     docs = table(spark, sf_dir, "documents")
-    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
-    return bm25_topk(postings, doclen, TERMS, topn=TOPN)
+    load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
+    return bm25_over_index(
+        spark, postings_store_path(sf_dir), TERMS, topn=TOPN
+    )
+
+
+DEL_IDS = [0, 1, 2, 3, 4]
+_DEL_SQL = ", ".join(str(i) for i in DEL_IDS)
+
+
+def _deleted_store(spark: SparkSession, sf_dir: str) -> str:
+    """A second persisted index (same fingerprint-keyed layout, ``_del``
+    suffix) with DEL_IDS tombstoned — so the delete path is exercised
+    without poisoning the shared store the other lexical queries probe.
+    Idempotent: the store builds once per source fingerprint and the
+    tombstones are written once."""
+    from ..operators.search import postings_store_path
+    from ..streaming.incremental_search import delete_from_search_index
+    from ..streaming.tombstones import read_tombstones
+
+    path = postings_store_path(sf_dir) + "_del"
+    docs = table(spark, sf_dir, "documents")
+    load_or_build_postings_store(spark, docs, sf_dir, store_path=path)
+    if read_tombstones(spark, path) is None:
+        delete_from_search_index(spark, path, DEL_IDS)
+    return path
+
+
+@register(
+    "search_bm25_tombstoned",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE doc_id NOT IN ({_DEL_SQL})
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM( LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s + 0.00000001, 4) AS score
+    FROM scored ORDER BY score DESC, doc_id
+    LIMIT {TOPN}
+    """,
+    tags=("search", "bm25", "delete", "tombstone"),
+    prepare=lambda spark, sf_dir: _deleted_store(spark, sf_dir),
+    doc="The index families' DELETE contract, oracle-checked end to end: "
+    "docs 0-4 are tombstoned in a persisted BM25 index "
+    "(delete_from_search_index) and the probe must rank EXACTLY like an "
+    "index that never contained them — excluded from the hits, from the "
+    "term df, and from the corpus stats (N, avgdl). The oracle recomputes "
+    "BM25 over the corpus minus the deleted ids; equality here is what "
+    "makes physical purge timing an operations choice instead of a "
+    "correctness event.",
+)
+def search_bm25_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental_search import bm25_over_index
+
+    return bm25_over_index(spark, _deleted_store(spark, sf_dir), TERMS, topn=TOPN)
 
 
 FB_K = 5
@@ -155,11 +229,19 @@ BETA = 0.5
     "comes from one semi-join-pruned postings pass.",
 )
 def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import rocchio_expanded_topk
+    from ..operators.search import (
+        postings_store_path,
+        pruned_postings_for_terms,
+        rocchio_expanded_topk,
+    )
 
     docs = table(spark, sf_dir, "documents")
     postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    store = postings_store_path(sf_dir)
     return rocchio_expanded_topk(
         postings, doclen, TERMS, fb_k=FB_K, expand_n=EXPAND_N,
         beta=BETA, topn=TOPN,
+        # the by-term passes partition-prune on the shared tb= layout;
+        # the candidate-vocabulary passes keep the full store frame
+        pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
     )

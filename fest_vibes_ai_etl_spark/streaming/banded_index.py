@@ -891,6 +891,8 @@ class BandedFingerprintIndex:
         spark: SparkSession,
         max_files_per_band: int = 8,
         target_band_bytes: int | None = 256 << 20,
+        exclude: DataFrame | None = None,
+        exclude_cols: list[str] | None = None,
     ) -> int:
         """Compact every band directory holding more than
         ``max_files_per_band`` parquet files down to one file; returns the
@@ -924,7 +926,14 @@ class BandedFingerprintIndex:
         per-band byte cache, which dirty-mode ticks refresh for the bands
         they list — bands change only through this single writer, so the
         cached total stays exact and the re-banding byte trigger needs no
-        walk of its own."""
+        walk of its own.
+
+        ``exclude`` (with ``exclude_cols`` join keys) is the tombstone
+        fold hook: every band this tick rewrites (and a re-band, which
+        rewrites all of them) drops the excluded rows. Opportunistic by
+        design — rows in bands that never fragment survive until those
+        bands are rewritten, so callers' probes must anti-join the
+        tombstone set regardless (the dedup streams do)."""
         fs, root = self._fs(spark)
         jvm = spark._jvm
         # recovery BEFORE the existence check: a crashed re-band can leave
@@ -1006,7 +1015,7 @@ class BandedFingerprintIndex:
             # on its last doubling — the cap is absolute (bands are
             # directories; the ceiling bounds listing cost)
             n_new = min(n_new, _MAX_BANDS)
-            self.reband(spark, n_new)
+            self.reband(spark, n_new, exclude=exclude, exclude_cols=exclude_cols)
             return self.n_bands  # reband subsumes per-band compaction
         if not fragmented:
             return 0
@@ -1018,9 +1027,12 @@ class BandedFingerprintIndex:
             staged = tmp_root + "/" + name
             # band files store no partition column (partitionBy strips
             # it), so a plain dir read + rewrite reproduces the layout
-            spark.read.parquet(band_dir).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(staged)
+            band_df = spark.read.parquet(band_dir)
+            if exclude is not None:
+                band_df = band_df.join(
+                    F.broadcast(exclude), exclude_cols, "left_anti"
+                )
+            band_df.coalesce(1).write.mode("overwrite").parquet(staged)
             live = jvm.org.apache.hadoop.fs.Path(band_dir)
             old = jvm.org.apache.hadoop.fs.Path(old_root + "/" + name)
             stg = jvm.org.apache.hadoop.fs.Path(staged)
@@ -1125,10 +1137,18 @@ class BandedFingerprintIndex:
             if fs.exists(tmp_p):
                 fs.delete(tmp_p, True)
 
-    def reband(self, spark: SparkSession, n_bands_new: int) -> None:
+    def reband(
+        self,
+        spark: SparkSession,
+        n_bands_new: int,
+        exclude: DataFrame | None = None,
+        exclude_cols: list[str] | None = None,
+    ) -> None:
         """Rewrite the whole index under ``n_bands_new`` (meta updated in
         the same directory swap — no crash window can pair data with the
-        wrong layout). Single-writer discipline: between batches only."""
+        wrong layout). ``exclude`` folds tombstoned rows out of the
+        rewrite (see ``maintain``). Single-writer discipline: between
+        batches only."""
         fs, path = self._fs(spark)
         jvm = spark._jvm
         self._check_layout(spark)
@@ -1138,6 +1158,8 @@ class BandedFingerprintIndex:
         df = self.read(spark)
         if df is None:
             return
+        if exclude is not None:
+            df = df.join(F.broadcast(exclude), exclude_cols, "left_anti")
         tmp = self.path.rstrip("/") + "_rebandtmp"
         old = self.path.rstrip("/") + "_rebandold"
         (

@@ -134,6 +134,7 @@ def make_exact_dedup_processor(
     )
     idx_settled: list[bool] = []
     n_done: list[int] = [0]  # completed batches, drives maintenance
+    purge_checked: list[bool] = []  # once-per-stream purge-crash heal
 
     def _pairs(df: DataFrame) -> DataFrame:
         # coalesce: pre-sentinel corpora hold fp=NULL for null text
@@ -146,9 +147,21 @@ def make_exact_dedup_processor(
 
         from ..errors import is_path_not_found
 
+        from .tombstones import purge_recover, read_tombstones
+
         spark = batch_df.sparkSession
+        if not purge_checked:
+            # a crashed purge swap would otherwise read as "corpus
+            # deleted" and silently restart the corpus from empty
+            purge_recover(spark, corpus_dir)
+            purge_checked.append(True)
+        tomb = read_tombstones(spark, corpus_dir)
         use_index = history_probe == "bucketed"
         fresh = batch_df.withColumn("fp", fingerprint(text_col)).dropDuplicates(["fp"])
+        if tomb is not None:
+            # burned fingerprints (this stream dedups purely by fp):
+            # erased content can never re-enter the corpus
+            fresh = fresh.join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
         hist = None
         try:
             hist = spark.read.parquet(corpus_dir)
@@ -236,7 +249,14 @@ def make_exact_dedup_processor(
             exact_index.clear_inflight(spark)
         n_done[0] += 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
-            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
+            # fold tombstoned fingerprints out of every band this tick
+            # rewrites (the fp-only sidecar keys rows by "fp")
+            exact_index.maintain(
+                spark,
+                max_files_per_band=maintain_max_files,
+                exclude=tomb.select("fp").distinct() if tomb is not None else None,
+                exclude_cols=["fp"],
+            )
 
     return process
 

@@ -227,11 +227,21 @@ def make_near_dedup_processor(
     # stream, don't redo the check per batch.
     idx_settled: list[bool] = []
     n_done: list[int] = [0]  # completed batches, drives maintenance
+    purge_checked: list[bool] = []  # once-per-stream purge-crash heal
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from .incremental_dedup import rebuild_from_survivor_ids
+        from .tombstones import purge_recover, read_tombstones
 
         spark = batch_df.sparkSession
+        if not purge_checked:
+            # a crashed purge swap would otherwise read as "corpus
+            # deleted" and silently restart the corpus from empty
+            purge_recover(spark, corpus_dir)
+            purge_checked.append(True)
+        # (id, fp) tombstones — one fs stat per batch when no delete was
+        # ever issued; a small broadcastable suppression set otherwise
+        tomb = read_tombstones(spark, corpus_dir)
         use_index = history_probe == "bucketed"
         # keep a handle to the persisted frame itself: unpersist() requires
         # the SAME plan (uncacheQuery is sameResult-based), and `fresh` is
@@ -241,6 +251,13 @@ def make_near_dedup_processor(
             batch_df.dropDuplicates([id_col]), id_col, text_col, k, num_hashes
         ).persist()
         fresh = cached
+        if tomb is not None:
+            # burned ids AND fingerprints: erased content (or a row
+            # reusing its id) can never re-enter the corpus, in either
+            # guard mode
+            fresh = fresh.join(
+                F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+            ).join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
         hist = None
         hist_cached = None
         try:
@@ -383,6 +400,16 @@ def make_near_dedup_processor(
                 idx_rows = (
                     band_index.read_bands(spark, buckets) if buckets else None
                 )
+                if idx_rows is not None and tomb is not None:
+                    # erased docs stop generating candidates NOW — and the
+                    # probe behaves identically before and after the
+                    # physical purge (stale sidecar rows are folded out by
+                    # maintenance, hidden here meanwhile)
+                    idx_rows = idx_rows.join(
+                        F.broadcast(tomb.select(F.col(id_col).alias("id"))),
+                        "id",
+                        "left_anti",
+                    )
                 missing = None
                 if heal_rows is not None:
                     if idx_rows is not None:
@@ -447,8 +474,13 @@ def make_near_dedup_processor(
                 if replayed is not None:
                     _heal_exact_index(spark, exact_index, _exact_pairs(replayed, id_col))
             else:
+                htarget = hist
+                if tomb is not None:
+                    htarget = hist.join(
+                        F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+                    )
                 hist_victims = _near_dup_ids(
-                    fresh, hist, id_col, num_hashes, bands, threshold,
+                    fresh, htarget, id_col, num_hashes, bands, threshold,
                     self_pairs_ordered=False,
                 )
                 fresh = fresh.join(hist_victims, id_col, "left_anti")
@@ -486,8 +518,20 @@ def make_near_dedup_processor(
         if metrics is not None:
             metrics["batches"] = metrics.get("batches", 0) + 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
-            band_index.maintain(spark, max_files_per_band=maintain_max_files)
-            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
+            # fold tombstoned docs' rows out of every band this tick
+            # rewrites (both sidecars key rows by "id")
+            ex = (
+                tomb.select(F.col(id_col).alias("id")) if tomb is not None
+                else None
+            )
+            band_index.maintain(
+                spark, max_files_per_band=maintain_max_files,
+                exclude=ex, exclude_cols=["id"],
+            )
+            exact_index.maintain(
+                spark, max_files_per_band=maintain_max_files,
+                exclude=ex, exclude_cols=["id"],
+            )
 
     return process
 

@@ -187,12 +187,127 @@ def recover_search_index(spark, index_dir: str, buckets: list[int] | None = None
         recover_dir_compaction(spark, d)
 
 
+def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
+    """Tombstone document ids: from this call on, probes exclude them
+    (``bm25_over_index`` anti-joins postings AND doclen, so scores, df,
+    and corpus stats all rank exactly as if the docs were physically
+    gone), maintenance folds their rows out of every file it rewrites,
+    and the stream BURNS the ids at batch entry — a replayed or re-sent
+    doc under a tombstoned id can never be re-indexed. Physical removal
+    is :func:`purge_search_tombstones`. Returns how many of the ids were
+    actually indexed (all requested ids are tombstoned regardless — a
+    delete may race a doc that is still in flight). Single-writer
+    discipline: run between micro-batches of a HEALTHY stream — replay a
+    crashed batch before issuing deletes."""
+    from pyspark.sql import types as T
+
+    meta = load_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    from .tombstones import tombstones_path
+
+    doclen = spark.read.parquet(_doclen_dir(index_dir))
+    ids_df = spark.createDataFrame(
+        [(i,) for i in ids], T.StructType([doclen.schema[id_col]])
+    )
+    stored = doclen.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    ids_df.distinct().coalesce(1).write.mode("append").parquet(
+        tombstones_path(index_dir)
+    )
+    return int(stored)
+
+
+def _search_tombstones(spark, index_dir: str, id_col: str):
+    """Distinct tombstoned ids as a (id_col) frame, or None."""
+    from .tombstones import read_tombstones
+
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is None:
+        return None
+    return tomb.select(id_col).distinct()
+
+
+def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
+    """Physically drop tombstoned docs from the index: rewrite ONLY the
+    postings buckets that contain them (one thin column-pruned scan names
+    the buckets — bounded by n_term_buckets) plus the doclen directory,
+    through the same journaled compactor maintenance uses (force mode,
+    graduated segments included), so a crash anywhere heals at the next
+    open. Probes rank identically before and after (they anti-join the
+    tombstone set) — purge timing is an operations choice, not a
+    correctness event. The tombstone set is KEPT by default (the id stays
+    burned — the ``_docidx`` replay guard still holds it, so a re-sent id
+    is skipped in both guard modes); ``clear=True`` drops it when the
+    erasure must also forget the ids. Single-writer: stream stopped or
+    between batches."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_path_not_found
+    from .state_store import compact_small_files
+    from .tombstones import tombstones_path
+
+    meta = load_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    recover_search_index(spark, index_dir)
+    tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return {"buckets_purged": 0, "docs_purged": 0}
+    pdir = _postings_dir(index_dir)
+    tbs: list[int] = []
+    try:
+        post = spark.read.parquet(pdir)
+        tbs = [
+            r[0]
+            for r in post.join(F.broadcast(tomb), id_col, "left_semi")
+            .select("tb")
+            .distinct()
+            .collect()
+        ]
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+    for b in sorted(tbs):
+        compact_small_files(
+            spark,
+            f"{pdir}/tb={b}",
+            exclude=tomb,
+            exclude_cols=[id_col],
+            force=True,
+            include_graduated=True,
+        )
+    try:
+        docs = (
+            spark.read.parquet(_doclen_dir(index_dir))
+            .join(F.broadcast(tomb), id_col, "left_semi")
+            .count()
+        )
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+        docs = 0
+    compact_small_files(
+        spark,
+        _doclen_dir(index_dir),
+        exclude=tomb,
+        exclude_cols=[id_col],
+        force=True,
+        include_graduated=True,
+    )
+    if clear:
+        jvm = spark._jvm
+        tp = jvm.org.apache.hadoop.fs.Path(tombstones_path(index_dir))
+        fs = tp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(tp):
+            fs.delete(tp, True)
+    return {"buckets_purged": len(tbs), "docs_purged": int(docs)}
+
+
 def maintain_search_index(
     spark,
     index_dir: str,
     buckets: list[int] | None = None,
     max_files_per_bucket: int = 8,
     target_segment_bytes: int = 32 << 20,
+    fold_tombstones: bool = True,
 ) -> dict:
     """Bound the postings/doclen small-file growth: every micro-batch
     appends one file per touched ``tb=`` bucket plus one doclen file, so
@@ -211,6 +326,12 @@ def maintain_search_index(
     from .state_store import compact_small_files
 
     recover_search_index(spark, index_dir, buckets)
+    tomb = None
+    if fold_tombstones:
+        meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
+        if meta is not None:
+            tomb = _search_tombstones(spark, index_dir, meta["id_col"])
+    ex_cols = [meta["id_col"]] if tomb is not None else None
     if buckets is None:
         dirs = _postings_bucket_dirs(spark, index_dir)
     else:
@@ -222,6 +343,7 @@ def maintain_search_index(
         n = compact_small_files(
             spark, d, max_files=max_files_per_bucket,
             target_bytes=target_segment_bytes,
+            exclude=tomb, exclude_cols=ex_cols,
         )
         if n:
             buckets_compacted += 1
@@ -229,6 +351,7 @@ def maintain_search_index(
     files_merged += compact_small_files(
         spark, _doclen_dir(index_dir), max_files=max_files_per_bucket,
         target_bytes=target_segment_bytes,
+        exclude=tomb, exclude_cols=ex_cols,
     )
     return {"buckets_compacted": buckets_compacted, "files_merged": files_merged}
 
@@ -304,6 +427,17 @@ def make_search_index_processor(
         # on the same append id.
         deduped = batch_df.groupBy(id_col).agg(F.min(text_col).alias(text_col))
         fresh = deduped
+        # burned ids: a tombstoned id can never be (re-)indexed, in either
+        # guard mode — the content was erased. Read per batch (one fs stat
+        # when no delete was ever issued). The append-id fingerprint stays
+        # computed over the PRE-burn `deduped` rows so a replayed batch
+        # converges on the same skip-if-landed names even if a delete
+        # landed between the attempt and its replay; any postings the
+        # crashed attempt landed for a then-tombstoned doc are hidden by
+        # the probe's anti-join and folded out by maintenance.
+        tomb = _search_tombstones(spark, index_dir, id_col)
+        if tomb is not None:
+            fresh = fresh.join(F.broadcast(tomb), id_col, "left_anti")
         doclen_dir = _doclen_dir(index_dir)
         hist = None
         try:
@@ -580,25 +714,21 @@ def start_incremental_search_index(
     return writer.start()
 
 
-def bm25_over_index(
+def pruned_postings(
     spark,
     index_dir: str,
     terms: list[str],
-    topn: int = 10,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """BM25 top-``topn`` over the INCREMENTALLY-MAINTAINED index: the
-    query terms' buckets are computed from the persisted layout meta and
-    pushed as a partition-pruning ``isin`` on ``tb`` — the scan touches
-    ≤ |terms| bucket directories of the postings store, never the
-    corpus. Scoring is the batch scorer (``operators/search.bm25_topk``),
-    so stream-maintained and batch-staged indexes rank identically."""
-    from ..operators.search import bm25_topk
-
+    """(term, id, tf) posting lists for a term set, PARTITION-PRUNED to
+    the terms' ``tb=`` buckets (computed from the persisted layout meta
+    via the same engine expression the writer used — a bounded |terms|-row
+    driver job), crash-healed (a dead maintenance pass may have left a
+    merged segment and its inputs simultaneously visible), and tombstone-
+    filtered. The shared probe plumbing under every lexical query, batch
+    or stream."""
     meta = load_index_meta(spark, index_dir)
     ntb = int(meta["n_term_buckets"])
-    # the bucket of each query term, via the same engine expression the
-    # writer used (bounded driver-side set: |terms| rows)
     tbs = sorted(
         {
             r[0]
@@ -609,15 +739,48 @@ def bm25_over_index(
             .collect()
         }
     )
-    # open-time heal, scoped to what this probe reads (doclen + the query
-    # terms' buckets): a dead maintenance pass may have left a merged
-    # segment and its inputs simultaneously visible — one exists() stat
-    # per directory in the steady state
     recover_search_index(spark, index_dir, buckets=tbs)
     postings = (
         spark.read.parquet(_postings_dir(index_dir))
         .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
         .select("term", id_col, "tf")
     )
+    tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
+    return postings
+
+
+def index_doclen(spark, index_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """The doclen sidecar minus tombstoned docs — so BM25's corpus stats
+    (N, avgdl) and df exclude logically-deleted docs exactly as a
+    post-purge index would."""
+    recover_search_index(spark, index_dir, buckets=[])
     doclen = spark.read.parquet(_doclen_dir(index_dir))
+    tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        doclen = doclen.join(F.broadcast(tomb), id_col, "left_anti")
+    return doclen
+
+
+def bm25_over_index(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    topn: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``topn`` over the shared index layout (stream-maintained
+    or batch-staged — one artifact since round 12): the query terms'
+    buckets are computed from the persisted layout meta and pushed as a
+    partition-pruning ``isin`` on ``tb`` — the scan touches ≤ |terms|
+    bucket directories of the postings store, never the corpus.
+    Tombstoned docs are excluded from hits, df, and corpus stats (the
+    ranking a post-purge index produces, so purge timing never changes
+    results). Scoring is the batch scorer (``operators/search.bm25_topk``),
+    so stream-maintained and batch-staged indexes rank identically."""
+    from ..operators.search import bm25_topk
+
+    postings = pruned_postings(spark, index_dir, terms, id_col=id_col)
+    doclen = index_doclen(spark, index_dir, id_col=id_col)
     return bm25_topk(postings, doclen, terms, id_col=id_col, topn=topn)

@@ -160,6 +160,7 @@ def make_span_dedup_processor(
     # stream, don't redo the check per batch.
     idx_settled: list[bool] = []
     n_done: list[int] = [0]  # completed batches, drives maintenance
+    purge_checked: list[bool] = []  # once-per-stream purge-crash heal
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -167,6 +168,14 @@ def make_span_dedup_processor(
         # produce a joinable key, or the exact-dedup survivor semi-join
         # drops the row entirely and replay re-appends it
         from .incremental_dedup import fingerprint, rebuild_from_survivor_ids
+        from .tombstones import purge_recover, read_tombstones
+
+        if not purge_checked:
+            # a crashed purge swap would otherwise read as "corpus
+            # deleted" and silently restart the corpus from empty
+            purge_recover(spark, corpus_dir)
+            purge_checked.append(True)
+        tomb = read_tombstones(spark, corpus_dir)
 
         fresh = batch_df.dropDuplicates([id_col]).withColumn("fp", fingerprint(text_col))
         wf = winnow_fingerprints(
@@ -183,6 +192,12 @@ def make_span_dedup_processor(
             .persist()
         )
         fresh = cached
+        if tomb is not None:
+            # burned ids AND fingerprints: erased content (or a row
+            # reusing its id) can never re-enter the corpus
+            fresh = fresh.join(
+                F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+            ).join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
         try:
             hist = spark.read.parquet(corpus_dir)
         except AnalysisException as exc:
@@ -314,6 +329,14 @@ def make_span_dedup_processor(
                 idx_rows = (
                     fp_index.read_bands(spark, bands) if bands else None
                 )
+                if idx_rows is not None and tomb is not None:
+                    # erased docs stop generating span candidates NOW —
+                    # identical behavior before and after physical purge
+                    idx_rows = idx_rows.join(
+                        F.broadcast(tomb.select(F.col(id_col).alias("id"))),
+                        "id",
+                        "left_anti",
+                    )
                 missing = None
                 if heal_fps is not None:
                     if idx_rows is not None:
@@ -352,7 +375,12 @@ def make_span_dedup_processor(
                         replayed_keys.withColumn("fpk", F.xxhash64(F.col("fp"))),
                     )
             else:
-                hist_fps = hist.select(
+                htarget = hist
+                if tomb is not None:
+                    htarget = hist.join(
+                        F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+                    )
+                hist_fps = htarget.select(
                     F.col(id_col).alias("id"), F.explode("wfps").alias("fp")
                 )
                 hvictims = _span_victims(
@@ -393,8 +421,20 @@ def make_span_dedup_processor(
         wf.unpersist()
         n_done[0] += 1
         if use_index and maintain_every and n_done[0] % maintain_every == 0:
-            fp_index.maintain(spark, max_files_per_band=maintain_max_files)
-            exact_index.maintain(spark, max_files_per_band=maintain_max_files)
+            # fold tombstoned docs' rows out of every band this tick
+            # rewrites (both sidecars key rows by "id")
+            ex = (
+                tomb.select(F.col(id_col).alias("id")) if tomb is not None
+                else None
+            )
+            fp_index.maintain(
+                spark, max_files_per_band=maintain_max_files,
+                exclude=ex, exclude_cols=["id"],
+            )
+            exact_index.maintain(
+                spark, max_files_per_band=maintain_max_files,
+                exclude=ex, exclude_cols=["id"],
+            )
 
     return process
 

@@ -152,6 +152,7 @@ def compact_small_files(
     exclude: DataFrame | None = None,
     exclude_cols: list[str] | None = None,
     force: bool = False,
+    include_graduated: bool = False,
 ) -> int:
     """Merge one directory's small parquet files (< ``target_bytes``) into
     a single segment when more than ``max_files`` of them accumulated;
@@ -161,7 +162,10 @@ def compact_small_files(
     the merged segment — the tombstone fold hook: rows in graduated
     segments survive until their segment is itself rewritten (probes
     anti-join tombstones regardless). ``force=True`` compacts (and folds)
-    even below the file-count threshold — the purge path.
+    even below the file-count threshold, and ``include_graduated=True``
+    rewrites the graduated segments too (one output segment, whatever
+    its size) — together, the purge path: a physical erase must reach
+    every file.
 
     Single-writer discipline: call between batches, never concurrently
     with a probe of the same directory. Crash-safe via the manifest
@@ -183,7 +187,7 @@ def compact_small_files(
             continue
         if name.startswith(("_", ".")) or not name.endswith(".parquet"):
             continue
-        if st.getLen() < target_bytes:
+        if include_graduated or st.getLen() < target_bytes:
             small.append(st.getPath())
     if len(small) == 0:
         return 0

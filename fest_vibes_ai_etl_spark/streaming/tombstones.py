@@ -1,0 +1,201 @@
+"""Delete path for the corpus-as-state dedup families (exact / span /
+near): tombstones now, physical removal at purge.
+
+The reference keeps Postgres (and thus pgvector + the cache) consistent
+on every upsert (/root/reference/src/loader/service.py:702-806); a
+lakehouse corpus has no row-level delete, so erasure is two-phase:
+
+1. **Tombstone** (:func:`delete_from_dedup_corpus`): the doomed rows'
+   ``(id, fp)`` pairs are resolved from the corpus ONCE, at delete time,
+   and appended to a ``<corpus>_tombstones`` sibling. From that moment
+   the content is logically gone everywhere, at batch-proportional cost:
+
+   - downstream reads go through :func:`read_dedup_corpus` (corpus
+     anti-join tombstones);
+   - the streams BURN tombstoned ids and fingerprints at batch entry —
+     a replayed raw batch (or a near-copy with the same id/bytes) can
+     never re-introduce erased content;
+   - the streams' history probes exclude tombstoned ids from their
+     candidate targets, so a fresh doc is no longer suppressed by
+     content that was erased — and behavior is IDENTICAL before and
+     after the physical purge (the invariant that makes purge timing an
+     operations choice, not a correctness event);
+   - sidecar maintenance folds tombstoned rows out of every band it
+     rewrites (``BandedFingerprintIndex.maintain(exclude=...)``).
+
+2. **Purge** (:func:`purge_corpus_tombstones`): rewrite the corpus
+   without the tombstoned ids — staged + swapped exactly like the banded
+   index's re-banding (stage fully → rename live out → rename staged in
+   → delete old), healed at every stream open via :func:`purge_recover`.
+   Sidecars need no rebuild: their stale rows for purged ids are hidden
+   by the probes' anti-join and folded out lazily by maintenance. By
+   default the tombstone set is KEPT after the purge (a suppression
+   list: replaying old raw data must not resurrect erased content);
+   ``clear=True`` drops it when the erasure request includes the
+   fingerprints themselves.
+
+Single-writer discipline throughout: deletes and purges run between
+batches of the one stream that owns the corpus, never concurrently with
+it. Tombstone appends are idempotent (rows are deduped at read), so a
+re-issued delete is harmless.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tombstones_path(store_dir: str) -> str:
+    return store_dir.rstrip("/") + "_tombstones"
+
+
+def read_tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Distinct tombstone rows, or None when no delete was ever issued
+    (one filesystem stat — the steady-state cost of the delete path)."""
+    from ..errors import is_path_not_found
+
+    try:
+        df = spark.read.parquet(tombstones_path(store_dir))
+        df.schema
+        return df.distinct()
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+        return None
+
+
+def delete_from_dedup_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    ids: list,
+    id_col: str = "doc_id",
+) -> int:
+    """Tombstone the given document ids: resolve their ``(id, fp)`` pairs
+    from the corpus NOW (one thin-column semi-join scan — the right place
+    for the corpus-proportional cost, paid once per erase request, never
+    per batch) and append them to the tombstone set. Returns the number
+    of pairs tombstoned (0 = none of the ids are stored). Rows for ids
+    already tombstoned are appended again and deduped at read."""
+    corpus = spark.read.parquet(corpus_dir)
+    from pyspark.sql import types as T
+
+    ids_df = spark.createDataFrame(
+        [(i,) for i in ids], T.StructType([corpus.schema[id_col]])
+    )
+    pairs = (
+        corpus.join(F.broadcast(ids_df), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.coalesce("fp", F.lit("null-text")).alias("fp"),
+        )
+        .distinct()
+    )
+    rows = pairs.collect()  # bounded by the erase request's id count
+    if not rows:
+        return 0
+    spark.createDataFrame(rows, pairs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(tombstones_path(corpus_dir))
+    return len(rows)
+
+
+def read_dedup_corpus(
+    spark: SparkSession, corpus_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus as downstream consumers must see it: stored rows minus
+    tombstoned ids (exact after purge too — the anti-join is a no-op
+    once the rows are physically gone)."""
+    corpus = spark.read.parquet(corpus_dir)
+    tomb = read_tombstones(spark, corpus_dir)
+    if tomb is None:
+        return corpus
+    return corpus.join(
+        F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti"
+    )
+
+
+def purge_recover(spark: SparkSession, corpus_dir: str) -> None:
+    """Heal a crashed :func:`purge_corpus_tombstones` swap. Stage order
+    (stage fully → rename live out → rename staged in → delete old)
+    means: ``_prepurge`` present with the live corpus missing is a crash
+    between the renames — the staged copy is COMPLETE, promote it (or
+    restore the old copy if staging is also gone); live present means the
+    old copy is superseded — delete it. Stream processors run this at
+    open (one stat in the steady state): without it a crash inside the
+    swap would read as 'corpus deleted', invalidating the sidecars and
+    silently restarting the corpus from empty."""
+    jvm = spark._jvm
+    live = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_p = jvm.org.apache.hadoop.fs.Path(corpus_dir.rstrip("/") + "_prepurge")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(corpus_dir.rstrip("/") + "_purgetmp")
+    if fs.exists(old_p):
+        if not fs.exists(live):
+            src = tmp_p if fs.exists(tmp_p) else old_p
+            if not fs.rename(src, live):
+                raise RuntimeError(
+                    f"purge recovery: rename {src} -> {corpus_dir} failed"
+                )
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)  # staging alone: live untouched, drop it
+
+
+def purge_corpus_tombstones(
+    spark: SparkSession,
+    corpus_dir: str,
+    id_col: str = "doc_id",
+    clear: bool = False,
+) -> int:
+    """Physically rewrite the corpus without the tombstoned ids; returns
+    the number of rows removed. A full-corpus rewrite by construction —
+    an explicit, operator-scheduled GC op (erasure SLAs), not a per-batch
+    cost. Run with the owning stream stopped (single-writer). Sidecars
+    are NOT rebuilt: probes anti-join the tombstone set and maintenance
+    folds stale rows lazily, so ranking/dedup behavior is unchanged by
+    the purge (tested). ``clear=True`` also drops the tombstone set —
+    the default keeps it as a suppression list so replayed raw data
+    cannot resurrect erased content."""
+    purge_recover(spark, corpus_dir)
+    tomb = read_tombstones(spark, corpus_dir)
+    if tomb is None:
+        return 0
+    jvm = spark._jvm
+    live = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(live):
+        return 0
+    corpus = spark.read.parquet(corpus_dir)
+    ids = F.broadcast(tomb.select(id_col).distinct())
+    doomed = corpus.join(ids, id_col, "left_semi").count()
+    if doomed == 0:
+        if clear:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True
+            )
+        return 0
+    tmp = corpus_dir.rstrip("/") + "_purgetmp"
+    old = corpus_dir.rstrip("/") + "_prepurge"
+    corpus.join(ids, id_col, "left_anti").write.mode("overwrite").parquet(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(live, old_p):
+        raise RuntimeError(f"purge: rename {corpus_dir} -> {old} failed")
+    if not fs.rename(tmp_p, live):
+        restored = fs.rename(old_p, live)
+        raise RuntimeError(
+            f"purge: rename {tmp} -> {corpus_dir} failed"
+            + (
+                ""
+                if restored
+                else f"; ROLLBACK ALSO FAILED — corpus stranded at {old}, "
+                f"restore it manually before the next batch"
+            )
+        )
+    fs.delete(old_p, True)
+    if clear:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True)
+    return doomed

@@ -110,6 +110,74 @@ def test_bm25_store_steady_state_never_tokenizes(spark):
     assert "term" in plan and "PushedFilters" in plan
 
 
+def test_bm25_probe_partition_prunes_buckets(spark):
+    """Plan lock for the round-12 unified layout: the store-backed BM25
+    probe must PARTITION-PRUNE on the tb= bucket column (the scan opens
+    only the query terms' bucket directories), not merely lean on
+    row-group stats."""
+    import re
+
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+        postings_store_path,
+    )
+    from fest_vibes_ai_etl_spark.sources import table
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import bm25_over_index
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    load_or_build_postings_store(spark, docs, "/root/testdata/sf0.001")
+    df = bm25_over_index(
+        spark, postings_store_path("/root/testdata/sf0.001"), ["merge", "hash"]
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*tb#", plan), plan[:2000]
+
+
+def test_stream_built_index_serves_batch_query_verbatim(spark, tmp_path):
+    """One artifact, two builders: a stream-maintained index and a
+    batch-staged store over the same corpus answer the shared probe with
+    identical rankings — and both match the from-scratch batch scorer."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.sources import table
+    from fest_vibes_ai_etl_spark.streaming import incremental_search as inc
+
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 140")
+    )
+    sidx = str(tmp_path / "stream_idx")
+    proc = inc.make_search_index_processor(sidx, n_term_buckets=64)
+    proc(docs.filter("doc_id < 70"), 0)
+    proc(docs.filter("doc_id >= 70"), 1)
+    bidx = str(tmp_path / "batch_idx")
+    load_or_build_postings_store(
+        spark, docs, "/root/testdata/sf0.001", store_path=bidx
+    )
+    terms = ["merge", "hash", "window"]
+    from_stream = [
+        tuple(r) for r in inc.bm25_over_index(spark, sidx, terms).collect()
+    ]
+    from_batch = [
+        tuple(r) for r in inc.bm25_over_index(spark, bidx, terms).collect()
+    ]
+    postings, doclen = build_postings(docs)
+    want = [tuple(r) for r in bm25_topk(postings, doclen, terms).collect()]
+    assert from_stream == from_batch == want
+    # ...and the batch-built store accepts the stream module's ops
+    # (delete + maintain) exactly like a stream-built one
+    victim = want[0][0]
+    assert inc.delete_from_search_index(spark, bidx, [victim]) == 1
+    assert victim not in {
+        r[0] for r in inc.bm25_over_index(spark, bidx, terms).collect()
+    }
+    inc.maintain_search_index(spark, bidx, max_files_per_bucket=1)
+
+
 def test_rocchio_store_steady_state_never_tokenizes(spark):
     """Plan lock: the store-backed Rocchio query's scoring plan must be a
     pruned store scan, never a corpus tokenize (a regression here

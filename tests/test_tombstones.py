@@ -1,0 +1,241 @@
+"""Delete path across the index families: tombstone-now, purge-later.
+
+The contract under test (STATE.md): from the moment an id is tombstoned,
+(1) probes no longer return it (search BM25, IVF) and it no longer
+suppresses fresh documents (dedup candidates), (2) its content cannot
+re-enter (burned ids/fingerprints at batch entry), (3) maintenance folds
+its rows physically and the purge ops remove them entirely, and (4)
+behavior is IDENTICAL before and after the physical purge."""
+
+from __future__ import annotations
+
+import os
+
+from conftest import SF_DIR
+
+from fest_vibes_ai_etl_spark.operators.search import bm25_topk, build_postings
+from fest_vibes_ai_etl_spark.sources import table
+from fest_vibes_ai_etl_spark.streaming import incremental_search as inc
+from fest_vibes_ai_etl_spark.streaming import tombstones as tb
+from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+    make_near_dedup_processor,
+)
+
+TERMS = ["merge", "hash", "window"]
+
+
+def _docs(spark, lo, hi):
+    return (
+        table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+    )
+
+
+def _rank(spark, idx, topn=10):
+    return [
+        tuple(r)
+        for r in inc.bm25_over_index(spark, idx, TERMS, topn=topn).collect()
+    ]
+
+
+# --- search index ------------------------------------------------------------
+
+
+def test_search_delete_probe_excludes_and_matches_rebuilt_index(spark, tmp_path):
+    """Tombstoned docs vanish from the ranking AND the scores equal an
+    index that never contained them (df and corpus stats excluded too)."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(_docs(spark, 0, 100), 0)
+    top = _rank(spark, idx)
+    victim = top[0][0]
+    assert inc.delete_from_search_index(spark, idx, [victim]) == 1
+    got = _rank(spark, idx)
+    assert victim not in {r[0] for r in got}
+    # exact parity with an index built WITHOUT the victim
+    docs = _docs(spark, 0, 100).filter(f"doc_id != {victim}")
+    postings, doclen = build_postings(docs)
+    want = [tuple(r) for r in bm25_topk(postings, doclen, TERMS, topn=10).collect()]
+    assert got == want
+
+
+def test_search_tombstoned_id_burned_and_purge_is_invisible(spark, tmp_path):
+    """A re-sent tombstoned id is never re-indexed; maintenance folds the
+    rows; purge physically removes them without changing any ranking."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(_docs(spark, 0, 80), 0)
+    victim = _rank(spark, idx)[0][0]
+    inc.delete_from_search_index(spark, idx, [victim])
+    before = _rank(spark, idx)
+    # re-send the victim (same id, any text): burned, not re-indexed
+    resend = spark.createDataFrame(
+        [(victim, "merge merge hash window spam")], "doc_id long, text string"
+    )
+    proc(resend, 1)
+    assert _rank(spark, idx) == before
+    dl = spark.read.parquet(idx + "/doclen")
+    assert dl.filter(f"doc_id = {victim}").count() == 1  # old row, pre-purge
+    # purge: physically gone from postings AND doclen; ranking unchanged
+    stats = inc.purge_search_tombstones(spark, idx)
+    assert stats["docs_purged"] == 1 and stats["buckets_purged"] > 0
+    assert (
+        spark.read.parquet(idx + "/doclen").filter(f"doc_id = {victim}").count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(idx + "/postings")
+        .filter(f"doc_id = {victim}")
+        .count()
+        == 0
+    )
+    assert _rank(spark, idx) == before
+    # the id stays burned after the purge (tombstones kept by default)
+    proc(resend, 2)
+    assert _rank(spark, idx) == before
+
+
+# --- near-dup dedup corpus ----------------------------------------------------
+
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+OTHER = "one two three four five six seven eight nine ten"
+
+
+def _near_proc(corpus, **kw):
+    return make_near_dedup_processor(
+        corpus, k=3, num_hashes=32, bands=8, threshold=0.2, **kw
+    )
+
+
+def test_near_dedup_deleted_doc_stops_suppressing_and_burns(spark, tmp_path):
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    # control: without a delete, the near-copy IS suppressed
+    ctl = str(tmp_path / "ctl")
+    p0 = _near_proc(ctl)
+    p0(rows((1, BASE), (10, OTHER)), 0)
+    p0(rows((2, NEAR)), 1)
+    assert spark.read.parquet(ctl).filter("doc_id = 2").count() == 0
+
+    corpus = str(tmp_path / "corpus")
+    proc = _near_proc(corpus)
+    proc(rows((1, BASE), (10, OTHER)), 0)
+    assert tb.delete_from_dedup_corpus(spark, corpus, [1]) == 1
+    # the near-copy of the ERASED doc is admitted now
+    proc(rows((2, NEAR)), 1)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 2").count() == 1
+    # but the erased doc's exact text (any id) and its id are burned
+    proc(rows((3, BASE), (1, OTHER)), 2)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 3").count() == 0  # same bytes: burned fp
+    assert stored.filter("doc_id = 1").count() == 1  # only the ORIGINAL row
+    # downstream view hides the tombstoned row
+    assert tb.read_dedup_corpus(spark, corpus).filter("doc_id = 1").count() == 0
+
+
+def test_near_dedup_maintenance_folds_and_purge_removes(spark, tmp_path):
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    proc = _near_proc(corpus)
+    proc(rows((1, BASE), (10, OTHER)), 0)
+    tb.delete_from_dedup_corpus(spark, corpus, [1])
+    # a FRESH processor's first maintenance tick takes the full-walk path
+    # (write-set unknown), so with max_files=0 every populated band is
+    # rewritten — the fold must reach doc 1's rows in both sidecars
+    proc_b = _near_proc(corpus, maintain_every=1, maintain_max_files=0)
+    proc_b(rows((20, "unrelated words entirely here now")), 1)
+    from fest_vibes_ai_etl_spark.streaming._exact_guard import exact_index_path
+    from fest_vibes_ai_etl_spark.streaming.incremental_near_dedup import (
+        near_index_path,
+    )
+
+    for side in (exact_index_path(corpus), near_index_path(corpus)):
+        assert spark.read.parquet(side).filter("id = 1").count() == 0
+    # purge: the corpus row is physically gone, later batches unaffected
+    removed = tb.purge_corpus_tombstones(spark, corpus)
+    assert removed == 1
+    raw = spark.read.parquet(corpus)
+    assert raw.filter("doc_id = 1").count() == 0
+    assert raw.count() == tb.read_dedup_corpus(spark, corpus).count()
+    proc2 = _near_proc(corpus)
+    proc2(rows((4, NEAR.replace("lambda", "mu"))), 2)  # still admitted
+    assert spark.read.parquet(corpus).filter("doc_id = 4").count() == 1
+
+
+def test_purge_crash_heals_at_stream_open(spark, tmp_path):
+    """Simulate a death between the purge's two renames (live missing,
+    staged + old both present): the processor's open-time heal must
+    restore the corpus instead of silently restarting it from empty."""
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    proc = _near_proc(corpus)
+    proc(rows((1, BASE), (10, OTHER)), 0)
+    tb.delete_from_dedup_corpus(spark, corpus, [1])
+    kept = spark.read.parquet(corpus).filter("doc_id != 1")
+    kept.write.parquet(corpus + "_purgetmp")  # the completed staging
+    os.rename(corpus, corpus + "_prepurge")  # crash between the renames
+    proc2 = _near_proc(corpus)
+    proc2(rows((5, "totally fresh text for the heal batch")), 1)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 10").count() == 1  # history survived
+    assert stored.filter("doc_id = 5").count() == 1
+    assert stored.filter("doc_id = 1").count() == 0  # staged copy won
+    assert not os.path.exists(corpus + "_prepurge")
+    assert not os.path.exists(corpus + "_purgetmp")
+
+
+def test_exact_dedup_burned_fingerprint(spark, tmp_path):
+    from fest_vibes_ai_etl_spark.streaming.incremental_dedup import (
+        make_exact_dedup_processor,
+    )
+
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    proc = make_exact_dedup_processor(corpus)
+    proc(rows((1, BASE), (10, OTHER)), 0)
+    tb.delete_from_dedup_corpus(spark, corpus, [1])
+    proc(rows((7, BASE)), 1)  # same bytes, new id: burned
+    assert spark.read.parquet(corpus).filter("doc_id = 7").count() == 0
+    assert tb.purge_corpus_tombstones(spark, corpus) == 1
+    assert spark.read.parquet(corpus).filter("doc_id = 1").count() == 0
+
+
+# --- IVF ----------------------------------------------------------------------
+
+
+def test_ivf_delete_tombstones_at_probe_and_burns_readds(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fest_vibes_ai_etl_spark.operators import ivf
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 200")
+    assigned, centers = ivf.build_ivf_index(base, k=4, seed=7)
+    index_dir = str(tmp_path / "index")
+    assigned.repartition("cell_id").write.partitionBy("cell_id").parquet(index_dir)
+    proc = ivf.make_index_add_processor(index_dir, centers)
+    proc(emb.filter("vec_id >= 200 AND vec_id < 220"), 0)
+    # pick a stored id and a query that retrieves it
+    queries = emb.filter("vec_id = 210")
+    got = ivf.ivf_topk(
+        ivf.read_ivf_index(spark, index_dir), centers, queries, topk=3, nprobe=4
+    ).collect()
+    victim = got[0].vec_id
+    assert ivf.delete_from_ivf_index(spark, index_dir, [victim]) == 1
+    after = ivf.ivf_topk(
+        ivf.read_ivf_index(spark, index_dir), centers, queries, topk=3, nprobe=4
+    ).collect()
+    assert victim not in {r.vec_id for r in after}
+    # a re-sent tombstoned id is burned at the add's entry
+    proc(emb.filter(F.col("vec_id") == victim), 1)
+    assert (
+        ivf.read_ivf_index(spark, index_dir)
+        .filter(F.col("vec_id") == victim)
+        .count()
+        == 0
+    )
+    raw = spark.read.parquet(index_dir).filter(F.col("vec_id") == victim)
+    assert raw.count() == 1  # only the pre-delete row: never re-added

@@ -40,6 +40,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from fest_vibes_ai_etl_spark.operators import dedup, ivf, vectorml
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
     from fest_vibes_ai_etl_spark.plans.graph import load_or_build_cs_edges
     from fest_vibes_ai_etl_spark.sources import table
 
@@ -52,6 +55,9 @@ def main() -> None:
         ("pq_codes", lambda: vectorml.load_or_build_pq_codes(spark, emb, sf_dir, 4, 8, 64)),
         ("shingle_sig", lambda: dedup.load_or_build_signature_store(spark, docs, sf_dir)),
         ("minhash_sig", lambda: dedup.load_or_build_minhash_store(spark, docs, sf_dir)),
+        # term-bucketed lexical index (round 12: the shared stream/batch
+        # artifact — every BM25/Rocchio/RRF/rerank query probes it)
+        ("postings_store", lambda: load_or_build_postings_store(spark, docs, sf_dir)),
     ]
     for name, build in builds:
         t0 = time.time()

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Long-horizon soak of the incremental search index: the small-file
+effect appears with BATCH COUNT, not history size (every micro-batch
+appends one file per touched tb= bucket + doclen files), so the scaling
+tool's 3-point history sweep cannot see it. This drives N small batches
+through the real processor and records, every ``--every`` batches:
+
+- the bm25_over_index probe wall (best of --repeats),
+- the file census (total postings files, max files in one bucket,
+  doclen files).
+
+Run once with maintenance off (the pre-round-12 behavior: census grows
+one file per bucket per batch, probe wall drifts up with listing/footer
+cost) and once with the processor's maintain_every tick on (census
+bounded, probe wall flat) — the pair is the evidence SCALE.md records.
+
+Usage: python tools/search_stream_soak.py [--batches 500] [--every 50]
+         [--batch-docs 4] [--repeats 3] [--maintain-every 16]
+         [--no-maintain] [--out /tmp/festvibes_search_soak]
+Writes one JSON line + a markdown table to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TERMS = ["merge", "hash", "window"]
+FILLER = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu"
+).split()
+
+
+def census(idx: str) -> dict:
+    post_files = 0
+    max_bucket = 0
+    pdir = os.path.join(idx, "postings")
+    if os.path.isdir(pdir):
+        for name in os.listdir(pdir):
+            d = os.path.join(pdir, name)
+            if not (name.startswith("tb=") and os.path.isdir(d)):
+                continue
+            n = sum(
+                1
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            post_files += n
+            max_bucket = max(max_bucket, n)
+    dldir = os.path.join(idx, "doclen")
+    dl = (
+        sum(
+            1
+            for f in os.listdir(dldir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if os.path.isdir(dldir)
+        else 0
+    )
+    return {"postings_files": post_files, "max_bucket_files": max_bucket,
+            "doclen_files": dl}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=500)
+    ap.add_argument("--every", type=int, default=50)
+    ap.add_argument("--batch-docs", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--maintain-every", type=int, default=16)
+    ap.add_argument("--no-maintain", action="store_true")
+    ap.add_argument("--out", default="/tmp/festvibes_search_soak")
+    args = ap.parse_args()
+
+    from fest_vibes_ai_etl_spark.session import get_spark
+    from fest_vibes_ai_etl_spark.streaming import incremental_search as inc
+
+    spark = get_spark("search-stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mode = "nomaint" if args.no_maintain else f"maint{args.maintain_every}"
+    idx = os.path.join(args.out, f"soak_{mode}")
+    proc = inc.make_search_index_processor(
+        idx,
+        n_term_buckets=64,
+        maintain_every=None if args.no_maintain else args.maintain_every,
+    )
+    points: list[dict] = []
+    t_start = time.perf_counter()
+    for i in range(args.batches):
+        rows = []
+        for j in range(args.batch_docs):
+            doc_id = i * args.batch_docs + j
+            words = [FILLER[(doc_id * 7 + w) % len(FILLER)] for w in range(12)]
+            words += [TERMS[doc_id % 3], f"nonce{doc_id}"]
+            rows.append((doc_id, " ".join(words)))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        proc(batch, i)
+        if (i + 1) % args.every == 0:
+            best = math.inf
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
+                best = min(best, time.perf_counter() - t0)
+            pt = {"batch": i + 1, "probe_wall": round(best, 3), **census(idx)}
+            points.append(pt)
+            print(
+                f"# b={pt['batch']} probe={pt['probe_wall']}s "
+                f"post_files={pt['postings_files']} "
+                f"max_bucket={pt['max_bucket_files']} dl={pt['doclen_files']} "
+                f"elapsed={time.perf_counter() - t_start:.0f}s",
+                file=sys.stderr,
+            )
+    print("| batch | probe wall (s) | postings files | max bucket | doclen files |")
+    print("|---|---|---|---|---|")
+    for pt in points:
+        print(
+            f"| {pt['batch']} | {pt['probe_wall']} | {pt['postings_files']} "
+            f"| {pt['max_bucket_files']} | {pt['doclen_files']} |"
+        )
+    first, last = points[0], points[-1]
+    print(json.dumps({
+        "metric": "search_stream_soak",
+        "mode": mode,
+        "batches": args.batches,
+        "batch_docs": args.batch_docs,
+        "points": points,
+        "probe_growth": round(last["probe_wall"] / first["probe_wall"], 3),
+        "files_growth": round(
+            last["postings_files"] / max(1, first["postings_files"]), 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -342,6 +342,7 @@ def _check_add_layout(
       layout the next batch appends under.
     """
     from ..streaming.banded_index import hadoop_read_json, hadoop_write_json
+    from ..streaming.state_store import meta_mismatches
 
     import numpy as np
 
@@ -349,7 +350,9 @@ def _check_add_layout(
     meta_path = index_dir.rstrip("/") + "/_meta.json"
     meta = hadoop_read_json(spark, meta_path)
     if meta is not None:
-        errs = []
+        # the families' shared mismatch computation (state_store), with
+        # the fingerprint diff enriched by the human-readable shape
+        errs = meta_mismatches(meta, {"id_col": id_col, "vec_col": vec_col})
         # len()-based emptiness: `if centers` raises on a numpy matrix,
         # which centers_fingerprint explicitly supports
         dim = len(centers[0]) if len(centers) else 0
@@ -359,9 +362,6 @@ def _check_add_layout(
                 f" != {fp!r} (k={meta.get('k')}/dim={meta.get('dim')} stored vs"
                 f" k={len(centers)}/dim={dim} passed)"
             )
-        for name, want in (("id_col", id_col), ("vec_col", vec_col)):
-            if meta.get(name) != want:
-                errs.append(f"{name}: stored {meta.get(name)!r} != {want!r}")
         if errs:
             raise IVFIndexLayoutError(
                 f"IVF add index {index_dir} layout mismatch — appending "

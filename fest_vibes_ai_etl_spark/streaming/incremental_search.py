@@ -720,28 +720,62 @@ def pruned_postings(
     terms: list[str],
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(term, id, tf) posting lists for a term set, PARTITION-PRUNED to
-    the terms' ``tb=`` buckets (computed from the persisted layout meta
-    via the same engine expression the writer used — a bounded |terms|-row
-    driver job), crash-healed (a dead maintenance pass may have left a
-    merged segment and its inputs simultaneously visible), and tombstone-
-    filtered. The shared probe plumbing under every lexical query, batch
-    or stream."""
+    """(term, id, tf) posting lists for a term set, pruned to the terms'
+    ``tb=`` buckets, crash-healed (a dead maintenance pass may have left
+    a merged segment and its inputs simultaneously visible), and
+    tombstone-filtered. The shared probe plumbing under every lexical
+    query, batch or stream.
+
+    The probe's fixed overhead is engineered out of the hot path
+    (measured ~0.6 s of a ~1.2 s wall before round 12's tuning):
+
+    - the bucket of each query term is computed DRIVER-SIDE with the
+      pure-Python twin of the writer's ``pmod(xxhash64(term), n)``
+      expression (``functions/hashing.py``, engine-parity pinned by a
+      property test) — evaluating it through the engine was a whole job
+      submission per probe;
+    - the scan reads the bucket directories by EXPLICIT path (one root
+      readdir filters to buckets that exist), so DataFrame creation
+      never lists or footer-reads the other n_term_buckets − |terms|
+      directories; the residual ``tb IN`` filter keeps the pruning
+      visible in the plan (and harmless if a caller widens the paths)."""
+    from ..functions.hashing import xxhash64 as _xxh
+
     meta = load_index_meta(spark, index_dir)
     ntb = int(meta["n_term_buckets"])
-    tbs = sorted(
-        {
-            r[0]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(term_bucket(F.col("term"), ntb).alias("tb"))
-            .collect()
-        }
-    )
+    tbs = sorted({_xxh(t) % ntb for t in terms})
     recover_search_index(spark, index_dir, buckets=tbs)
+    pdir = _postings_dir(index_dir)
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(pdir)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    paths: list[str] = []
+    if fs.exists(jp):
+        from .banded_index import hadoop_list_names
+
+        existing = set(hadoop_list_names(jvm, fs, jp))
+        paths = [f"{pdir}/tb={b}" for b in tbs if f"tb={b}" in existing]
+    if not paths:
+        from pyspark.errors import AnalysisException
+
+        from ..errors import is_path_not_found
+
+        try:
+            idt = (
+                spark.read.parquet(_doclen_dir(index_dir))
+                .schema[id_col]
+                .dataType.simpleString()
+            )
+        except AnalysisException as exc:
+            if not is_path_not_found(exc):
+                raise
+            idt = "bigint"
+        return spark.createDataFrame(
+            [], f"term string, {id_col} {idt}, tf bigint"
+        )
     postings = (
-        spark.read.parquet(_postings_dir(index_dir))
+        spark.read.option("basePath", pdir)
+        .parquet(*paths)
         .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
         .select("term", id_col, "tf")
     )

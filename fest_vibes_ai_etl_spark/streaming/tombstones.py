@@ -42,7 +42,6 @@ re-issued delete is harmless.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,18 +51,17 @@ def tombstones_path(store_dir: str) -> str:
 
 
 def read_tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """Distinct tombstone rows, or None when no delete was ever issued
-    (one filesystem stat — the steady-state cost of the delete path)."""
-    from ..errors import is_path_not_found
-
-    try:
-        df = spark.read.parquet(tombstones_path(store_dir))
-        df.schema
-        return df.distinct()
-    except AnalysisException as exc:
-        if not is_path_not_found(exc):
-            raise
+    """Distinct tombstone rows, or None when no delete was ever issued.
+    The absent case is ONE Hadoop filesystem stat, not a swallowed
+    DataFrame-resolution failure — resolution raises through a full
+    analysis pass (~70 ms measured), which a per-probe/per-batch check
+    must not pay for the common no-deletes state."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(tombstones_path(store_dir))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
+    return spark.read.parquet(tombstones_path(store_dir)).distinct()
 
 
 def delete_from_dedup_corpus(

@@ -110,6 +110,62 @@ def test_bm25_store_steady_state_never_tokenizes(spark):
     assert "term" in plan and "PushedFilters" in plan
 
 
+def test_python_xxhash64_matches_engine(spark):
+    """The driver-side bucket computation (functions/hashing.py) must be
+    bit-identical to the engine's xxhash64 — a divergence would make the
+    probe silently read the wrong bucket directories. Covers every
+    length-class branch (empty, <4, <8, 8-31, ≥32) and non-ASCII."""
+    import pyspark.sql.functions as F2
+
+    from fest_vibes_ai_etl_spark.functions.hashing import xxhash64
+    from fest_vibes_ai_etl_spark.sources import table
+
+    fixed = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "merge", "hash", "window", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "héllo wörld", "日本語テキスト", "emoji 🎉 test",
+    ]
+    vocab = [
+        r.t
+        for r in table(spark, "/root/testdata/sf0.001", "documents")
+        .selectExpr("explode(split(trim(text), '\\\\s+')) AS t")
+        .distinct()
+        .limit(300)
+        .collect()
+    ]
+    samples = fixed + vocab
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F2.xxhash64("s").alias("h"))
+        .collect()
+    )
+    assert rows and all(r.h == xxhash64(r.s) for r in rows)
+
+
+def test_pruned_probe_reads_only_query_buckets(spark):
+    """The probe's scan must touch ONLY the query terms' bucket
+    directories — checked on the actual files the plan reads, which is
+    stronger than a partition-filter string match (explicit-path reads
+    prune at listing time)."""
+    from fest_vibes_ai_etl_spark.functions.hashing import xxhash64
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+        postings_store_path,
+        pruned_postings_for_terms,
+    )
+    from fest_vibes_ai_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    load_or_build_postings_store(spark, docs, "/root/testdata/sf0.001")
+    store = postings_store_path("/root/testdata/sf0.001")
+    terms = ["merge", "hash"]
+    want_tbs = {f"tb={xxhash64(t) % 64}" for t in terms}
+    files = pruned_postings_for_terms(spark, store, terms).inputFiles()
+    assert files, "probe read no files"
+    touched = {f.rsplit("/postings/", 1)[1].split("/")[0] for f in files}
+    assert touched <= want_tbs, (touched, want_tbs)
+
+
 def test_bm25_probe_partition_prunes_buckets(spark):
     """Plan lock for the round-12 unified layout: the store-backed BM25
     probe must PARTITION-PRUNE on the tb= bucket column (the scan opens

@@ -187,6 +187,40 @@ def test_purge_crash_heals_at_stream_open(spark, tmp_path):
     assert not os.path.exists(corpus + "_purgetmp")
 
 
+def test_span_dedup_deleted_doc_stops_suppressing_and_burns(spark, tmp_path):
+    """The span (winnowing) stream honors the same contract: a fresh doc
+    sharing a passage with an ERASED doc is admitted, while the erased
+    doc's exact bytes (any id) stay burned."""
+    from fest_vibes_ai_etl_spark.streaming.incremental_span_dedup import (
+        make_span_dedup_processor,
+    )
+
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    para = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "jugglers balance quietly beside the riverbank at dawn today"
+    )
+    carrier = "completely different opening words here " + para
+    kw = dict(k=8, w=4, min_shared=2)
+    # control: the shared-passage carrier IS suppressed without a delete
+    ctl = str(tmp_path / "ctl")
+    p0 = make_span_dedup_processor(ctl, **kw)
+    p0(rows((1, para), (10, OTHER)), 0)
+    p0(rows((2, carrier)), 1)
+    assert spark.read.parquet(ctl).filter("doc_id = 2").count() == 0
+
+    corpus = str(tmp_path / "corpus")
+    proc = make_span_dedup_processor(corpus, **kw)
+    proc(rows((1, para), (10, OTHER)), 0)
+    assert tb.delete_from_dedup_corpus(spark, corpus, [1]) == 1
+    proc(rows((2, carrier), (3, para)), 1)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 2").count() == 1  # passage no longer suppresses
+    assert stored.filter("doc_id = 3").count() == 0  # exact bytes: burned fp
+    assert tb.purge_corpus_tombstones(spark, corpus) == 1
+    assert spark.read.parquet(corpus).filter("doc_id = 1").count() == 0
+
+
 def test_exact_dedup_burned_fingerprint(spark, tmp_path):
     from fest_vibes_ai_etl_spark.streaming.incremental_dedup import (
         make_exact_dedup_processor,

@@ -99,6 +99,33 @@ def test_search_tombstoned_id_burned_and_purge_is_invisible(spark, tmp_path):
 # --- near-dup dedup corpus ----------------------------------------------------
 
 
+def test_search_maintenance_folds_tombstones(spark, tmp_path):
+    """The maintenance tick's rewrites must physically drop tombstoned
+    docs' rows from every file they merge (the fold hook), while the
+    ranking stays byte-stable throughout."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    for i in range(5):
+        proc(_docs(spark, i * 16, (i + 1) * 16), i)
+    victim = _rank(spark, idx)[0][0]
+    inc.delete_from_search_index(spark, idx, [victim])
+    before = _rank(spark, idx)
+    stats = inc.maintain_search_index(spark, idx, max_files_per_bucket=1)
+    assert stats["files_merged"] > 0
+    # every MERGED file dropped the victim's rows; the raw store may keep
+    # them only in files maintenance didn't touch this tick (here: none,
+    # max_files=1 merges every fragmented bucket the victim's terms hit)
+    post = spark.read.parquet(idx + "/postings")
+    # the victim's postings now survive only in buckets that were below
+    # the merge threshold; doclen was fully merged, so its row is gone
+    assert (
+        spark.read.parquet(idx + "/doclen").filter(f"doc_id = {victim}").count()
+        == 0
+    )
+    assert _rank(spark, idx) == before
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+
+
 BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
 OTHER = "one two three four five six seven eight nine ten"
@@ -110,17 +137,21 @@ def _near_proc(corpus, **kw):
     )
 
 
-def test_near_dedup_deleted_doc_stops_suppressing_and_burns(spark, tmp_path):
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("mode", ["bucketed", "scan"])
+def test_near_dedup_deleted_doc_stops_suppressing_and_burns(spark, tmp_path, mode):
     rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
     # control: without a delete, the near-copy IS suppressed
     ctl = str(tmp_path / "ctl")
-    p0 = _near_proc(ctl)
+    p0 = _near_proc(ctl, history_probe=mode)
     p0(rows((1, BASE), (10, OTHER)), 0)
     p0(rows((2, NEAR)), 1)
     assert spark.read.parquet(ctl).filter("doc_id = 2").count() == 0
 
     corpus = str(tmp_path / "corpus")
-    proc = _near_proc(corpus)
+    proc = _near_proc(corpus, history_probe=mode)
     proc(rows((1, BASE), (10, OTHER)), 0)
     assert tb.delete_from_dedup_corpus(spark, corpus, [1]) == 1
     # the near-copy of the ERASED doc is admitted now

@@ -105,13 +105,34 @@ def start_cdc_apply(
     keys: Sequence[str],
     partition_col: str,
     available_now: bool = True,
+    on_delete=None,
 ):
-    """foreachBatch job applying the change stream to the target table."""
+    """foreachBatch job applying the change stream to the target table.
+
+    ``on_delete`` (optional ``(spark, deleted_keys_df) -> None``) is the
+    cross-store consistency hook: it receives each batch's DISTINCT
+    deleted-key rows AFTER the table apply commits, so the caller can
+    tombstone the same ids in every derived index (the reference keeps
+    Postgres + pgvector + the cache consistent on every write —
+    /root/reference/src/loader/service.py:702-806; here the analogue is
+    ``delete_from_search_index`` / ``delete_from_ivf_index`` /
+    ``delete_from_dedup_corpus``, see STATE.md §4). Delivery is
+    AT-LEAST-ONCE (a replayed batch re-invokes it) — safe against the
+    index delete ops, which are idempotent by construction (tombstone
+    appends dedup at read). The frame is batch-bounded; callbacks that
+    collect it inherit that bound."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cdc_batch(
-            batch_df.sparkSession, target_path, batch_df, keys, partition_col
-        )
+        spark = batch_df.sparkSession
+        apply_cdc_batch(spark, target_path, batch_df, keys, partition_col)
+        if on_delete is not None:
+            deleted = (
+                batch_df.filter(F.col(OP_COL) == F.lit("d"))
+                .select(*keys)
+                .distinct()
+            )
+            if not deleted.isEmpty():
+                on_delete(spark, deleted)
 
     writer = (
         changes.writeStream.foreachBatch(process)

@@ -199,17 +199,32 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
     delete may race a doc that is still in flight). Single-writer
     discipline: run between micro-batches of a HEALTHY stream — replay a
     crashed batch before issuing deletes."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
+
+    from ..errors import is_path_not_found
 
     meta = load_index_meta(spark, index_dir)
     id_col = meta["id_col"]
     from .tombstones import tombstones_path
 
-    doclen = spark.read.parquet(_doclen_dir(index_dir))
-    ids_df = spark.createDataFrame(
-        [(i,) for i in ids], T.StructType([doclen.schema[id_col]])
-    )
-    stored = doclen.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    doclen = None
+    try:
+        doclen = spark.read.parquet(_doclen_dir(index_dir))
+        doclen.schema
+    except AnalysisException as exc:
+        # a delete may race the very first batch (index created, nothing
+        # committed yet): the ids still burn, nothing is stored yet
+        if not is_path_not_found(exc):
+            raise
+    if doclen is not None:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([doclen.schema[id_col]])
+        )
+        stored = doclen.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    else:
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        stored = 0
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
     )

@@ -268,6 +268,47 @@ def test_exact_dedup_burned_fingerprint(spark, tmp_path):
     assert spark.read.parquet(corpus).filter("doc_id = 1").count() == 0
 
 
+def test_cdc_delete_propagates_to_search_index(spark, tmp_path):
+    """The cross-store consistency bridge: a delete flowing through the
+    CDC apply stream tombstones the same ids in the search index via the
+    on_delete hook — the doc disappears from the table view AND from the
+    BM25 ranking in the same batch, and a replay re-invoking the hook is
+    a no-op (idempotent tombstones)."""
+    from fest_vibes_ai_etl_spark.streaming import cdc
+
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(_docs(spark, 0, 60), 0)
+    victim = _rank(spark, idx)[0][0]
+
+    def on_delete(spark_, deleted_df):
+        inc.delete_from_search_index(
+            spark_, idx, [r.doc_id for r in deleted_df.collect()]
+        )
+
+    target = str(tmp_path / "table")
+    changes = spark.createDataFrame(
+        [(int(victim), "gone", "d", 2, 1)],
+        "doc_id long, payload string, op string, version long, part int",
+    )
+    src = str(tmp_path / "src")
+    changes.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, payload string, op string, version long, part int"
+    ).parquet(src)
+    q = cdc.start_cdc_apply(
+        stream, target, str(tmp_path / "ckpt"), ["doc_id"], "part",
+        on_delete=on_delete,
+    )
+    assert q.awaitTermination(120), "cdc stream did not finish in 120s"
+    assert cdc.cdc_view(spark, target).filter(f"doc_id = {victim}").count() == 0
+    got = _rank(spark, idx)
+    assert victim not in {r[0] for r in got} and len(got) == 10
+    # replayed hook (at-least-once): same call again is a no-op
+    on_delete(spark, changes.filter("op = 'd'").select("doc_id"))
+    assert _rank(spark, idx) == got
+
+
 # --- IVF ----------------------------------------------------------------------
 
 

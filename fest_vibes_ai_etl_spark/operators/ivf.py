@@ -717,6 +717,7 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     the (already-erased) corpus via :func:`build_ivf_index` — the same
     offline event that absorbs updates. Returns how many of the ids are
     currently stored (all requested ids are tombstoned regardless)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
     from ..streaming.banded_index import hadoop_read_json
@@ -724,11 +725,24 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
 
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
     id_col = (meta or {}).get("id_col", "vec_id")
-    stored_df = spark.read.parquet(index_dir).select(id_col)
-    ids_df = spark.createDataFrame(
-        [(i,) for i in ids], T.StructType([stored_df.schema[id_col]])
-    )
-    stored = stored_df.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    ids_df = None
+    stored = 0
+    try:
+        # a delete may race the add stream's first batch (no cell data
+        # yet, or only crash-emptied cell dirs): the ids still burn
+        stored_df = spark.read.parquet(index_dir).select(id_col)
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([stored_df.schema[id_col]])
+        )
+        stored = stored_df.join(F.broadcast(ids_df), id_col, "left_semi").count()
+    except AnalysisException as exc:
+        from ..errors import is_path_not_found
+
+        if not (
+            is_path_not_found(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)
+        ):
+            raise
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
     )

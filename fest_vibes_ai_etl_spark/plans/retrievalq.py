@@ -101,13 +101,17 @@ _BM25_SQL = f"""toks AS (
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    _, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
     from pyspark.sql import Window
 
     from ..operators.search import postings_store_path, pruned_postings_for_terms
+    from ..streaming.incremental_search import index_doclen
 
-    # the BM25 leg partition-prunes to the query terms' tb= buckets
-    pruned = pruned_postings_for_terms(spark, postings_store_path(sf_dir), TERMS)
+    # the BM25 leg partition-prunes to the query terms' tb= buckets, and
+    # doclen comes from the tombstone-consistent view (purge-invariant)
+    store = postings_store_path(sf_dir)
+    pruned = pruned_postings_for_terms(spark, store, TERMS)
+    doclen = index_doclen(spark, store)
     bm = bm25_topk(pruned, doclen, TERMS, topn=FUSE_N).select(
         "doc_id",
         F.row_number()
@@ -274,10 +278,13 @@ def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rerank import rerank_topk
 
     docs = table(spark, sf_dir, "documents")
-    _, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
     from ..operators.search import postings_store_path, pruned_postings_for_terms
+    from ..streaming.incremental_search import index_doclen
 
-    pruned = pruned_postings_for_terms(spark, postings_store_path(sf_dir), TERMS)
+    store = postings_store_path(sf_dir)
+    pruned = pruned_postings_for_terms(spark, store, TERMS)
+    doclen = index_doclen(spark, store)
     cand = (
         bm25_topk(pruned, doclen, TERMS, topn=RERANK_CAND)
         .join(docs.select("doc_id", "text"), "doc_id")

@@ -234,12 +234,17 @@ def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned_postings_for_terms,
         rocchio_expanded_topk,
     )
+    from ..streaming.incremental_search import index_doclen, index_postings_full
 
     docs = table(spark, sf_dir, "documents")
-    postings, doclen = load_or_build_postings_store(spark, docs, sf_dir)
+    load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
     store = postings_store_path(sf_dir)
+    # every frame comes from the tombstone-consistent index views, so the
+    # whole query (candidate passes included) is purge-invariant
     return rocchio_expanded_topk(
-        postings, doclen, TERMS, fb_k=FB_K, expand_n=EXPAND_N,
+        index_postings_full(spark, store),
+        index_doclen(spark, store),
+        TERMS, fb_k=FB_K, expand_n=EXPAND_N,
         beta=BETA, topn=TOPN,
         # the by-term passes partition-prune on the shared tb= layout;
         # the candidate-vocabulary passes keep the full store frame

@@ -110,29 +110,48 @@ def start_cdc_apply(
     """foreachBatch job applying the change stream to the target table.
 
     ``on_delete`` (optional ``(spark, deleted_keys_df) -> None``) is the
-    cross-store consistency hook: it receives each batch's DISTINCT
-    deleted-key rows AFTER the table apply commits, so the caller can
-    tombstone the same ids in every derived index (the reference keeps
-    Postgres + pgvector + the cache consistent on every write —
-    /root/reference/src/loader/service.py:702-806; here the analogue is
-    ``delete_from_search_index`` / ``delete_from_ivf_index`` /
-    ``delete_from_dedup_corpus``, see STATE.md §4). Delivery is
-    AT-LEAST-ONCE (a replayed batch re-invokes it) — safe against the
-    index delete ops, which are idempotent by construction (tombstone
-    appends dedup at read). The frame is batch-bounded; callbacks that
-    collect it inherit that bound."""
+    cross-store consistency hook: it receives the batch's delete keys
+    whose delete actually WON last-writer-wins — read back from the
+    applied table, not from the raw ops — AFTER the table apply commits,
+    so the caller can tombstone the same ids in every derived index (the
+    reference keeps Postgres + pgvector + the cache consistent on every
+    write — /root/reference/src/loader/service.py:702-806; here the
+    analogue is ``delete_from_search_index`` / ``delete_from_ivf_index``
+    / ``delete_from_dedup_corpus``, see STATE.md §4). Winner-awareness
+    matters because the index delete ops BURN ids permanently: a batch
+    carrying delete-then-reinsert for one key, or a stale delete
+    outranked by an already-applied newer upsert, keeps the key LIVE in
+    the table — reporting it would make it live-but-unsearchable
+    forever. Delivery is AT-LEAST-ONCE (a replayed batch re-invokes it)
+    — safe against the index delete ops, which are idempotent by
+    construction (tombstone appends dedup at read). The read-back is
+    partition-pruned to the delete rows' partitions and semi-joined to
+    the batch's keys, so its cost is touched-partition-, not
+    table-, proportional."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         apply_cdc_batch(spark, target_path, batch_df, keys, partition_col)
         if on_delete is not None:
-            deleted = (
-                batch_df.filter(F.col(OP_COL) == F.lit("d"))
-                .select(*keys)
-                .distinct()
-            )
-            if not deleted.isEmpty():
-                on_delete(spark, deleted)
+            drows = batch_df.filter(F.col(OP_COL) == F.lit("d"))
+            dkeys = drows.select(*keys).distinct()
+            if not dkeys.isEmpty():
+                # a key never changes partitions (module invariant), so
+                # the winners read prunes to the delete rows' partitions
+                parts = [
+                    r[0]
+                    for r in drows.select(partition_col).distinct().collect()
+                ]
+                winners = (
+                    spark.read.parquet(target_path)
+                    .filter(F.col(partition_col).isin(parts))
+                    .filter(F.col(DELETED_COL))
+                    .join(F.broadcast(dkeys), list(keys), "left_semi")
+                    .select(*keys)
+                    .distinct()
+                )
+                if not winners.isEmpty():
+                    on_delete(spark, winners)
 
     writer = (
         changes.writeStream.foreachBatch(process)

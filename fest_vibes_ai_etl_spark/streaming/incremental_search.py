@@ -729,11 +729,18 @@ def start_incremental_search_index(
     return writer.start()
 
 
+# sentinel distinguishing "resolve tombstones yourself" from an explicit
+# None (caller already checked: no deletes exist)
+_UNSET = object()
+
+
 def pruned_postings(
     spark,
     index_dir: str,
     terms: list[str],
     id_col: str = "doc_id",
+    tomb=_UNSET,
+    heal: bool = True,
 ) -> DataFrame:
     """(term, id, tf) posting lists for a term set, pruned to the terms'
     ``tb=`` buckets, crash-healed (a dead maintenance pass may have left
@@ -753,13 +760,18 @@ def pruned_postings(
       readdir filters to buckets that exist), so DataFrame creation
       never lists or footer-reads the other n_term_buckets − |terms|
       directories; the residual ``tb IN`` filter keeps the pruning
-      visible in the plan (and harmless if a caller widens the paths)."""
-    from ..functions.hashing import xxhash64 as _xxh
+      visible in the plan (and harmless if a caller widens the paths).
+
+    ``tomb``/``heal`` let a composite probe (``bm25_over_index``) resolve
+    the tombstone set and run the crash heal ONCE for all its reads
+    instead of per helper."""
+    from ..functions.hashing import pmod_bucket, xxhash64 as _xxh
 
     meta = load_index_meta(spark, index_dir)
     ntb = int(meta["n_term_buckets"])
-    tbs = sorted({_xxh(t) % ntb for t in terms})
-    recover_search_index(spark, index_dir, buckets=tbs)
+    tbs = sorted({pmod_bucket(_xxh(t), ntb) for t in terms})
+    if heal:
+        recover_search_index(spark, index_dir, buckets=tbs)
     pdir = _postings_dir(index_dir)
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(pdir)
@@ -769,7 +781,20 @@ def pruned_postings(
         from .banded_index import hadoop_list_names
 
         existing = set(hadoop_list_names(jvm, fs, jp))
-        paths = [f"{pdir}/tb={b}" for b in tbs if f"tb={b}" in existing]
+        for b in tbs:
+            if f"tb={b}" not in existing:
+                continue
+            # a bucket dir can exist with ZERO data files (an all-rows-
+            # tombstoned merge journals final=None and deletes every
+            # input) — schema inference over it would crash the probe,
+            # so dataless dirs are skipped like absent ones. ≤ |terms|
+            # bounded listings.
+            d = f"{pdir}/tb={b}"
+            if any(
+                not st.getPath().getName().startswith(("_", "."))
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
+            ):
+                paths.append(d)
     if not paths:
         from pyspark.errors import AnalysisException
 
@@ -794,22 +819,47 @@ def pruned_postings(
         .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
         .select("term", id_col, "tf")
     )
-    tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is _UNSET:
+        tomb = _search_tombstones(spark, index_dir, id_col)
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
     return postings
 
 
-def index_doclen(spark, index_dir: str, id_col: str = "doc_id") -> DataFrame:
+def index_doclen(
+    spark, index_dir: str, id_col: str = "doc_id", tomb=_UNSET,
+    heal: bool = True,
+) -> DataFrame:
     """The doclen sidecar minus tombstoned docs — so BM25's corpus stats
     (N, avgdl) and df exclude logically-deleted docs exactly as a
-    post-purge index would."""
-    recover_search_index(spark, index_dir, buckets=[])
+    post-purge index would. Every batch consumer of the shared store
+    must take doclen from HERE (not a raw directory read), or its scores
+    drift across the physical purge."""
+    if heal:
+        recover_search_index(spark, index_dir, buckets=[])
     doclen = spark.read.parquet(_doclen_dir(index_dir))
-    tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is _UNSET:
+        tomb = _search_tombstones(spark, index_dir, id_col)
     if tomb is not None:
         doclen = doclen.join(F.broadcast(tomb), id_col, "left_anti")
     return doclen
+
+
+def index_postings_full(
+    spark, index_dir: str, id_col: str = "doc_id", tomb=_UNSET
+) -> DataFrame:
+    """The FULL postings frame (every bucket) minus tombstoned docs — for
+    passes whose term set is data-derived rather than query-derived
+    (Rocchio's candidate-vocabulary scoring), which cannot prune by term.
+    Corpus-proportional by construction; the tombstone anti-join keeps
+    even these passes purge-invariant."""
+    recover_search_index(spark, index_dir)
+    df = spark.read.parquet(_postings_dir(index_dir))
+    if tomb is _UNSET:
+        tomb = _search_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        df = df.join(F.broadcast(tomb), id_col, "left_anti")
+    return df
 
 
 def bm25_over_index(
@@ -830,6 +880,13 @@ def bm25_over_index(
     so stream-maintained and batch-staged indexes rank identically."""
     from ..operators.search import bm25_topk
 
-    postings = pruned_postings(spark, index_dir, terms, id_col=id_col)
-    doclen = index_doclen(spark, index_dir, id_col=id_col)
+    # one tombstone resolution + one heal for both reads (pruned_postings'
+    # heal covers the query buckets AND doclen)
+    tomb = _search_tombstones(spark, index_dir, id_col)
+    postings = pruned_postings(
+        spark, index_dir, terms, id_col=id_col, tomb=tomb
+    )
+    doclen = index_doclen(
+        spark, index_dir, id_col=id_col, tomb=tomb, heal=False
+    )
     return bm25_topk(postings, doclen, terms, id_col=id_col, topn=topn)

@@ -73,15 +73,19 @@ def delete_from_dedup_corpus(
     """Tombstone the given document ids: resolve their ``(id, fp)`` pairs
     from the corpus NOW (one thin-column semi-join scan — the right place
     for the corpus-proportional cost, paid once per erase request, never
-    per batch) and append them to the tombstone set. Returns the number
-    of pairs tombstoned (0 = none of the ids are stored). Rows for ids
-    already tombstoned are appended again and deduped at read."""
+    per batch) and append them to the tombstone set. EVERY requested id
+    is tombstoned, stored or not — a delete may race a doc still in
+    flight in the stream (its batch not yet appended), and dropping the
+    request would let the next batch store it anyway; an unresolved id's
+    row carries ``fp = NULL`` (a null key matches nothing in the
+    fingerprint burn, and the id burn needs only the id). Returns how
+    many of the ids are currently stored. Rows for ids already
+    tombstoned are appended again and deduped at read."""
     corpus = spark.read.parquet(corpus_dir)
     from pyspark.sql import types as T
 
-    ids_df = spark.createDataFrame(
-        [(i,) for i in ids], T.StructType([corpus.schema[id_col]])
-    )
+    id_field = corpus.schema[id_col]
+    ids_df = spark.createDataFrame([(i,) for i in ids], T.StructType([id_field]))
     pairs = (
         corpus.join(F.broadcast(ids_df), id_col, "left_semi")
         .select(
@@ -90,13 +94,15 @@ def delete_from_dedup_corpus(
         )
         .distinct()
     )
-    rows = pairs.collect()  # bounded by the erase request's id count
-    if not rows:
-        return 0
-    spark.createDataFrame(rows, pairs.schema).coalesce(1).write.mode(
+    # bounded by the erase request's id count
+    rows = [tuple(r) for r in pairs.collect()]
+    stored_ids = {r[0] for r in rows}
+    rows += [(i, None) for i in set(ids) - stored_ids]
+    schema = T.StructType([id_field, T.StructField("fp", T.StringType())])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "append"
     ).parquet(tombstones_path(corpus_dir))
-    return len(rows)
+    return len(stored_ids)
 
 
 def read_dedup_corpus(

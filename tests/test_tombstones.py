@@ -268,6 +268,88 @@ def test_exact_dedup_burned_fingerprint(spark, tmp_path):
     assert spark.read.parquet(corpus).filter("doc_id = 1").count() == 0
 
 
+def test_search_probe_survives_fully_purged_bucket(spark, tmp_path):
+    """Purging every doc whose postings live in a bucket leaves the tb=
+    directory EMPTY (the all-rows-excluded merge journals final=None);
+    a probe whose terms hash there must return empty, not crash on
+    schema inference."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    batch = spark.createDataFrame(
+        [(1, "zzuniqueterm zzuniqueterm"), (2, "merge hash window")],
+        "doc_id long, text string",
+    )
+    proc(batch, 0)
+    inc.delete_from_search_index(spark, idx, [1])
+    inc.purge_search_tombstones(spark, idx)
+    got = inc.bm25_over_index(spark, idx, ["zzuniqueterm"], topn=5).collect()
+    assert got == []
+    # the rest of the index still serves
+    assert len(inc.bm25_over_index(spark, idx, TERMS, topn=5).collect()) == 1
+
+
+def test_dedup_delete_burns_in_flight_ids(spark, tmp_path):
+    """An erase for a doc NOT yet stored must still burn: the next batch
+    carrying that id (the in-flight race) appends nothing for it."""
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    proc = _near_proc(corpus)
+    proc(rows((10, OTHER)), 0)
+    assert tb.delete_from_dedup_corpus(spark, corpus, [77]) == 0  # not stored
+    proc(rows((77, BASE), (11, NEAR.replace("lambda", "nu") + " extra")), 1)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 77").count() == 0  # burned id
+    assert stored.filter("doc_id = 11").count() == 1  # batch-mate unaffected
+
+
+def test_cdc_on_delete_is_winner_aware(spark, tmp_path):
+    """on_delete must report only keys whose delete WON last-writer-wins:
+    a delete-then-reinsert key and a stale delete (outranked by an
+    already-applied newer upsert) stay live in the table and must NOT be
+    burned in the indexes."""
+    from fest_vibes_ai_etl_spark.streaming import cdc
+
+    target = str(tmp_path / "table")
+    # pre-apply: key 2 lives at version 10
+    cdc.apply_cdc_batch(
+        spark,
+        target,
+        spark.createDataFrame(
+            [(2, "live", "u", 10, 1)],
+            "doc_id long, payload string, op string, version long, part int",
+        ),
+        ["doc_id"],
+        "part",
+    )
+    reported = []
+
+    def on_delete(spark_, df):
+        reported.extend(sorted(r.doc_id for r in df.collect()))
+
+    changes = spark.createDataFrame(
+        [
+            (1, "x", "d", 5, 1),    # clean delete: wins -> reported
+            (2, "stale", "d", 7, 1),  # outranked by applied v10: NOT reported
+            (3, "a", "d", 5, 1),    # delete then re-insert in one batch:
+            (3, "b", "u", 6, 1),    # the upsert wins -> NOT reported
+        ],
+        "doc_id long, payload string, op string, version long, part int",
+    )
+    src = str(tmp_path / "src")
+    changes.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, payload string, op string, version long, part int"
+    ).parquet(src)
+    q = cdc.start_cdc_apply(
+        stream, target, str(tmp_path / "ckpt"), ["doc_id"], "part",
+        on_delete=on_delete,
+    )
+    assert q.awaitTermination(120), "cdc stream did not finish in 120s"
+    assert reported == [1]
+    live = {r.doc_id for r in cdc.cdc_view(spark, target).collect()}
+    assert live == {2, 3}
+
+
 def test_cdc_delete_propagates_to_search_index(spark, tmp_path):
     """The cross-store consistency bridge: a delete flowing through the
     CDC apply stream tombstones the same ids in the search index via the

@@ -12,6 +12,33 @@ batch" and every history check skipped.
 from __future__ import annotations
 
 
+def is_missing_or_dataless(exc: BaseException) -> bool:
+    """True iff the exception means the store is absent OR exists with
+    zero data files (``UNABLE_TO_INFER_SCHEMA``). The BROAD class — only
+    for callers whose own contract legitimately produces the dataless
+    state (an erase-everything purge/fold leaves a directory whose files
+    were all inputs of a final=None merge) and whose correct answer is
+    "empty", e.g. the tombstone-aware index views and delete ops. Stream
+    history checks must keep using :func:`is_path_not_found`: for them a
+    dataless corpus IS damage."""
+    if is_path_not_found(exc):
+        return True
+    cond = None
+    for name in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, name, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            cond = None
+        if cond:
+            break
+    if cond is not None:
+        return cond == "UNABLE_TO_INFER_SCHEMA"
+    return "UNABLE_TO_INFER_SCHEMA" in str(exc)
+
+
 def is_path_not_found(exc: BaseException) -> bool:
     """True iff the exception is Spark's PATH_NOT_FOUND error condition."""
     cond = None

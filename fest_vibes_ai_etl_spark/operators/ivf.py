@@ -319,6 +319,7 @@ def _check_add_layout(
     centers: list[list[float]],
     id_col: str,
     vec_col: str,
+    id_type: str | None = None,
 ) -> None:
     """Reconcile the caller's quantizer with the on-disk index, once per
     processor instance (same config-drift guard class as
@@ -401,17 +402,18 @@ def _check_add_layout(
                     f"quantizer; rebuild it (or pass the quantizer it was "
                     f"built with)"
                 )
-    hadoop_write_json(
-        spark,
-        meta_path,
-        {
-            "centers_fingerprint": fp,
-            "k": len(centers),
-            "dim": len(centers[0]) if len(centers) else 0,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
-    )
+    meta_out = {
+        "centers_fingerprint": fp,
+        "k": len(centers),
+        "dim": len(centers[0]) if len(centers) else 0,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    if id_type:
+        # advisory (recorded, never validated): lets delete_from_ivf_index
+        # burn correctly-typed ids before any cell data exists
+        meta_out["id_type"] = id_type
+    hadoop_write_json(spark, meta_path, meta_out)
 
 
 def _record_staleness_metrics(
@@ -581,7 +583,8 @@ def make_index_add_processor(
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         if not state["checked"]:
             _check_add_layout(
-                spark, fs, jvm, index_dir, centers, id_col, vec_col
+                spark, fs, jvm, index_dir, centers, id_col, vec_col,
+                id_type=batch_df.schema[id_col].dataType.simpleString(),
             )
             state["checked"] = True
         assigned = assign_to_centers(batch_df, centers, id_col, vec_col)
@@ -736,13 +739,12 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
         )
         stored = stored_df.join(F.broadcast(ids_df), id_col, "left_semi").count()
     except AnalysisException as exc:
-        from ..errors import is_path_not_found
+        from ..errors import is_missing_or_dataless
 
-        if not (
-            is_path_not_found(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)
-        ):
+        if not is_missing_or_dataless(exc):
             raise
-        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        idt = (meta or {}).get("id_type", "bigint")
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} {idt}")
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
     )

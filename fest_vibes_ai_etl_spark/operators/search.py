@@ -266,7 +266,10 @@ def load_or_build_postings_store(
             .mode("overwrite")
             .parquet(path + "/postings")
         )
-        _check_meta(spark, path, n_term_buckets, id_col)
+        _check_meta(
+            spark, path, n_term_buckets, id_col,
+            id_type=docs.schema[id_col].dataType.simpleString(),
+        )
     return (
         spark.read.parquet(path + "/postings"),
         spark.read.parquet(path + "/doclen"),

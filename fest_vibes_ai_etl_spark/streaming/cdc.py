@@ -118,11 +118,16 @@ def start_cdc_apply(
     write — /root/reference/src/loader/service.py:702-806; here the
     analogue is ``delete_from_search_index`` / ``delete_from_ivf_index``
     / ``delete_from_dedup_corpus``, see STATE.md §4). Winner-awareness
-    matters because the index delete ops BURN ids permanently: a batch
-    carrying delete-then-reinsert for one key, or a stale delete
-    outranked by an already-applied newer upsert, keeps the key LIVE in
-    the table — reporting it would make it live-but-unsearchable
-    forever. Delivery is AT-LEAST-ONCE (a replayed batch re-invokes it)
+    matters because the index delete ops BURN ids: a batch carrying
+    delete-then-reinsert for one key, or a stale delete outranked by an
+    already-applied newer upsert, keeps the key LIVE in the table —
+    reporting it would make it live-but-unsearchable. The protection is
+    scoped to keys live AT APPLY TIME: a reinsert arriving in a LATER
+    batch than its (correctly reported) delete is an UPDATE of a burned
+    id, which the append-only index families route to the rebuild path —
+    revoke promptly via ``tombstones.remove_tombstones`` (sound until the
+    first maintenance fold) or pick the key up at the next index
+    rebuild. Delivery is AT-LEAST-ONCE (a replayed batch re-invokes it)
     — safe against the index delete ops, which are idempotent by
     construction (tombstone appends dedup at read). The read-back is
     partition-pruned to the delete rows' partitions and semi-joined to

@@ -120,9 +120,15 @@ def term_bucket(col, n_term_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_term_buckets)).cast("int")
 
 
-def _check_meta(spark, index_dir: str, n_term_buckets: int, id_col: str) -> None:
+def _check_meta(
+    spark, index_dir: str, n_term_buckets: int, id_col: str,
+    id_type: str | None = None,
+) -> None:
     """Adopt-or-refuse against the persisted layout; write it if absent
-    (the families' shared meta-guard helper — see ``state_store``)."""
+    (the families' shared meta-guard helper — see ``state_store``).
+    ``id_type`` (the id column's Spark type, advisory — recorded, never
+    validated) lets delete ops burn correctly-typed ids before any data
+    exists."""
     from .state_store import adopt_or_refuse_meta
 
     adopt_or_refuse_meta(
@@ -136,6 +142,7 @@ def _check_meta(spark, index_dir: str, n_term_buckets: int, id_col: str) -> None
             "corrupts posting-list lookups — re-point the stream or "
             "rebuild the index directory."
         ),
+        advisory={"id_type": id_type} if id_type else None,
     )
 
 
@@ -214,8 +221,11 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
         doclen.schema
     except AnalysisException as exc:
         # a delete may race the very first batch (index created, nothing
-        # committed yet): the ids still burn, nothing is stored yet
-        if not is_path_not_found(exc):
+        # committed yet) or follow an erase-everything purge (dataless
+        # dir): the ids still burn, nothing is stored yet
+        from ..errors import is_missing_or_dataless
+
+        if not is_missing_or_dataless(exc):
             raise
     if doclen is not None:
         ids_df = spark.createDataFrame(
@@ -223,7 +233,12 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
         )
         stored = doclen.join(F.broadcast(ids_df), id_col, "left_semi").count()
     else:
-        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        # the advisory id_type recorded at index creation keeps even a
+        # pre-first-commit burn correctly typed (string-keyed indexes
+        # would otherwise get a long-typed tombstone file whose anti-join
+        # silently never matches)
+        idt = meta.get("id_type", "bigint")
+        ids_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} {idt}")
         stored = 0
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
@@ -307,10 +322,42 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
         force=True,
         include_graduated=True,
     )
+    jvm = spark._jvm
+    dl_p = jvm.org.apache.hadoop.fs.Path(_doclen_dir(index_dir))
+    fs = dl_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    erased_all = fs.exists(dl_p) and not any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(dl_p)
+    )
+    if erased_all:
+        # FULL erasure: a dataless doclen directory would read as
+        # unreadable, not absent — delete doclen and postings so the
+        # stream's "no doclen ⇒ nothing authoritatively indexed" first-
+        # batch path applies cleanly (it invalidates the sidecar itself)
+        fs.delete(dl_p, True)
+        pp = jvm.org.apache.hadoop.fs.Path(pdir)
+        if fs.exists(pp):
+            fs.delete(pp, True)
     if clear:
-        jvm = spark._jvm
+        # forget the ids EVERYWHERE: without the tombstone entry burn, a
+        # stale _docidx row would make bucketed-mode streams skip a
+        # re-sent id forever while scan mode (doclen purged) re-indexes
+        # it — fold the sidecar too, so the guard modes stay equivalent
+        docidx = BandedFingerprintIndex(
+            _docidx_path(index_dir), key_col="fpk", schema_tag=_SCHEMA_TAG
+        )
+        if erased_all:
+            docidx.invalidate(spark)
+        elif docidx.exists(spark):
+            docidx.maintain(
+                spark,
+                max_files_per_band=0,
+                exclude=tomb.select(
+                    F.col(id_col).cast("string").alias("fp")
+                ),
+                exclude_cols=["fp"],
+            )
         tp = jvm.org.apache.hadoop.fs.Path(tombstones_path(index_dir))
-        fs = tp.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(tp):
             fs.delete(tp, True)
     return {"buckets_purged": len(tbs), "docs_purged": int(docs)}
@@ -427,7 +474,10 @@ def make_search_index_processor(
             # prior process may have died mid-compaction, leaving a
             # merged segment and its inputs simultaneously visible
             recover_search_index(spark, index_dir)
-            _check_meta(spark, index_dir, n_term_buckets, id_col)
+            _check_meta(
+                spark, index_dir, n_term_buckets, id_col,
+                id_type=batch_df.schema[id_col].dataType.simpleString(),
+            )
             meta_ok.append(True)
         use_index = history_probe == "bucketed"
         # Intra-batch winner must be DETERMINISTIC (min text per id), not
@@ -796,20 +846,9 @@ def pruned_postings(
             ):
                 paths.append(d)
     if not paths:
-        from pyspark.errors import AnalysisException
-
-        from ..errors import is_path_not_found
-
-        try:
-            idt = (
-                spark.read.parquet(_doclen_dir(index_dir))
-                .schema[id_col]
-                .dataType.simpleString()
-            )
-        except AnalysisException as exc:
-            if not is_path_not_found(exc):
-                raise
-            idt = "bigint"
+        idt = meta.get(
+            "id_type", "bigint"
+        )  # advisory, recorded at index creation
         return spark.createDataFrame(
             [], f"term string, {id_col} {idt}, tf bigint"
         )
@@ -835,9 +874,22 @@ def index_doclen(
     post-purge index would. Every batch consumer of the shared store
     must take doclen from HERE (not a raw directory read), or its scores
     drift across the physical purge."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless
+
     if heal:
         recover_search_index(spark, index_dir, buckets=[])
-    doclen = spark.read.parquet(_doclen_dir(index_dir))
+    try:
+        doclen = spark.read.parquet(_doclen_dir(index_dir))
+        doclen.schema
+    except AnalysisException as exc:
+        # absent or dataless (an erase-everything purge): empty, typed
+        # from the layout meta's advisory id_type
+        if not is_missing_or_dataless(exc):
+            raise
+        idt = load_index_meta(spark, index_dir).get("id_type", "bigint")
+        return spark.createDataFrame([], f"{id_col} {idt}, dl bigint")
     if tomb is _UNSET:
         tomb = _search_tombstones(spark, index_dir, id_col)
     if tomb is not None:

@@ -78,16 +78,23 @@ def adopt_or_refuse_meta(
     error: type[Exception],
     what: str,
     consequence: str = "",
+    advisory: dict | None = None,
 ) -> dict:
     """The families' shared adopt-or-refuse open: write ``expected`` as the
     layout meta when none exists (first open creates the layout), return
     the stored meta when it matches, raise ``error`` when any field
     contradicts it. ``consequence`` names what silently breaks if the
-    mismatch were ignored — every refusal must tell the operator why."""
+    mismatch were ignored — every refusal must tell the operator why.
+    ``advisory`` fields are RECORDED with the meta but never validated
+    (e.g. the id column's Spark type, which delete ops use to burn ids
+    before any data exists) — pre-advisory metas stay adoptable."""
     meta = hadoop_read_json(spark, meta_path)
     if meta is None:
-        hadoop_write_json(spark, meta_path, expected)
-        return dict(expected)
+        out = dict(expected)
+        if advisory:
+            out.update(advisory)
+        hadoop_write_json(spark, meta_path, out)
+        return out
     errs = meta_mismatches(meta, expected)
     if errs:
         raise error(
@@ -199,7 +206,9 @@ def compact_small_files(
     stage = dir_path.rstrip("/") + "/" + _STAGE_PREFIX + tok
     df = spark.read.parquet(*[str(p) for p in small])
     if exclude is not None:
-        df = df.join(exclude, exclude_cols, "left_anti")
+        from pyspark.sql import functions as F
+
+        df = df.join(F.broadcast(exclude), exclude_cols, "left_anti")
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     stage_p = jvm.org.apache.hadoop.fs.Path(stage)
     parts = [

@@ -57,11 +57,16 @@ def read_tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
     analysis pass (~70 ms measured), which a per-probe/per-batch check
     must not pay for the common no-deletes state."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(tombstones_path(store_dir))
+    tdir = tombstones_path(store_dir)
+    p = jvm.org.apache.hadoop.fs.Path(tdir)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # heal a crashed revoke swap first — only its dangerous state (the
+    # live dir renamed out) costs a stat here
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(tdir + "_unold")):
+        _untomb_recover(spark, store_dir)
     if not fs.exists(p):
         return None
-    return spark.read.parquet(tombstones_path(store_dir)).distinct()
+    return spark.read.parquet(tdir).distinct()
 
 
 def delete_from_dedup_corpus(
@@ -81,21 +86,39 @@ def delete_from_dedup_corpus(
     fingerprint burn, and the id burn needs only the id). Returns how
     many of the ids are currently stored. Rows for ids already
     tombstoned are appended again and deduped at read."""
-    corpus = spark.read.parquet(corpus_dir)
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
-    id_field = corpus.schema[id_col]
-    ids_df = spark.createDataFrame([(i,) for i in ids], T.StructType([id_field]))
-    pairs = (
-        corpus.join(F.broadcast(ids_df), id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.coalesce("fp", F.lit("null-text")).alias("fp"),
+    from ..errors import is_path_not_found
+
+    corpus = None
+    try:
+        # a delete may race the stream's very first batch: the corpus dir
+        # may not exist yet — the ids still burn (long-typed fallback;
+        # every corpus id in this engine is a bigint key)
+        corpus = spark.read.parquet(corpus_dir)
+        corpus.schema
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+    rows: list = []
+    if corpus is not None:
+        id_field = corpus.schema[id_col]
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([id_field])
         )
-        .distinct()
-    )
-    # bounded by the erase request's id count
-    rows = [tuple(r) for r in pairs.collect()]
+        pairs = (
+            corpus.join(F.broadcast(ids_df), id_col, "left_semi")
+            .select(
+                F.col(id_col),
+                F.coalesce("fp", F.lit("null-text")).alias("fp"),
+            )
+            .distinct()
+        )
+        # bounded by the erase request's id count
+        rows = [tuple(r) for r in pairs.collect()]
+    else:
+        id_field = T.StructField(id_col, T.LongType())
     stored_ids = {r[0] for r in rows}
     rows += [(i, None) for i in set(ids) - stored_ids]
     schema = T.StructType([id_field, T.StructField("fp", T.StringType())])
@@ -103,6 +126,87 @@ def delete_from_dedup_corpus(
         "append"
     ).parquet(tombstones_path(corpus_dir))
     return len(stored_ids)
+
+
+def _untomb_recover(spark: SparkSession, store_dir: str) -> None:
+    """Heal a crashed :func:`remove_tombstones` swap (same shape as the
+    purge swap: stage fully → rename live out → rename staged in →
+    delete old)."""
+    jvm = spark._jvm
+    tdir = tombstones_path(store_dir)
+    live = jvm.org.apache.hadoop.fs.Path(tdir)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_p = jvm.org.apache.hadoop.fs.Path(tdir + "_unold")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tdir + "_untmp")
+    if fs.exists(old_p):
+        if not fs.exists(live):
+            src = tmp_p if fs.exists(tmp_p) else old_p
+            if not fs.rename(src, live):
+                raise RuntimeError(
+                    f"tombstone-revoke recovery: rename {src} -> {tdir} failed"
+                )
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
+
+
+def remove_tombstones(
+    spark: SparkSession, store_dir: str, ids: list, id_col: str
+) -> int:
+    """REVOKE tombstones for the given ids (the operator-error path: a
+    wrong id deleted and caught immediately). Returns how many of the ids
+    were tombstoned. Crash-safe via the staged swap healed by
+    :func:`_untomb_recover` (also run by ``read_tombstones`` when it sees
+    the crash leftover).
+
+    CAVEAT — revocation is only a full restore while the rows are still
+    physically present: maintenance FOLDS tombstoned rows out of every
+    file it rewrites, so once any tick ran after the delete, a revoked id
+    may be half-indexed (some posting lists folded, others not). Revoke
+    before the next maintenance tick, or rebuild/re-ingest the doc. A
+    delete-then-REINSERT key (new content under an old id) is an UPDATE,
+    which the append-only index families route to the rebuild path
+    regardless — see STATE.md §4."""
+    jvm = spark._jvm
+    tdir = tombstones_path(store_dir)
+    live = jvm.org.apache.hadoop.fs.Path(tdir)
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    _untomb_recover(spark, store_dir)
+    if not fs.exists(live):
+        return 0
+    from pyspark.sql import types as T
+
+    tomb = spark.read.parquet(tdir)
+    ids_df = spark.createDataFrame(
+        [(i,) for i in ids], T.StructType([tomb.schema[id_col]])
+    )
+    doomed = (
+        tomb.select(id_col)
+        .distinct()
+        .join(F.broadcast(ids_df), id_col, "left_semi")
+        .count()
+    )
+    if doomed == 0:
+        return 0
+    remaining = tomb.join(F.broadcast(ids_df), id_col, "left_anti")
+    if remaining.isEmpty():
+        fs.delete(live, True)
+        return int(doomed)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tdir + "_untmp")
+    old_p = jvm.org.apache.hadoop.fs.Path(tdir + "_unold")
+    remaining.coalesce(1).write.mode("overwrite").parquet(tdir + "_untmp")
+    if not fs.rename(live, old_p):
+        raise RuntimeError(f"tombstone revoke: rename {tdir} -> _unold failed")
+    if not fs.rename(tmp_p, live):
+        restored = fs.rename(old_p, live)
+        raise RuntimeError(
+            f"tombstone revoke: rename _untmp -> {tdir} failed"
+            + ("" if restored else "; ROLLBACK ALSO FAILED — tombstones "
+               f"stranded at {tdir}_unold")
+        )
+    fs.delete(old_p, True)
+    return int(doomed)
 
 
 def read_dedup_corpus(
@@ -181,9 +285,24 @@ def purge_corpus_tombstones(
                 jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True
             )
         return 0
+    kept = corpus.join(ids, id_col, "left_anti")
+    if kept.isEmpty():
+        # FULL erasure: swapping in a dataless directory would wedge every
+        # subsequent batch (the processors deliberately treat an existing-
+        # but-unreadable corpus as fatal — only PATH_NOT_FOUND is a first
+        # batch). Deleting the corpus IS the correct end state: the stream
+        # observes absence, invalidates the sidecars itself, and starts
+        # fresh — with the tombstone set (kept by default) still burning
+        # the erased ids/fingerprints at entry.
+        fs.delete(live, True)
+        if clear:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True
+            )
+        return doomed
     tmp = corpus_dir.rstrip("/") + "_purgetmp"
     old = corpus_dir.rstrip("/") + "_prepurge"
-    corpus.join(ids, id_col, "left_anti").write.mode("overwrite").parquet(tmp)
+    kept.write.mode("overwrite").parquet(tmp)
     old_p = jvm.org.apache.hadoop.fs.Path(old)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     if not fs.rename(live, old_p):

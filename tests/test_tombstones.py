@@ -302,6 +302,88 @@ def test_dedup_delete_burns_in_flight_ids(spark, tmp_path):
     assert stored.filter("doc_id = 11").count() == 1  # batch-mate unaffected
 
 
+def test_remove_tombstones_revokes_a_mistaken_delete(spark, tmp_path):
+    """A wrong-id delete caught before any maintenance fold is fully
+    revocable: the doc returns to the ranking byte-identically, the other
+    tombstones survive the swap, and a crashed swap heals at the next
+    tombstone read."""
+    import os
+
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    proc(_docs(spark, 0, 80), 0)
+    before = _rank(spark, idx)
+    v1, v2 = before[0][0], before[1][0]
+    inc.delete_from_search_index(spark, idx, [v1, v2])
+    assert {v1, v2} & {r[0] for r in _rank(spark, idx)} == set()
+    assert tb.remove_tombstones(spark, idx, [v1], "doc_id") == 1
+    got = _rank(spark, idx)
+    assert v1 in {r[0] for r in got} and v2 not in {r[0] for r in got}
+    # revoking the rest restores the original ranking exactly
+    assert tb.remove_tombstones(spark, idx, [v2], "doc_id") == 1
+    assert _rank(spark, idx) == before
+    assert tb.remove_tombstones(spark, idx, [v1], "doc_id") == 0  # idempotent
+    # crashed swap shape: live renamed out, staged present — the next
+    # tombstone read must heal it
+    inc.delete_from_search_index(spark, idx, [v1])
+    tdir = tb.tombstones_path(idx)
+    kept = spark.read.parquet(tdir)
+    kept.coalesce(1).write.parquet(tdir + "_untmp")
+    os.rename(tdir, tdir + "_unold")
+    assert tb.read_tombstones(spark, idx) is not None  # healed + readable
+    assert not os.path.exists(tdir + "_unold")
+    assert v1 not in {r[0] for r in _rank(spark, idx)}
+
+
+def test_full_erasure_purge_leaves_usable_stores(spark, tmp_path):
+    """Tombstone EVERYTHING and purge: the dedup corpus must come back as
+    a clean first-batch state (not a wedged dataless directory), and the
+    search index must keep serving empty results and accept new docs."""
+    rows = lambda *r: spark.createDataFrame(list(r), "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    proc = _near_proc(corpus)
+    proc(rows((1, BASE), (2, OTHER)), 0)
+    tb.delete_from_dedup_corpus(spark, corpus, [1, 2])
+    assert tb.purge_corpus_tombstones(spark, corpus) == 2
+    # the stream continues from the fresh-corpus state; burned content
+    # stays burned, new content lands
+    proc2 = _near_proc(corpus)
+    proc2(rows((3, BASE), (4, "entirely new words for doc four")), 1)
+    stored = spark.read.parquet(corpus)
+    assert stored.filter("doc_id = 3").count() == 0  # burned fp
+    assert stored.filter("doc_id = 4").count() == 1
+
+    idx = str(tmp_path / "sidx")
+    sproc = inc.make_search_index_processor(idx, n_term_buckets=8)
+    sproc(rows((1, "merge hash window")), 0)
+    inc.delete_from_search_index(spark, idx, [1])
+    inc.purge_search_tombstones(spark, idx)
+    assert inc.bm25_over_index(spark, idx, TERMS, topn=5).collect() == []
+    sproc2 = inc.make_search_index_processor(idx, n_term_buckets=8)
+    sproc2(rows((2, "merge hash window again")), 1)
+    assert [r[0] for r in inc.bm25_over_index(spark, idx, TERMS, topn=5).collect()] == [2]
+
+
+def test_string_keyed_index_burns_before_first_commit(spark, tmp_path):
+    """A delete racing the first commit of a STRING-keyed index must
+    write a string-typed tombstone (via the meta's advisory id_type) that
+    actually burns the id when it arrives."""
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(idx, id_col="sid", n_term_buckets=8)
+    empty = spark.createDataFrame([], "sid string, text string")
+    proc(empty, 0)  # writes the layout meta; nothing committed
+    assert inc.delete_from_search_index(spark, idx, ["doc-a"]) == 0
+    proc(
+        spark.createDataFrame(
+            [("doc-a", "merge hash window"), ("doc-b", "merge hash window")],
+            "sid string, text string",
+        ),
+        1,
+    )
+    got = inc.bm25_over_index(spark, idx, TERMS, topn=5, id_col="sid").collect()
+    assert [r[0] for r in got] == ["doc-b"]
+
+
 def test_cdc_on_delete_is_winner_aware(spark, tmp_path):
     """on_delete must report only keys whose delete WON last-writer-wins:
     a delete-then-reinsert key and a stale delete (outranked by an

@@ -127,6 +127,9 @@ def main() -> None:
             f"| {pt['batch']} | {pt['probe_wall']} | {pt['postings_files']} "
             f"| {pt['max_bucket_files']} | {pt['doclen_files']} |"
         )
+    if not points:  # smoke runs shorter than --every still report
+        points = [{"batch": args.batches, "probe_wall": 0.0,
+                   **census(idx)}]
     first, last = points[0], points[-1]
     print(json.dumps({
         "metric": "search_stream_soak",
@@ -134,7 +137,11 @@ def main() -> None:
         "batches": args.batches,
         "batch_docs": args.batch_docs,
         "points": points,
-        "probe_growth": round(last["probe_wall"] / first["probe_wall"], 3),
+        "probe_growth": (
+            round(last["probe_wall"] / first["probe_wall"], 3)
+            if first["probe_wall"]
+            else None
+        ),
         "files_growth": round(
             last["postings_files"] / max(1, first["postings_files"]), 3
         ),

@@ -142,6 +142,36 @@ def test_python_xxhash64_matches_engine(spark):
     assert rows and all(r.h == xxhash64(r.s) for r in rows)
 
 
+def test_python_xxhash64_matches_engine_property(spark):
+    """Property form of the parity pin: randomized unicode strings
+    (seeded — deterministic across runs), compared in ONE batched engine
+    round-trip per corpus. Any drift between functions/hashing.py and the
+    engine's xxhash64 is a silent wrong-bucket probe; this must fail
+    first."""
+    import random
+
+    import pyspark.sql.functions as F2
+
+    from fest_vibes_ai_etl_spark.functions.hashing import xxhash64
+
+    rng = random.Random(0xFE57)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 _-./:#éüßñ中文日本語한글🎉𝔘"
+    )
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(400)
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F2.xxhash64("s").alias("h"))
+        .collect()
+    )
+    assert len(rows) == 400
+    bad = [(r.s, r.h, xxhash64(r.s)) for r in rows if r.h != xxhash64(r.s)]
+    assert not bad, bad[:3]
+
+
 def test_pruned_probe_reads_only_query_buckets(spark):
     """The probe's scan must touch ONLY the query terms' bucket
     directories — checked on the actual files the plan reads, which is

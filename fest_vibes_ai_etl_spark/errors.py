@@ -12,18 +12,9 @@ batch" and every history check skipped.
 from __future__ import annotations
 
 
-def is_missing_or_dataless(exc: BaseException) -> bool:
-    """True iff the exception means the store is absent OR exists with
-    zero data files (``UNABLE_TO_INFER_SCHEMA``). The BROAD class — only
-    for callers whose own contract legitimately produces the dataless
-    state (an erase-everything purge/fold leaves a directory whose files
-    were all inputs of a final=None merge) and whose correct answer is
-    "empty", e.g. the tombstone-aware index views and delete ops. Stream
-    history checks must keep using :func:`is_path_not_found`: for them a
-    dataless corpus IS damage."""
-    if is_path_not_found(exc):
-        return True
-    cond = None
+def _condition(exc: BaseException) -> str | None:
+    """Spark's error condition for an exception, or None when the API
+    (getCondition, or getErrorClass on older engines) is unavailable."""
     for name in ("getCondition", "getErrorClass"):
         fn = getattr(exc, name, None)
         if fn is None:
@@ -33,7 +24,21 @@ def is_missing_or_dataless(exc: BaseException) -> bool:
         except Exception:
             cond = None
         if cond:
-            break
+            return cond
+    return None
+
+
+def is_missing_or_dataless(exc: BaseException) -> bool:
+    """True iff the exception means the store is absent OR exists with
+    zero data files (``UNABLE_TO_INFER_SCHEMA``). The BROAD class — only
+    for callers whose own contract legitimately produces the dataless
+    state (a crashed first append; journal-legal all-rows-excluded
+    merges) and whose correct answer is "empty", e.g. the tombstone-aware
+    index views and delete ops. Stream history checks must keep using
+    :func:`is_path_not_found`: for them a dataless corpus IS damage."""
+    if is_path_not_found(exc):
+        return True
+    cond = _condition(exc)
     if cond is not None:
         return cond == "UNABLE_TO_INFER_SCHEMA"
     return "UNABLE_TO_INFER_SCHEMA" in str(exc)
@@ -41,17 +46,7 @@ def is_missing_or_dataless(exc: BaseException) -> bool:
 
 def is_path_not_found(exc: BaseException) -> bool:
     """True iff the exception is Spark's PATH_NOT_FOUND error condition."""
-    cond = None
-    for name in ("getCondition", "getErrorClass"):
-        fn = getattr(exc, name, None)
-        if fn is None:
-            continue
-        try:
-            cond = fn()
-        except Exception:
-            cond = None
-        if cond:
-            break
+    cond = _condition(exc)
     if cond is not None:
         return cond == "PATH_NOT_FOUND"
     # very old Spark: fall back to the message text

@@ -369,6 +369,12 @@ def _check_add_layout(
                 f"across it would silently duplicate replays and strand "
                 f"stored vectors in unprobed cells: " + "; ".join(errs)
             )
+        if id_type and "id_type" not in meta:
+            # backfill the advisory field onto pre-advisory metas, or
+            # string-keyed stores' delete fallback degrades to bigint
+            meta = dict(meta)
+            meta["id_type"] = id_type
+            hadoop_write_json(spark, meta_path, meta)
         return
     jpath = jvm.org.apache.hadoop.fs.Path
     root = jpath(index_dir)

@@ -325,6 +325,11 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
     jvm = spark._jvm
     dl_p = jvm.org.apache.hadoop.fs.Path(_doclen_dir(index_dir))
     fs = dl_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # DEFENSE: on this engine an all-rows-excluded merge writes one 0-row
+    # schema-bearing file (verified live), so a doclen is normally never
+    # dataless and this branch stays unreachable — but the journal's
+    # final=None state is layout-legal, so a filesystem/engine that does
+    # produce it must not leave an unreadable index behind
     erased_all = fs.exists(dl_p) and not any(
         not st.getPath().getName().startswith(("_", "."))
         for st in fs.listStatus(dl_p)

@@ -101,6 +101,16 @@ def adopt_or_refuse_meta(
             f"{what} layout mismatch — {'; '.join(errs)}."
             + (f" {consequence}" if consequence else "")
         )
+    if advisory:
+        # BACKFILL advisory fields a pre-advisory meta lacks (atomic
+        # rewrite; single-writer open) — otherwise stores created before
+        # a field existed would degrade its consumers forever (e.g. a
+        # string-keyed store's delete fallback silently typing bigint)
+        missing = {k: v for k, v in advisory.items() if k not in meta}
+        if missing:
+            meta = dict(meta)
+            meta.update(missing)
+            hadoop_write_json(spark, meta_path, meta)
     return meta
 
 

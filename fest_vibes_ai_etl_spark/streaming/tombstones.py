@@ -74,6 +74,7 @@ def delete_from_dedup_corpus(
     corpus_dir: str,
     ids: list,
     id_col: str = "doc_id",
+    id_type: str = "bigint",
 ) -> int:
     """Tombstone the given document ids: resolve their ``(id, fp)`` pairs
     from the corpus NOW (one thin-column semi-join scan — the right place
@@ -89,17 +90,18 @@ def delete_from_dedup_corpus(
     from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
-    from ..errors import is_path_not_found
+    from ..errors import is_missing_or_dataless
 
     corpus = None
     try:
         # a delete may race the stream's very first batch: the corpus dir
-        # may not exist yet — the ids still burn (long-typed fallback;
-        # every corpus id in this engine is a bigint key)
+        # may not exist yet, or exist dataless (a crashed first append) —
+        # the ids still burn, typed by ``id_type`` (the dedup corpora
+        # keep no layout meta; string-keyed callers pass "string")
         corpus = spark.read.parquet(corpus_dir)
         corpus.schema
     except AnalysisException as exc:
-        if not is_path_not_found(exc):
+        if not is_missing_or_dataless(exc):
             raise
     rows: list = []
     if corpus is not None:
@@ -118,7 +120,7 @@ def delete_from_dedup_corpus(
         # bounded by the erase request's id count
         rows = [tuple(r) for r in pairs.collect()]
     else:
-        id_field = T.StructField(id_col, T.LongType())
+        id_field = T.StructType.fromDDL(f"{id_col} {id_type}").fields[0]
     stored_ids = {r[0] for r in rows}
     rows += [(i, None) for i in set(ids) - stored_ids]
     schema = T.StructType([id_field, T.StructField("fp", T.StringType())])
@@ -275,6 +277,10 @@ def purge_corpus_tombstones(
     live = jvm.org.apache.hadoop.fs.Path(corpus_dir)
     fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(live):
+        if clear:  # forget the ids even when no corpus ever existed
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True
+            )
         return 0
     corpus = spark.read.parquet(corpus_dir)
     ids = F.broadcast(tomb.select(id_col).distinct())
@@ -286,23 +292,18 @@ def purge_corpus_tombstones(
             )
         return 0
     kept = corpus.join(ids, id_col, "left_anti")
-    if kept.isEmpty():
-        # FULL erasure: swapping in a dataless directory would wedge every
-        # subsequent batch (the processors deliberately treat an existing-
-        # but-unreadable corpus as fatal — only PATH_NOT_FOUND is a first
-        # batch). Deleting the corpus IS the correct end state: the stream
-        # observes absence, invalidates the sidecars itself, and starts
-        # fresh — with the tombstone set (kept by default) still burning
-        # the erased ids/fingerprints at entry.
-        fs.delete(live, True)
-        if clear:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(tombstones_path(corpus_dir)), True
-            )
-        return doomed
     tmp = corpus_dir.rstrip("/") + "_purgetmp"
     old = corpus_dir.rstrip("/") + "_prepurge"
-    kept.write.mode("overwrite").parquet(tmp)
+    # FULL erasure must still leave a READABLE corpus: an empty frame
+    # written at its natural parallelism produces a dataless directory
+    # (zero part files), which the processors deliberately treat as fatal
+    # (only PATH_NOT_FOUND is a first batch) and which crashes
+    # read_dedup_corpus for every downstream consumer. coalesce(1) of the
+    # empty frame writes ONE zero-row, schema-bearing file — the corpus
+    # survives as "exists, holds nothing", streams and readers continue.
+    (kept.coalesce(1) if kept.isEmpty() else kept).write.mode(
+        "overwrite"
+    ).parquet(tmp)
     old_p = jvm.org.apache.hadoop.fs.Path(old)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     if not fs.rename(live, old_p):

@@ -345,8 +345,11 @@ def test_full_erasure_purge_leaves_usable_stores(spark, tmp_path):
     proc(rows((1, BASE), (2, OTHER)), 0)
     tb.delete_from_dedup_corpus(spark, corpus, [1, 2])
     assert tb.purge_corpus_tombstones(spark, corpus) == 2
-    # the stream continues from the fresh-corpus state; burned content
-    # stays burned, new content lands
+    # the corpus survives as READABLE-EMPTY (a downstream consumer that
+    # read it before the purge must not crash after it), and the stream
+    # continues; burned content stays burned, new content lands
+    assert spark.read.parquet(corpus).count() == 0
+    assert tb.read_dedup_corpus(spark, corpus).count() == 0
     proc2 = _near_proc(corpus)
     proc2(rows((3, BASE), (4, "entirely new words for doc four")), 1)
     stored = spark.read.parquet(corpus)

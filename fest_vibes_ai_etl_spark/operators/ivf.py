@@ -614,11 +614,10 @@ def make_index_add_processor(
         # batch, and cheap: one fs stat per batch until a delete exists
         from ..streaming.tombstones import read_tombstones
 
-        tomb = read_tombstones(spark, index_dir)
+        tomb = read_tombstones(spark, index_dir, cols=[id_col])
         if tomb is not None:
-            assigned = assigned.join(
-                F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti"
-            )
+            # hinted (or not) by read_tombstones' bounded-broadcast escape
+            assigned = assigned.join(tomb, id_col, "left_anti")
         # Existence + cell listing through the Hadoop fs API (works on
         # hdfs/s3a too, unlike os.listdir): an explicit probe, not
         # swallowed read errors — a corrupt footer / transient IO failure
@@ -743,7 +742,13 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], T.StructType([stored_df.schema[id_col]])
         )
-        stored = stored_df.join(F.broadcast(ids_df), id_col, "left_semi").count()
+        # distinct ids, not matching rows: crash-replay residue could
+        # duplicate a vector row and over-count the report
+        stored = (
+            stored_df.join(F.broadcast(ids_df), id_col, "left_semi")
+            .distinct()
+            .count()
+        )
     except AnalysisException as exc:
         from ..errors import is_missing_or_dataless
 
@@ -754,25 +759,33 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
     )
+    # the set's own lifecycle: every request appends one file, so the
+    # delete op compacts past the threshold (deletes already run between
+    # batches — the same single-writer window maintenance uses)
+    from ..streaming.tombstones import maintain_tombstones
+
+    maintain_tombstones(spark, index_dir)
     return int(stored)
 
 
-def read_ivf_index(spark, index_dir: str) -> DataFrame:
+def read_ivf_index(spark, index_dir: str, heal: str = "repair") -> DataFrame:
     """The incremental-add index as probes must see it: stored (id, vec,
     cell_id) rows minus tombstoned ids. Feed this to :func:`ivf_topk` —
     a deleted vector is then unretrievable NOW, and the eventual rebuild
     (which drops the rows physically and the tombstones with the old
-    directory) returns identical results."""
+    directory) returns identical results. ``heal="detect"`` is the
+    read-only mode: a crashed tombstone-revoke swap raises instead of
+    being repaired (repair renames — single-writer only)."""
     from ..streaming.banded_index import hadoop_read_json
     from ..streaming.tombstones import read_tombstones
 
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
     id_col = (meta or {}).get("id_col", "vec_id")
     df = spark.read.parquet(index_dir)
-    tomb = read_tombstones(spark, index_dir)
+    tomb = read_tombstones(spark, index_dir, cols=[id_col], heal=heal)
     if tomb is None:
         return df
-    return df.join(F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti")
+    return df.join(tomb, id_col, "left_anti")
 
 
 def start_incremental_index_add(

@@ -83,6 +83,7 @@ def rocchio_expanded_topk(
     b: float = B,
     persist: bool = True,
     pruned=None,
+    forward=None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio): run BM25 for the seed
     terms, take the top ``fb_k`` docs as assumed-relevant feedback, score
@@ -128,6 +129,17 @@ def rocchio_expanded_topk(
     PARTITION-PRUNE to the chosen terms' buckets; the candidate-vocabulary
     passes (whose term set is data-derived, not query-derived) stay on the
     full ``postings``. Default: an ``isin`` filter over ``postings``.
+
+    ``forward`` (optional ``doc_ids -> DataFrame(term, id, tf)``) is the
+    doc-major escape for the candidate passes: with it, the feedback
+    docs' vocabulary comes from ≤ fb_k doc-buckets of the FORWARD
+    sidecar (``forward_terms_for_docs``) instead of a full postings
+    scan, the candidate terms (bounded by fb_k docs' vocabularies — a
+    query constant times max doc length) collect to the driver, and the
+    corpus-df pass partition-prunes through ``pruned``. Nothing in the
+    query then reads the whole store — the pass that made Rocchio
+    corpus-proportional per query is gone. ``postings`` may be None when
+    both ``pruned`` and ``forward`` are given.
     """
     prune = pruned if pruned is not None else (
         lambda ts: postings.filter(F.col("term").isin(ts))
@@ -137,10 +149,10 @@ def rocchio_expanded_topk(
         from pyspark.storagelevel import StorageLevel
 
         for frame in (postings, doclen):
-            if not frame.is_cached:
+            if frame is not None and not frame.is_cached:
                 frame.persist(StorageLevel.MEMORY_AND_DISK)
                 ours.append(frame)
-    spark = postings.sparkSession
+    spark = doclen.sparkSession
     fb_ids = [
         r[0]
         for r in bm25_topk(
@@ -154,14 +166,28 @@ def rocchio_expanded_topk(
     )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
 
-    cand = postings.filter(
-        F.col(id_col).isin(fb_ids) & ~F.col("term").isin(seed_terms)
-    )
-    cdf = (
-        postings.join(broadcast(cand.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    if forward is not None:
+        # doc-major candidate pass: ≤ fb_k doc-buckets of the forward
+        # sidecar, then a driver-side bounded term set pushed back down
+        # as a partition-pruned df pass
+        cand = forward(fb_ids).filter(~F.col("term").isin(seed_terms))
+        cand_terms = [
+            r[0] for r in cand.select("term").distinct().collect()
+        ]
+        cdf = (
+            prune(cand_terms)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    else:
+        cand = postings.filter(
+            F.col(id_col).isin(fb_ids) & ~F.col("term").isin(seed_terms)
+        )
+        cdf = (
+            postings.join(broadcast(cand.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
     cw = (
         cand.groupBy("term")
         .agg(F.sum("tf").alias("stf"))
@@ -236,6 +262,7 @@ def load_or_build_postings_store(
     text_col: str = "text",
     n_term_buckets: int = 64,
     store_path: str | None = None,
+    n_doc_buckets: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """The inverted index staged to parquet in the SHARED index layout
     (see the section comment): postings under hive ``tb=`` term-bucket
@@ -266,10 +293,19 @@ def load_or_build_postings_store(
             .mode("overwrite")
             .parquet(path + "/postings")
         )
+        # meta LAST (the load gate), which also settles the doc-major
+        # forward sidecar from the just-written postings
         _check_meta(
             spark, path, n_term_buckets, id_col,
             id_type=docs.schema[id_col].dataType.simpleString(),
+            n_doc_buckets=n_doc_buckets,
         )
+    else:
+        # pre-forward stores (round ≤12 layout) gain the sidecar on
+        # first load — one-time, index-proportional, idempotent
+        from ..streaming.incremental_search import settle_forward_index
+
+        settle_forward_index(spark, path, n_doc_buckets)
     return (
         spark.read.parquet(path + "/postings"),
         spark.read.parquet(path + "/doclen"),

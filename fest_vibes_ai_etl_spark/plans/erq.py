@@ -96,7 +96,13 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    return pareto_frontier_2d(parts, minimize="p_retailprice", maximize="p_size")
+    # the skyline join emits its join key first — re-select the declared
+    # order so the frame matches the oracle column-for-column under a
+    # strict ordered-schema compare, not just the driver's order-
+    # insensitive one
+    return pareto_frontier_2d(
+        parts, minimize="p_retailprice", maximize="p_size"
+    ).select("p_partkey", "p_retailprice", "p_size")
 
 
 @register(

@@ -137,6 +137,85 @@ def search_bm25_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_over_index(spark, _deleted_store(spark, sf_dir), TERMS, topn=TOPN)
 
 
+REV_ID = 3
+REV_SUFFIX = "merge merge hash window revised"
+
+
+def _revised_store(spark: SparkSession, sf_dir: str) -> str:
+    """A third persisted index (``_revq`` suffix) where doc REV_ID's text
+    has been UPDATED in place via revise_search_document — the versioned
+    UPDATE path end to end. Idempotent per source fingerprint."""
+    from ..operators.search import postings_store_path
+    from ..streaming.incremental_search import (
+        read_revisions,
+        revise_search_document,
+    )
+
+    path = postings_store_path(sf_dir) + "_revq"
+    docs = table(spark, sf_dir, "documents")
+    load_or_build_postings_store(spark, docs, sf_dir, store_path=path)
+    if read_revisions(spark, path) is None:
+        old = docs.filter(f"doc_id = {REV_ID}").select("text").collect()
+        new_text = (old[0][0] + " " if old else "") + REV_SUFFIX
+        revise_search_document(spark, path, REV_ID, new_text)
+    return path
+
+
+@register(
+    "search_bm25_revised",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = {REV_ID}
+                  THEN text || ' {REV_SUFFIX}' ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM( LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s + 0.00000001, 4) AS score
+    FROM scored ORDER BY score DESC, doc_id
+    LIMIT {TOPN}
+    """,
+    tags=("search", "bm25", "update", "revise"),
+    prepare=lambda spark, sf_dir: _revised_store(spark, sf_dir),
+    doc="The index families' UPDATE contract, oracle-checked end to end: "
+    "doc 3's text is revised in a persisted BM25 index "
+    "(revise_search_document — tombstone-free versioned identity: new "
+    "rows under (id, rev), probes resolve latest-rev) and the probe must "
+    "rank EXACTLY like an index built from the edited corpus — new "
+    "terms retrievable, stale rows gone from tf, df, AND the corpus "
+    "stats (dl changes, N does not). The oracle recomputes BM25 over "
+    "the corpus with the same edit applied. This is the reference's "
+    "routine upsert-overwrites behavior (loader/service.py:324-422) "
+    "expressed for an append-only lakehouse index.",
+)
+def search_bm25_revised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental_search import bm25_over_index
+
+    return bm25_over_index(spark, _revised_store(spark, sf_dir), TERMS, topn=TOPN)
+
+
 FB_K = 5
 EXPAND_N = 5
 BETA = 0.5
@@ -234,19 +313,24 @@ def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned_postings_for_terms,
         rocchio_expanded_topk,
     )
-    from ..streaming.incremental_search import index_doclen, index_postings_full
+    from ..streaming.incremental_search import (
+        forward_terms_for_docs,
+        index_doclen,
+    )
 
     docs = table(spark, sf_dir, "documents")
     load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
     store = postings_store_path(sf_dir)
     # every frame comes from the tombstone-consistent index views, so the
-    # whole query (candidate passes included) is purge-invariant
+    # whole query (candidate passes included) is purge-invariant. Since
+    # round 13 NOTHING here reads the whole store: the by-term passes
+    # partition-prune the tb= layout, and the candidate-vocabulary pass
+    # reads ≤ fb_k doc-buckets of the doc-major FORWARD sidecar.
     return rocchio_expanded_topk(
-        index_postings_full(spark, store),
+        None,
         index_doclen(spark, store),
         TERMS, fb_k=FB_K, expand_n=EXPAND_N,
         beta=BETA, topn=TOPN,
-        # the by-term passes partition-prune on the shared tb= layout;
-        # the candidate-vocabulary passes keep the full store frame
         pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
+        forward=lambda ids: forward_terms_for_docs(spark, store, ids),
     )

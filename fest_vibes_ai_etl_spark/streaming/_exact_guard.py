@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .banded_index import BandedIndexLayoutError
+from .tombstones import NULL_TEXT_SENTINEL
 
 
 def exact_index_path(corpus_dir: str) -> str:
@@ -38,7 +39,7 @@ def _exact_pairs(df: DataFrame, id_col: str) -> DataFrame:
     stay joinable after migration."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.coalesce("fp", F.lit("null-text")).alias("fp"),
+        F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp"),
     ).withColumn("fpk", F.xxhash64(F.col("fp")))
 
 

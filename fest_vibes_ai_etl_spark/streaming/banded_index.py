@@ -1029,9 +1029,9 @@ class BandedFingerprintIndex:
             # it), so a plain dir read + rewrite reproduces the layout
             band_df = spark.read.parquet(band_dir)
             if exclude is not None:
-                band_df = band_df.join(
-                    F.broadcast(exclude), exclude_cols, "left_anti"
-                )
+                # the exclude frame carries its own broadcast hint (or not
+                # — read_tombstones' bounded-broadcast escape decides)
+                band_df = band_df.join(exclude, exclude_cols, "left_anti")
             band_df.coalesce(1).write.mode("overwrite").parquet(staged)
             live = jvm.org.apache.hadoop.fs.Path(band_dir)
             old = jvm.org.apache.hadoop.fs.Path(old_root + "/" + name)
@@ -1159,7 +1159,7 @@ class BandedFingerprintIndex:
         if df is None:
             return
         if exclude is not None:
-            df = df.join(F.broadcast(exclude), exclude_cols, "left_anti")
+            df = df.join(exclude, exclude_cols, "left_anti")
         tmp = self.path.rstrip("/") + "_rebandtmp"
         old = self.path.rstrip("/") + "_rebandold"
         (

@@ -106,6 +106,7 @@ def start_cdc_apply(
     partition_col: str,
     available_now: bool = True,
     on_delete=None,
+    on_reinsert=None,
 ):
     """foreachBatch job applying the change stream to the target table.
 
@@ -132,11 +133,73 @@ def start_cdc_apply(
     construction (tombstone appends dedup at read). The read-back is
     partition-pruned to the delete rows' partitions and semi-joined to
     the batch's keys, so its cost is touched-partition-, not
-    table-, proportional."""
+    table-, proportional.
+
+    ``on_reinsert`` (optional ``(spark, reinserted_keys_df) -> None``)
+    closes the live-but-unsearchable gap on the other side: a key whose
+    delete was correctly reported in an EARLIER batch stays BURNED in
+    every derived index, so a legitimate later reinsert would be live in
+    the table yet permanently unindexed — with nothing detecting it. The
+    hook fires AFTER the apply commits, with the batch's upsert keys
+    that were tombstoned in the table pre-apply and are live post-apply
+    (an actual resurrection, not a routine update). The caller routes
+    them to the index-side remedy — ``tombstones.remove_tombstones``
+    while still sound (before the first maintenance fold), or queue the
+    key for the next index rebuild — instead of relying on operator
+    vigilance. Same at-least-once / partition-pruned cost shape as
+    ``on_delete``; the pre-state read is materialized (localCheckpoint)
+    before the dynamic overwrite invalidates its file listing."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        resurrect_cand, uparts = None, []
+        if on_reinsert is not None:
+            urows = batch_df.filter(F.col(OP_COL) == F.lit("u"))
+            ukeys = urows.select(*keys).distinct()
+            if not ukeys.isEmpty():
+                from pyspark.errors import AnalysisException
+
+                try:
+                    uparts = [
+                        r[0]
+                        for r in urows.select(partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    pre = (
+                        spark.read.parquet(target_path)
+                        .filter(F.col(partition_col).isin(uparts))
+                        .filter(F.col(DELETED_COL))
+                        .join(F.broadcast(ukeys), list(keys), "left_semi")
+                        .select(*keys)
+                        .distinct()
+                    )
+                    # eager: the apply's dynamic overwrite is about to
+                    # replace these partitions' files under the plan
+                    resurrect_cand = pre.localCheckpoint()
+                    if resurrect_cand.isEmpty():
+                        resurrect_cand = None
+                except AnalysisException as exc:
+                    from ..errors import is_path_not_found
+
+                    # first write: no pre-state, nothing to resurrect
+                    if not is_path_not_found(exc):
+                        raise
         apply_cdc_batch(spark, target_path, batch_df, keys, partition_col)
+        if resurrect_cand is not None:
+            # live post-apply = the reinsert actually won last-writer-wins
+            # (a stale upsert outranked by the tombstone must not fire);
+            # pruned to the upserts' partitions (a key never moves)
+            live = (
+                spark.read.parquet(target_path)
+                .filter(F.col(partition_col).isin(uparts))
+                .filter(~F.col(DELETED_COL))
+                .join(F.broadcast(resurrect_cand), list(keys), "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            if not live.isEmpty():
+                on_reinsert(spark, live)
         if on_delete is not None:
             drows = batch_df.filter(F.col(OP_COL) == F.lit("d"))
             dkeys = drows.select(*keys).distinct()

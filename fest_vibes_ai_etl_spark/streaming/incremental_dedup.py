@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ._exact_guard import _heal_exact_index, _settle_indexes, exact_index_path
 from .banded_index import BandedFingerprintIndex
+from .tombstones import NULL_TEXT_SENTINEL
 
 
 def fingerprint(text_col: str = "text"):
@@ -50,7 +51,7 @@ def fingerprint(text_col: str = "text"):
     # would be re-appended by every replay (history anti-join can't see
     # it). The sentinel is not 32 hex chars, so it cannot collide with a
     # real fingerprint.
-    return F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("null-text"))
+    return F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit(NULL_TEXT_SENTINEL))
 
 
 # Above this many input rows, the single-evaluation rebuild falls back
@@ -139,7 +140,7 @@ def make_exact_dedup_processor(
     def _pairs(df: DataFrame) -> DataFrame:
         # coalesce: pre-sentinel corpora hold fp=NULL for null text
         return df.select(
-            F.coalesce("fp", F.lit("null-text")).alias("fp")
+            F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp")
         ).withColumn("fpk", F.xxhash64(F.col("fp")))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -161,7 +162,7 @@ def make_exact_dedup_processor(
         if tomb is not None:
             # burned fingerprints (this stream dedups purely by fp):
             # erased content can never re-enter the corpus
-            fresh = fresh.join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
+            fresh = fresh.join(tomb.select("fp"), "fp", "left_anti")
         hist = None
         try:
             hist = spark.read.parquet(corpus_dir)
@@ -220,7 +221,7 @@ def make_exact_dedup_processor(
                 # scan mode, or post-crash heal: the corpus fp column is
                 # the authority (the index may be missing rows)
                 seen = hist.select(
-                    F.coalesce("fp", F.lit("null-text")).alias("fp")
+                    F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp")
                 )
                 if need_heal:
                     # fingerprints already stored may be missing from the

@@ -61,6 +61,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tombstones import NULL_TEXT_SENTINEL
 from ._exact_guard import (
     _exact_pairs,
     _fpk,
@@ -256,8 +257,8 @@ def make_near_dedup_processor(
             # reusing its id) can never re-enter the corpus, in either
             # guard mode
             fresh = fresh.join(
-                F.broadcast(tomb.select(id_col)), id_col, "left_anti"
-            ).join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
+                tomb.select(id_col), id_col, "left_anti"
+            ).join(tomb.select("fp"), "fp", "left_anti")
         hist = None
         hist_cached = None
         try:
@@ -358,7 +359,7 @@ def make_near_dedup_processor(
                 # scan mode, or post-crash heal: the corpus fp column is
                 # the authority (the exact index may be missing rows)
                 hkeys = hist.select(
-                    F.coalesce("fp", F.lit("null-text")).alias("fp"),
+                    F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp"),
                     F.col(id_col),
                 )
                 if need_heal:
@@ -406,7 +407,7 @@ def make_near_dedup_processor(
                     # physical purge (stale sidecar rows are folded out by
                     # maintenance, hidden here meanwhile)
                     idx_rows = idx_rows.join(
-                        F.broadcast(tomb.select(F.col(id_col).alias("id"))),
+                        tomb.select(F.col(id_col).alias("id")),
                         "id",
                         "left_anti",
                     )
@@ -477,7 +478,7 @@ def make_near_dedup_processor(
                 htarget = hist
                 if tomb is not None:
                     htarget = hist.join(
-                        F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+                        tomb.select(id_col), id_col, "left_anti"
                     )
                 hist_victims = _near_dup_ids(
                     fresh, htarget, id_col, num_hashes, bands, threshold,

@@ -24,6 +24,20 @@ sidecars and the IVF cell store:
   indexed doc ids, so the per-batch "already indexed?" replay guard
   reads only the batch's OWN id bands instead of the whole doclen
   column (``history_probe="scan"`` keeps the full-column path for A/B).
+- ``<index_dir>/forward/db=<bucket>/`` (round 13) — the doc-major
+  FORWARD sidecar: the same (term, tf, doc_id) rows bucketed by
+  ``pmod(xxhash64(cast(id as string)), n_doc_buckets)``, appended with
+  the postings append's exact replay-idempotence (append-id suffix
+  ``f``), so data-derived term passes (Rocchio's candidate vocabulary)
+  read ≤ |docs| buckets instead of the whole inverted store. Meta-gated
+  by ``n_doc_buckets``; :func:`settle_forward_index` backfills legacy
+  stores.
+- ``<index_dir>_rev/{terms,doclen}`` + ``<index_dir>_revisions``
+  (round 13) — the UPDATE path: :func:`revise_search_document` indexes
+  edited content under a versioned identity (id, rev) and probes
+  resolve the LATEST rev everywhere (stale main-store rows are
+  anti-joined away); physical absorption at rebuild. Erasure burns stay
+  permanent — revise refuses tombstoned ids.
 
 Layout guard: ``<index_dir>/_meta.json`` pins ``n_term_buckets`` /
 ``id_col`` (staged-then-renamed write — a torn meta cannot wedge
@@ -92,6 +106,10 @@ from ._exact_guard import _settle_indexes
 _META = "_meta.json"
 _SCHEMA_TAG = "search:doclen-id:id-only"
 
+# sentinel distinguishing "resolve tombstones/revisions yourself" from an
+# explicit None (caller already checked: nothing to apply)
+_UNSET = object()
+
 
 class SearchIndexLayoutError(RuntimeError):
     pass
@@ -109,6 +127,33 @@ def _docidx_path(index_dir: str) -> str:
     return index_dir.rstrip("/") + "_docidx"
 
 
+def _forward_dir(index_dir: str) -> str:
+    """Doc-major forward sidecar: the SAME (term, id, tf) rows as the
+    postings store, hive-partitioned by ``db = pmod(xxhash64(cast(id as
+    string)), n_doc_buckets)`` — so passes whose term set is DATA-derived
+    (Rocchio's candidate vocabulary: "every term in these fb_k docs")
+    read ≤ |docs| buckets instead of the whole inverted store, which
+    cannot prune by doc. Maintained by the same stream appends, meta
+    gate ``n_doc_buckets`` (absent = no forward sidecar; backfill via
+    :func:`settle_forward_index`)."""
+    return index_dir.rstrip("/") + "/forward"
+
+
+def _revisions_dir(index_dir: str) -> str:
+    """The revision markers: (id, rev) rows, max-rev-wins per id. A doc
+    with any marker is REVISED — probes drop its main-store rows and
+    serve the ``_rev`` sidecar rows at its latest rev instead."""
+    return index_dir.rstrip("/") + "_revisions"
+
+
+def _rev_terms_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_rev/terms"
+
+
+def _rev_doclen_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_rev/doclen"
+
+
 def _id_pairs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(fp = doc id as string, fpk = xxhash64) rows for the id sidecar —
     the exact-dedup sidecar layout with ids in place of fingerprints."""
@@ -120,15 +165,32 @@ def term_bucket(col, n_term_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_term_buckets)).cast("int")
 
 
+def doc_bucket(col, n_doc_buckets: int):
+    """Forward-sidecar bucket of a document id. The id is CAST TO STRING
+    before hashing so the driver-side twin (``functions/hashing.xxhash64``
+    over ``str(id)``) computes the identical bucket for probe pruning —
+    Spark's xxhash64 of a bigint hashes its 8 raw bytes, which the
+    pure-Python twin does not model."""
+    return F.pmod(
+        F.xxhash64(col.cast("string")), F.lit(n_doc_buckets)
+    ).cast("int")
+
+
 def _check_meta(
     spark, index_dir: str, n_term_buckets: int, id_col: str,
-    id_type: str | None = None,
+    id_type: str | None = None, n_doc_buckets: int | None = None,
 ) -> None:
     """Adopt-or-refuse against the persisted layout; write it if absent
     (the families' shared meta-guard helper — see ``state_store``).
     ``id_type`` (the id column's Spark type, advisory — recorded, never
     validated) lets delete ops burn correctly-typed ids before any data
-    exists."""
+    exists. ``n_doc_buckets`` enables the forward sidecar: NOT an
+    advisory field (the generic backfill would stamp it onto a legacy
+    store whose forward DATA doesn't exist, silently serving empty
+    candidate passes) — it reaches the meta only through
+    :func:`settle_forward_index`, which builds the data first. The
+    stored value always wins over the caller's (the banded index's
+    adoption rule)."""
     from .state_store import adopt_or_refuse_meta
 
     adopt_or_refuse_meta(
@@ -144,15 +206,68 @@ def _check_meta(
         ),
         advisory={"id_type": id_type} if id_type else None,
     )
+    # the adopt path may have just created or advisory-backfilled the
+    # meta: drop any stale memo of it
+    invalidate_probe_memo(index_dir)
+    if n_doc_buckets is not None:
+        settle_forward_index(spark, index_dir, n_doc_buckets)
+
+
+# --- per-(session, store) probe memo -----------------------------------------
+#
+# The probe's fixed per-call overhead (meta py4j read, crash-heal manifest
+# stats, per-bucket dataless listings) is a correctness cost exactly ONCE
+# per session per store — everything it guards against is either immutable
+# (the layout meta), monotone (a bucket with data never loses it except
+# under maintenance/purge), or owner-op-caused (a crashed compaction's
+# journal). So probes memoize per (Spark application id, store):
+#
+# - ``meta``: the layout dict — immutable after creation; the advisory
+#   backfill path (_check_meta) invalidates.
+# - ``healed``: directories recover_dir_compaction already cleared this
+#   session. Sound because only maintenance/purge can CREATE a new crash
+#   journal, and both invalidate the memo at ENTRY — a pass that dies
+#   mid-compaction leaves the memo empty, so the next probe re-heals.
+# - ``nonempty``: postings buckets known to hold data (positive knowledge
+#   only — absence is never memoized, so a stream append that creates a
+#   bucket between probes is picked up by the next listing).
+#
+# Cross-session limits are the SAME single-writer contract the heal path
+# already documents: maintenance never runs concurrently with a probe of
+# the same store. A foreign session's writes between this session's
+# probes are appends (visible: never memoized away) or its own
+# maintenance (which must not overlap probes anyway).
+
+_PROBE_MEMO: dict = {}
+
+
+def _memo_for(spark, index_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, index_dir.rstrip("/"))
+    return _PROBE_MEMO.setdefault(
+        key, {"meta": None, "healed": set(), "nonempty": set()}
+    )
+
+
+def invalidate_probe_memo(index_dir: str) -> None:
+    """Drop every session's memo of this store — called at the ENTRY of
+    any op that can rewrite/shrink its directories (maintenance, purge)
+    or change its meta (advisory backfill)."""
+    tag = index_dir.rstrip("/")
+    for k in [k for k in _PROBE_MEMO if k[1] == tag]:
+        del _PROBE_MEMO[k]
 
 
 def load_index_meta(spark, index_dir: str) -> dict:
+    memo = _memo_for(spark, index_dir)
+    if memo["meta"] is not None:
+        return memo["meta"]
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
     if meta is None:
         raise SearchIndexLayoutError(
             f"no _meta.json under {index_dir}: not an incremental search "
             f"index (or its first batch never committed)"
         )
+    memo["meta"] = meta
     return meta
 
 
@@ -174,24 +289,409 @@ def _postings_bucket_dirs(spark, index_dir: str) -> list[str]:
     ]
 
 
-def recover_search_index(spark, index_dir: str, buckets: list[int] | None = None) -> None:
+def recover_search_index(
+    spark,
+    index_dir: str,
+    buckets: list[int] | None = None,
+    memoize: bool = True,
+) -> None:
     """Heal any crashed compaction on the index's append-per-batch
     directories (doclen + the postings buckets — ``buckets=None`` walks
     all of them, a bounded ≤ n_term_buckets listing; a probe passes just
     its query terms' buckets). Must run before reading an index a dead
     maintenance pass may have left mid-merge — the owners (the stream
     processor at open, :func:`bm25_over_index` per probe,
-    :func:`maintain_search_index` itself) all do."""
-    from .state_store import recover_dir_compaction
-
-    recover_dir_compaction(spark, _doclen_dir(index_dir))
+    :func:`maintain_search_index` itself) all do. Directories healed
+    once this session are skipped via the probe memo (sound: only
+    maintenance/purge create new journals, and they invalidate the memo
+    at entry). ``memoize=False`` is for those owner ops themselves: they
+    are ABOUT to write new journals, so their pre-pass must neither trust
+    nor populate the memo."""
     if buckets is None:
         dirs = _postings_bucket_dirs(spark, index_dir)
     else:
         pdir = _postings_dir(index_dir)
         dirs = [f"{pdir}/tb={b}" for b in buckets]
+    _recover_dirs(
+        spark, index_dir, [_doclen_dir(index_dir)] + dirs, memoize=memoize
+    )
+
+
+def _recover_dirs(spark, index_dir: str, dirs, memoize: bool = True) -> None:
+    """Heal crashed compactions on the given directories, skipping ones
+    the probe memo already cleared this session (see the memo contract)."""
+    from .state_store import recover_dir_compaction
+
+    healed = _memo_for(spark, index_dir)["healed"] if memoize else set()
     for d in dirs:
-        recover_dir_compaction(spark, d)
+        if d not in healed:
+            recover_dir_compaction(spark, d)
+            healed.add(d)
+
+
+def _live_bucket_paths(
+    spark, index_dir: str, root_dir: str, names: list[str]
+) -> list[str]:
+    """The subset of ``root_dir/<name>`` partition directories that exist
+    AND hold data files, memo-aware: buckets known non-empty skip the
+    listings entirely (positive knowledge only — see the memo contract).
+    A dir can exist with ZERO data files (an all-rows-tombstoned merge
+    journals final=None and deletes every input) — schema inference over
+    it would crash the probe, so dataless dirs are skipped like absent
+    ones. ≤ |names| bounded listings."""
+    memo_ne = _memo_for(spark, index_dir)["nonempty"]
+    paths: list[str] = []
+    unknown: list[str] = []
+    for name in names:
+        d = f"{root_dir}/{name}"
+        if d in memo_ne:
+            paths.append(d)
+        else:
+            unknown.append(name)
+    if unknown:
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(root_dir)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            from .banded_index import hadoop_list_names
+
+            existing = set(hadoop_list_names(jvm, fs, jp))
+            for name in unknown:
+                if name not in existing:
+                    continue
+                d = f"{root_dir}/{name}"
+                if any(
+                    not st.getPath().getName().startswith(("_", "."))
+                    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
+                ):
+                    paths.append(d)
+                    memo_ne.add(d)
+        paths.sort()
+    return paths
+
+
+def detect_search_index(
+    spark, index_dir: str, buckets: list[int] | None = None
+) -> None:
+    """READ-ONLY twin of :func:`recover_search_index`: raise
+    :class:`state_store.InFlightRecoveryError` when any of the index's
+    directories carries an unhealed compaction journal, instead of
+    repairing it. For multi-session consumers outside the single-writer
+    contract (``bm25_over_index(heal="detect")``): repairing renames and
+    deletes files, which only the store's owner may do — a read-only
+    probe racing the owner's own recovery could otherwise double-heal."""
+    from .state_store import InFlightRecoveryError, detect_dir_compaction
+
+    dirs = [_doclen_dir(index_dir)]
+    if buckets is None:
+        dirs += _postings_bucket_dirs(spark, index_dir)
+    else:
+        pdir = _postings_dir(index_dir)
+        dirs += [f"{pdir}/tb={b}" for b in buckets]
+    for d in dirs:
+        if detect_dir_compaction(spark, d):
+            raise InFlightRecoveryError(
+                f"search index at {index_dir}: unhealed compaction journal "
+                f"under {d} — a maintenance pass died mid-merge. Read-only "
+                f"probes must not repair; the owner heals it via "
+                f"recover_search_index / maintain_search_index (or any "
+                f"owner-side probe with heal='repair')."
+            )
+
+
+def settle_forward_index(
+    spark, index_dir: str, n_doc_buckets: int = 32
+) -> int:
+    """Ensure the doc-major forward sidecar exists and is meta-gated;
+    returns the effective bucket count. Idempotent: a store that already
+    has ``n_doc_buckets`` in its meta AND a forward directory (or no
+    postings at all) is untouched. Otherwise the sidecar is BACKFILLED
+    from the postings store (one full index read — the same one-time,
+    index-proportional settlement the ``_docidx`` sidecar gets), staged
+    to ``forward_fwtmp`` and renamed, and only THEN does the meta gain
+    the gate field — a crash anywhere re-runs the backfill; probes never
+    see the field without complete data. Owner op (single-writer
+    window)."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless
+    from .banded_index import hadoop_write_json
+
+    meta = load_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    ndb = int(meta.get("n_doc_buckets", n_doc_buckets))
+    fdir = _forward_dir(index_dir)
+    jvm = spark._jvm
+    fp = jvm.org.apache.hadoop.fs.Path(fdir)
+    fs = fp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if "n_doc_buckets" in meta and fs.exists(fp):
+        return ndb  # settled: one memo'd meta read + one stat
+    post = None
+    try:
+        post = spark.read.parquet(_postings_dir(index_dir))
+        post.schema
+    except AnalysisException as exc:
+        if not is_missing_or_dataless(exc):
+            raise
+    if "n_doc_buckets" in meta and post is None:
+        return ndb  # gate present, nothing to build from (fresh/purged)
+    if post is not None:
+        tmp = index_dir.rstrip("/") + "/forward_fwtmp"
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        (
+            post.select("term", id_col, "tf")
+            .withColumn("db", doc_bucket(F.col(id_col), ndb))
+            .repartition("db")
+            .write.partitionBy("db")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        if fs.exists(fp):  # stale partial from a crashed settle
+            fs.delete(fp, True)
+        if not fs.rename(tmp_p, fp):
+            raise RuntimeError(
+                f"forward settle: rename {tmp} -> {fdir} failed"
+            )
+    if "n_doc_buckets" not in meta:
+        meta2 = dict(meta)
+        meta2["n_doc_buckets"] = ndb
+        hadoop_write_json(
+            spark, index_dir.rstrip("/") + "/" + _META, meta2
+        )
+    invalidate_probe_memo(index_dir)
+    return ndb
+
+
+def forward_terms_for_docs(
+    spark,
+    index_dir: str,
+    ids: list,
+    id_col: str = "doc_id",
+    tomb=_UNSET,
+    revs=_UNSET,
+    heal="repair",
+) -> DataFrame:
+    """(term, id, tf) rows of the given documents, read from ≤ |ids|
+    ``db=`` buckets of the forward sidecar — the doc-major path for
+    data-derived term passes (Rocchio candidate vocabulary). The ids are
+    a bounded query constant (fb_k), so their buckets are computed
+    DRIVER-SIDE with the parity-pinned pure-Python xxhash64 over
+    ``str(id)`` (matching :func:`doc_bucket`'s cast-to-string). ``tomb``
+    and ``revs`` follow the composite-probe convention: the caller
+    resolves them once (None = caller checked, nothing to apply).
+    Raises :class:`SearchIndexLayoutError` when the store has no forward
+    sidecar — run :func:`settle_forward_index`."""
+    from ..functions.hashing import pmod_bucket, xxhash64 as _xxh
+
+    meta = load_index_meta(spark, index_dir)
+    if "n_doc_buckets" not in meta:
+        raise SearchIndexLayoutError(
+            f"search index at {index_dir} has no forward sidecar — run "
+            f"settle_forward_index (or rebuild) before doc-major probes"
+        )
+    ndb = int(meta["n_doc_buckets"])
+    dbs = sorted({pmod_bucket(_xxh(str(i)), ndb) for i in ids})
+    fdir = _forward_dir(index_dir)
+    dirs = [f"{fdir}/db={b}" for b in dbs]
+    if heal == "detect":
+        from .state_store import InFlightRecoveryError, detect_dir_compaction
+
+        for d in dirs:
+            if detect_dir_compaction(spark, d):
+                raise InFlightRecoveryError(
+                    f"forward sidecar at {fdir}: unhealed compaction "
+                    f"journal under {d} — read-only probes must not "
+                    f"repair (owner: maintain_search_index)."
+                )
+    elif heal:
+        _recover_dirs(spark, index_dir, dirs)
+    paths = _live_bucket_paths(spark, index_dir, fdir, [f"db={b}" for b in dbs])
+    if not paths:
+        idt = meta.get("id_type", "bigint")
+        out = spark.createDataFrame(
+            [], f"term string, {id_col} {idt}, tf bigint"
+        )
+    else:
+        out = (
+            spark.read.option("basePath", fdir)
+            .parquet(*paths)
+            .filter(F.col("db").isin(dbs) & F.col(id_col).isin(ids))
+            .select("term", id_col, "tf")
+        )
+    if revs is _UNSET:
+        revs = read_revisions(spark, index_dir, id_col)
+    out = _apply_revisions(
+        spark, index_dir, out, id_col, revs,
+        terms=None, doc_ids=ids,
+    )
+    if tomb is _UNSET:
+        tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
+    if tomb is not None:
+        out = out.join(tomb, id_col, "left_anti")
+    return out
+
+
+def read_revisions(spark, index_dir: str, id_col: str = "doc_id"):
+    """Current revision per revised doc — (id, rev = max marker), or None
+    when no revise was ever issued (ONE filesystem stat, the
+    read_tombstones discipline). Broadcast-hinted under the same byte
+    threshold as tombstones (revised sets are edit-rate-bounded; a set
+    grown past driver scale degrades to a shuffle join)."""
+    from .tombstones import TOMBSTONE_BROADCAST_MAX_BYTES
+
+    jvm = spark._jvm
+    rdir = _revisions_dir(index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(rdir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    nbytes = sum(
+        st.getLen()
+        for st in fs.listStatus(p)
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+    df = (
+        spark.read.parquet(rdir)
+        .groupBy(id_col)
+        .agg(F.max("rev").alias("rev"))
+    )
+    if nbytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+        df = F.broadcast(df)
+    return df
+
+
+def _apply_revisions(
+    spark, index_dir: str, main: DataFrame, id_col: str, revs,
+    terms: list[str] | None = None, doc_ids: list | None = None,
+    doclen: bool = False,
+):
+    """Resolve document revisions over a main-store read: drop every
+    revised id's stale rows, union in the ``_rev`` sidecar rows at each
+    id's LATEST rev. ``revs`` is the resolved marker frame (None = no
+    revise ever issued — zero added plan). ``terms``/``doc_ids`` push
+    the caller's pruning into the sidecar read; ``doclen=True`` reads
+    the (id, rev, dl) sidecar instead of (id, rev, term, tf)."""
+    if revs is None:
+        return main
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless
+
+    out = main.join(revs.select(id_col), id_col, "left_anti")
+    rdir = _rev_doclen_dir(index_dir) if doclen else _rev_terms_dir(index_dir)
+    try:
+        side = spark.read.parquet(rdir)
+        side.schema
+    except AnalysisException as exc:
+        if not is_missing_or_dataless(exc):
+            raise
+        return out  # markers without rows: nothing newer to serve
+    if terms is not None:
+        side = side.filter(F.col("term").isin(terms))
+    if doc_ids is not None:
+        side = side.filter(F.col(id_col).isin(doc_ids))
+    # inner join on (id, rev) keeps exactly the latest revision's rows
+    side = side.join(revs, [id_col, "rev"], "left_semi")
+    cols = [id_col, "dl"] if doclen else ["term", id_col, "tf"]
+    return out.unionByName(side.select(*cols))
+
+
+def revise_search_document(
+    spark, index_dir: str, doc_id, new_text: str
+) -> int:
+    """UPDATE a document's indexed content in place — the reference's
+    routine upsert-overwrites-and-re-embeds behavior
+    (/root/reference/src/loader/service.py:324-422) for the append-only
+    index: the old rows are never rewritten; instead the new content is
+    indexed under a VERSIONED identity into the ``_rev`` sidecar and a
+    monotone (id, rev) marker makes every probe serve the latest rev
+    (older revs and the main-store rows are anti-joined away). An id
+    with no prior index entry is inserted (upsert semantics). Physical
+    absorption of revisions happens at index REBUILD (fingerprint-keyed
+    stores rebuild at a new path; an in-place rebuild must also drop the
+    ``_rev``/``_revisions`` siblings).
+
+    NOT for erasure, and refuses burned ids: a tombstoned id was ERASED
+    — serving new content under it would contradict the suppression
+    list, and the dedup families additionally burn the content's
+    FINGERPRINT (a revised near-copy would re-enter the corpus the
+    erased text was purged from), so dedup burns stay permanent by
+    design; route true erase-then-recreate through a new id.
+
+    Crash-safe without a journal: the marker is written LAST, so a death
+    before it leaves the new rows invisible (probes still serve the old
+    rev) and a re-run converges — the sidecar appends are guarded by an
+    (id, rev[, term]) anti-join against what the dead attempt landed.
+    Returns the new revision number. Owner op (single-writer window)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    from ..errors import is_missing_or_dataless
+    from ..functions import text as TXT
+    from .tombstones import read_tombstones
+
+    meta = load_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    tomb = read_tombstones(spark, index_dir, cols=[id_col])
+    if tomb is not None and tomb.filter(F.col(id_col) == F.lit(doc_id)).count():
+        raise ValueError(
+            f"revise refused: id {doc_id!r} is tombstoned (erased) in "
+            f"{index_dir} — erasure burns are permanent; re-ingest under "
+            f"a new id or rebuild the index from a corpus that contains "
+            f"the doc"
+        )
+    revs = read_revisions(spark, index_dir, id_col)
+    cur = 0
+    if revs is not None:
+        row = revs.filter(F.col(id_col) == F.lit(doc_id)).collect()
+        cur = int(row[0]["rev"]) if row else 0
+    new_rev = cur + 1
+    idt = meta.get("id_type", "bigint")
+    one = spark.createDataFrame(
+        [(doc_id, new_text)], f"{id_col} {idt}, text string"
+    )
+    toks = one.select(
+        F.col(id_col), F.explode(TXT.tokens(F.col("text"))).alias("term")
+    )
+    rows = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("rev", F.lit(new_rev).cast("int"))
+        .select(id_col, "rev", "term", "tf")
+    )
+    dl = one.select(
+        F.col(id_col),
+        F.lit(new_rev).cast("int").alias("rev"),
+        F.size(TXT.tokens(F.col("text"))).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    # guarded appends: a re-run after a crash fills only what's missing
+    for frame, d, keys in (
+        (rows, _rev_terms_dir(index_dir), [id_col, "rev", "term"]),
+        (dl, _rev_doclen_dir(index_dir), [id_col, "rev"]),
+    ):
+        try:
+            existing = spark.read.parquet(d).select(*keys)
+            existing.schema
+            frame = frame.join(existing, keys, "left_anti")
+        except AnalysisException as exc:
+            if not is_missing_or_dataless(exc):
+                raise
+        frame.coalesce(1).write.mode("append").parquet(d)
+    # marker LAST: from here the new rev is live everywhere
+    spark.createDataFrame(
+        [(doc_id, new_rev)], f"{id_col} {idt}, rev int"
+    ).coalesce(1).write.mode("append").parquet(_revisions_dir(index_dir))
+    # the revise-side directories get the same bounded-census treatment
+    # as tombstones (one file per revise otherwise)
+    from .state_store import compact_small_files
+
+    invalidate_probe_memo(index_dir)
+    for d in (_rev_terms_dir(index_dir), _rev_doclen_dir(index_dir)):
+        compact_small_files(spark, d)
+    compact_small_files(
+        spark, _revisions_dir(index_dir), transform=lambda df: df.distinct()
+    )
+    return new_rev
 
 
 def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
@@ -231,7 +731,14 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], T.StructType([doclen.schema[id_col]])
         )
-        stored = doclen.join(F.broadcast(ids_df), id_col, "left_semi").count()
+        # distinct ids, not matching rows (doclen could carry crash-replay
+        # residue rows for one id; the report counts documents)
+        stored = (
+            doclen.select(id_col)
+            .join(F.broadcast(ids_df), id_col, "left_semi")
+            .distinct()
+            .count()
+        )
     else:
         # the advisory id_type recorded at index creation keeps even a
         # pre-first-commit burn correctly typed (string-keyed indexes
@@ -243,17 +750,23 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
     ids_df.distinct().coalesce(1).write.mode("append").parquet(
         tombstones_path(index_dir)
     )
+    # bound the tombstone set's own file growth at the source: one append
+    # per erase request forever would otherwise regrow the listing cost
+    # the index families' maintenance just closed
+    from .tombstones import maintain_tombstones
+
+    maintain_tombstones(spark, index_dir)
     return int(stored)
 
 
-def _search_tombstones(spark, index_dir: str, id_col: str):
-    """Distinct tombstoned ids as a (id_col) frame, or None."""
+def _search_tombstones(spark, index_dir: str, id_col: str, heal="repair"):
+    """Distinct tombstoned ids as a (id_col) frame, or None. The frame is
+    broadcast-hinted only while the set is small (read_tombstones'
+    bounded-broadcast escape) — consumers join it as is. ``heal`` follows
+    the probe convention ("repair" owner-side, "detect" read-only)."""
     from .tombstones import read_tombstones
 
-    tomb = read_tombstones(spark, index_dir)
-    if tomb is None:
-        return None
-    return tomb.select(id_col).distinct()
+    return read_tombstones(spark, index_dir, cols=[id_col], heal=heal)
 
 
 def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
@@ -277,7 +790,9 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
 
     meta = load_index_meta(spark, index_dir)
     id_col = meta["id_col"]
-    recover_search_index(spark, index_dir)
+    # purge rewrites/empties directories: probes must re-verify from disk
+    invalidate_probe_memo(index_dir)
+    recover_search_index(spark, index_dir, memoize=False)
     tomb = _search_tombstones(spark, index_dir, id_col)
     if tomb is None:
         return {"buckets_purged": 0, "docs_purged": 0}
@@ -287,7 +802,7 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
         post = spark.read.parquet(pdir)
         tbs = [
             r[0]
-            for r in post.join(F.broadcast(tomb), id_col, "left_semi")
+            for r in post.join(tomb, id_col, "left_semi")
             .select("tb")
             .distinct()
             .collect()
@@ -304,10 +819,42 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
             force=True,
             include_graduated=True,
         )
+    # the forward sidecar's affected db= buckets are computable from the
+    # tombstoned ids alone (db = hash(id)) — one tiny column job
+    if "n_doc_buckets" in meta:
+        fdir = _forward_dir(index_dir)
+        jvm = spark._jvm
+        jfp = jvm.org.apache.hadoop.fs.Path(fdir)
+        ffs = jfp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if ffs.exists(jfp):
+            dbs = [
+                r[0]
+                for r in tomb.select(
+                    doc_bucket(F.col(id_col), int(meta["n_doc_buckets"]))
+                    .alias("db")
+                )
+                .distinct()
+                .collect()
+            ]
+            for b in sorted(dbs):
+                compact_small_files(
+                    spark,
+                    f"{fdir}/db={b}",
+                    exclude=tomb,
+                    exclude_cols=[id_col],
+                    force=True,
+                    include_graduated=True,
+                )
+    # a revised-then-erased doc also has rows in the _rev sidecars
+    for d in (_rev_terms_dir(index_dir), _rev_doclen_dir(index_dir)):
+        compact_small_files(
+            spark, d, exclude=tomb, exclude_cols=[id_col],
+            force=True, include_graduated=True,
+        )
     try:
         docs = (
             spark.read.parquet(_doclen_dir(index_dir))
-            .join(F.broadcast(tomb), id_col, "left_semi")
+            .join(tomb, id_col, "left_semi")
             .count()
         )
     except AnalysisException as exc:
@@ -343,6 +890,9 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
         pp = jvm.org.apache.hadoop.fs.Path(pdir)
         if fs.exists(pp):
             fs.delete(pp, True)
+        fwp = jvm.org.apache.hadoop.fs.Path(_forward_dir(index_dir))
+        if fs.exists(fwp):
+            fs.delete(fwp, True)
     if clear:
         # forget the ids EVERYWHERE: without the tombstone entry burn, a
         # stale _docidx row would make bucketed-mode streams skip a
@@ -375,6 +925,7 @@ def maintain_search_index(
     max_files_per_bucket: int = 8,
     target_segment_bytes: int = 32 << 20,
     fold_tombstones: bool = True,
+    forward_buckets: list[int] | None = None,
 ) -> dict:
     """Bound the postings/doclen small-file growth: every micro-batch
     appends one file per touched ``tb=`` bucket plus one doclen file, so
@@ -392,18 +943,39 @@ def maintain_search_index(
     between batches, never concurrently with a probe)."""
     from .state_store import compact_small_files
 
-    recover_search_index(spark, index_dir, buckets)
+    # maintenance can crash mid-compaction (new journals) and can empty a
+    # bucket (all-rows-tombstoned merge): invalidate BEFORE touching
+    # anything so a death anywhere leaves probes re-verifying from disk
+    invalidate_probe_memo(index_dir)
+    recover_search_index(spark, index_dir, buckets, memoize=False)
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
     tomb = None
-    if fold_tombstones:
-        meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
-        if meta is not None:
-            tomb = _search_tombstones(spark, index_dir, meta["id_col"])
+    if fold_tombstones and meta is not None:
+        tomb = _search_tombstones(spark, index_dir, meta["id_col"])
     ex_cols = [meta["id_col"]] if tomb is not None else None
     if buckets is None:
         dirs = _postings_bucket_dirs(spark, index_dir)
     else:
         pdir = _postings_dir(index_dir)
         dirs = [f"{pdir}/tb={b}" for b in buckets]
+    # the forward sidecar fragments one file per touched db= bucket per
+    # batch, exactly like postings — same census, same fold
+    if meta is not None and "n_doc_buckets" in meta:
+        fdir = _forward_dir(index_dir)
+        if forward_buckets is None:
+            from .banded_index import hadoop_list_names
+
+            jvm = spark._jvm
+            jfp = jvm.org.apache.hadoop.fs.Path(fdir)
+            ffs = jfp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if ffs.exists(jfp):
+                dirs += [
+                    f"{fdir}/{n}"
+                    for n in hadoop_list_names(jvm, ffs, jfp)
+                    if n.startswith("db=")
+                ]
+        else:
+            dirs += [f"{fdir}/db={b}" for b in forward_buckets]
     buckets_compacted = 0
     files_merged = 0
     for d in dirs:
@@ -420,7 +992,33 @@ def maintain_search_index(
         target_bytes=target_segment_bytes,
         exclude=tomb, exclude_cols=ex_cols,
     )
-    return {"buckets_compacted": buckets_compacted, "files_merged": files_merged}
+    # the revise-side directories accrete one file per revise request
+    # (already compacted at revise time past the threshold; this covers
+    # stores revised by a session that died before its compaction)
+    for d in (_rev_terms_dir(index_dir), _rev_doclen_dir(index_dir)):
+        files_merged += compact_small_files(
+            spark, d, max_files=max_files_per_bucket,
+            target_bytes=target_segment_bytes,
+            exclude=tomb, exclude_cols=ex_cols,
+        )
+    files_merged += compact_small_files(
+        spark, _revisions_dir(index_dir), max_files=max_files_per_bucket,
+        transform=lambda df: df.distinct(),
+    )
+    # the tombstone set's OWN lifecycle: every erase request appends one
+    # file forever, so it gets the same size-tiered compaction its index
+    # does. LAST — the `tomb` frame above lazily lists this directory,
+    # and compacting it first would invalidate that listing mid-plan.
+    from .tombstones import maintain_tombstones
+
+    tomb_merged = maintain_tombstones(
+        spark, index_dir, max_files=max_files_per_bucket
+    )
+    return {
+        "buckets_compacted": buckets_compacted,
+        "files_merged": files_merged,
+        "tombstone_files_merged": tomb_merged,
+    }
 
 
 def make_search_index_processor(
@@ -432,15 +1030,24 @@ def make_search_index_processor(
     history_probe: str = "bucketed",
     maintain_every: int | None = 16,
     maintain_max_files: int = 8,
+    n_doc_buckets: int | None = 32,
     fs_options: dict | None = None,
 ):
     """The ``foreachBatch`` processor behind :func:`start_incremental_search_index`,
     exposed so tests and batch backfills can drive micro-batches directly.
 
     Contract: the index is append-only per document id — a replayed or
-    re-sent id is skipped (its first indexed text wins). Re-indexing
-    changed documents belongs to a rebuild, exactly like the IVF add
-    path's frozen-quantizer contract."""
+    re-sent id is skipped (its first indexed text wins). Re-indexing a
+    changed document goes through :func:`revise_search_document` (the
+    versioned-identity UPDATE path) or a rebuild.
+
+    ``n_doc_buckets`` maintains the doc-major FORWARD sidecar alongside
+    the postings (settled/backfilled at open for pre-forward stores; the
+    stored bucket count always wins; None disables). Its per-batch
+    append mirrors the postings append — same deterministic append-id
+    replay idempotence (suffix ``f``), same guarded heal path, same
+    committer fallback — so the two layouts stay row-identical under
+    every crash window the postings survive."""
     from ..functions import text as T
 
     if history_probe not in ("bucketed", "scan"):
@@ -467,6 +1074,9 @@ def make_search_index_processor(
     # walk.
     dirty_tb: set[int] = set()
     dirty_unknown: list[bool] = []
+    dirty_db: set[int] = set()
+    fw_resolved: list = []  # cached (kind, dest) for the forward append
+    fw_ndb: list = []  # effective n_doc_buckets from the settled meta
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -482,7 +1092,12 @@ def make_search_index_processor(
             _check_meta(
                 spark, index_dir, n_term_buckets, id_col,
                 id_type=batch_df.schema[id_col].dataType.simpleString(),
+                n_doc_buckets=n_doc_buckets,
             )
+            meta = load_index_meta(spark, index_dir)
+            # the stored layout wins (None = store predates the sidecar
+            # and the caller disabled settling)
+            fw_ndb.append(meta.get("n_doc_buckets"))
             meta_ok.append(True)
         use_index = history_probe == "bucketed"
         # Intra-batch winner must be DETERMINISTIC (min text per id), not
@@ -507,7 +1122,7 @@ def make_search_index_processor(
         # the probe's anti-join and folded out by maintenance.
         tomb = _search_tombstones(spark, index_dir, id_col)
         if tomb is not None:
-            fresh = fresh.join(F.broadcast(tomb), id_col, "left_anti")
+            fresh = fresh.join(tomb, id_col, "left_anti")
         doclen_dir = _doclen_dir(index_dir)
         hist = None
         try:
@@ -676,6 +1291,60 @@ def make_search_index_processor(
             finally:
                 post.unpersist()
 
+        def forward_of(post: DataFrame) -> DataFrame:
+            return post.select("term", id_col, "tf").withColumn(
+                "db", doc_bucket(F.col(id_col), int(fw_ndb[0]))
+            )
+
+        def _anti_join_existing_fw(fw: DataFrame) -> DataFrame:
+            """Forward twin of _anti_join_existing: (term, doc) rows not
+            already under the batch's own db= buckets."""
+            dbs = [r[0] for r in fw.select("db").distinct().collect()]
+            if not dbs:
+                return fw
+            try:
+                existing = (
+                    spark.read.parquet(_forward_dir(index_dir))
+                    .filter(F.col("db").isin(dbs))
+                    .select("term", id_col)
+                )
+                existing.schema
+            except AnalysisException as exc:
+                if not is_path_not_found(exc):
+                    raise
+                return fw
+            return fw.join(existing, ["term", id_col], "left_anti")
+
+        def append_forward(fw: DataFrame, aid: str, guard: bool) -> None:
+            """The postings append's contract, verbatim, for the forward
+            sidecar (deterministic-name replay idempotence via the
+            ``f``-suffixed append id; guarded heal; committer fallback
+            degrades the next maintenance tick to a full walk)."""
+            fw = fw.persist()
+            try:
+                fw_w = _anti_join_existing_fw(fw).persist() if guard else fw
+                written = direct_partitioned_append(
+                    fw_w,
+                    _forward_dir(index_dir),
+                    "db",
+                    fs_options=fs_options,
+                    resolved=fw_resolved[0] if fw_resolved else None,
+                    append_id=aid,
+                )
+                if written is not None:
+                    dirty_db.update(written)
+                if written is None:
+                    final = fw_w if guard else _anti_join_existing_fw(fw_w)
+                    final.repartition("db").write.partitionBy("db").mode(
+                        "append"
+                    ).parquet(_forward_dir(index_dir))
+                    if not dirty_unknown:
+                        dirty_unknown.append(True)
+                if guard:
+                    fw_w.unpersist()
+            finally:
+                fw.unpersist()
+
         if not resolved_dest:
             from .banded_index import _resolve_direct_destination
 
@@ -686,6 +1355,13 @@ def make_search_index_processor(
             # (pyarrow construction / JNI load) must run once per stream,
             # not once per micro-batch
             resolved_dest.append((kind, dest))
+        if fw_ndb[0] is not None and not fw_resolved:
+            from .banded_index import _resolve_direct_destination
+
+            kind, dest, _ = _resolve_direct_destination(
+                spark, _forward_dir(index_dir)
+            )
+            fw_resolved.append((kind, dest))
 
         if use_index and need_heal and replayed is not None:
             # docs recorded in doclen whose postings/docidx rows the
@@ -694,7 +1370,12 @@ def make_search_index_processor(
             # attempt's (unknowable) append id, and sharing the main
             # append's id would let a heal that writes files make the main
             # append's same-band files skip
-            append_postings(postings_of(replayed), append_id + "h", guard=True)
+            repl_post = postings_of(replayed)
+            append_postings(repl_post, append_id + "h", guard=True)
+            if fw_ndb[0] is not None:
+                append_forward(
+                    forward_of(repl_post), append_id + "hf", guard=True
+                )
             from ._exact_guard import _heal_exact_index
 
             _heal_exact_index(spark, docidx, _id_pairs(replayed, id_col))
@@ -716,8 +1397,11 @@ def make_search_index_processor(
             # postings FIRST: this append is replay-idempotent, so a crash
             # anywhere before the doclen commit replays cleanly in BOTH
             # guard modes (scan mode has no marker — it must not have a
-            # loss window after doclen)
+            # loss window after doclen). The forward append sits in the
+            # same pre-doclen window under the same idempotence.
             append_postings(post, append_id, guard=False)
+            if fw_ndb[0] is not None:
+                append_forward(forward_of(post), append_id + "f", guard=False)
             if use_index:
                 docidx.mark_inflight(spark)
             (
@@ -742,9 +1426,11 @@ def make_search_index_processor(
                 spark,
                 index_dir,
                 buckets=None if dirty_unknown else sorted(dirty_tb),
+                forward_buckets=None if dirty_unknown else sorted(dirty_db),
                 max_files_per_bucket=maintain_max_files,
             )
             dirty_tb.clear()
+            dirty_db.clear()
             dirty_unknown.clear()
 
     return process
@@ -784,24 +1470,26 @@ def start_incremental_search_index(
     return writer.start()
 
 
-# sentinel distinguishing "resolve tombstones yourself" from an explicit
-# None (caller already checked: no deletes exist)
-_UNSET = object()
-
-
 def pruned_postings(
     spark,
     index_dir: str,
     terms: list[str],
     id_col: str = "doc_id",
     tomb=_UNSET,
-    heal: bool = True,
+    revs=_UNSET,
+    heal="repair",
 ) -> DataFrame:
     """(term, id, tf) posting lists for a term set, pruned to the terms'
     ``tb=`` buckets, crash-healed (a dead maintenance pass may have left
     a merged segment and its inputs simultaneously visible), and
     tombstone-filtered. The shared probe plumbing under every lexical
     query, batch or stream.
+
+    ``heal`` is the probe's writer-contract mode: ``"repair"`` (or True
+    — the owner default) runs the crash heal; ``"detect"`` NEVER mutates
+    — it raises ``InFlightRecoveryError`` on an unhealed journal, for
+    read-only consumers outside the single-writer contract; ``False``
+    skips (a composite caller already did it).
 
     The probe's fixed overhead is engineered out of the hot path
     (measured ~0.6 s of a ~1.2 s wall before round 12's tuning):
@@ -825,54 +1513,56 @@ def pruned_postings(
     meta = load_index_meta(spark, index_dir)
     ntb = int(meta["n_term_buckets"])
     tbs = sorted({pmod_bucket(_xxh(t), ntb) for t in terms})
-    if heal:
+    if heal == "detect":
+        detect_search_index(spark, index_dir, buckets=tbs)
+    elif heal:
         recover_search_index(spark, index_dir, buckets=tbs)
     pdir = _postings_dir(index_dir)
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(pdir)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    paths: list[str] = []
-    if fs.exists(jp):
-        from .banded_index import hadoop_list_names
-
-        existing = set(hadoop_list_names(jvm, fs, jp))
-        for b in tbs:
-            if f"tb={b}" not in existing:
-                continue
-            # a bucket dir can exist with ZERO data files (an all-rows-
-            # tombstoned merge journals final=None and deletes every
-            # input) — schema inference over it would crash the probe,
-            # so dataless dirs are skipped like absent ones. ≤ |terms|
-            # bounded listings.
-            d = f"{pdir}/tb={b}"
-            if any(
-                not st.getPath().getName().startswith(("_", "."))
-                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
-            ):
-                paths.append(d)
+    paths = _live_bucket_paths(
+        spark, index_dir, pdir, [f"tb={b}" for b in tbs]
+    )
     if not paths:
-        idt = meta.get(
-            "id_type", "bigint"
-        )  # advisory, recorded at index creation
-        return spark.createDataFrame(
+        # type the empty frame from doclen's ACTUAL id field when one is
+        # readable — a pre-advisory string-keyed store probed while its
+        # buckets are empty would otherwise get the advisory default
+        # (bigint) and join doclen through an implicit cast
+        idt = None
+        try:
+            dl = spark.read.parquet(_doclen_dir(index_dir))
+            idt = dl.schema[id_col].dataType.simpleString()
+        except Exception:  # noqa: BLE001 - absent/dataless: fall back
+            pass
+        if idt is None:
+            idt = meta.get(
+                "id_type", "bigint"
+            )  # advisory, recorded at index creation
+        postings = spark.createDataFrame(
             [], f"term string, {id_col} {idt}, tf bigint"
         )
-    postings = (
-        spark.read.option("basePath", pdir)
-        .parquet(*paths)
-        .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
-        .select("term", id_col, "tf")
+    else:
+        postings = (
+            spark.read.option("basePath", pdir)
+            .parquet(*paths)
+            .filter(F.col("tb").isin(tbs) & F.col("term").isin(terms))
+            .select("term", id_col, "tf")
+        )
+    # revised docs rank under their LATEST content everywhere (even when
+    # the main buckets are empty — an insert-via-revise has no main rows)
+    if revs is _UNSET:
+        revs = read_revisions(spark, index_dir, id_col)
+    postings = _apply_revisions(
+        spark, index_dir, postings, id_col, revs, terms=terms
     )
     if tomb is _UNSET:
-        tomb = _search_tombstones(spark, index_dir, id_col)
+        tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
     if tomb is not None:
-        postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
+        postings = postings.join(tomb, id_col, "left_anti")
     return postings
 
 
 def index_doclen(
     spark, index_dir: str, id_col: str = "doc_id", tomb=_UNSET,
-    heal: bool = True,
+    revs=_UNSET, heal="repair",
 ) -> DataFrame:
     """The doclen sidecar minus tombstoned docs — so BM25's corpus stats
     (N, avgdl) and df exclude logically-deleted docs exactly as a
@@ -883,7 +1573,9 @@ def index_doclen(
 
     from ..errors import is_missing_or_dataless
 
-    if heal:
+    if heal == "detect":
+        detect_search_index(spark, index_dir, buckets=[])
+    elif heal:
         recover_search_index(spark, index_dir, buckets=[])
     try:
         doclen = spark.read.parquet(_doclen_dir(index_dir))
@@ -894,16 +1586,21 @@ def index_doclen(
         if not is_missing_or_dataless(exc):
             raise
         idt = load_index_meta(spark, index_dir).get("id_type", "bigint")
-        return spark.createDataFrame([], f"{id_col} {idt}, dl bigint")
+        doclen = spark.createDataFrame([], f"{id_col} {idt}, dl bigint")
+    if revs is _UNSET:
+        revs = read_revisions(spark, index_dir, id_col)
+    doclen = _apply_revisions(
+        spark, index_dir, doclen, id_col, revs, doclen=True
+    )
     if tomb is _UNSET:
-        tomb = _search_tombstones(spark, index_dir, id_col)
+        tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
     if tomb is not None:
-        doclen = doclen.join(F.broadcast(tomb), id_col, "left_anti")
+        doclen = doclen.join(tomb, id_col, "left_anti")
     return doclen
 
 
 def index_postings_full(
-    spark, index_dir: str, id_col: str = "doc_id", tomb=_UNSET
+    spark, index_dir: str, id_col: str = "doc_id", tomb=_UNSET, revs=_UNSET
 ) -> DataFrame:
     """The FULL postings frame (every bucket) minus tombstoned docs — for
     passes whose term set is data-derived rather than query-derived
@@ -911,11 +1608,16 @@ def index_postings_full(
     Corpus-proportional by construction; the tombstone anti-join keeps
     even these passes purge-invariant."""
     recover_search_index(spark, index_dir)
-    df = spark.read.parquet(_postings_dir(index_dir))
+    df = spark.read.parquet(_postings_dir(index_dir)).select(
+        "term", id_col, "tf"
+    )
+    if revs is _UNSET:
+        revs = read_revisions(spark, index_dir, id_col)
+    df = _apply_revisions(spark, index_dir, df, id_col, revs)
     if tomb is _UNSET:
         tomb = _search_tombstones(spark, index_dir, id_col)
     if tomb is not None:
-        df = df.join(F.broadcast(tomb), id_col, "left_anti")
+        df = df.join(tomb, id_col, "left_anti")
     return df
 
 
@@ -925,6 +1627,7 @@ def bm25_over_index(
     terms: list[str],
     topn: int = 10,
     id_col: str = "doc_id",
+    heal: str = "repair",
 ) -> DataFrame:
     """BM25 top-``topn`` over the shared index layout (stream-maintained
     or batch-staged — one artifact since round 12): the query terms'
@@ -937,13 +1640,16 @@ def bm25_over_index(
     so stream-maintained and batch-staged indexes rank identically."""
     from ..operators.search import bm25_topk
 
-    # one tombstone resolution + one heal for both reads (pruned_postings'
-    # heal covers the query buckets AND doclen)
-    tomb = _search_tombstones(spark, index_dir, id_col)
+    # one tombstone resolution + one heal/detect pass for both reads
+    # (pruned_postings' pass covers doclen AND the query buckets in
+    # either mode, so index_doclen skips its own)
+    tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
+    revs = read_revisions(spark, index_dir, id_col)
     postings = pruned_postings(
-        spark, index_dir, terms, id_col=id_col, tomb=tomb
+        spark, index_dir, terms, id_col=id_col, tomb=tomb, revs=revs,
+        heal=heal,
     )
     doclen = index_doclen(
-        spark, index_dir, id_col=id_col, tomb=tomb, heal=False
+        spark, index_dir, id_col=id_col, tomb=tomb, revs=revs, heal=False
     )
     return bm25_topk(postings, doclen, terms, id_col=id_col, topn=topn)

@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import winnow_fingerprints
+from .tombstones import NULL_TEXT_SENTINEL
 from ._exact_guard import (
     _exact_pairs,
     _fpk,
@@ -196,8 +197,8 @@ def make_span_dedup_processor(
             # burned ids AND fingerprints: erased content (or a row
             # reusing its id) can never re-enter the corpus
             fresh = fresh.join(
-                F.broadcast(tomb.select(id_col)), id_col, "left_anti"
-            ).join(F.broadcast(tomb.select("fp")), "fp", "left_anti")
+                tomb.select(id_col), id_col, "left_anti"
+            ).join(tomb.select("fp"), "fp", "left_anti")
         try:
             hist = spark.read.parquet(corpus_dir)
         except AnalysisException as exc:
@@ -287,7 +288,7 @@ def make_span_dedup_processor(
                 # scan mode, or post-crash heal: the corpus fp column is
                 # the authority (the exact index may be missing rows)
                 hkeys = hist.select(
-                    F.coalesce("fp", F.lit("null-text")).alias("fp"),
+                    F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp"),
                     F.col(id_col),
                 )
                 if need_heal:
@@ -333,7 +334,7 @@ def make_span_dedup_processor(
                     # erased docs stop generating span candidates NOW —
                     # identical behavior before and after physical purge
                     idx_rows = idx_rows.join(
-                        F.broadcast(tomb.select(F.col(id_col).alias("id"))),
+                        tomb.select(F.col(id_col).alias("id")),
                         "id",
                         "left_anti",
                     )
@@ -378,7 +379,7 @@ def make_span_dedup_processor(
                 htarget = hist
                 if tomb is not None:
                     htarget = hist.join(
-                        F.broadcast(tomb.select(id_col)), id_col, "left_anti"
+                        tomb.select(id_col), id_col, "left_anti"
                     )
                 hist_fps = htarget.select(
                     F.col(id_col).alias("id"), F.explode("wfps").alias("fp")

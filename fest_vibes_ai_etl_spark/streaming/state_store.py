@@ -58,6 +58,30 @@ _STAGE_PREFIX = "_cstage-"
 logger = logging.getLogger(__name__)
 
 
+class InFlightRecoveryError(RuntimeError):
+    """A crash journal (compaction manifest / staged swap) exists and the
+    caller is a READ-ONLY consumer that must not repair it — repairing
+    mutates the filesystem, which is only safe for the store's single
+    writer. The message names the owner op that heals it."""
+
+
+def detect_dir_compaction(spark: SparkSession, dir_path: str) -> bool:
+    """True when ``dir_path`` carries an unhealed compaction journal —
+    the read-only twin of :func:`recover_dir_compaction` (one stat, no
+    mutation). A read-only probe that sees True must raise instead of
+    healing: between the journal write and the final rename the
+    directory is still consistent (staging is invisible), but AFTER the
+    rename a raw read sees the merged segment and its inputs
+    simultaneously, so 'manifest present' is the conservative refusal
+    point for a consumer that cannot tell which side of the rename it
+    is on."""
+    jvm, fs, _ = _fs_for(spark, dir_path)
+    man_p = jvm.org.apache.hadoop.fs.Path(
+        dir_path.rstrip("/") + "/" + _MANIFEST
+    )
+    return bool(fs.exists(man_p))
+
+
 # --- layout meta -----------------------------------------------------------
 
 
@@ -123,14 +147,31 @@ def _fs_for(spark: SparkSession, path: str):
     return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
 
 
+def _gone_race(fs, path) -> bool:
+    """True when a failed delete/rename is explained by the target no
+    longer existing — i.e. a CONCURRENT recovery of the same crash won
+    the race (two probes healing one dead maintenance pass; the
+    exists-then-act window is not atomic on all filesystems). The loser
+    re-checks state and moves on instead of failing the probe."""
+    try:
+        return not fs.exists(path)
+    except Exception:  # noqa: BLE001 - can't re-check: treat as real
+        return False
+
+
 def _delete_inputs(fs, jvm, dir_path: str, names: list[str]) -> None:
     """Drop a completed merge's input files (idempotent — recovery re-runs
-    it for any inputs a crash left behind). Split out so crash tests can
+    it for any inputs a crash left behind, and a concurrent recovery that
+    already deleted one is tolerated). Split out so crash tests can
     inject a death between the rename and the deletes."""
     for name in names:
         p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/" + name)
-        if fs.exists(p):
-            fs.delete(p, False)
+        try:
+            if fs.exists(p):
+                fs.delete(p, False)
+        except Exception:  # noqa: BLE001 - py4j-wrapped IOException
+            if not _gone_race(fs, p):
+                raise
 
 
 def recover_dir_compaction(spark: SparkSession, dir_path: str) -> None:
@@ -144,7 +185,12 @@ def recover_dir_compaction(spark: SparkSession, dir_path: str) -> None:
     man_p = jvm.org.apache.hadoop.fs.Path(man_path)
     if not fs.exists(man_p):
         return
-    man = hadoop_read_json(spark, man_path)
+    try:
+        man = hadoop_read_json(spark, man_path)
+    except Exception:  # noqa: BLE001 - a concurrent recovery dropped it
+        if _gone_race(fs, man_p):
+            return
+        raise
     if man is None:  # torn manifest cannot exist (atomic write) — stale tmp
         return
     final = man.get("final")
@@ -158,7 +204,11 @@ def recover_dir_compaction(spark: SparkSession, dir_path: str) -> None:
         # segment): the inputs' rows were all tombstoned, deletion IS the
         # compaction — roll forward either way
         _delete_inputs(fs, jvm, dir_path, man.get("inputs", []))
-    fs.delete(man_p, False)
+    try:
+        fs.delete(man_p, False)
+    except Exception:  # noqa: BLE001 - concurrent recovery dropped it
+        if not _gone_race(fs, man_p):
+            raise
 
 
 def compact_small_files(
@@ -170,6 +220,7 @@ def compact_small_files(
     exclude_cols: list[str] | None = None,
     force: bool = False,
     include_graduated: bool = False,
+    transform=None,
 ) -> int:
     """Merge one directory's small parquet files (< ``target_bytes``) into
     a single segment when more than ``max_files`` of them accumulated;
@@ -178,11 +229,15 @@ def compact_small_files(
     ``exclude`` (with ``exclude_cols`` join keys) anti-joins rows out of
     the merged segment — the tombstone fold hook: rows in graduated
     segments survive until their segment is itself rewritten (probes
-    anti-join tombstones regardless). ``force=True`` compacts (and folds)
-    even below the file-count threshold, and ``include_graduated=True``
-    rewrites the graduated segments too (one output segment, whatever
-    its size) — together, the purge path: a physical erase must reach
-    every file.
+    anti-join tombstones regardless). The exclude frame's OWN broadcast
+    hint (or absence) governs the join strategy — callers pass frames
+    from ``read_tombstones``, which applies the bounded-broadcast escape.
+    ``transform`` (df → df) rewrites the merged rows (the tombstone set's
+    own maintenance passes ``distinct``). ``force=True`` compacts (and
+    folds) even below the file-count threshold, and
+    ``include_graduated=True`` rewrites the graduated segments too (one
+    output segment, whatever its size) — together, the purge path: a
+    physical erase must reach every file.
 
     Single-writer discipline: call between batches, never concurrently
     with a probe of the same directory. Crash-safe via the manifest
@@ -216,9 +271,9 @@ def compact_small_files(
     stage = dir_path.rstrip("/") + "/" + _STAGE_PREFIX + tok
     df = spark.read.parquet(*[str(p) for p in small])
     if exclude is not None:
-        from pyspark.sql import functions as F
-
-        df = df.join(F.broadcast(exclude), exclude_cols, "left_anti")
+        df = df.join(exclude, exclude_cols, "left_anti")
+    if transform is not None:
+        df = transform(df)
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     stage_p = jvm.org.apache.hadoop.fs.Path(stage)
     parts = [

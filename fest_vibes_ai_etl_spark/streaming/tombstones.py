@@ -38,6 +38,16 @@ Single-writer discipline throughout: deletes and purges run between
 batches of the one stream that owns the corpus, never concurrently with
 it. Tombstone appends are idempotent (rows are deduped at read), so a
 re-issued delete is harmless.
+
+The tombstone set has its OWN lifecycle (round 13): the delete ops
+compact their append-per-request files past a threshold
+(:func:`maintain_tombstones`, the shared journaled compactor), and
+:func:`read_tombstones` broadcast-hints the set only while its on-disk
+footprint is ≤ :data:`TOMBSTONE_BROADCAST_MAX_BYTES` — past that every
+anti-join degrades to a shuffle join instead of growing the driver
+(measured to 10⁷ ids in ``tools/tombstone_overhead.py --sweep``).
+Consumers therefore join the returned frame AS IS, never re-wrapping it
+in ``F.broadcast``.
 """
 
 from __future__ import annotations
@@ -45,17 +55,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The dedup families' fingerprint for NULL text (incremental_dedup's
+# fingerprint() coalesces md5(text) to this). ONE definition: the burn
+# path compares fingerprints across modules, and silent drift in any
+# copy of the literal would break the fp burn for null-text rows.
+NULL_TEXT_SENTINEL = "null-text"
+
 
 def tombstones_path(store_dir: str) -> str:
     return store_dir.rstrip("/") + "_tombstones"
 
 
-def read_tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """Distinct tombstone rows, or None when no delete was ever issued.
-    The absent case is ONE Hadoop filesystem stat, not a swallowed
-    DataFrame-resolution failure — resolution raises through a full
-    analysis pass (~70 ms measured), which a per-probe/per-batch check
-    must not pay for the common no-deletes state."""
+# Past this many bytes of tombstone files the anti-joins STOP broadcasting
+# the set and fall back to a shuffle join — at GDPR volume (10⁶–10⁸ erased
+# ids kept as a permanent suppression list) a broadcast would outgrow the
+# driver. ~8 MB of parquet'd ids ≈ 10⁶ longs; AQE may still choose a
+# runtime broadcast below its own threshold, which is the right call.
+TOMBSTONE_BROADCAST_MAX_BYTES = 8 << 20
+
+
+def read_tombstones(
+    spark: SparkSession,
+    store_dir: str,
+    cols: list[str] | None = None,
+    heal="repair",
+) -> DataFrame | None:
+    """Distinct tombstone rows (projected to ``cols`` when given), or None
+    when no delete was ever issued. The absent case is ONE Hadoop
+    filesystem stat, not a swallowed DataFrame-resolution failure —
+    resolution raises through a full analysis pass (~70 ms measured),
+    which a per-probe/per-batch check must not pay for the common
+    no-deletes state.
+
+    The returned frame carries a BROADCAST hint only while the set's
+    on-disk footprint is ≤ :data:`TOMBSTONE_BROADCAST_MAX_BYTES` — the
+    bounded-broadcast escape: consumers join it AS IS (never re-wrap in
+    ``F.broadcast``), so a set grown past driver scale automatically
+    degrades to a shuffle anti-join instead of a driver OOM. The hint
+    survives consumer-side ``select``/``distinct`` (plan-verified).
+
+    ``heal="detect"`` is the read-only mode: a crashed revoke swap is
+    REPORTED (typed error naming the owner op) instead of repaired —
+    repairing renames directories, which only the store's single writer
+    may do."""
     jvm = spark._jvm
     tdir = tombstones_path(store_dir)
     p = jvm.org.apache.hadoop.fs.Path(tdir)
@@ -63,10 +105,65 @@ def read_tombstones(spark: SparkSession, store_dir: str) -> DataFrame | None:
     # heal a crashed revoke swap first — only its dangerous state (the
     # live dir renamed out) costs a stat here
     if fs.exists(jvm.org.apache.hadoop.fs.Path(tdir + "_unold")):
+        if heal == "detect":
+            from .state_store import InFlightRecoveryError
+
+            raise InFlightRecoveryError(
+                f"tombstone set at {tdir}: crashed revoke swap "
+                f"({tdir}_unold present) — read-only consumers must not "
+                f"repair; the owner heals it via remove_tombstones / "
+                f"read_tombstones(heal='repair')."
+            )
         _untomb_recover(spark, store_dir)
     if not fs.exists(p):
         return None
-    return spark.read.parquet(tdir).distinct()
+    # byte census from the same listing a parquet read needs anyway; a
+    # crashed compaction's double-visible inputs only overestimate (safe
+    # direction — it can only demote a broadcast to a shuffle join)
+    nbytes = sum(
+        st.getLen()
+        for st in fs.listStatus(p)
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+    df = spark.read.parquet(tdir)
+    if cols:
+        df = df.select(*cols)
+    df = df.distinct()
+    if nbytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+        df = F.broadcast(df)
+    return df
+
+
+def maintain_tombstones(
+    spark: SparkSession,
+    store_dir: str,
+    max_files: int = 8,
+    target_bytes: int = 32 << 20,
+) -> int:
+    """Bound the tombstone set's OWN file growth: every erase request
+    appends one file to ``<store>_tombstones`` forever, so without
+    maintenance the per-probe read lists/footer-reads one file per
+    historical request. Merges the small files through the families'
+    shared journaled compactor, deduplicating rows in the rewrite (the
+    read does a ``distinct()`` regardless, so a crash's double-visible
+    window is semantically invisible here). Returns files merged. Called
+    from every family's maintenance tick; idempotent and safe to run
+    between batches (single-writer, like all maintenance)."""
+    from .state_store import compact_small_files
+
+    jvm = spark._jvm
+    tdir = tombstones_path(store_dir)
+    p = jvm.org.apache.hadoop.fs.Path(tdir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return compact_small_files(
+        spark,
+        tdir,
+        max_files=max_files,
+        target_bytes=target_bytes,
+        transform=lambda df: df.distinct(),
+    )
 
 
 def delete_from_dedup_corpus(
@@ -113,7 +210,7 @@ def delete_from_dedup_corpus(
             corpus.join(F.broadcast(ids_df), id_col, "left_semi")
             .select(
                 F.col(id_col),
-                F.coalesce("fp", F.lit("null-text")).alias("fp"),
+                F.coalesce("fp", F.lit(NULL_TEXT_SENTINEL)).alias("fp"),
             )
             .distinct()
         )
@@ -127,6 +224,9 @@ def delete_from_dedup_corpus(
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "append"
     ).parquet(tombstones_path(corpus_dir))
+    # one file per erase request forever would regrow per-batch listing
+    # cost — compact past the threshold (deletes run between batches)
+    maintain_tombstones(spark, corpus_dir)
     return len(stored_ids)
 
 
@@ -177,6 +277,11 @@ def remove_tombstones(
     _untomb_recover(spark, store_dir)
     if not fs.exists(live):
         return 0
+    from .state_store import recover_dir_compaction
+
+    # heal a crashed maintain_tombstones merge before swap-rewriting the
+    # directory (the swap would otherwise strand its journal manifest)
+    recover_dir_compaction(spark, tdir)
     from pyspark.sql import types as T
 
     tomb = spark.read.parquet(tdir)
@@ -218,12 +323,11 @@ def read_dedup_corpus(
     tombstoned ids (exact after purge too — the anti-join is a no-op
     once the rows are physically gone)."""
     corpus = spark.read.parquet(corpus_dir)
-    tomb = read_tombstones(spark, corpus_dir)
+    tomb = read_tombstones(spark, corpus_dir, cols=[id_col])
     if tomb is None:
         return corpus
-    return corpus.join(
-        F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti"
-    )
+    # broadcast-or-shuffle is read_tombstones' call (bounded escape)
+    return corpus.join(tomb, id_col, "left_anti")
 
 
 def purge_recover(spark: SparkSession, corpus_dir: str) -> None:
@@ -270,7 +374,7 @@ def purge_corpus_tombstones(
     the default keeps it as a suppression list so replayed raw data
     cannot resurrect erased content."""
     purge_recover(spark, corpus_dir)
-    tomb = read_tombstones(spark, corpus_dir)
+    tomb = read_tombstones(spark, corpus_dir, cols=[id_col])
     if tomb is None:
         return 0
     jvm = spark._jvm
@@ -283,7 +387,7 @@ def purge_corpus_tombstones(
             )
         return 0
     corpus = spark.read.parquet(corpus_dir)
-    ids = F.broadcast(tomb.select(id_col).distinct())
+    ids = tomb
     doomed = corpus.join(ids, id_col, "left_semi").count()
     if doomed == 0:
         if clear:

@@ -85,3 +85,46 @@ def test_cdc_stream_apply(spark, tmp_path):
     )
     assert q.awaitTermination(120), "stream did not finish in 120s"
     assert _state(spark, path) == {1: ("one-v2", 11), 3: ("three", 30)}
+
+
+def test_cdc_on_reinsert_fires_only_for_real_resurrections(spark, tmp_path):
+    """on_reinsert: a later-batch upsert of a previously-deleted key is a
+    RESURRECTION (live in the table, still burned in derived indexes) and
+    must be surfaced; routine updates, fresh inserts, and stale upserts
+    outranked by the tombstone must not fire."""
+    path = str(tmp_path / "t")
+    seen: list[set] = []
+
+    def hook(s, keys_df):
+        seen.append({r.id for r in keys_df.collect()})
+
+    def run_batch(rows, tag):
+        src = str(tmp_path / f"src_{tag}")
+        _changes(spark, rows).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_cdc_apply(
+            stream, path, str(tmp_path / f"ckpt_{tag}"),
+            keys=["id"], partition_col="part", on_reinsert=hook,
+        )
+        assert q.awaitTermination(120)
+
+    run_batch([
+        (1, "a", "one", 10, "u", 1),
+        (2, "a", "two", 20, "u", 1),
+    ], "b1")
+    assert seen == []  # fresh inserts are not resurrections
+
+    run_batch([
+        (1, "a", None, 0, "d", 2),
+        (2, "a", "two-v2", 22, "u", 2),
+    ], "b2")
+    assert seen == []  # a delete and a routine update
+
+    # stale upsert (older than the tombstone) must NOT fire; the real
+    # reinsert (newer version) must
+    run_batch([(1, "a", "stale", 1, "u", 1)], "b3")
+    assert seen == []
+    assert _state(spark, path) == {2: ("two-v2", 22)}
+    run_batch([(1, "a", "reborn", 30, "u", 3)], "b4")
+    assert seen == [{1}]
+    assert _state(spark, path)[1] == ("reborn", 30)

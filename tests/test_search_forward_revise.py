@@ -1,0 +1,243 @@
+"""Round 13: the doc-major FORWARD sidecar (Rocchio's candidate pass reads
+≤ fb_k doc-buckets instead of the whole inverted store) and the UPDATE
+path (revise_search_document — versioned identity, probes resolve
+latest-rev). Reference behavior matched: upsert overwrites + re-embeds in
+place (/root/reference/src/loader/service.py:324-422)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fest_vibes_ai_etl_spark.operators.search import (
+    load_or_build_postings_store,
+    pruned_postings_for_terms,
+    rocchio_expanded_topk,
+)
+from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+    bm25_over_index,
+    delete_from_search_index,
+    forward_terms_for_docs,
+    index_doclen,
+    index_postings_full,
+    invalidate_probe_memo,
+    load_index_meta,
+    maintain_search_index,
+    read_revisions,
+    revise_search_document,
+    settle_forward_index,
+)
+
+
+def _docs(spark, n=80):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("merge hash window alpha beta gamma doc "), F.col("id")
+        ).alias("text"),
+    )
+
+
+def _store(spark, tmp_path, n=80):
+    store = str(tmp_path / "store")
+    load_or_build_postings_store(spark, _docs(spark, n), str(tmp_path), store_path=store)
+    return store
+
+
+# --- forward sidecar ---------------------------------------------------------
+
+
+def test_forward_sidecar_row_parity_and_bucket_pruning(spark, tmp_path):
+    """The forward sidecar holds exactly the postings rows, and a probe
+    for k docs reads ONLY those docs' db= buckets (plan-locked via the
+    scan's input files)."""
+    store = _store(spark, tmp_path)
+    meta = load_index_meta(spark, store)
+    assert "n_doc_buckets" in meta  # staged at build
+    ids = [3, 17, 42]
+    fwd = forward_terms_for_docs(spark, store, ids)
+    via_postings = (
+        index_postings_full(spark, store)
+        .filter(F.col("doc_id").isin(ids))
+        .select("term", "doc_id", "tf")
+    )
+    assert {tuple(r) for r in fwd.collect()} == {
+        tuple(r) for r in via_postings.collect()
+    }
+    # plan lock: every file the probe reads lives under one of the ≤ k
+    # requested doc-buckets — never the postings store, never other dbs
+    from fest_vibes_ai_etl_spark.functions.hashing import pmod_bucket, xxhash64
+
+    ndb = int(meta["n_doc_buckets"])
+    allowed = {f"db={pmod_bucket(xxhash64(str(i)), ndb)}" for i in ids}
+    raw = forward_terms_for_docs(spark, store, ids)
+    files = raw.inputFiles()
+    assert files, "probe read no files"
+    for f in files:
+        assert "/forward/" in f, f
+        assert any(f"/{a}/" in f for a in allowed), f
+
+
+def test_settle_backfills_pre_forward_store(spark, tmp_path):
+    """A round-12 store (no forward dir, no meta gate) gains the sidecar
+    on settle; probes refuse before, answer identically after."""
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming.banded_index import (
+        hadoop_write_json,
+    )
+
+    store = _store(spark, tmp_path)
+    # regress the store to the pre-forward layout
+    shutil.rmtree(os.path.join(store, "forward"))
+    meta = dict(load_index_meta(spark, store))
+    meta.pop("n_doc_buckets")
+    hadoop_write_json(spark, os.path.join(store, "_meta.json"), meta)
+    invalidate_probe_memo(store)
+
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+        SearchIndexLayoutError,
+    )
+
+    with pytest.raises(SearchIndexLayoutError, match="forward"):
+        forward_terms_for_docs(spark, store, [1, 2])
+    settle_forward_index(spark, store, 32)
+    got = forward_terms_for_docs(spark, store, [1, 2])
+    want = (
+        index_postings_full(spark, store)
+        .filter(F.col("doc_id").isin([1, 2]))
+        .select("term", "doc_id", "tf")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_rocchio_forward_path_equals_full_scan_path(spark, tmp_path):
+    """The doc-major candidate pass is a pure plan change: Rocchio with
+    forward+pruned returns row-identical results to the full-postings
+    formulation."""
+    store = _store(spark, tmp_path)
+    terms = ["merge", "hash", "window"]
+    doclen = index_doclen(spark, store)
+    full = rocchio_expanded_topk(
+        index_postings_full(spark, store), doclen, terms,
+        fb_k=5, expand_n=5, beta=0.5, topn=10,
+        pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
+    ).collect()
+    fwd = rocchio_expanded_topk(
+        None, doclen, terms,
+        fb_k=5, expand_n=5, beta=0.5, topn=10,
+        pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
+        forward=lambda ids: forward_terms_for_docs(spark, store, ids),
+    ).collect()
+    assert fwd == full
+
+
+# --- revise (the UPDATE path) ------------------------------------------------
+
+
+def test_revise_serves_new_content_and_updates_stats(spark, tmp_path):
+    """After revise, the new terms retrieve the doc, the replaced terms
+    no longer do, and BM25 equals an index built from the edited corpus
+    (tf, df, dl AND corpus stats all move)."""
+    store = _store(spark, tmp_path)
+    rev = revise_search_document(
+        spark, store, 7, "zebra quokka zebra unique tokens only"
+    )
+    assert rev == 1
+    # the new vocabulary retrieves doc 7
+    hits = {r[0] for r in bm25_over_index(spark, store, ["zebra"], topn=5).collect()}
+    assert hits == {7}
+    # the old vocabulary no longer reaches it
+    hits = {r[0] for r in bm25_over_index(spark, store, ["merge"], topn=200).collect()}
+    assert 7 not in hits
+    # full equality against a rebuilt index over the edited corpus
+    edited = _docs(spark).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 7, F.lit("zebra quokka zebra unique tokens only")
+        ).otherwise(F.col("text")),
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    load_or_build_postings_store(spark, edited, str(tmp_path), store_path=rebuilt)
+    for terms in (["merge", "hash"], ["zebra", "alpha"], ["quokka"]):
+        got = bm25_over_index(spark, store, terms, topn=20).collect()
+        want = bm25_over_index(spark, rebuilt, terms, topn=20).collect()
+        assert got == want, terms
+
+
+def test_revise_latest_rev_wins_and_insert_via_revise(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert revise_search_document(spark, store, 5, "first edition words") == 1
+    assert revise_search_document(spark, store, 5, "second edition words") == 2
+    hits = {r[0] for r in bm25_over_index(spark, store, ["second"], topn=5).collect()}
+    assert hits == {5}
+    assert bm25_over_index(spark, store, ["first"], topn=5).collect() == []
+    # an id the index never saw: upsert semantics
+    assert revise_search_document(spark, store, 9999, "brandnew payload") == 1
+    hits = {r[0] for r in bm25_over_index(spark, store, ["brandnew"], topn=5).collect()}
+    assert hits == {9999}
+    # doclen reflects it (N grows by one)
+    n = index_doclen(spark, store).count()
+    assert n == 81
+
+
+def test_revise_refuses_burned_ids_and_delete_beats_revise(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    delete_from_search_index(spark, store, [11])
+    with pytest.raises(ValueError, match="tombstoned"):
+        revise_search_document(spark, store, 11, "resurrection attempt")
+    # delete AFTER revise wins everywhere
+    revise_search_document(spark, store, 12, "ephemeral content words")
+    delete_from_search_index(spark, store, [12])
+    assert bm25_over_index(spark, store, ["ephemeral"], topn=5).collect() == []
+    assert (
+        index_doclen(spark, store).filter(F.col("doc_id") == 12).count() == 0
+    )
+
+
+def test_revise_crash_rerun_converges(spark, tmp_path):
+    """Marker-last crash discipline: rows landed without the marker are
+    invisible; re-running the revise fills nothing twice and lands the
+    marker — scores equal a single clean revise."""
+    import shutil
+
+    store = _store(spark, tmp_path)
+    clean = str(tmp_path / "clean")
+    load_or_build_postings_store(spark, _docs(spark), str(tmp_path), store_path=clean)
+    revise_search_document(spark, clean, 4, "crashproof words here")
+
+    revise_search_document(spark, store, 4, "crashproof words here")
+    # simulate the crash: marker directory vanishes, sidecar rows remain
+    shutil.rmtree(store.rstrip("/") + "_revisions")
+    invalidate_probe_memo(store)
+    # invisible again (old content serves)
+    hits = {r[0] for r in bm25_over_index(spark, store, ["merge"], topn=200).collect()}
+    assert 4 in hits
+    # re-run converges: no duplicate rows, marker lands
+    assert revise_search_document(spark, store, 4, "crashproof words here") == 1
+    got = bm25_over_index(spark, store, ["crashproof", "merge"], topn=20).collect()
+    want = bm25_over_index(spark, clean, ["crashproof", "merge"], topn=20).collect()
+    assert got == want
+    raw = spark.read.parquet(store.rstrip("/") + "_rev/terms")
+    assert raw.count() == raw.distinct().count()
+
+
+def test_revise_survives_maintenance_and_rocchio_sees_it(spark, tmp_path):
+    """Maintenance after a revise keeps probe parity, and the forward
+    path's Rocchio resolves revisions too (the candidate pass reads the
+    revised doc's CURRENT terms)."""
+    store = _store(spark, tmp_path)
+    revise_search_document(
+        spark, store, 2, "merge hash window quokka quokka quokka feedback"
+    )
+    before = bm25_over_index(spark, store, ["merge", "quokka"], topn=20).collect()
+    maintain_search_index(spark, store, max_files_per_bucket=0)
+    after = bm25_over_index(spark, store, ["merge", "quokka"], topn=20).collect()
+    assert after == before
+    # forward probe serves the revised terms for doc 2
+    fwd = forward_terms_for_docs(spark, store, [2])
+    terms = {r["term"] for r in fwd.collect()}
+    assert "quokka" in terms and "alpha" not in terms
+    assert read_revisions(spark, store).count() == 1

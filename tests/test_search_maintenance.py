@@ -106,7 +106,11 @@ def test_maintenance_bounds_files_preserves_ranking_and_untouched_buckets(
     assert after == before
     # idempotent: a second pass finds nothing to do
     again = inc.maintain_search_index(spark, idx, max_files_per_bucket=3)
-    assert again == {"buckets_compacted": 0, "files_merged": 0}
+    assert again == {
+        "buckets_compacted": 0,
+        "files_merged": 0,
+        "tombstone_files_merged": 0,
+    }
 
 
 def test_processor_maintains_inline_and_stays_correct(spark, tmp_path):

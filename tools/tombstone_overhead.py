@@ -15,8 +15,17 @@ Three measurements at the target sf:
    this is what every batch/probe pays forever when nothing was ever
    deleted).
 
+4. (``--sweep``) The GDPR-scale curve: the BM25 probe wall with 10³,
+   10⁵ and 10⁶ tombstoned ids in the set — past
+   ``TOMBSTONE_BROADCAST_MAX_BYTES`` the read drops the broadcast hint
+   (the bounded-broadcast escape) and the anti-joins degrade to shuffle
+   joins instead of a driver-side set; the probe wall must stay bounded,
+   not driver-OOM. Reports per-n wall, on-disk bytes, and whether the
+   escape engaged.
+
 Usage: python tools/tombstone_overhead.py [--base /root/testdata/sf0.1]
          [--n-tombstones 500] [--repeats 3] [--out /tmp/festvibes_tomb]
+         [--sweep 1000,100000,1000000]
 Writes one JSON line + a markdown table to stdout.
 """
 
@@ -51,6 +60,12 @@ def main() -> None:
     ap.add_argument("--n-tombstones", type=int, default=500)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default="/tmp/festvibes_tomb")
+    ap.add_argument(
+        "--sweep",
+        default="",
+        help="comma-separated tombstone-set sizes for the scale curve "
+        "(e.g. 1000,100000,1000000); empty = skip",
+    )
     args = ap.parse_args()
     if os.path.isdir(args.out):
         shutil.rmtree(args.out)
@@ -118,6 +133,55 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         walls[mode] = round(best, 3)
 
+    # --- 4. scale sweep: probe wall vs tombstone-set size ----------------
+    sweep_rows = []
+    if args.sweep:
+        import glob
+
+        from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+            invalidate_probe_memo,
+        )
+        from fest_vibes_ai_etl_spark.streaming.tombstones import (
+            TOMBSTONE_BROADCAST_MAX_BYTES,
+            tombstones_path,
+        )
+
+        for n in [int(x) for x in args.sweep.split(",") if x]:
+            sstore = os.path.join(args.out, f"sweep_{n}")
+            load_or_build_postings_store(
+                spark, docs, args.base, store_path=sstore
+            )
+            # synthesize the accumulated suppression list directly (ids
+            # beyond the corpus range model long-erased docs; a real set
+            # arrives through delete_from_search_index one request at a
+            # time and is compacted by the delete-time maintenance)
+            tdir = tombstones_path(sstore)
+            (
+                spark.range(10_000_000, 10_000_000 + n)
+                .select(F.col("id").alias("doc_id"))
+                .coalesce(8)
+                .write.mode("overwrite")
+                .parquet(tdir)
+            )
+            invalidate_probe_memo(sstore)
+            nbytes = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(tdir, "*.parquet"))
+            )
+            inc.bm25_over_index(spark, sstore, TERMS).collect()  # warm
+            wall = best_of(
+                lambda: inc.bm25_over_index(spark, sstore, TERMS).collect(),
+                args.repeats,
+            )
+            sweep_rows.append(
+                {
+                    "n_tombstoned": n,
+                    "bytes": nbytes,
+                    "escape_engaged": nbytes > TOMBSTONE_BROADCAST_MAX_BYTES,
+                    "bm25_probe_s": wall,
+                }
+            )
+
     result = {
         "metric": "tombstone_overhead",
         "sf_docs": n_docs,
@@ -127,12 +191,23 @@ def main() -> None:
         "near_batch_clean": walls["clean"],
         "near_batch_tombstoned": walls["tombstoned"],
         "read_tombstones_absent_us": stat_us,
+        "sweep": sweep_rows,
     }
     print("| measurement | clean | tombstoned |")
     print("|---|---|---|")
     print(f"| bm25 probe wall (s) | {probe_clean} | {probe_tomb} |")
     print(f"| near-dedup batch wall (s) | {walls['clean']} | {walls['tombstoned']} |")
     print(f"| read_tombstones absent-path | {stat_us} µs/call | — |")
+    if sweep_rows:
+        print()
+        print("| n tombstoned | set bytes | escape | bm25 probe (s) |")
+        print("|---|---|---|---|")
+        for r in sweep_rows:
+            print(
+                f"| {r['n_tombstoned']:,} | {r['bytes']:,} | "
+                f"{'shuffle' if r['escape_engaged'] else 'broadcast'} | "
+                f"{r['bm25_probe_s']} |"
+            )
     print(json.dumps(result))
 
 

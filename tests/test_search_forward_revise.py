@@ -241,3 +241,39 @@ def test_revise_survives_maintenance_and_rocchio_sees_it(spark, tmp_path):
     terms = {r["term"] for r in fwd.collect()}
     assert "quokka" in terms and "alpha" not in terms
     assert read_revisions(spark, store).count() == 1
+
+
+def test_rocchio_candidate_pass_plan_locked_to_fbk_buckets(spark, tmp_path, monkeypatch):
+    """The catalog query's candidate-vocabulary pass is PLAN-LOCKED to the
+    feedback docs' forward buckets: rocchio calls forward_terms_for_docs
+    exactly once, with exactly fb_k ids, and the frame it returns reads
+    only those ids' db= buckets — never the postings store."""
+    from fest_vibes_ai_etl_spark.functions.hashing import pmod_bucket, xxhash64
+    from fest_vibes_ai_etl_spark.streaming import incremental_search as inc
+
+    store = _store(spark, tmp_path)
+    meta = load_index_meta(spark, store)
+    ndb = int(meta["n_doc_buckets"])
+    calls = []
+    real = inc.forward_terms_for_docs
+
+    def spy(sp, idx, ids, **kw):
+        out = real(sp, idx, ids, **kw)
+        calls.append((list(ids), out.inputFiles()))
+        return out
+
+    monkeypatch.setattr(inc, "forward_terms_for_docs", spy)
+    fb_k = 4
+    rocchio_expanded_topk(
+        None, index_doclen(spark, store), ["merge", "hash"],
+        fb_k=fb_k, expand_n=3, beta=0.5, topn=10,
+        pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
+        forward=lambda ids: spy(spark, store, ids),
+    ).collect()
+    assert len(calls) == 1
+    ids, files = calls[0]
+    assert len(ids) == fb_k
+    allowed = {f"db={pmod_bucket(xxhash64(str(i)), ndb)}" for i in ids}
+    assert files
+    for f in files:
+        assert "/forward/" in f and any(f"/{a}/" in f for a in allowed), f

@@ -768,20 +768,124 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     return int(stored)
 
 
+def revise_ivf_vector(
+    spark, index_dir: str, centers: list[list[float]], vec_id, new_vec
+) -> int:
+    """UPDATE a stored vector in place — the search family's versioned-
+    identity revise (``revise_search_document``) for the IVF add index:
+    the new embedding is assigned under the FROZEN quantizer (fingerprint
+    must match the stored layout — a re-trained quantizer is a rebuild,
+    not a revise), written to a ``<index_dir>_rev`` sidecar under
+    (id, rev), and a max-rev marker makes :func:`read_ivf_index` serve it
+    while anti-joining the stale main-store row. Refuses tombstoned ids
+    (erasure burns are permanent). Marker-last crash discipline with a
+    guarded (id, rev) anti-join, so re-runs converge. Physical absorption
+    at quantizer re-train/rebuild, like deletes. Returns the new revision
+    number. Owner op (single-writer window).
+
+    Reference behavior matched: the loader's routine upsert overwrites
+    the row and re-embeds (/root/reference/src/loader/service.py:324-422,
+    702-806) — here the re-embed happens upstream and the index absorbs
+    the new vector incrementally."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless
+    from ..streaming.banded_index import hadoop_read_json
+    from ..streaming.incremental_search import read_revisions
+    from ..streaming.state_store import compact_small_files
+    from ..streaming.tombstones import read_tombstones
+
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
+    if meta is None:
+        raise IVFIndexLayoutError(
+            f"no _meta.json under {index_dir}: not an incremental-add IVF "
+            f"index — revise needs the pinned quantizer fingerprint"
+        )
+    if meta.get("centers_fingerprint") != centers_fingerprint(centers):
+        raise IVFIndexLayoutError(
+            f"revise refused for {index_dir}: the caller's quantizer does "
+            f"not match the stored centers_fingerprint — re-assigning one "
+            f"vector under different centers would corrupt cell routing; "
+            f"a quantizer change is a rebuild"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    tomb = read_tombstones(spark, index_dir, cols=[id_col])
+    if tomb is not None and tomb.filter(F.col(id_col) == F.lit(vec_id)).count():
+        raise ValueError(
+            f"revise refused: id {vec_id!r} is tombstoned (erased) in "
+            f"{index_dir} — erasure burns are permanent; re-ingest under a "
+            f"new id or rebuild the index"
+        )
+    revs = read_revisions(spark, index_dir, id_col)
+    cur = 0
+    if revs is not None:
+        row = revs.filter(F.col(id_col) == F.lit(vec_id)).collect()
+        cur = int(row[0]["rev"]) if row else 0
+    new_rev = cur + 1
+    idt = meta.get("id_type", "bigint")
+    one = spark.createDataFrame(
+        [(vec_id, [float(x) for x in new_vec])],
+        f"{id_col} {idt}, {vec_col} array<double>",
+    )
+    rows = assign_to_centers(one, centers, id_col, vec_col).withColumn(
+        "rev", F.lit(new_rev).cast("int")
+    )
+    rdir = index_dir.rstrip("/") + "_rev"
+    try:
+        existing = spark.read.parquet(rdir).select(id_col, "rev")
+        existing.schema
+        rows = rows.join(existing, [id_col, "rev"], "left_anti")
+    except AnalysisException as exc:
+        if not is_missing_or_dataless(exc):
+            raise
+    rows.coalesce(1).write.mode("append").parquet(rdir)
+    # marker LAST: from here the new rev is live at every probe
+    spark.createDataFrame(
+        [(vec_id, new_rev)], f"{id_col} {idt}, rev int"
+    ).coalesce(1).write.mode("append").parquet(
+        index_dir.rstrip("/") + "_revisions"
+    )
+    compact_small_files(spark, rdir)
+    compact_small_files(
+        spark,
+        index_dir.rstrip("/") + "_revisions",
+        transform=lambda df: df.distinct(),
+    )
+    return new_rev
+
+
 def read_ivf_index(spark, index_dir: str, heal: str = "repair") -> DataFrame:
     """The incremental-add index as probes must see it: stored (id, vec,
-    cell_id) rows minus tombstoned ids. Feed this to :func:`ivf_topk` —
-    a deleted vector is then unretrievable NOW, and the eventual rebuild
-    (which drops the rows physically and the tombstones with the old
+    cell_id) rows minus tombstoned ids, with revised ids served at their
+    LATEST revision (stale main rows anti-joined away). Feed this to
+    :func:`ivf_topk` — a deleted vector is then unretrievable NOW, a
+    revised one retrievable under its new embedding NOW, and the eventual
+    rebuild (which drops rows physically and the sidecars with the old
     directory) returns identical results. ``heal="detect"`` is the
     read-only mode: a crashed tombstone-revoke swap raises instead of
     being repaired (repair renames — single-writer only)."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless
     from ..streaming.banded_index import hadoop_read_json
+    from ..streaming.incremental_search import read_revisions
     from ..streaming.tombstones import read_tombstones
 
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
     id_col = (meta or {}).get("id_col", "vec_id")
     df = spark.read.parquet(index_dir)
+    revs = read_revisions(spark, index_dir, id_col)
+    if revs is not None:
+        out = df.join(revs.select(id_col), id_col, "left_anti")
+        try:
+            side = spark.read.parquet(index_dir.rstrip("/") + "_rev")
+            side.schema
+            latest = side.join(revs, [id_col, "rev"], "left_semi")
+            df = out.unionByName(latest.select(*df.columns))
+        except AnalysisException as exc:
+            if not is_missing_or_dataless(exc):
+                raise
+            df = out  # markers without rows: nothing newer to serve
     tomb = read_tombstones(spark, index_dir, cols=[id_col], heal=heal)
     if tomb is None:
         return df

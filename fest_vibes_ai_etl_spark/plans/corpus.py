@@ -299,6 +299,80 @@ def ann_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_REV_ID = 7  # the vector ann_ivf_topk_revised updates in place
+
+
+def _ivf_revised_store(spark: SparkSession, sf_dir: str):
+    """An incremental-add IVF index (``_revq`` suffix, fingerprint-keyed)
+    where vec IVF_REV_ID's embedding has been UPDATED in place to vec 0's
+    embedding via revise_ivf_vector — the versioned UPDATE path end to
+    end, without poisoning the shared batch index. Idempotent and
+    crash-convergent: the add batch replays as a no-op (anti-join guard)
+    and the revise marker is written last."""
+    from ..streaming.incremental_search import read_revisions
+
+    emb = table(spark, sf_dir, "embeddings")
+    _, centers = _ivf_index(spark, sf_dir)  # shared frozen quantizer
+    path = ivf.index_path(sf_dir, 16, 42, 8, 4096) + "_revq"
+    if read_revisions(spark, path, id_col="vec_id") is None:
+        proc = ivf.make_index_add_processor(path, centers)
+        proc(emb, 0)
+        new_vec = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        ]
+        ivf.revise_ivf_vector(spark, path, centers, IVF_REV_ID, new_vec)
+    return path, centers
+
+
+@register(
+    "ann_ivf_topk_revised",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id = {IVF_REV_ID}
+                  THEN (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+      FROM embeddings q JOIN corpus c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos6, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("similarity", "ivf", "update", "revise"),
+    prepare=lambda spark, sf_dir: _ivf_revised_store(spark, sf_dir),
+    doc="The IVF family's UPDATE contract, oracle-checked end to end: vec "
+    "7's embedding is revised in an incremental-add index "
+    "(revise_ivf_vector — new vector assigned under the FROZEN quantizer, "
+    "stored under (id, rev), probes resolve latest-rev) and the full-probe "
+    "exact top-k must equal brute-force cosine over the corpus with the "
+    "same edit applied — the revised vector retrievable under its NEW "
+    "neighborhood (it ties vec 0 at cosine 1.0), the stale row gone. "
+    "Completes the UPDATE story across both incremental index families "
+    "(search: search_bm25_revised). Reference parity: the loader's upsert "
+    "re-embeds in place (service.py:324-422).",
+)
+def ann_ivf_topk_revised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    path, centers = _ivf_revised_store(spark, sf_dir)
+    view = ivf.read_ivf_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf.ivf_topk(view, centers, queries, topk=5, nprobe=16).orderBy(
+        "query_id", "rk"
+    )
+
+
 @register(
     "corpus_split_dedup_aware",
     oracle="""

@@ -277,3 +277,64 @@ def test_rocchio_candidate_pass_plan_locked_to_fbk_buckets(spark, tmp_path, monk
     assert files
     for f in files:
         assert "/forward/" in f and any(f"/{a}/" in f for a in allowed), f
+
+
+def test_revise_ivf_vector_updates_probe_results(spark, tmp_path):
+    """The IVF family's UPDATE path: a revised vector ranks under its NEW
+    embedding (full-probe exact equals brute force over the edited
+    corpus), latest rev wins, burned ids refuse, delete beats revise, and
+    a quantizer-fingerprint mismatch refuses loudly."""
+    import numpy as np
+
+    from fest_vibes_ai_etl_spark.operators import ivf
+    from fest_vibes_ai_etl_spark.operators.similarity import topk_cosine
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, centers = ivf.build_ivf_index(emb, k=4, seed=1, fit_sample=60)
+    idx = str(tmp_path / "ivfadd")
+    proc = ivf.make_index_add_processor(idx, centers)
+    proc(emb, 0)
+
+    # revise vec 9 to vec 0's embedding: full-probe top-k must equal
+    # brute force over the edited corpus
+    new_vec = rows[0][1]
+    assert ivf.revise_ivf_vector(spark, idx, centers, 9, new_vec) == 1
+    view = ivf.read_ivf_index(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = (
+        ivf.ivf_topk(view, centers, queries, topk=5, nprobe=4)
+        .orderBy("query_id", "rk")
+        .collect()
+    )
+    edited = spark.createDataFrame(
+        [(i, new_vec if i == 9 else v) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    want = (
+        topk_cosine(edited, queries, k=5).orderBy("query_id", "rk").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # query 0's top hit is the revised twin at cosine 1.0
+    assert got[0]["vec_id"] == 9 and got[0]["cosine"] == 1.0
+
+    # latest rev wins
+    assert ivf.revise_ivf_vector(spark, idx, centers, 9, rows[1][1]) == 2
+    view2 = ivf.read_ivf_index(spark, idx)
+    top1 = (
+        ivf.ivf_topk(view2, centers, emb.filter("vec_id = 1"), topk=1, nprobe=4)
+        .collect()[0]
+    )
+    assert top1["vec_id"] == 9 and top1["cosine"] == 1.0
+
+    # delete beats revise; burned ids refuse further revises
+    ivf.delete_from_ivf_index(spark, idx, [9])
+    assert ivf.read_ivf_index(spark, idx).filter("vec_id = 9").count() == 0
+    with pytest.raises(ValueError, match="tombstoned"):
+        ivf.revise_ivf_vector(spark, idx, centers, 9, new_vec)
+
+    # a different quantizer is a rebuild, never a revise
+    _, other = ivf.build_ivf_index(emb, k=4, seed=99, fit_sample=60)
+    with pytest.raises(ivf.IVFIndexLayoutError, match="fingerprint"):
+        ivf.revise_ivf_vector(spark, idx, other, 3, new_vec)

@@ -317,13 +317,15 @@ def remove_tombstones(
 
 
 def read_dedup_corpus(
-    spark: SparkSession, corpus_dir: str, id_col: str = "doc_id"
+    spark: SparkSession, corpus_dir: str, id_col: str = "doc_id",
+    heal="repair",
 ) -> DataFrame:
     """The corpus as downstream consumers must see it: stored rows minus
     tombstoned ids (exact after purge too — the anti-join is a no-op
-    once the rows are physically gone)."""
+    once the rows are physically gone). ``heal="detect"`` for read-only
+    consumers (see :func:`read_tombstones`)."""
     corpus = spark.read.parquet(corpus_dir)
-    tomb = read_tombstones(spark, corpus_dir, cols=[id_col])
+    tomb = read_tombstones(spark, corpus_dir, cols=[id_col], heal=heal)
     if tomb is None:
         return corpus
     # broadcast-or-shuffle is read_tombstones' call (bounded escape)

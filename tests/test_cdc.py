@@ -128,3 +128,81 @@ def test_cdc_on_reinsert_fires_only_for_real_resurrections(spark, tmp_path):
     run_batch([(1, "a", "reborn", 30, "u", 3)], "b4")
     assert seen == [{1}]
     assert _state(spark, path)[1] == ("reborn", 30)
+
+
+def test_on_reinsert_remedy_restores_searchability(spark, tmp_path):
+    """The full live-but-unsearchable loop, closed end to end: a CDC
+    delete burns the doc in a derived search index (on_delete), a
+    later-batch reinsert fires on_reinsert, and the wired remedy
+    (remove_tombstones before any maintenance fold + re-index the
+    current table row) makes the doc retrievable again — no operator
+    vigilance, no rebuild."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+        bm25_over_index,
+        delete_from_search_index,
+        revise_search_document,
+    )
+    from fest_vibes_ai_etl_spark.streaming.tombstones import remove_tombstones
+
+    # a search index over the table's initial state
+    docs = spark.createDataFrame(
+        [(1, "alpha words"), (2, "merge hash content")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    load_or_build_postings_store(spark, docs, str(tmp_path), store_path=store)
+
+    table_path = str(tmp_path / "t")
+
+    def on_delete(s, keys_df):
+        delete_from_search_index(
+            s, store, [r.id for r in keys_df.collect()]
+        )
+
+    def on_reinsert(s, keys_df):
+        ids = [r.id for r in keys_df.collect()]
+        # revoke the burn, then re-index the row's CURRENT content via
+        # the UPDATE path (the stream's first-text-wins guard would
+        # otherwise skip the id)
+        remove_tombstones(s, store, ids, "doc_id")
+        live = (
+            s.read.parquet(table_path)
+            .filter(F.col("id").isin(ids))
+            .filter(~F.col("_deleted"))
+            .collect()
+        )
+        for row in live:
+            revise_search_document(s, store, row.id, row.name)
+
+    def run_batch(rows, tag):
+        src = str(tmp_path / f"src_{tag}")
+        _changes(spark, rows).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = start_cdc_apply(
+            stream, table_path, str(tmp_path / f"ckpt_{tag}"),
+            keys=["id"], partition_col="part",
+            on_delete=on_delete,
+            on_reinsert=on_reinsert,
+        )
+        assert q.awaitTermination(120)
+
+    run_batch([
+        (1, "a", "alpha words", 10, "u", 1),
+        (2, "a", "merge hash content", 20, "u", 1),
+    ], "b1")
+    assert {r[0] for r in bm25_over_index(spark, store, ["merge"], topn=5).collect()} == {2}
+
+    # delete doc 2: burned everywhere
+    run_batch([(2, "a", None, 0, "d", 2)], "b2")
+    assert bm25_over_index(spark, store, ["merge"], topn=5).collect() == []
+
+    # legitimate reinsert in a LATER batch with NEW content: the hook
+    # revokes + re-indexes; the doc is live AND searchable again
+    run_batch([(2, "a", "merge hash reborn content", 30, "u", 3)], "b3")
+    hits = {r[0] for r in bm25_over_index(spark, store, ["reborn"], topn=5).collect()}
+    assert hits == {2}
+    hits = {r[0] for r in bm25_over_index(spark, store, ["merge"], topn=5).collect()}
+    assert hits == {2}

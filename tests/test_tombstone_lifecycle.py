@@ -247,3 +247,42 @@ def test_read_only_probe_detects_crashed_revoke_swap(spark, tmp_path):
     # owner mode heals: set restored, ids still suppressed
     got = {r[0] for r in read_tombstones(spark, corpus, cols=["doc_id"]).collect()}
     assert got == {1, 2, 3}
+
+
+def test_purge_reaches_forward_and_revision_sidecars(spark, tmp_path):
+    """A physical purge (the GDPR erase) must remove the ids from EVERY
+    orientation of the index — postings, doclen, the doc-major forward
+    sidecar, and any _rev rows from a pre-delete revise — and the probe
+    must rank identically before and after."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+        bm25_over_index,
+        delete_from_search_index,
+        purge_search_tombstones,
+        revise_search_document,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("merge hash window body "), F.col("id")).alias("text"),
+    )
+    store = str(tmp_path / "store")
+    load_or_build_postings_store(spark, docs, str(tmp_path), store_path=store)
+    revise_search_document(spark, store, 3, "revised unique content words")
+    delete_from_search_index(spark, store, [3, 5])
+    before = bm25_over_index(spark, store, ["merge", "hash"], topn=20).collect()
+    stats = purge_search_tombstones(spark, store)
+    assert stats["docs_purged"] >= 1
+    after = bm25_over_index(spark, store, ["merge", "hash"], topn=20).collect()
+    assert after == before  # purge timing is an operations choice
+
+    # PHYSICAL erasure across every orientation: raw reads see no trace
+    for sub in ("postings", "forward", "doclen"):
+        raw = spark.read.parquet(os.path.join(store, sub))
+        assert raw.filter(F.col("doc_id").isin([3, 5])).count() == 0, sub
+    raw_rev = spark.read.parquet(store + "_rev/terms")
+    assert raw_rev.filter(F.col("doc_id") == 3).count() == 0
+    raw_revdl = spark.read.parquet(store + "_rev/doclen")
+    assert raw_revdl.filter(F.col("doc_id") == 3).count() == 0

@@ -14,9 +14,21 @@ one file per bucket per batch, probe wall drifts up with listing/footer
 cost) and once with the processor's maintain_every tick on (census
 bounded, probe wall flat) — the pair is the evidence SCALE.md records.
 
+``--deletes-every N`` / ``--revises-every M`` (round 13) interleave the
+OPERATIONAL load: every N batches one previously-indexed doc is
+tombstoned (delete_from_search_index, between batches per the
+single-writer rule), every M batches one is revised
+(revise_search_document). The census then also tracks the tombstone /
+revision / _rev-sidecar file counts — the claim under test is that the
+delete/update machinery itself has a steady state: probe wall flat,
+every side-directory census bounded, correctness maintained (the probe
+must never return a tombstoned id, and revised docs rank under their
+new content).
+
 Usage: python tools/search_stream_soak.py [--batches 500] [--every 50]
          [--batch-docs 4] [--repeats 3] [--maintain-every 16]
-         [--no-maintain] [--out /tmp/festvibes_search_soak]
+         [--no-maintain] [--deletes-every 0] [--revises-every 0]
+         [--out /tmp/festvibes_search_soak]
 Writes one JSON line + a markdown table to stdout.
 """
 
@@ -56,18 +68,23 @@ def census(idx: str) -> dict:
             )
             post_files += n
             max_bucket = max(max_bucket, n)
-    dldir = os.path.join(idx, "doclen")
-    dl = (
-        sum(
+    def _flat(d: str) -> int:
+        if not os.path.isdir(d):
+            return 0
+        return sum(
             1
-            for f in os.listdir(dldir)
+            for f in os.listdir(d)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        if os.path.isdir(dldir)
-        else 0
-    )
-    return {"postings_files": post_files, "max_bucket_files": max_bucket,
-            "doclen_files": dl}
+
+    return {
+        "postings_files": post_files,
+        "max_bucket_files": max_bucket,
+        "doclen_files": _flat(os.path.join(idx, "doclen")),
+        "tombstone_files": _flat(idx.rstrip("/") + "_tombstones"),
+        "revision_files": _flat(idx.rstrip("/") + "_revisions"),
+        "rev_store_files": _flat(idx.rstrip("/") + "_rev/terms"),
+    }
 
 
 def main() -> None:
@@ -78,6 +95,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--maintain-every", type=int, default=16)
     ap.add_argument("--no-maintain", action="store_true")
+    ap.add_argument("--deletes-every", type=int, default=0)
+    ap.add_argument("--revises-every", type=int, default=0)
     ap.add_argument("--out", default="/tmp/festvibes_search_soak")
     args = ap.parse_args()
 
@@ -95,6 +114,7 @@ def main() -> None:
         maintain_every=None if args.no_maintain else args.maintain_every,
     )
     points: list[dict] = []
+    deleted: set[int] = set()
     t_start = time.perf_counter()
     for i in range(args.batches):
         rows = []
@@ -105,12 +125,27 @@ def main() -> None:
             rows.append((doc_id, " ".join(words)))
         batch = spark.createDataFrame(rows, "doc_id long, text string")
         proc(batch, i)
+        # operational load between batches (the single-writer window):
+        # deterministic victims from the PREVIOUS batch so they exist
+        if args.deletes_every and (i + 1) % args.deletes_every == 0 and i:
+            deleted.add((i - 1) * args.batch_docs)
+            inc.delete_from_search_index(spark, idx, [(i - 1) * args.batch_docs])
+        if args.revises_every and (i + 1) % args.revises_every == 0 and i:
+            vid = (i - 1) * args.batch_docs + 1
+            if vid not in deleted:
+                inc.revise_search_document(
+                    spark, idx, vid, f"merge revisedbody{vid} fresh words"
+                )
         if (i + 1) % args.every == 0:
             best = math.inf
+            hits = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
+                hits = inc.bm25_over_index(spark, idx, TERMS, topn=10).collect()
                 best = min(best, time.perf_counter() - t0)
+            # correctness under operational load: no tombstoned id may rank
+            bad = [r[0] for r in hits if r[0] in deleted]
+            assert not bad, f"tombstoned ids in probe results: {bad}"
             pt = {"batch": i + 1, "probe_wall": round(best, 3), **census(idx)}
             points.append(pt)
             print(
@@ -120,12 +155,17 @@ def main() -> None:
                 f"elapsed={time.perf_counter() - t_start:.0f}s",
                 file=sys.stderr,
             )
-    print("| batch | probe wall (s) | postings files | max bucket | doclen files |")
-    print("|---|---|---|---|---|")
+    print(
+        "| batch | probe wall (s) | postings files | max bucket | doclen "
+        "files | tomb | revmark | revstore |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for pt in points:
         print(
             f"| {pt['batch']} | {pt['probe_wall']} | {pt['postings_files']} "
-            f"| {pt['max_bucket_files']} | {pt['doclen_files']} |"
+            f"| {pt['max_bucket_files']} | {pt['doclen_files']} "
+            f"| {pt['tombstone_files']} | {pt['revision_files']} "
+            f"| {pt['rev_store_files']} |"
         )
     if not points:  # smoke runs shorter than --every still report
         points = [{"batch": args.batches, "probe_wall": 0.0,

@@ -267,9 +267,12 @@ def remove_tombstones(
     file it rewrites, so once any tick ran after the delete, a revoked id
     may be half-indexed (some posting lists folded, others not). Revoke
     before the next maintenance tick, or rebuild/re-ingest the doc. A
-    delete-then-REINSERT key (new content under an old id) is an UPDATE,
-    which the append-only index families route to the rebuild path
-    regardless — see STATE.md §4."""
+    delete-then-REINSERT key (new content under an old id) is an UPDATE:
+    in the search/IVF families, revoke then route it through the
+    versioned revise ops (``revise_search_document`` /
+    ``revise_ivf_vector``) — the ``on_reinsert`` CDC hook's remedy; the
+    dedup corpora have no revise by design (fingerprint burns must stay
+    permanent) — see STATE.md §4."""
     jvm = spark._jvm
     tdir = tombstones_path(store_dir)
     live = jvm.org.apache.hadoop.fs.Path(tdir)

@@ -737,8 +737,10 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     stored = 0
     try:
         # a delete may race the add stream's first batch (no cell data
-        # yet, or only crash-emptied cell dirs): the ids still burn
-        stored_df = spark.read.parquet(index_dir).select(id_col)
+        # yet, or only crash-emptied cell dirs): the ids still burn.
+        # Count over the RESOLVED view (revisions applied, prior
+        # tombstones excluded) so insert-via-revise vectors register.
+        stored_df = read_ivf_index(spark, index_dir).select(id_col)
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], T.StructType([stored_df.schema[id_col]])
         )
@@ -831,13 +833,34 @@ def revise_ivf_vector(
         "rev", F.lit(new_rev).cast("int")
     )
     rdir = index_dir.rstrip("/") + "_rev"
+    # a dead prior attempt may have landed a DIFFERENT vector at
+    # (id, new_rev) — purge the residue physically, then append fresh
+    # (one coalesced file per append: committer atomicity means every
+    # crash window leaves nothing or one complete row)
+    residue = 0
     try:
-        existing = spark.read.parquet(rdir).select(id_col, "rev")
-        existing.schema
-        rows = rows.join(existing, [id_col, "rev"], "left_anti")
+        residue = (
+            spark.read.parquet(rdir)
+            .filter(
+                (F.col(id_col) == F.lit(vec_id))
+                & (F.col("rev") == F.lit(new_rev))
+            )
+            .count()
+        )
     except AnalysisException as exc:
         if not is_missing_or_dataless(exc):
             raise
+    if residue:
+        compact_small_files(
+            spark, rdir,
+            exclude=F.broadcast(
+                spark.createDataFrame(
+                    [(vec_id, new_rev)], f"{id_col} {idt}, rev int"
+                )
+            ),
+            exclude_cols=[id_col, "rev"],
+            force=True, include_graduated=True,
+        )
     rows.coalesce(1).write.mode("append").parquet(rdir)
     # marker LAST: from here the new rev is live at every probe
     spark.createDataFrame(
@@ -864,28 +887,25 @@ def read_ivf_index(spark, index_dir: str, heal: str = "repair") -> DataFrame:
     directory) returns identical results. ``heal="detect"`` is the
     read-only mode: a crashed tombstone-revoke swap raises instead of
     being repaired (repair renames — single-writer only)."""
-    from pyspark.errors import AnalysisException
-
-    from ..errors import is_missing_or_dataless
     from ..streaming.banded_index import hadoop_read_json
-    from ..streaming.incremental_search import read_revisions
+    from ..streaming.incremental_search import (
+        _apply_revisions,
+        read_revisions,
+    )
     from ..streaming.tombstones import read_tombstones
 
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
     id_col = (meta or {}).get("id_col", "vec_id")
     df = spark.read.parquet(index_dir)
     revs = read_revisions(spark, index_dir, id_col)
-    if revs is not None:
-        out = df.join(revs.select(id_col), id_col, "left_anti")
-        try:
-            side = spark.read.parquet(index_dir.rstrip("/") + "_rev")
-            side.schema
-            latest = side.join(revs, [id_col, "rev"], "left_semi")
-            df = out.unionByName(latest.select(*df.columns))
-        except AnalysisException as exc:
-            if not is_missing_or_dataless(exc):
-                raise
-            df = out  # markers without rows: nothing newer to serve
+    # the shared resolver (search family's): crash-heals the _rev dir
+    # before reading it (detect mode raises instead), drops revised ids'
+    # stale main rows, unions the latest-rev rows
+    df = _apply_revisions(
+        spark, index_dir, df, id_col, revs,
+        rev_dir=index_dir.rstrip("/") + "_rev", cols=df.columns,
+        heal="detect" if heal == "detect" else "repair",
+    )
     tomb = read_tombstones(spark, index_dir, cols=[id_col], heal=heal)
     if tomb is None:
         return df

@@ -426,6 +426,10 @@ def settle_forward_index(
     fs = fp.getFileSystem(spark._jsc.hadoopConfiguration())
     if "n_doc_buckets" in meta and fs.exists(fp):
         return ndb  # settled: one memo'd meta read + one stat
+    # heal BEFORE the backfill read: a compaction that died post-rename
+    # leaves segment+inputs double-visible, and unlike a transient probe
+    # this read's duplicates would be PERSISTED into the sidecar
+    recover_search_index(spark, index_dir, memoize=False)
     post = None
     try:
         post = spark.read.parquet(_postings_dir(index_dir))
@@ -523,6 +527,7 @@ def forward_terms_for_docs(
     out = _apply_revisions(
         spark, index_dir, out, id_col, revs,
         terms=None, doc_ids=ids,
+        heal="detect" if heal == "detect" else "repair",
     )
     if tomb is _UNSET:
         tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
@@ -545,11 +550,14 @@ def read_revisions(spark, index_dir: str, id_col: str = "doc_id"):
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
-    nbytes = sum(
-        st.getLen()
+    visible = [
+        st
         for st in fs.listStatus(p)
         if not st.getPath().getName().startswith(("_", "."))
-    )
+    ]
+    if not visible:
+        return None  # dataless (a clear fold raced the dir delete)
+    nbytes = sum(st.getLen() for st in visible)
     df = (
         spark.read.parquet(rdir)
         .groupBy(id_col)
@@ -563,14 +571,20 @@ def read_revisions(spark, index_dir: str, id_col: str = "doc_id"):
 def _apply_revisions(
     spark, index_dir: str, main: DataFrame, id_col: str, revs,
     terms: list[str] | None = None, doc_ids: list | None = None,
-    doclen: bool = False,
+    doclen: bool = False, rev_dir: str | None = None,
+    cols: list[str] | None = None, heal="repair",
 ):
     """Resolve document revisions over a main-store read: drop every
     revised id's stale rows, union in the ``_rev`` sidecar rows at each
     id's LATEST rev. ``revs`` is the resolved marker frame (None = no
     revise ever issued — zero added plan). ``terms``/``doc_ids`` push
     the caller's pruning into the sidecar read; ``doclen=True`` reads
-    the (id, rev, dl) sidecar instead of (id, rev, term, tf)."""
+    the (id, rev, dl) sidecar instead of (id, rev, term, tf).
+    ``rev_dir``/``cols`` generalize to other families' sidecars (the IVF
+    ``_rev`` store passes its own). The sidecar read is crash-HEALED
+    first (memoized — revise/maintenance compact these dirs and a death
+    post-rename would otherwise double-serve every revised row to every
+    probe); ``heal="detect"`` raises for read-only consumers instead."""
     if revs is None:
         return main
     from pyspark.errors import AnalysisException
@@ -578,9 +592,23 @@ def _apply_revisions(
     from ..errors import is_missing_or_dataless
 
     out = main.join(revs.select(id_col), id_col, "left_anti")
-    rdir = _rev_doclen_dir(index_dir) if doclen else _rev_terms_dir(index_dir)
+    if rev_dir is None:
+        rev_dir = (
+            _rev_doclen_dir(index_dir) if doclen else _rev_terms_dir(index_dir)
+        )
+    if heal == "detect":
+        from .state_store import InFlightRecoveryError, detect_dir_compaction
+
+        if detect_dir_compaction(spark, rev_dir):
+            raise InFlightRecoveryError(
+                f"revision sidecar at {rev_dir}: unhealed compaction "
+                f"journal — read-only probes must not repair (owner: "
+                f"revise/maintain ops)."
+            )
+    else:
+        _recover_dirs(spark, index_dir, [rev_dir])
     try:
-        side = spark.read.parquet(rdir)
+        side = spark.read.parquet(rev_dir)
         side.schema
     except AnalysisException as exc:
         if not is_missing_or_dataless(exc):
@@ -592,7 +620,8 @@ def _apply_revisions(
         side = side.filter(F.col(id_col).isin(doc_ids))
     # inner join on (id, rev) keeps exactly the latest revision's rows
     side = side.join(revs, [id_col, "rev"], "left_semi")
-    cols = [id_col, "dl"] if doclen else ["term", id_col, "tf"]
+    if cols is None:
+        cols = [id_col, "dl"] if doclen else ["term", id_col, "tf"]
     return out.unionByName(side.select(*cols))
 
 
@@ -664,18 +693,41 @@ def revise_search_document(
         F.lit(new_rev).cast("int").alias("rev"),
         F.size(TXT.tokens(F.col("text"))).alias("dl"),
     ).filter(F.col("dl") > 0)
-    # guarded appends: a re-run after a crash fills only what's missing
-    for frame, d, keys in (
-        (rows, _rev_terms_dir(index_dir), [id_col, "rev", "term"]),
-        (dl, _rev_doclen_dir(index_dir), [id_col, "rev"]),
+    # A dead prior attempt may have landed rows at (id, new_rev) — and a
+    # RETRY may carry DIFFERENT text (the operator corrected it), so a
+    # content-blind fill-the-holes guard could weld two texts into one
+    # chimera revision. Purge the residue physically first (exact
+    # (id, rev) exclude through the journaled compactor), then append
+    # fresh: each append is one coalesced file under the committer's
+    # atomicity, so every crash window leaves either nothing or a
+    # complete, single-text row set — and the marker still lands last.
+    from .state_store import compact_small_files as _compact
+
+    key_df = F.broadcast(
+        spark.createDataFrame([(doc_id, new_rev)], f"{id_col} {idt}, rev int")
+    )
+    for frame, d in (
+        (rows, _rev_terms_dir(index_dir)),
+        (dl, _rev_doclen_dir(index_dir)),
     ):
+        residue = 0
         try:
-            existing = spark.read.parquet(d).select(*keys)
-            existing.schema
-            frame = frame.join(existing, keys, "left_anti")
+            residue = (
+                spark.read.parquet(d)
+                .filter(
+                    (F.col(id_col) == F.lit(doc_id))
+                    & (F.col("rev") == F.lit(new_rev))
+                )
+                .count()
+            )
         except AnalysisException as exc:
             if not is_missing_or_dataless(exc):
                 raise
+        if residue:
+            _compact(
+                spark, d, exclude=key_df, exclude_cols=[id_col, "rev"],
+                force=True, include_graduated=True,
+            )
         frame.coalesce(1).write.mode("append").parquet(d)
     # marker LAST: from here the new rev is live everywhere
     spark.createDataFrame(
@@ -717,19 +769,30 @@ def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
 
     doclen = None
     try:
-        doclen = spark.read.parquet(_doclen_dir(index_dir))
-        doclen.schema
+        raw = spark.read.parquet(_doclen_dir(index_dir))
+        raw.schema
+        # the RESOLVED view, not the raw directory: a doc inserted via
+        # revise lives only in the _rev sidecars and must still count as
+        # stored (tombstone-filtered too — "currently stored" excludes
+        # ids already erased)
+        doclen = index_doclen(spark, index_dir, id_col=id_col)
+        id_field = raw.schema[id_col]
     except AnalysisException as exc:
         # a delete may race the very first batch (index created, nothing
         # committed yet) or follow an erase-everything purge (dataless
-        # dir): the ids still burn, nothing is stored yet
+        # dir): the ids still burn, nothing is stored yet — unless the
+        # _rev sidecars hold insert-via-revise docs
         from ..errors import is_missing_or_dataless
 
         if not is_missing_or_dataless(exc):
             raise
+        revs = read_revisions(spark, index_dir, id_col)
+        if revs is not None:
+            doclen = index_doclen(spark, index_dir, id_col=id_col)
+            id_field = doclen.schema[id_col]
     if doclen is not None:
         ids_df = spark.createDataFrame(
-            [(i,) for i in ids], T.StructType([doclen.schema[id_col]])
+            [(i,) for i in ids], T.StructType([id_field])
         )
         # distinct ids, not matching rows (doclen could carry crash-replay
         # residue rows for one id; the report counts documents)
@@ -851,16 +914,27 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
             spark, d, exclude=tomb, exclude_cols=[id_col],
             force=True, include_graduated=True,
         )
+    # resolved-view count (main ∪ latest-rev sidecar doclen, WITHOUT the
+    # tombstone filter — these are exactly the docs being purged)
+    revs_all = read_revisions(spark, index_dir, id_col)
     try:
-        docs = (
-            spark.read.parquet(_doclen_dir(index_dir))
-            .join(tomb, id_col, "left_semi")
-            .count()
-        )
+        raw_dl = spark.read.parquet(_doclen_dir(index_dir)).select(id_col)
+        raw_dl.schema
     except AnalysisException as exc:
         if not is_path_not_found(exc):
             raise
-        docs = 0
+        raw_dl = None
+    doomed_dl = raw_dl
+    if revs_all is not None:
+        rev_ids = revs_all.select(id_col)
+        doomed_dl = (
+            rev_ids if doomed_dl is None else doomed_dl.unionByName(rev_ids)
+        )
+    docs = (
+        doomed_dl.join(tomb, id_col, "left_semi").distinct().count()
+        if doomed_dl is not None
+        else 0
+    )
     compact_small_files(
         spark,
         _doclen_dir(index_dir),
@@ -912,6 +986,39 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
                 ),
                 exclude_cols=["fp"],
             )
+        # ...and their REVISION markers: _apply_revisions anti-joins a
+        # revised id's main-store rows, so a re-ingested id (the stated
+        # point of clear=True) would be permanently invisible behind a
+        # stale marker whose _rev rows this purge just removed
+        rv = jvm.org.apache.hadoop.fs.Path(_revisions_dir(index_dir))
+        if erased_all:
+            for d in (
+                _revisions_dir(index_dir),
+                index_dir.rstrip("/") + "_rev",
+            ):
+                p2 = jvm.org.apache.hadoop.fs.Path(d)
+                if fs.exists(p2):
+                    fs.delete(p2, True)
+        elif fs.exists(rv):
+            compact_small_files(
+                spark, _revisions_dir(index_dir),
+                exclude=tomb, exclude_cols=[id_col],
+                force=True, include_graduated=True,
+                transform=lambda df: df.distinct(),
+            )
+            # a fold that removed every marker leaves a dataless dir or a
+            # 0-row file (engine-dependent) — drop it either way so
+            # read_revisions sees a clean absence, not an empty frame
+            emptied = not any(
+                not st.getPath().getName().startswith(("_", "."))
+                for st in fs.listStatus(rv)
+            )
+            if not emptied:
+                emptied = spark.read.parquet(
+                    _revisions_dir(index_dir)
+                ).isEmpty()
+            if emptied:
+                fs.delete(rv, True)
         tp = jvm.org.apache.hadoop.fs.Path(tombstones_path(index_dir))
         if fs.exists(tp):
             fs.delete(tp, True)
@@ -1551,7 +1658,8 @@ def pruned_postings(
     if revs is _UNSET:
         revs = read_revisions(spark, index_dir, id_col)
     postings = _apply_revisions(
-        spark, index_dir, postings, id_col, revs, terms=terms
+        spark, index_dir, postings, id_col, revs, terms=terms,
+        heal="detect" if heal == "detect" else "repair",
     )
     if tomb is _UNSET:
         tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
@@ -1590,7 +1698,8 @@ def index_doclen(
     if revs is _UNSET:
         revs = read_revisions(spark, index_dir, id_col)
     doclen = _apply_revisions(
-        spark, index_dir, doclen, id_col, revs, doclen=True
+        spark, index_dir, doclen, id_col, revs, doclen=True,
+        heal="detect" if heal == "detect" else "repair",
     )
     if tomb is _UNSET:
         tomb = _search_tombstones(spark, index_dir, id_col, heal=heal)
@@ -1650,6 +1759,7 @@ def bm25_over_index(
         heal=heal,
     )
     doclen = index_doclen(
-        spark, index_dir, id_col=id_col, tomb=tomb, revs=revs, heal=False
+        spark, index_dir, id_col=id_col, tomb=tomb, revs=revs,
+        heal="detect" if heal == "detect" else False,
     )
     return bm25_topk(postings, doclen, terms, id_col=id_col, topn=topn)

@@ -338,3 +338,113 @@ def test_revise_ivf_vector_updates_probe_results(spark, tmp_path):
     _, other = ivf.build_ivf_index(emb, k=4, seed=99, fit_sample=60)
     with pytest.raises(ivf.IVFIndexLayoutError, match="fingerprint"):
         ivf.revise_ivf_vector(spark, idx, other, 3, new_vec)
+
+
+def test_revise_retry_with_different_text_never_mixes(spark, tmp_path):
+    """A dead revise attempt's rows must not weld with a retry that
+    carries corrected text: the retry purges the (id, rev) residue and
+    serves ONLY the new text (regression: the old fill-the-holes guard
+    produced a chimera revision mixing both texts' tf/dl)."""
+    import shutil
+
+    store = _store(spark, tmp_path)
+    clean = str(tmp_path / "clean")
+    load_or_build_postings_store(spark, _docs(spark), str(tmp_path), store_path=clean)
+    revise_search_document(spark, clean, 4, "corrected text words")
+
+    # attempt 1 lands rows, "dies" before the marker
+    revise_search_document(spark, store, 4, "wrongfirst attempt words")
+    shutil.rmtree(store.rstrip("/") + "_revisions")
+    invalidate_probe_memo(store)
+    # retry with DIFFERENT text
+    assert revise_search_document(spark, store, 4, "corrected text words") == 1
+    # no trace of the dead attempt's vocabulary, full parity with clean
+    assert bm25_over_index(spark, store, ["wrongfirst"], topn=5).collect() == []
+    for terms in (["corrected"], ["merge", "corrected"]):
+        got = bm25_over_index(spark, store, terms, topn=20).collect()
+        want = bm25_over_index(spark, clean, terms, topn=20).collect()
+        assert got == want, terms
+    # dl too: doclen rows for (4, rev 1) reflect only the new text
+    raw = spark.read.parquet(store.rstrip("/") + "_rev/doclen")
+    assert [r.dl for r in raw.filter("doc_id = 4").collect()] == [3]
+
+
+def test_purge_clear_lets_a_reingested_id_serve_again(spark, tmp_path):
+    """clear=True forgets the REVISION state too: without that, a stale
+    max-rev marker (whose _rev rows the purge removed) would anti-join a
+    re-ingested id's fresh main-store rows forever — live in the corpus,
+    permanently unsearchable (regression)."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+        bm25_over_index,
+        delete_from_search_index,
+        make_search_index_processor,
+        purge_search_tombstones,
+        read_revisions,
+        revise_search_document,
+    )
+
+    idx = str(tmp_path / "idx")
+    proc = make_search_index_processor(idx)
+    docs = spark.createDataFrame(
+        [(1, "alpha body"), (2, "merge hash body")],
+        "doc_id long, text string",
+    )
+    proc(docs, 0)
+    revise_search_document(spark, idx, 2, "merge revised body")
+    delete_from_search_index(spark, idx, [2])
+    stats = purge_search_tombstones(spark, idx, clear=True)
+    assert stats["docs_purged"] == 1
+    assert read_revisions(spark, idx, "doc_id") is None  # markers forgotten
+    # the id is unburned and re-ingestable: the stream indexes it fresh
+    proc(
+        spark.createDataFrame(
+            [(2, "merge reborn body")], "doc_id long, text string"
+        ),
+        1,
+    )
+    hits = {r[0] for r in bm25_over_index(spark, idx, ["reborn"], topn=5).collect()}
+    assert hits == {2}
+
+
+def test_rev_sidecar_crash_heal_and_detect(spark, tmp_path):
+    """A compaction of the _rev sidecars that died post-rename leaves the
+    merged segment and its inputs double-visible: probes must HEAL it
+    (owner mode) or REFUSE (detect mode) — never double-serve a revised
+    doc's rows (regression: the sidecar was read raw)."""
+    import json
+    import shutil
+
+    from fest_vibes_ai_etl_spark.streaming.state_store import (
+        InFlightRecoveryError,
+    )
+
+    store = _store(spark, tmp_path)
+    revise_search_document(spark, store, 6, "healme unique words")
+    before = bm25_over_index(spark, store, ["healme", "merge"], topn=20).collect()
+
+    # simulate the crash window: duplicate a data file (the "input" the
+    # dead pass never deleted) + its journal naming the survivor as final
+    rdir = store.rstrip("/") + "_rev/terms"
+    data = [
+        n for n in os.listdir(rdir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    dup = "part-dead-input.parquet"
+    shutil.copy(os.path.join(rdir, data[0]), os.path.join(rdir, dup))
+    with open(os.path.join(rdir, "_compact.json"), "w") as fh:
+        json.dump({"final": data[0], "inputs": [dup]}, fh)
+    invalidate_probe_memo(store)
+
+    # read-only probe refuses, mutating nothing
+    with pytest.raises(InFlightRecoveryError, match="revision"):
+        bm25_over_index(spark, store, ["healme"], topn=5, heal="detect")
+    assert os.path.exists(os.path.join(rdir, dup))
+
+    # owner probe heals and ranks exactly as before the crash
+    invalidate_probe_memo(store)
+    after = bm25_over_index(spark, store, ["healme", "merge"], topn=20).collect()
+    assert after == before
+    assert not os.path.exists(os.path.join(rdir, dup))

@@ -793,10 +793,17 @@ def revise_ivf_vector(
 
     from ..errors import is_missing_or_dataless
     from ..streaming.banded_index import hadoop_read_json
-    from ..streaming.incremental_search import read_revisions
+    from ..streaming.incremental_search import (
+        invalidate_probe_memo,
+        read_revisions,
+    )
     from ..streaming.state_store import compact_small_files
     from ..streaming.tombstones import read_tombstones
 
+    # memo contract: this op compacts the _rev sidecar (residue purge +
+    # exit compaction) — invalidate at ENTRY so a crash mid-compaction
+    # can't hide behind a same-session memoized 'healed' claim
+    invalidate_probe_memo(index_dir)
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
     if meta is None:
         raise IVFIndexLayoutError(

@@ -141,6 +141,19 @@ def rocchio_expanded_topk(
     corpus-proportional per query is gone. ``postings`` may be None when
     both ``pruned`` and ``forward`` are given.
     """
+    if postings is None and pruned is None:
+        # loud contract error here beats the opaque NoneType failure the
+        # default prune lambda would raise later inside the cdf pass
+        raise ValueError(
+            "rocchio_expanded_topk: postings=None requires pruned (and "
+            "forward) — without a pruned() supplier there is no posting "
+            "source for the term passes"
+        )
+    if postings is None and forward is None:
+        raise ValueError(
+            "rocchio_expanded_topk: postings=None requires forward — the "
+            "candidate-vocabulary pass has no doc-major source without it"
+        )
     prune = pruned if pruned is not None else (
         lambda ts: postings.filter(F.col("term").isin(ts))
     )

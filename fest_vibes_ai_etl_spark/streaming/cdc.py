@@ -41,6 +41,20 @@ VERSION_COL = "version"
 DELETED_COL = "_deleted"
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     target_path: str,
@@ -147,11 +161,28 @@ def start_cdc_apply(
     while still sound (before the first maintenance fold), or queue the
     key for the next index rebuild — instead of relying on operator
     vigilance. Same at-least-once / partition-pruned cost shape as
-    ``on_delete``; the pre-state read is materialized (localCheckpoint)
-    before the dynamic overwrite invalidates its file listing."""
+    ``on_delete``.
+
+    Unlike ``on_delete`` (which recomputes from POST-apply state and is
+    therefore replay-safe for free), the reinsert candidates only exist
+    in PRE-apply state — once ``apply_cdc_batch`` commits, the key is
+    live and its tombstone row is gone, so a replay that recomputes from
+    the table sees nothing to resurrect. To make delivery genuinely
+    at-least-once across a crash in that window, the candidate keys are
+    durably JOURNALED (parquet under
+    ``<checkpoint_dir>/_reinsert_journal/batch_<id>``) BEFORE the apply
+    mutates the pre-state, the hook fires from the journal, and the
+    journal is deleted only AFTER the hook returns. A replayed batch
+    whose journal still exists re-fires from the journal instead of the
+    (already-mutated) pre-state; a crash before the journal write means
+    the apply has not run yet, so the replay recomputes from intact
+    pre-state. A crash between hook return and journal delete re-fires
+    the hook — at-least-once, safe against the idempotent index-side
+    remedies."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        journal = f"{checkpoint_dir}/_reinsert_journal/batch_{batch_id}"
         resurrect_cand, uparts = None, []
         if on_reinsert is not None:
             urows = batch_df.filter(F.col(OP_COL) == F.lit("u"))
@@ -159,32 +190,45 @@ def start_cdc_apply(
             if not ukeys.isEmpty():
                 from pyspark.errors import AnalysisException
 
-                try:
-                    uparts = [
-                        r[0]
-                        for r in urows.select(partition_col)
-                        .distinct()
-                        .collect()
-                    ]
-                    pre = (
-                        spark.read.parquet(target_path)
-                        .filter(F.col(partition_col).isin(uparts))
-                        .filter(F.col(DELETED_COL))
-                        .join(F.broadcast(ukeys), list(keys), "left_semi")
-                        .select(*keys)
-                        .distinct()
-                    )
-                    # eager: the apply's dynamic overwrite is about to
-                    # replace these partitions' files under the plan
-                    resurrect_cand = pre.localCheckpoint()
-                    if resurrect_cand.isEmpty():
-                        resurrect_cand = None
-                except AnalysisException as exc:
-                    from ..errors import is_path_not_found
+                uparts = [
+                    r[0]
+                    for r in urows.select(partition_col)
+                    .distinct()
+                    .collect()
+                ]
+                if _fs_exists(spark, journal + "/_SUCCESS"):
+                    # crash replay: the prior attempt journaled its
+                    # candidates and may have committed the apply before
+                    # dying — the table's pre-state is gone; the journal
+                    # is the durable record. Gated on the _SUCCESS commit
+                    # marker: a dir torn mid-write means the journal never
+                    # committed, so the apply (which follows it) never
+                    # ran and the pre-state recompute below is sound (the
+                    # overwrite clobbers the torn dir).
+                    resurrect_cand = spark.read.parquet(journal)
+                else:
+                    try:
+                        pre = (
+                            spark.read.parquet(target_path)
+                            .filter(F.col(partition_col).isin(uparts))
+                            .filter(F.col(DELETED_COL))
+                            .join(
+                                F.broadcast(ukeys), list(keys), "left_semi"
+                            )
+                            .select(*keys)
+                            .distinct()
+                        )
+                        if not pre.isEmpty():
+                            # durable BEFORE apply: the dynamic overwrite
+                            # is about to replace these partitions' files
+                            pre.write.mode("overwrite").parquet(journal)
+                            resurrect_cand = spark.read.parquet(journal)
+                    except AnalysisException as exc:
+                        from ..errors import is_path_not_found
 
-                    # first write: no pre-state, nothing to resurrect
-                    if not is_path_not_found(exc):
-                        raise
+                        # first write: no pre-state, nothing to resurrect
+                        if not is_path_not_found(exc):
+                            raise
         apply_cdc_batch(spark, target_path, batch_df, keys, partition_col)
         if resurrect_cand is not None:
             # live post-apply = the reinsert actually won last-writer-wins
@@ -200,6 +244,10 @@ def start_cdc_apply(
             )
             if not live.isEmpty():
                 on_reinsert(spark, live)
+        if on_reinsert is not None:
+            # only after the hook returned: a crash above re-fires from
+            # the journal on replay (at-least-once)
+            _fs_delete(spark, journal)
         if on_delete is not None:
             drows = batch_df.filter(F.col(OP_COL) == F.lit("d"))
             dkeys = drows.select(*keys).distinct()

@@ -659,6 +659,11 @@ def revise_search_document(
     from ..functions import text as TXT
     from .tombstones import read_tombstones
 
+    # memo contract: any op that may CREATE a compaction journal (the
+    # residue purge + the exit compactions below) invalidates at ENTRY —
+    # a crash mid-compaction then leaves no memoized 'healed' claim to
+    # mask the fresh journal from same-session probes
+    invalidate_probe_memo(index_dir)
     meta = load_index_meta(spark, index_dir)
     id_col = meta["id_col"]
     tomb = read_tombstones(spark, index_dir, cols=[id_col])

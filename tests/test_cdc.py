@@ -130,6 +130,60 @@ def test_cdc_on_reinsert_fires_only_for_real_resurrections(spark, tmp_path):
     assert _state(spark, path)[1] == ("reborn", 30)
 
 
+def test_on_reinsert_survives_crash_after_apply(spark, tmp_path):
+    """The at-least-once window the journal exists for: the process dies
+    AFTER apply_cdc_batch commits but BEFORE the hook fires. A replay
+    recomputing candidates from pre-state would find nothing (the key is
+    live, its tombstone row gone) and lose the reinsert signal forever;
+    the durable journal re-fires it. Simulated by reproducing the exact
+    on-disk state of that crash: table already applied, journal present,
+    checkpoint about to re-deliver the batch."""
+    path = str(tmp_path / "t")
+    seen: list[set] = []
+
+    def hook(s, keys_df):
+        seen.append({r.id for r in keys_df.collect()})
+
+    # table history: key 1 inserted, then deleted (tombstone in place)
+    apply_cdc_batch(
+        spark, path,
+        _changes(spark, [(1, "a", "one", 10, "u", 1)]),
+        keys=["id"], partition_col="part",
+    )
+    apply_cdc_batch(
+        spark, path,
+        _changes(spark, [(1, "a", None, 0, "d", 2)]),
+        keys=["id"], partition_col="part",
+    )
+
+    # the reinsert batch — the crashed attempt journaled its candidate
+    # AND committed the apply before dying (key now live, tombstone gone)
+    reinsert = [(1, "a", "reborn", 30, "u", 3)]
+    ckpt = str(tmp_path / "ckpt")
+    journal = f"{ckpt}/_reinsert_journal/batch_0"
+    spark.createDataFrame([(1,)], "id long").write.parquet(journal)
+    apply_cdc_batch(
+        spark, path, _changes(spark, reinsert),
+        keys=["id"], partition_col="part",
+    )
+    assert _state(spark, path)[1] == ("reborn", 30)  # pre-state is GONE
+
+    # replay: a fresh stream over the same batch with the journal present
+    src = str(tmp_path / "src")
+    _changes(spark, reinsert).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = start_cdc_apply(
+        stream, path, ckpt, keys=["id"], partition_col="part",
+        on_reinsert=hook,
+    )
+    assert q.awaitTermination(120)
+    assert seen == [{1}], "journal replay must re-fire the lost reinsert"
+    # journal is deleted only after the hook returned
+    import os
+
+    assert not os.path.exists(journal)
+
+
 def test_on_reinsert_remedy_restores_searchability(spark, tmp_path):
     """The full live-but-unsearchable loop, closed end to end: a CDC
     delete burns the doc in a derived search index (on_delete), a

@@ -134,6 +134,23 @@ def test_rocchio_forward_path_equals_full_scan_path(spark, tmp_path):
     assert fwd == full
 
 
+def test_rocchio_postings_none_contract_errors(spark, tmp_path):
+    """postings=None without pruned (or without forward) is a loud
+    up-front ValueError, not an opaque NoneType failure mid-plan."""
+    store = _store(spark, tmp_path)
+    doclen = index_doclen(spark, store)
+    with pytest.raises(ValueError, match="requires pruned"):
+        rocchio_expanded_topk(
+            None, doclen, ["merge"], fb_k=5, expand_n=5, beta=0.5, topn=10,
+            forward=lambda ids: forward_terms_for_docs(spark, store, ids),
+        )
+    with pytest.raises(ValueError, match="requires forward"):
+        rocchio_expanded_topk(
+            None, doclen, ["merge"], fb_k=5, expand_n=5, beta=0.5, topn=10,
+            pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
+        )
+
+
 # --- revise (the UPDATE path) ------------------------------------------------
 
 

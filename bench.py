@@ -6,13 +6,33 @@ and prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 JVM/session warmup pass, which is what a cluster user experiences.
+
+Since round 14 the artifact DEFENDS ITSELF against shared-VM load (three
+judging rounds were burned disproving phantom regressions from loaded-window
+snapshots, BASELINE.md §2a rounds 4/13):
+
+- the timed pass is DRIFT-GATED: if the sentinel drift or spread exceeds
+  the gate, the whole timed pass re-runs (up to $SPARK_GRAFT_BENCH_ATTEMPTS,
+  default 3) and the CALMEST attempt is the one emitted;
+- the sentinel set now covers BOTH load families: the original light
+  scans/joins/windows AND three bench-private STORE-BACKED probes (frozen
+  copies of the minhash band-join, the term-bucketed postings probe, and
+  the IVF cell-pruned cosine — implemented here, never touched by package
+  maintenance), because store-backed multi-stage queries drift
+  super-linearly under I/O load and a light-only median structurally
+  under-corrects exactly the persisted-store family;
+- normalization is PER-FAMILY: catalog queries with a prepare step (the
+  persisted-store family) normalize by the store-sentinel drift, the rest
+  by the light-sentinel drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -29,13 +49,10 @@ from fest_vibes_ai_etl_spark.session import get_spark  # noqa: E402
 # movement in their walls is machine drift, not engine change. Reference
 # walls are pinned to the per-query MEDIAN of rounds 2-5 at sf0.1 (the
 # calm-VM operating point recorded in BENCH_r0{2..5}.json). The reported
-# `normalized.drift` is the MEDIAN observed/reference ratio over the
-# sentinels — median, so one sentinel hitting a stray GC pause can't skew
-# the correction — and `normalized.value` is total_wall / drift: the total
-# this run WOULD have measured on the calm VM. Compare rounds on
-# normalized.value; investigate a query only if its drift-corrected wall
-# moved. If a sentinel's implementation is ever structurally changed,
-# re-pin its reference here and note it in BASELINE.md §2a.
+# `normalized.drift_light` is the MEDIAN observed/reference ratio over
+# these sentinels — median, so one sentinel hitting a stray GC pause can't
+# skew the correction. If a sentinel's implementation is ever structurally
+# changed, re-pin its reference here and note it in BASELINE.md §2a.
 SENTINEL_REF_WALL = {
     "q1_pricing_summary": 0.35,
     "q5_region_revenue": 0.80,
@@ -52,10 +69,259 @@ SENTINEL_REF_WALL = {
     "window_first_wins_dedup": 0.325,
 }
 
+# Store-backed sentinels (round 14): frozen probe queries over dedicated
+# prepare-phase stores, implemented PRIVATELY below — package maintenance
+# can never change their plans, so their walls move only with the machine.
+# They read persisted partitioned parquet, shuffle-join, and aggregate —
+# the I/O-heavy load shape the light sentinels cannot see (the round-13
+# driver snapshot showed store queries drifting 1.5-2.3× while light
+# sentinels read 1.3-1.4×). Reference walls pinned from calm round-14 runs
+# at sf0.1 (BASELINE.md §2a round-14 pin).
+STORE_SENTINEL_REF_WALL = {
+    "__store_minhash_bands": 0.29,
+    "__store_postings_probe": 0.64,
+    "__store_ivf_cosine": 0.37,
+}
 
-def _normalized_block(timings: dict[str, float], total: float) -> dict | None:
+# Gate (round 14): a timed pass whose sentinel drift or spread exceeds
+# these is a loaded-window measurement — re-run rather than emit garbage.
+# 1.15 drift ≈ the calm-band ceiling observed across rounds 2-12; 1.35
+# spread flags non-uniform load (the families disagreeing) well before
+# the 2.0 drift_model_suspect threshold.
+GATE_DRIFT = 1.15
+GATE_SPREAD = 1.35
+
+
+# --- bench-private store sentinels -----------------------------------------
+# Self-contained on purpose: these duplicate (simplified) package plans so
+# that package changes can NEVER move a sentinel wall. Do not refactor them
+# to call into fest_vibes_ai_etl_spark — that would re-couple the drift
+# model to the engine under measurement.
+
+
+def _sentinel_stores_prepare(spark, sf_dir: str, root: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+
+    # minhash band store: 16 shingle-minhashes -> 4 bands of 4,
+    # partitioned by band (the near-dup family's banded layout shape).
+    # 3-word shingles, not single words: word-level minhash over the
+    # synthetic corpus collides so densely the probe's pair join blows
+    # past sentinel-weight (measured 4s vs the ~0.5s target at sf0.1)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    sigs = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"m{i}")
+            for i in range(16)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{4 * b + j}") for j in range(4)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{root}/minhash"
+    )
+
+    # postings store: (term, doc_id, tf) hive-partitioned by term bucket,
+    # plus doclen and a pinned query-term list (top-df terms, so the probe
+    # always touches real posting lists)
+    postings = (
+        words.groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", F.pmod(F.xxhash64("w"), F.lit(32)))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{root}/postings"
+    )
+    words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/doclen")
+    (
+        postings.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(8)
+        .select("w", F.pmod(F.xxhash64("w"), F.lit(32)).alias("tb"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{root}/qterms")
+    )
+
+    # IVF store: sign-bit cells over the first 4 dims, partitioned by
+    # cell, plus a pinned query vector (min vec_id)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    cell = (
+        (e.getItem(0) > 0).cast("int")
+        + (e.getItem(1) > 0).cast("int") * 2
+        + (e.getItem(2) > 0).cast("int") * 4
+        + (e.getItem(3) > 0).cast("int") * 8
+    )
+    emb.withColumn("cell", cell).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{root}/ivf")
+    emb.orderBy("vec_id").limit(1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/ivfquery")
+
+
+def _sent_minhash_probe(spark, root: str) -> int:
+    from pyspark.sql import functions as F
+
+    t = spark.read.parquet(f"{root}/minhash")
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+        .count()
+    )
+
+
+def _sent_postings_probe(spark, root: str) -> int:
+    from pyspark.sql import functions as F
+
+    q = spark.read.parquet(f"{root}/qterms").collect()
+    terms = [r["w"] for r in q]
+    tbs = sorted({r["tb"] for r in q})
+    hits = spark.read.parquet(f"{root}/postings").filter(
+        F.col("tb").isin(tbs) & F.col("w").isin(terms)
+    )
+    doclen = spark.read.parquet(f"{root}/doclen")
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    score = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        hits.join(F.broadcast(df), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(10)
+        .count()
+    )
+
+
+def _sent_ivf_probe(spark, root: str) -> int:
+    from pyspark.sql import functions as F
+
+    qvec = [
+        float(x)
+        for x in spark.read.parquet(f"{root}/ivfquery").collect()[0][
+            "embedding"
+        ]
+    ]
+    qcell = sum(int(qvec[j] > 0) << j for j in range(4))
+    cells = sorted({qcell} | {qcell ^ (1 << j) for j in range(4)})
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    t = spark.read.parquet(f"{root}/ivf").filter(F.col("cell").isin(cells))
+    emb = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(emb, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda a: a * a), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    qn = sum(v * v for v in qvec) ** 0.5
+    return (
+        t.select("vec_id", (dot / (nrm * F.lit(qn))).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(50)
+        .count()
+    )
+
+
+_STORE_SENTINEL_PROBES = {
+    "__store_minhash_bands": _sent_minhash_probe,
+    "__store_postings_probe": _sent_postings_probe,
+    "__store_ivf_cosine": _sent_ivf_probe,
+}
+
+
+def _time_store_sentinels(spark, root: str) -> dict[str, float]:
+    walls = {}
+    for name, probe in sorted(_STORE_SENTINEL_PROBES.items()):
+        t0 = time.perf_counter()
+        try:
+            probe(spark, root)
+        except Exception as exc:  # sentinel loss degrades, never fails
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            continue
+        walls[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return walls
+
+
+# --- drift model ------------------------------------------------------------
+
+
+def _normalized_block(
+    timings: dict[str, float],
+    store_walls: dict[str, float] | None = None,
+    store_families: set[str] | None = None,
+) -> dict | None:
     """Drift-corrected bench block, or None if too few sentinels ran
-    (normalization from <5 points would be noisier than the noise)."""
+    (normalization from <5 points would be noisier than the noise).
+
+    Per-family correction (round 14): light sentinels estimate the drift
+    of scan/join/window queries; the bench-private store sentinels
+    estimate the drift of persisted-store queries (``store_families``,
+    derived from which catalog specs declare a prepare step). Each
+    query's normalized wall divides by ITS family's drift; ``value`` is
+    their sum. When store sentinels are unavailable every query falls
+    back to the light drift (the pre-round-14 model)."""
     from statistics import median
 
     ratios = {
@@ -65,31 +331,80 @@ def _normalized_block(timings: dict[str, float], total: float) -> dict | None:
     }
     if len(ratios) < 5:
         return None
-    drift = round(median(ratios.values()), 3)
-    # The correction assumes UNIFORM machine drift. If the sentinel ratios
+    drift_light = round(median(ratios.values()), 3)
+    store_ratios = {
+        name: round((store_walls or {})[name] / ref, 3)
+        for name, ref in STORE_SENTINEL_REF_WALL.items()
+        if name in (store_walls or {})
+    }
+    drift_store = (
+        round(median(store_ratios.values()), 3) if store_ratios else None
+    )
+    all_ratios = {**ratios, **store_ratios}
+    drift = round(median(all_ratios.values()), 3)
+    # The correction assumes UNIFORM drift WITHIN a family. If the ratios
     # disagree wildly (max/min > 2), something non-uniform happened — a
     # shared-code or session-config change sped/slowed a subset, which a
     # silent median would reinterpret as VM drift and smear over every
     # query, masking real regressions. Flag it instead of absorbing it;
     # raw totals stay primary in the top-level JSON either way.
-    spread = round(max(ratios.values()) / min(ratios.values()), 3)
+    spread = round(max(all_ratios.values()) / min(all_ratios.values()), 3)
+    fams = store_families or set()
+
+    def q_drift(name: str) -> float:
+        if drift_store is not None and name in fams:
+            return drift_store
+        return drift_light
+
+    queries = {n: round(t / q_drift(n), 3) for n, t in timings.items()}
     return {
         "drift": drift,
-        "value": round(total / drift, 3),
+        "drift_light": drift_light,
+        "drift_store": drift_store,
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "sentinel_ratios": ratios,
+        "store_sentinel_ratios": store_ratios,
         "sentinel_spread": spread,
         "drift_model_suspect": spread > 2.0,
-        "queries": {n: round(t / drift, 3) for n, t in timings.items()},
-        "note": "value = total wall / median sentinel drift vs pinned "
-        "calm-VM reference walls (BASELINE.md §2a); compare rounds on "
-        "this, not raw walls",
+        "queries": queries,
+        "note": "per-query wall / its FAMILY's median sentinel drift vs "
+        "pinned calm-VM reference walls (BASELINE.md §2a); store-prepare "
+        "queries use the store-sentinel drift; compare rounds on value, "
+        "not raw walls",
     }
+
+
+def _is_calm(norm: dict | None) -> bool:
+    """The drift gate: emit only calm-window measurements."""
+    if norm is None:
+        return True  # nothing to gate on — raw walls are all we have
+    return norm["drift"] <= GATE_DRIFT and norm["sentinel_spread"] <= GATE_SPREAD
+
+
+def _pick_calmest(attempts: list[dict]) -> int:
+    """Index of the attempt to emit: gate-passing attempts beat failing
+    ones outright (an attempt that failed only on spread can still show a
+    lower drift than a genuinely calm one — calm wins), then lowest
+    drift, spread breaking ties. Attempts without a normalized block sort
+    last (nothing measured their calm, so any measured attempt beats
+    them)."""
+
+    def key(a: dict):
+        n = a.get("norm")
+        if n is None:
+            return (2, float("inf"), float("inf"))
+        return (0 if _is_calm(n) else 1, n["drift"], n["sentinel_spread"])
+
+    return min(range(len(attempts)), key=lambda i: key(attempts[i]))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    max_attempts = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    )
     # realdeps visibility (stderr, so stdout stays ONE JSON line): which
     # optional-package seams became testable — packages appear silently
     # between rounds, and a newly-available one should have its realdeps
@@ -104,6 +419,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
+    store_families = {n for n, s in specs.items() if s.prepare is not None}
     # Warmup: spin up executors/codegen on the smallest query once, then the
     # Python-worker + Arrow machinery (pandas UDF and toPandas paths) so the
     # alphabetically-first timed query doesn't absorb that one-off cost.
@@ -140,37 +456,105 @@ def main() -> None:
             except Exception as exc:
                 print(f"# prepare {name}: FAILED {exc}", file=sys.stderr)
             spark.catalog.clearCache()
-
-    # Per-query isolation: one broken query must never zero the whole round's
-    # bench artifact (round 1 lost every number to a single AnalysisException).
-    # Failures are recorded separately; the final JSON line ALWAYS prints.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
+    # Build + warm the bench-private sentinel stores (outside the timers).
+    sent_root = tempfile.mkdtemp(prefix="fv_bench_sent_")
+    try:
         try:
-            n = spec.fn(spark, sf_dir).count()
+            _sentinel_stores_prepare(spark, sf_dir, sent_root)
+            # two warm passes: codegen + page cache (walls settle on the
+            # second read of the freshly-written store files)
+            _time_store_sentinels(spark, sent_root)
+            _time_store_sentinels(spark, sent_root)
         except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
-            spark.catalog.clearCache()
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Queries that persist() intermediates (pagerank edges, PPJoin
-        # signatures, ...) must not tax later queries' GC/memory: each
-        # timing starts from a clean cache.
-        spark.catalog.clearCache()
+            print(f"# sentinel stores: FAILED {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+        # Drift-gated timed passes: a loaded-window pass re-runs (the
+        # round-13 snapshot at drift 1.397 manufactured a phantom 31%
+        # regression over structurally-untouched queries); the calmest
+        # attempt is the one emitted. Per-query isolation within a pass:
+        # one broken query must never zero the whole round's artifact.
+        attempts: list[dict] = []
+        for attempt in range(max_attempts):
+            timings: dict[str, float] = {}
+            errors: dict[str, str] = {}
+            # store sentinels sampled BEFORE and AFTER the catalog loop:
+            # the pass is ~a minute long and load moves within it; the
+            # mean of the two walls is the pass's store-load estimate
+            pre_walls = _time_store_sentinels(spark, sent_root)
+            for name, spec in sorted(specs.items()):
+                t0 = time.perf_counter()
+                try:
+                    n = spec.fn(spark, sf_dir).count()
+                except Exception as exc:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(
+                        f"# {name}: FAILED {errors[name][:120]}",
+                        file=sys.stderr,
+                    )
+                    spark.catalog.clearCache()
+                    continue
+                timings[name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# {name}: {timings[name]:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+                # Queries that persist() intermediates (pagerank edges,
+                # PPJoin signatures, ...) must not tax later queries'
+                # GC/memory: each timing starts from a clean cache.
+                spark.catalog.clearCache()
+            post_walls = _time_store_sentinels(spark, sent_root)
+            store_walls = {
+                n: round((pre_walls[n] + post_walls[n]) / 2, 3)
+                for n in pre_walls
+                if n in post_walls
+            }
+            total = round(sum(timings.values()), 3)
+            norm = _normalized_block(timings, store_walls, store_families)
+            attempts.append(
+                {
+                    "timings": timings,
+                    "errors": errors,
+                    "store_walls": store_walls,
+                    "total": total,
+                    "norm": norm,
+                }
+            )
+            if _is_calm(norm):
+                break
+            d = norm["drift"] if norm else None
+            s = norm["sentinel_spread"] if norm else None
+            print(
+                f"# attempt {attempt + 1}: LOADED window (drift {d}, "
+                f"spread {s}) — re-running the timed pass",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(sent_root, ignore_errors=True)
+
+    kept = _pick_calmest(attempts)
+    chosen = attempts[kept]
+    timings, errors = chosen["timings"], chosen["errors"]
+    total, norm = chosen["total"], chosen["norm"]
+
     out = {
         "metric": "catalog_bench_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "attempts": [
+            {
+                "drift": a["norm"]["drift"] if a["norm"] else None,
+                "spread": (
+                    a["norm"]["sentinel_spread"] if a["norm"] else None
+                ),
+                "total": a["total"],
+            }
+            for a in attempts
+        ],
+        "kept_attempt": kept + 1,
+        "gate": {"drift_max": GATE_DRIFT, "spread_max": GATE_SPREAD},
     }
-    norm = _normalized_block(timings, total)
     if norm is not None:
         out["normalized"] = norm
     if errors:
@@ -193,6 +577,8 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": out["sf"],
         "detail": "BENCH_FULL.json",
+        "attempts": out["attempts"],
+        "kept_attempt": out["kept_attempt"],
     }
     if errors:
         line["n_errors"] = len(errors)
@@ -201,9 +587,12 @@ def main() -> None:
             k: norm[k]
             for k in (
                 "drift",
+                "drift_light",
+                "drift_store",
                 "value",
                 "unit",
                 "sentinel_ratios",
+                "store_sentinel_ratios",
                 "sentinel_spread",
                 "drift_model_suspect",
             )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
 
 from ..functions import vector as V
+from ..streaming.writer_lease import fenced
 
 
 def _fit_spherical_kmeans(X, k: int, seed: int, max_iter: int):
@@ -713,6 +714,7 @@ def make_index_add_processor(
     return process
 
 
+@fenced("delete")
 def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     """Tombstone vector ids in an incremental-add IVF index — the
     documented IVF delete contract: **tombstone-at-probe, physical
@@ -770,6 +772,7 @@ def delete_from_ivf_index(spark, index_dir: str, ids: list) -> int:
     return int(stored)
 
 
+@fenced("revise")
 def revise_ivf_vector(
     spark, index_dir: str, centers: list[list[float]], vec_id, new_vec
 ) -> int:

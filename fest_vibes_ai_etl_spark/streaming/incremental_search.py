@@ -102,6 +102,7 @@ from .banded_index import (
     hadoop_read_json,
 )
 from ._exact_guard import _settle_indexes
+from .writer_lease import fenced
 
 _META = "_meta.json"
 _SCHEMA_TAG = "search:doclen-id:id-only"
@@ -399,6 +400,7 @@ def detect_search_index(
             )
 
 
+@fenced("settle-forward")
 def settle_forward_index(
     spark, index_dir: str, n_doc_buckets: int = 32
 ) -> int:
@@ -625,6 +627,7 @@ def _apply_revisions(
     return out.unionByName(side.select(*cols))
 
 
+@fenced("revise")
 def revise_search_document(
     spark, index_dir: str, doc_id, new_text: str
 ) -> int:
@@ -751,6 +754,7 @@ def revise_search_document(
     return new_rev
 
 
+@fenced("delete")
 def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
     """Tombstone document ids: from this call on, probes exclude them
     (``bm25_over_index`` anti-joins postings AND doclen, so scores, df,
@@ -837,6 +841,7 @@ def _search_tombstones(spark, index_dir: str, id_col: str, heal="repair"):
     return read_tombstones(spark, index_dir, cols=[id_col], heal=heal)
 
 
+@fenced("purge")
 def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
     """Physically drop tombstoned docs from the index: rewrite ONLY the
     postings buckets that contain them (one thin column-pruned scan names
@@ -1030,6 +1035,7 @@ def purge_search_tombstones(spark, index_dir: str, clear: bool = False) -> dict:
     return {"buckets_purged": len(tbs), "docs_purged": int(docs)}
 
 
+@fenced("maintain")
 def maintain_search_index(
     spark,
     index_dir: str,

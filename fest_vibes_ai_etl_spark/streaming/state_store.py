@@ -285,11 +285,19 @@ def compact_small_files(
     final_name = f"part-merged-{tok}.parquet" if parts else None
     man_path = dir_path.rstrip("/") + "/" + _MANIFEST
     # journal BEFORE the visible rename: from here the merge either rolls
-    # forward (final lands) or rolls back (manifest dropped, inputs kept)
+    # forward (final lands) or rolls back (manifest dropped, inputs kept).
+    # The fencing stamp attributes the rewrite to the writer-lease epoch
+    # that performed it (STATE.md §5 enforcement, audit-only for recovery)
+    from .writer_lease import current_epoch_for
+
     hadoop_write_json(
         spark,
         man_path,
-        {"final": final_name, "inputs": [p.getName() for p in small]},
+        {
+            "final": final_name,
+            "inputs": [p.getName() for p in small],
+            "lease_epoch": current_epoch_for(dir_path),
+        },
     )
     if parts:
         final_p = jvm.org.apache.hadoop.fs.Path(

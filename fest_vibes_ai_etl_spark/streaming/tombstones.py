@@ -55,6 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .writer_lease import fenced
+
 # The dedup families' fingerprint for NULL text (incremental_dedup's
 # fingerprint() coalesces md5(text) to this). ONE definition: the burn
 # path compares fingerprints across modules, and silent drift in any
@@ -134,6 +136,7 @@ def read_tombstones(
     return df
 
 
+@fenced("maintain-tombstones")
 def maintain_tombstones(
     spark: SparkSession,
     store_dir: str,
@@ -166,6 +169,7 @@ def maintain_tombstones(
     )
 
 
+@fenced("delete")
 def delete_from_dedup_corpus(
     spark: SparkSession,
     corpus_dir: str,
@@ -253,6 +257,7 @@ def _untomb_recover(spark: SparkSession, store_dir: str) -> None:
         fs.delete(tmp_p, True)
 
 
+@fenced("untomb")
 def remove_tombstones(
     spark: SparkSession, store_dir: str, ids: list, id_col: str
 ) -> int:
@@ -363,6 +368,7 @@ def purge_recover(spark: SparkSession, corpus_dir: str) -> None:
         fs.delete(tmp_p, True)  # staging alone: live untouched, drop it
 
 
+@fenced("purge")
 def purge_corpus_tombstones(
     spark: SparkSession,
     corpus_dir: str,

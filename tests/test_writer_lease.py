@@ -1,0 +1,193 @@
+"""Single-writer enforcement (STATE.md §5, round 14): the manifest-CAS
+writer lease. Previously the contract lived in documentation — a cron
+maintenance tick racing an operator-run purge would corrupt silently;
+now every owner op (maintain/purge/revise/delete across the index
+families) takes a fenced epoch via put-if-absent, a second writer gets a
+typed WriterLeaseError with no directory contact, and compaction
+journals carry the winning epoch as a fencing stamp."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+from fest_vibes_ai_etl_spark.streaming.writer_lease import (
+    _HELD,
+    LEASE_DIRNAME,
+    WriterLease,
+    WriterLeaseError,
+    current_epoch_for,
+    writer_lease,
+)
+
+
+def test_acquire_release_cycle(spark, tmp_path):
+    store = str(tmp_path / "s")
+    a = WriterLease(spark, store, op="maintain")
+    assert a.acquire() == 1
+    # held: a second writer is refused with the typed error
+    b = WriterLease(spark, store, op="purge")
+    with pytest.raises(WriterLeaseError, match="still active"):
+        b.acquire()
+    a.release()
+    assert b.acquire() == 2  # released head: next epoch claims cleanly
+    b.release()
+
+
+def test_cas_race_exactly_one_winner(spark, tmp_path):
+    """N simultaneous acquirers, all released through a barrier at once:
+    the put-if-absent create arbitrates — exactly one epoch-claim wins,
+    every loser raises the typed error."""
+    store = str(tmp_path / "s")
+    n = 8
+    barrier = threading.Barrier(n)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def contender():
+        lease = WriterLease(spark, store, op="maintain")
+        barrier.wait()
+        try:
+            lease.acquire()
+            with lock:
+                outcomes.append("won")
+        except WriterLeaseError:
+            with lock:
+                outcomes.append("lost")
+
+    threads = [threading.Thread(target=contender) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("won") == 1
+    assert outcomes.count("lost") == n - 1
+
+
+def test_ttl_expiry_allows_takeover(spark, tmp_path):
+    store = str(tmp_path / "s")
+    a = WriterLease(spark, store, op="maintain", ttl_s=0.05)
+    a.acquire()  # crashed writer: never releases
+    b = WriterLease(spark, store, op="maintain")
+    with pytest.raises(WriterLeaseError):
+        b.acquire()  # still inside the TTL
+    time.sleep(0.06)
+    assert b.acquire() == 2  # expired holder presumed dead; claim over it
+    b.release()
+
+
+def test_reentrant_nesting_same_thread(spark, tmp_path):
+    """delete -> maintain_tombstones nesting: the inner writer_lease on a
+    store this thread already holds is a pass-through; only the
+    outermost exit releases. The fencing stamp resolves while held —
+    for the store root, subpaths, and sibling sidecars."""
+    store = str(tmp_path / "s")
+    with writer_lease(spark, store, "delete") as outer:
+        assert current_epoch_for(store) == outer.epoch
+        assert current_epoch_for(store + "/postings/tb=3") == outer.epoch
+        assert current_epoch_for(store + "_tombstones") == outer.epoch
+        with writer_lease(spark, store, "maintain-tombstones") as inner:
+            assert inner is outer  # same lease object, no second claim
+        # inner exit must NOT have released
+        other = WriterLease(spark, store, op="maintain")
+        with pytest.raises(WriterLeaseError):
+            other.acquire()
+    assert current_epoch_for(store) is None
+    assert not _HELD  # registry drained
+    # outer exit released: a fresh writer claims
+    w = WriterLease(spark, store, op="maintain")
+    assert w.acquire() == 2
+    w.release()
+
+
+def test_lease_released_on_op_exception(spark, tmp_path):
+    store = str(tmp_path / "s")
+    with pytest.raises(RuntimeError, match="boom"):
+        with writer_lease(spark, store, "maintain"):
+            raise RuntimeError("boom")
+    w = WriterLease(spark, store, op="maintain")
+    assert w.acquire() == 2  # the failed op's exit released the lease
+    w.release()
+
+
+def test_lease_dir_census_bounded(spark, tmp_path):
+    store = str(tmp_path / "s")
+    for _ in range(30):
+        with writer_lease(spark, store, "maintain"):
+            pass
+    names = sorted((tmp_path / "s" / LEASE_DIRNAME).iterdir())
+    # 8 retired pairs + the newest pair, not 30 pairs
+    assert len(names) <= 2 * (8 + 2)
+
+
+def test_two_writer_race_on_real_maintenance(spark, tmp_path):
+    """The verdict's 'Done' criterion: two writers race a REAL owner op
+    on a REAL store — exactly one maintenance wins, the loser raises the
+    typed error having touched nothing, and the store serves identical
+    results afterwards."""
+    from fest_vibes_ai_etl_spark.operators.search import (
+        load_or_build_postings_store,
+    )
+    from fest_vibes_ai_etl_spark.streaming.incremental_search import (
+        bm25_over_index,
+        maintain_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha merge hash token{i} content") for i in range(30)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    load_or_build_postings_store(spark, docs, str(tmp_path), store_path=store)
+    before = bm25_over_index(spark, store, ["merge"], topn=5).collect()
+
+    # writer A holds the lease mid-maintenance (simulated by holding the
+    # fence directly — same lease the op takes); writer B's real
+    # maintenance call must refuse without touching the store
+    with writer_lease(spark, store, "maintain"):
+        errs: list[Exception] = []
+
+        def second_writer():
+            try:
+                maintain_search_index(spark, store)
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        t = threading.Thread(target=second_writer)
+        t.start()
+        t.join()
+        assert len(errs) == 1
+        assert isinstance(errs[0], WriterLeaseError)
+
+    # the fence is released: the same call now wins and the store is sound
+    maintain_search_index(spark, store)
+    after = bm25_over_index(spark, store, ["merge"], topn=5).collect()
+    assert after == before
+
+
+def test_compaction_journal_carries_lease_epoch(spark, tmp_path, monkeypatch):
+    """Every journal written under a held lease is stamped with the
+    fencing epoch (audit: which writer epoch performed which rewrite)."""
+    from fest_vibes_ai_etl_spark.streaming import state_store
+
+    captured = {}
+    real_write = state_store.hadoop_write_json
+
+    def spy(s, path, obj):
+        if path.endswith(state_store._MANIFEST):
+            captured[path] = dict(obj)
+        return real_write(s, path, obj)
+
+    monkeypatch.setattr(state_store, "hadoop_write_json", spy)
+
+    d = str(tmp_path / "s" / "postings" / "tb=0")
+    for i in range(4):
+        spark.range(i * 5, i * 5 + 5).write.mode("append").parquet(d)
+    with writer_lease(spark, str(tmp_path / "s"), "maintain") as lease:
+        state_store.compact_small_files(spark, d, max_files=2, force=True)
+        assert captured, "compaction should have journaled"
+        (payload,) = captured.values()
+        assert payload["lease_epoch"] == lease.epoch

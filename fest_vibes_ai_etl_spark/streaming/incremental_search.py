@@ -243,10 +243,24 @@ _PROBE_MEMO: dict = {}
 
 
 def _memo_for(spark, index_dir: str) -> dict:
+    """The per-(session, store) memo, VALIDATED against the store's
+    generation stamp (round 14): every fenced owner op — in this session
+    or ANY OTHER — bumps ``<store>/_gen`` at entry, so a memo whose
+    recorded gen no longer matches is from before some writer ran (or
+    crashed mid-run) and is dropped wholesale. Cost: one directory
+    listing per call — the cross-session closure of the staleness seam
+    the same-session invalidate-at-entry cannot see (a foreign writer
+    process dying mid-compaction while this session holds a memoized
+    'healed' claim)."""
+    from .writer_lease import read_store_gen
+
     key = (spark.sparkContext.applicationId, index_dir.rstrip("/"))
-    return _PROBE_MEMO.setdefault(
-        key, {"meta": None, "healed": set(), "nonempty": set()}
-    )
+    gen = read_store_gen(spark, index_dir)
+    memo = _PROBE_MEMO.get(key)
+    if memo is None or memo.get("gen") != gen:
+        memo = {"meta": None, "healed": set(), "nonempty": set(), "gen": gen}
+        _PROBE_MEMO[key] = memo
+    return memo
 
 
 def invalidate_probe_memo(index_dir: str) -> None:

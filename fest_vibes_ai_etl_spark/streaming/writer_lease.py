@@ -286,6 +286,65 @@ def current_epoch_for(path: str) -> int | None:
     return None
 
 
+# --- store generation stamp -------------------------------------------------
+#
+# A monotonic per-store generation under <store>/_gen/ (exactly one
+# g{N:012d} marker; transiently two during a bump, readers take the max).
+# Every fenced owner op bumps it AT ENTRY (post-claim, outermost only), so
+# a CROSS-SESSION reader can detect that some writer — this process or
+# another — has run (or crashed mid-run) since it last validated, with ONE
+# directory listing. The probe memo records the gen it validated and
+# resets itself on mismatch; this closes the staleness seam where a
+# long-lived reader session holds a memoized 'healed' claim while a
+# separate writer session dies mid-compaction (the same-session half is
+# already closed by invalidate-at-entry).
+
+GEN_DIRNAME = "_gen"
+
+
+def read_store_gen(spark, store_dir: str) -> int:
+    """Current generation of the store (0 = never written by a fenced
+    op). One backend listing."""
+    store = _norm(store_dir)
+    backend = _backend_for(spark, store)
+    gdir = _strip_file_scheme(store, backend) + "/" + GEN_DIRNAME
+    gens = [
+        int(n[1:-5])
+        for n in backend.list(gdir)
+        if n.startswith("g") and n.endswith(".json") and n[1:-5].isdigit()
+    ]
+    return max(gens) if gens else 0
+
+
+def bump_store_gen(spark, store_dir: str) -> int:
+    """Advance the store generation (fenced-owner-op entry). Retries past
+    put-if-absent collisions (two bumpers converge on distinct gens);
+    retires older markers after the new one is durable."""
+    store = _norm(store_dir)
+    backend = _backend_for(spark, store)
+    gdir = _strip_file_scheme(store, backend) + "/" + GEN_DIRNAME
+    cur = read_store_gen(spark, store)
+    nxt = cur + 1
+    payload = json.dumps({"bumped_unix": time.time()}).encode("utf-8")
+    while not backend.put_if_absent(f"{gdir}/g{nxt:012d}.json", payload):
+        nxt += 1
+    for n in backend.list(gdir):
+        if (
+            n.startswith("g")
+            and n.endswith(".json")
+            and n[1:-5].isdigit()
+            and int(n[1:-5]) < nxt
+        ):
+            backend.delete(f"{gdir}/{n}")
+    return nxt
+
+
+def _strip_file_scheme(store: str, backend) -> str:
+    if store.startswith("file:") and isinstance(backend, _LocalLeaseBackend):
+        return store[len("file:") :]
+    return store
+
+
 def fenced(op: str):
     """Decorator fencing an owner op whose signature starts
     ``(spark, store_dir, ...)`` — the shared shape of every maintenance/
@@ -327,6 +386,16 @@ class writer_lease:
         lease.acquire()
         _HELD[key] = lease
         self._mine = lease
+        # generation bump AT ENTRY, after winning the claim: cross-session
+        # readers' memos go stale the moment a writer starts, so a writer
+        # crash mid-op can never hide behind another session's memo
+        try:
+            bump_store_gen(self._spark, self._store)
+        except Exception:
+            lease.release()
+            _HELD.pop(key, None)
+            self._mine = None
+            raise
         return lease
 
     def __exit__(self, exc_type, exc, tb):

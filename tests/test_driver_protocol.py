@@ -150,7 +150,16 @@ def test_driver_protocol(proto_spark, proto_duck, name):
         assert s_cols
         return
 
-    d_cols, d_rows = _canon_frame(proto_duck.execute(spec.oracle).df())
+    ddf = proto_duck.execute(spec.oracle).df()
+    # STRICT schema convention (round 14, after the r12 pareto column-order
+    # nit): the DECLARED column order must match, not just the sorted
+    # names — the driver's compare is order-insensitive, so this is the
+    # only place a drifting projection order gets caught.
+    assert list(spdf.columns) == list(ddf.columns), (
+        f"{name}: declared column ORDER differs: spark={list(spdf.columns)} "
+        f"oracle={list(ddf.columns)}"
+    )
+    d_cols, d_rows = _canon_frame(ddf)
     assert s_cols == d_cols, f"{name}: schema {s_cols} != {d_cols}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: rows {len(s_rows)} != {len(d_rows)}"

@@ -887,6 +887,114 @@ def revise_ivf_vector(
     return new_rev
 
 
+@fenced("absorb")
+def absorb_ivf_revisions(spark, index_dir: str) -> dict:
+    """Physically fold pending vector revisions into the main
+    cell-partitioned store — the search family's
+    ``absorb_search_revisions`` for the IVF add index: each revised id's
+    stale row drops from its old cell, its latest-rev row lands in its
+    new cell, and the ``(id, rev)`` markers + ``_rev`` sidecar empty, so
+    :func:`read_ivf_index` returns to the zero-added-plan fast path
+    (``read_revisions`` → one stat → None) without a quantizer rebuild.
+    Probe-equivalent at every crash window (same argument as the search
+    family: while markers exist, probes anti-join ALL main rows of
+    revised ids — half-absorbed copies included — and serve the sidecar;
+    the marker-dir drop is the commit point; re-runs drop before they
+    union, so they converge). Like delete/revise, an owner op for a
+    HEALTHY stream: replay any crashed add batch first — a pruned-guard
+    replay checks the batch's own cells, and absorption may have moved a
+    revised id out of them."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless, is_path_not_found
+    from ..streaming.banded_index import hadoop_read_json
+    from ..streaming.incremental_search import (
+        invalidate_probe_memo,
+        read_revisions,
+    )
+    from ..streaming.state_store import compact_small_files
+
+    invalidate_probe_memo(index_dir)
+    meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/_meta.json")
+    if meta is None:
+        raise IVFIndexLayoutError(
+            f"no _meta.json under {index_dir}: not an incremental-add IVF "
+            f"index"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    rdir = index_dir.rstrip("/") + "_rev"
+    mdir = index_dir.rstrip("/") + "_revisions"
+    jvm = spark._jvm
+
+    def _rm(path: str) -> None:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    revs = read_revisions(spark, index_dir, id_col)
+    if revs is None:
+        _rm(rdir)  # orphans from a crash between marker + sidecar drops
+        return {"absorbed_vectors": 0, "cells_rewritten": 0}
+    rev_ids = revs.select(id_col)
+    n_vecs = revs.count()
+    try:
+        fresh = (
+            spark.read.parquet(rdir)
+            .join(revs, [id_col, "rev"], "left_semi")
+            .select(id_col, vec_col, "cell_id")
+        )
+        fresh.schema
+    except AnalysisException as exc:
+        if not is_missing_or_dataless(exc):
+            raise
+        fresh = spark.createDataFrame(
+            [],
+            f"{id_col} {meta.get('id_type', 'bigint')}, "
+            f"{vec_col} array<double>, cell_id int",
+        )
+    cells: set[int] = set()
+    try:
+        cells |= {
+            r[0]
+            for r in spark.read.parquet(index_dir)
+            .join(rev_ids, id_col, "left_semi")
+            .select("cell_id")
+            .distinct()
+            .collect()
+        }
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+    cells |= {r[0] for r in fresh.select("cell_id").distinct().collect()}
+    for c in sorted(cells):
+        d = f"{index_dir.rstrip('/')}/cell_id={c}"
+        fresh_c = fresh.filter(F.col("cell_id") == c).select(id_col, vec_col)
+        jp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_files = fs.exists(jp) and any(
+            not st.getPath().getName().startswith(("_", "."))
+            and st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(jp)
+        )
+        if has_files:
+            compact_small_files(
+                spark, d,
+                exclude=rev_ids, exclude_cols=[id_col],
+                transform=lambda df, f=fresh_c: df.unionByName(f),
+                force=True, include_graduated=True,
+            )
+        elif not fresh_c.isEmpty():
+            fresh_c.coalesce(1).write.mode("append").parquet(d)
+    # COMMIT POINT: markers first, sidecar second (see the search
+    # family's ordering argument — the reverse would leave marked ids
+    # with nothing to serve)
+    _rm(mdir)
+    _rm(rdir)
+    invalidate_probe_memo(index_dir)
+    return {"absorbed_vectors": n_vecs, "cells_rewritten": len(cells)}
+
+
 def read_ivf_index(spark, index_dir: str, heal: str = "repair") -> DataFrame:
     """The incremental-add index as probes must see it: stored (id, vec,
     cell_id) rows minus tombstoned ids, with revised ids served at their

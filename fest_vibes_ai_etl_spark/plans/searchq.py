@@ -216,6 +216,91 @@ def search_bm25_revised(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_over_index(spark, _revised_store(spark, sf_dir), TERMS, topn=TOPN)
 
 
+ABS_SUFFIX = "merge merge hash window absorbq"
+
+
+def _absorbed_store(spark: SparkSession, sf_dir: str) -> str:
+    """A fourth persisted index (``_absq`` suffix): doc REV_ID's text is
+    UPDATED via revise_search_document and the revision is then
+    PHYSICALLY ABSORBED (absorb_search_revisions) — markers and ``_rev``
+    sidecars gone, the edit folded into the main postings/doclen/forward
+    store, probes on the zero-added-plan fast path. Idempotence guard:
+    an absorbed store is marker-free and so indistinguishable from an
+    unedited one by read_revisions — instead the nonce token (absorbq,
+    absent from the synthetic corpus by construction) is probed; the
+    edit is applied only when it doesn't rank yet."""
+    from ..operators.search import postings_store_path
+    from ..streaming.incremental_search import (
+        absorb_search_revisions,
+        bm25_over_index,
+        revise_search_document,
+    )
+
+    path = postings_store_path(sf_dir) + "_absq"
+    docs = table(spark, sf_dir, "documents")
+    load_or_build_postings_store(spark, docs, sf_dir, store_path=path)
+    if not bm25_over_index(spark, path, ["absorbq"], topn=1).collect():
+        old = docs.filter(f"doc_id = {REV_ID}").select("text").collect()
+        new_text = (old[0][0] + " " if old else "") + ABS_SUFFIX
+        revise_search_document(spark, path, REV_ID, new_text)
+        absorb_search_revisions(spark, path)
+    return path
+
+
+@register(
+    "search_bm25_absorbed",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = {REV_ID}
+                  THEN text || ' {ABS_SUFFIX}' ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM( LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(s + 0.00000001, 4) AS score
+    FROM scored ORDER BY score DESC, doc_id
+    LIMIT {TOPN}
+    """,
+    tags=("search", "bm25", "update", "absorb"),
+    prepare=lambda spark, sf_dir: _absorbed_store(spark, sf_dir),
+    doc="Incremental ABSORPTION oracle-checked end to end (round 14): a "
+    "revised doc's edit is physically folded into the main store "
+    "(absorb_search_revisions — stale rows dropped, latest-rev rows "
+    "landed in their tb=/db= buckets, markers and _rev sidecars gone), "
+    "and BM25 over the marker-free store equals DuckDB's BM25 over the "
+    "edited corpus. The probe pays ZERO revision overhead — the "
+    "high-edit-rate scale path (cites incremental_search.py "
+    "absorb_search_revisions; reference: the Postgres row overwrite at "
+    "src/loader/service.py:324-422, executed lazily).",
+)
+def search_bm25_absorbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental_search import bm25_over_index
+
+    return bm25_over_index(spark, _absorbed_store(spark, sf_dir), TERMS, topn=TOPN)
+
+
 FB_K = 5
 EXPAND_N = 5
 BETA = 0.5

@@ -768,6 +768,201 @@ def revise_search_document(
     return new_rev
 
 
+@fenced("absorb")
+def absorb_search_revisions(spark, index_dir: str) -> dict:
+    """Physically fold every pending revision into the main store —
+    latest-rev rows move into their ``tb=`` postings buckets, doclen,
+    and the forward sidecar; the stale main rows drop; the ``(id, rev)``
+    markers and the ``_rev`` sidecars empty. Probes then return to the
+    ZERO-added-plan no-revisions fast path (``read_revisions`` → one fs
+    stat → None) without a full rebuild — the scale story for
+    high-edit-rate stores, whose probes otherwise pay the marker join +
+    rev resolution on every query forever (the round-13 limit: physical
+    absorption only rode the fingerprint-keyed rebuild). The reference's
+    UPDATE is a Postgres row overwrite
+    (/root/reference/src/loader/service.py:324-422) — absorption is that
+    overwrite executed lazily, amortized into the maintenance tick.
+
+    Probe-equivalent at EVERY crash window, so it needs no journal of
+    its own beyond the per-directory compaction manifests:
+
+    - while markers exist, probes anti-join ALL rows of revised ids from
+      the main store — including any already-absorbed fresh copies — and
+      serve the ``_rev`` sidecar, so partially-rewritten buckets are
+      invisible;
+    - the marker drop (a journaled empty-the-directory fold) is the
+      commit point: after it, the main store serves the absorbed rows
+      and the orphaned sidecar rows are never joined in (the probe's
+      (id, rev) semi-join finds no marker);
+    - a re-run converges: each bucket rewrite first drops EVERY row of
+      the revised ids (stale and previously-absorbed alike), then unions
+      the fresh rows once.
+
+    A doc revised to empty text (no doclen row at its latest rev) is
+    absorbed as a physical REMOVAL — exactly how probes already rendered
+    it. Cost: one journaled rewrite per affected bucket (stale buckets
+    named by a thin semi-join scan, the purge discipline; fresh buckets
+    from the rev rows' term hashes), bounded by the edit set's term
+    spread, never index-proportional beyond the thin scan. Owner op
+    (fenced; nests inside ``maintain_search_index``'s lease)."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_dataless, is_path_not_found
+    from .state_store import compact_small_files
+
+    invalidate_probe_memo(index_dir)
+    meta = load_index_meta(spark, index_dir)
+    id_col = meta["id_col"]
+    idt = meta.get("id_type", "bigint")
+    ntb = int(meta["n_term_buckets"])
+    revs = read_revisions(spark, index_dir, id_col)
+    rdirs = [
+        _revisions_dir(index_dir),
+        _rev_terms_dir(index_dir),
+        _rev_doclen_dir(index_dir),
+    ]
+    if revs is None:
+        # nothing pending — but a prior absorb that crashed between the
+        # marker delete and the sidecar deletes leaves orphaned _rev rows
+        # (unreachable: no markers join them in); finish that cleanup
+        jvm_ = spark._jvm
+        for d in rdirs[1:]:
+            jp = jvm_.org.apache.hadoop.fs.Path(d)
+            fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jp):
+                fs.delete(jp, True)
+        return {"absorbed_docs": 0, "postings_buckets": 0,
+                "forward_buckets": 0}
+    recover_search_index(spark, index_dir, memoize=False)
+    _recover_dirs(spark, index_dir, rdirs, memoize=False)
+    rev_ids = revs.select(id_col)
+    n_docs = revs.count()
+
+    def _side(d: str, schema: str) -> DataFrame:
+        try:
+            df = spark.read.parquet(d)
+            df.schema
+            return df
+        except AnalysisException as exc:
+            if not is_missing_or_dataless(exc):
+                raise
+            return spark.createDataFrame([], schema)
+
+    fresh_post = (
+        _side(
+            _rev_terms_dir(index_dir),
+            f"{id_col} {idt}, rev int, term string, tf bigint",
+        )
+        .join(revs, [id_col, "rev"], "left_semi")
+        .select("term", id_col, "tf")
+    )
+    fresh_dl = (
+        _side(
+            _rev_doclen_dir(index_dir),
+            f"{id_col} {idt}, rev int, dl bigint",
+        )
+        .join(revs, [id_col, "rev"], "left_semi")
+        .select(id_col, "dl")
+    )
+
+    pdir = _postings_dir(index_dir)
+    tbs: set[int] = set()
+    try:
+        # stale buckets: the purge op's thin semi-join scan
+        tbs |= {
+            r[0]
+            for r in spark.read.parquet(pdir)
+            .join(rev_ids, id_col, "left_semi")
+            .select("tb")
+            .distinct()
+            .collect()
+        }
+    except AnalysisException as exc:
+        if not is_path_not_found(exc):
+            raise
+    tbs |= {
+        r[0]
+        for r in fresh_post.select(
+            term_bucket(F.col("term"), ntb).alias("tb")
+        )
+        .distinct()
+        .collect()
+    }
+
+    jvm = spark._jvm
+
+    def _rewrite(d: str, fresh: DataFrame) -> None:
+        """Drop every revised id's rows, land the fresh rows — through
+        the journaled compactor when the dir has files, by direct
+        append when it doesn't (a fresh bucket no batch ever touched)."""
+        jp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_files = fs.exists(jp) and any(
+            not st.getPath().getName().startswith(("_", "."))
+            and st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(jp)
+        )
+        if has_files:
+            compact_small_files(
+                spark, d,
+                exclude=rev_ids, exclude_cols=[id_col],
+                transform=lambda df: df.unionByName(fresh),
+                force=True, include_graduated=True,
+            )
+        elif not fresh.isEmpty():
+            fresh.coalesce(1).write.mode("append").parquet(d)
+
+    for b in sorted(tbs):
+        _rewrite(
+            f"{pdir}/tb={b}",
+            fresh_post.filter(term_bucket(F.col("term"), ntb) == b).select(
+                "term", id_col, "tf"
+            ),
+        )
+    dbs: list[int] = []
+    if "n_doc_buckets" in meta:
+        fdir = _forward_dir(index_dir)
+        jfp = jvm.org.apache.hadoop.fs.Path(fdir)
+        if jfp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jfp):
+            ndb = int(meta["n_doc_buckets"])
+            dbs = sorted(
+                r[0]
+                for r in rev_ids.select(
+                    doc_bucket(F.col(id_col), ndb).alias("db")
+                )
+                .distinct()
+                .collect()
+            )
+            for b in dbs:
+                _rewrite(
+                    f"{fdir}/db={b}",
+                    fresh_post.filter(
+                        doc_bucket(F.col(id_col), ndb) == b
+                    ).select("term", id_col, "tf"),
+                )
+    _rewrite(_doclen_dir(index_dir), fresh_dl)
+    # COMMIT POINT: drop the marker dir — from here probes serve the
+    # absorbed main rows on the no-revisions fast path (read_revisions →
+    # one stat → None; a journaled fold-to-empty would instead leave a
+    # 0-row file that reads as an empty marker FRAME, keeping probes on
+    # the slow path forever). A partial (crashed) recursive delete is
+    # still probe-correct: surviving markers keep their docs on the
+    # sidecar path, deleted markers' docs serve the absorbed main rows.
+    # Sidecars drop strictly AFTER markers — the reverse order would
+    # leave marked docs with no content to serve.
+    for d in rdirs:
+        jp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    invalidate_probe_memo(index_dir)
+    return {
+        "absorbed_docs": n_docs,
+        "postings_buckets": len(tbs),
+        "forward_buckets": len(dbs),
+    }
+
+
 @fenced("delete")
 def delete_from_search_index(spark, index_dir: str, ids: list) -> int:
     """Tombstone document ids: from this call on, probes exclude them
@@ -1058,6 +1253,7 @@ def maintain_search_index(
     target_segment_bytes: int = 32 << 20,
     fold_tombstones: bool = True,
     forward_buckets: list[int] | None = None,
+    absorb_revised_at: float | None = 0.2,
 ) -> dict:
     """Bound the postings/doclen small-file growth: every micro-batch
     appends one file per touched ``tb=`` bucket plus one doclen file, so
@@ -1072,7 +1268,14 @@ def maintain_search_index(
     scales with batch activity, not index size); None walks all buckets.
     Untouched buckets' files are never rewritten. Crash-safe via the
     manifest journal in ``state_store`` (single-writer discipline: run
-    between batches, never concurrently with a probe)."""
+    between batches, never concurrently with a probe).
+
+    ``absorb_revised_at`` (round 14): when the pending-revision count
+    reaches this fraction of the indexed docs, the tick calls
+    :func:`absorb_search_revisions` — folding the ``_rev`` sidecars into
+    the main store so probes return to the marker-free fast path. None
+    disables (revisions then absorb only at rebuild or via an explicit
+    absorb call)."""
     from .state_store import compact_small_files
 
     # maintenance can crash mid-compaction (new journals) and can empty a
@@ -1081,6 +1284,33 @@ def maintain_search_index(
     invalidate_probe_memo(index_dir)
     recover_search_index(spark, index_dir, buckets, memoize=False)
     meta = hadoop_read_json(spark, index_dir.rstrip("/") + "/" + _META)
+    absorbed = 0
+    if absorb_revised_at is not None and meta is not None:
+        # fold pending revisions into the main store once the revised
+        # fraction crosses the threshold: high-edit-rate stores otherwise
+        # pay the marker join + rev resolution on every probe forever
+        # (absorb_search_revisions — probe-equivalent at every window).
+        # Fraction base = revised ids / resolved docs; both counts are
+        # skipped entirely (one fs stat) when nothing was ever revised.
+        revs_pending = read_revisions(spark, index_dir, meta["id_col"])
+        if revs_pending is not None:
+            from pyspark.errors import AnalysisException
+
+            from ..errors import is_missing_or_dataless
+
+            n_rev = revs_pending.count()
+            try:
+                n_docs = (
+                    spark.read.parquet(_doclen_dir(index_dir)).count()
+                )
+            except AnalysisException as exc:
+                if not is_missing_or_dataless(exc):
+                    raise
+                n_docs = 0
+            if n_rev and n_rev >= absorb_revised_at * max(n_docs, 1):
+                absorbed = absorb_search_revisions(spark, index_dir)[
+                    "absorbed_docs"
+                ]
     tomb = None
     if fold_tombstones and meta is not None:
         tomb = _search_tombstones(spark, index_dir, meta["id_col"])
@@ -1150,6 +1380,7 @@ def maintain_search_index(
         "buckets_compacted": buckets_compacted,
         "files_merged": files_merged,
         "tombstone_files_merged": tomb_merged,
+        "revisions_absorbed": absorbed,
     }
 
 

@@ -110,6 +110,7 @@ def test_maintenance_bounds_files_preserves_ranking_and_untouched_buckets(
         "buckets_compacted": 0,
         "files_merged": 0,
         "tombstone_files_merged": 0,
+        "revisions_absorbed": 0,
     }
 
 

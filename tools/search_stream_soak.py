@@ -84,6 +84,11 @@ def census(idx: str) -> dict:
         "tombstone_files": _flat(idx.rstrip("/") + "_tombstones"),
         "revision_files": _flat(idx.rstrip("/") + "_revisions"),
         "rev_store_files": _flat(idx.rstrip("/") + "_rev/terms"),
+        # round 14: probes are on the no-revisions ZERO-added-plan fast
+        # path exactly when the marker dir is gone (absorption folded the
+        # edits into the main store) — the claim under test with
+        # --revises-every 1 is that this keeps RE-ENGAGING between ticks
+        "fast_path": not os.path.isdir(idx.rstrip("/") + "_revisions"),
     }
 
 
@@ -115,6 +120,7 @@ def main() -> None:
     )
     points: list[dict] = []
     deleted: set[int] = set()
+    last_revised: int | None = None
     t_start = time.perf_counter()
     for i in range(args.batches):
         rows = []
@@ -136,6 +142,7 @@ def main() -> None:
                 inc.revise_search_document(
                     spark, idx, vid, f"merge revisedbody{vid} fresh words"
                 )
+                last_revised = vid
         if (i + 1) % args.every == 0:
             best = math.inf
             hits = []
@@ -146,12 +153,27 @@ def main() -> None:
             # correctness under operational load: no tombstoned id may rank
             bad = [r[0] for r in hits if r[0] in deleted]
             assert not bad, f"tombstoned ids in probe results: {bad}"
+            # revised docs must rank under their NEW content (the nonce
+            # body term retrieves the victim whether its revision is
+            # pending in the sidecar or already absorbed into the main)
+            if last_revised is not None:
+                got = {
+                    r[0]
+                    for r in inc.bm25_over_index(
+                        spark, idx, [f"revisedbody{last_revised}"], topn=3
+                    ).collect()
+                }
+                assert last_revised in got, (
+                    f"revised doc {last_revised} not retrievable by new "
+                    f"content"
+                )
             pt = {"batch": i + 1, "probe_wall": round(best, 3), **census(idx)}
             points.append(pt)
             print(
                 f"# b={pt['batch']} probe={pt['probe_wall']}s "
                 f"post_files={pt['postings_files']} "
                 f"max_bucket={pt['max_bucket_files']} dl={pt['doclen_files']} "
+                f"revmark={pt['revision_files']} fast={pt['fast_path']} "
                 f"elapsed={time.perf_counter() - t_start:.0f}s",
                 file=sys.stderr,
             )

@@ -100,6 +100,69 @@ def bloom_might_contain(
     return _probe(F.array(*_positions(key, num_bits, num_hashes)))
 
 
+def bloom_words_df(
+    build_side: DataFrame,
+    key: str,
+    num_bits: int = DEFAULT_BITS,
+    num_hashes: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """The bloom bitmap as a ONE-ROW DataFrame (``bm``: array<bigint> of
+    ``num_bits/64`` words) instead of a driver-side numpy array: the build
+    aggregation stays identical to :func:`build_bloom` (explode → distinct
+    → per-word ``bit_or``), but the dense word array is assembled in the
+    final one-row aggregate — so the bitmap never round-trips through a
+    ``collect()`` and the whole build+probe composes into ONE Spark job
+    (the bitmap ships to executors as an ordinary broadcast relation)."""
+    n_words = num_bits >> 6
+    pos = (
+        build_side.select(
+            F.explode(F.array(*_positions(F.col(key), num_bits, num_hashes))).alias("p")
+        )
+        .distinct()
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("wm"), i.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
+    ).select(dense.alias("bm"))
+
+
+def bloom_might_contain_native(
+    bm: Column, key: Column, num_bits: int = DEFAULT_BITS, num_hashes: int = DEFAULT_HASHES
+) -> Column:
+    """JVM-native probe over a word-array bitmap COLUMN (from
+    :func:`bloom_words_df`): the same k seeded-xxhash64 positions and the
+    same word/bit layout as the pandas-UDF probe, evaluated entirely in
+    whole-stage codegen — no Arrow boundary, no Python workers, and the
+    hash columns never cross into Python (guide §4.1: prefer built-ins)."""
+    cond = None
+    for i in range(num_hashes):
+        h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(bm, (F.shiftright(h, 6) + 1).cast("int"))
+        # call_function: the SQL shiftright accepts a COLUMN shift amount
+        # (the python F.shiftright wrapper insists on a literal int)
+        bit = (
+            F.call_function("shiftright", word, (h % 64).cast("int")).bitwiseAND(
+                F.lit(1)
+            )
+            == 1
+        )
+        cond = bit if cond is None else cond & bit
+    return cond
+
+
 def bloom_semi_join(
     probe_side: DataFrame,
     build_side: DataFrame,
@@ -114,10 +177,23 @@ def bloom_semi_join(
     remove bloom false positives — the result is then EXACTLY the semi join,
     but only the ~FP-rate excess of matching rows ever reaches the shuffle.
     ``exact=False`` keeps the pure map-side filter (no shuffle at all) for
-    consumers that tolerate the FP rate (e.g. pre-aggregation pruning)."""
-    bitmap = build_bloom(build_side, build_key, num_bits, num_hashes)
-    pre = probe_side.filter(
-        bloom_might_contain(bitmap, F.col(probe_key), num_bits, num_hashes)
+    consumers that tolerate the FP rate (e.g. pre-aggregation pruning).
+
+    Round 14: the probe is JVM-NATIVE — the bitmap rides a one-row
+    broadcast (``bloom_words_df``) and the bit tests run in codegen
+    (``bloom_might_contain_native``), eliminating the ArrowEvalPython node
+    and the per-row hash-array Python transfer of the pandas-UDF path
+    (measured plan diff in OPTIMIZATION_r14.md). ``build_bloom`` /
+    ``bloom_might_contain`` remain for driver-side bitmap consumers."""
+    bm = bloom_words_df(build_side, build_key, num_bits, num_hashes)
+    pre = (
+        probe_side.crossJoin(F.broadcast(bm))
+        .filter(
+            bloom_might_contain_native(
+                F.col("bm"), F.col(probe_key), num_bits, num_hashes
+            )
+        )
+        .drop("bm")
     )
     if not exact:
         return pre

@@ -114,6 +114,7 @@ def ngram_jaccard_pairs(
     persist: bool = True,
     sig: DataFrame | None = None,
     strategy: str = "auto",
+    total_shingles: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4.
@@ -166,7 +167,11 @@ def ngram_jaccard_pairs(
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     tp = max(threshold - 1e-3, 0.0)
     if strategy == "auto":
-        total_shingles = sig.agg(F.sum("n")).collect()[0][0] or 0
+        # ``total_shingles`` (from store metadata — signature_store_totals)
+        # spares the decision job: auto otherwise spends a Spark round-trip
+        # deciding how to run the query (round-14 guide §1.2).
+        if total_shingles is None:
+            total_shingles = sig.agg(F.sum("n")).collect()[0][0] or 0
         strategy = "ppjoin" if total_shingles > 2_000_000 else "count"
     if strategy == "count":
         ex = sig.select("id", "n", F.explode("sh").alias("shingle"))
@@ -220,6 +225,10 @@ def ngram_jaccard_pairs(
     sa = sig.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
     sb = sig.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # NOTE (round 14): deferring this distinct past the verify joins was
+    # tried and measured 2.5× SLOWER at sf0.1 — the distinct's exchange is
+    # the stats point AQE uses to plan the verify joins as broadcasts, and
+    # removing it left million-row sort-merge joins in one fused stage.
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
@@ -239,6 +248,7 @@ def containment_pairs(
     persist: bool = True,
     sig: DataFrame | None = None,
     strategy: str = "auto",
+    total_shingles: int | None = None,
 ) -> DataFrame:
     """Directed shingle-CONTAINMENT near-dup pairs: C(src→dst) =
     |S_src ∩ S_dst| / |S_src|, the asymmetric overlap measure. Returns
@@ -269,9 +279,11 @@ def containment_pairs(
       distinct-ed, and ``array_intersect`` on the signature arrays
       verifies. Wins when t is high (src prefixes collapse) on large
       corpora; the count path's agg hash map wins below the crossover.
-    - ``strategy="auto"``: the same measured ~2M-shingle-rows crossover
-      as the Jaccard family, decided by one SUM(n) over the signature
-      table.
+    - ``strategy="auto"``: a measured ~100k-shingle-rows crossover
+      (round 14 — much earlier than the Jaccard family's 2M: the
+      asymmetric src-only prefix shrinks the candidate join faster),
+      decided from store metadata (``total_shingles``) or one SUM(n)
+      over the signature table.
 
     Both are lossless (the prefix bound is backed off by 1e-3 so pairs
     whose true containment rounds up to ``threshold`` under round_div's
@@ -288,8 +300,17 @@ def containment_pairs(
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     tp = max(threshold - 1e-3, 0.0)
     if strategy == "auto":
-        total_shingles = sig.agg(F.sum("n")).collect()[0][0] or 0
-        strategy = "prefix" if total_shingles > 2_000_000 else "count"
+        # ``total_shingles`` (store metadata) spares the decision job —
+        # see ngram_jaccard_pairs. Crossover RE-MEASURED in round 14
+        # (interleaved A/B, OPTIMIZATION_r14.md): at t=0.5 prefix wins
+        # from ~260k shingle rows (2.65 vs 3.05 s at sf0.1) while count
+        # wins at ~26k (0.7 vs 0.9 s at sf0.01) — the asymmetric prefix
+        # (src side only, (1−t)·n) pays off far earlier than the
+        # symmetric Jaccard crossover, whose 2M constant had been applied
+        # here unmeasured.
+        if total_shingles is None:
+            total_shingles = sig.agg(F.sum("n")).collect()[0][0] or 0
+        strategy = "prefix" if total_shingles > 100_000 else "count"
     if strategy == "count":
         ex = sig.select("id", "n", F.explode("sh").alias("shingle"))
         a = ex.select(F.col("id").alias("src_id"), F.col("n").alias("na"), "shingle")
@@ -335,6 +356,10 @@ def containment_pairs(
     )
     sa = sig.select(F.col("id").alias("src_id"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
     sb = sig.select(F.col("id").alias("dst_id"), F.col("sh").alias("sh_b"))
+    # NOTE (round 14): deferring the candidate distinct past the verify was
+    # tried and measured 2.5× slower — see the matching note in
+    # ngram_jaccard_pairs (the distinct's exchange feeds AQE's broadcast
+    # re-planning of the verify joins).
     return (
         cand.join(sa, "src_id")
         .join(sb, "dst_id")
@@ -662,7 +687,50 @@ def load_or_build_signature_store(
         return spark.read.parquet(path)
     sig = shingle_signature(df, id_col, text_col, k)
     sig.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    _settle_sig_meta(spark, path)
+    return out
+
+
+def _settle_sig_meta(spark, path: str) -> dict:
+    """Read (or compute-once-and-write) the store's ``_sig_meta.json``:
+    {"total_shingles": Σn, "n_docs": count}. The strategy crossover in the
+    Jaccard/containment pair miners is a function of corpus size; reading
+    it from index metadata replaces a per-query SUM(n) Spark job with one
+    driver-side file read (guide §1.2: don't spend a job deciding how to
+    run the job). Settling is idempotent and amortized like the forward
+    sidecar: pre-existing stores gain the file on first load."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_sig_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return json.load(fh)
+    row = (
+        spark.read.parquet(path)
+        .agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("d"))
+        .collect()[0]
+    )
+    meta = {"total_shingles": int(row["t"] or 0), "n_docs": int(row["d"])}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def signature_store_totals(
+    spark, sf_dir: str, table_name: str = "documents", k: int = 3
+) -> dict | None:
+    """Store metadata for an existing signature store (None if absent):
+    the driver-side replacement for the auto-strategy SUM(n) job."""
+    import os
+
+    path = signature_store_path(sf_dir, table_name, k)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    return _settle_sig_meta(spark, path)
 
 
 def minhash_store_path(

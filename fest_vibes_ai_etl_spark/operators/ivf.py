@@ -116,11 +116,21 @@ def probe_candidates(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell_id int, center array<double>",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # qn precomputed once per query (round 14): the candidate scorer and
+    # the cell ranker would otherwise re-aggregate norm(qv) per joined row.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("qn"),
+    )
     # rank cells per query by centroid similarity, keep nprobe
     q_cells = (
         q.crossJoin(broadcast(centers_df))
-        .withColumn("c_sim", V.cosine(F.col("qv"), F.col("center")))
+        .withColumn(
+            "c_sim",
+            V.dot(F.col("qv"), F.col("center"))
+            / (F.col("qn") * V.norm(F.col("center"))),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -128,7 +138,7 @@ def probe_candidates(
             ),
         )
         .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "qn", "cell_id")
     )
     return assigned.join(broadcast(q_cells), "cell_id").filter(
         F.col(id_col) != F.col("query_id")
@@ -152,9 +162,19 @@ def ivf_topk(
     cand = probe_candidates(
         assigned, centers, queries, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
-    scored = cand.withColumn(
-        "cos6", F.round(V.cosine(F.col("qv"), F.col(vec_col)), 6)
-    ).select("query_id", F.col(id_col).alias("vec_id"), "cos6")
+    # Corpus-side norm as a per-row column + the query-side qn carried by
+    # probe_candidates: the rerank evaluates ONE dot per pair instead of
+    # three array aggregates (same doubles, same op order — bit-identical).
+    scored = (
+        cand.withColumn("cn", V.norm(F.col(vec_col)))
+        .withColumn(
+            "cos6",
+            F.round(
+                V.dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
+        .select("query_id", F.col(id_col).alias("vec_id"), "cos6")
+    )
     # map-side pruned ranking: only topk·|Q| rows per partition reach the
     # shuffle, not the full probed-candidate set (operators/topk.py).
     from .topk import topk_per_group

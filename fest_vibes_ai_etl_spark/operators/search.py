@@ -38,6 +38,33 @@ def build_postings(
     return postings, doclen
 
 
+def corpus_stats_literals(doclen: DataFrame) -> tuple:
+    """(n_docs, avgdl) collected once — two scalars, the repo's
+    bounded-collect discipline. Passing them to :func:`bm25_topk` (and the
+    Rocchio passes) as ``stats`` replaces a per-pass broadcast-subquery
+    materialization (an extra Spark job each) with plan literals; the
+    values are the same doubles the broadcast row carried (round 14)."""
+    row = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return (
+        float(row["n_docs"]),
+        None if row["avgdl"] is None else float(row["avgdl"]),
+    )
+
+
+def _stats_cols(stats: tuple | None):
+    """(n_docs_col, avgdl_col) as literal columns, or None when stats must
+    ride a broadcast row (the caller has no collected stats)."""
+    if stats is None:
+        return None
+    n_docs, avgdl = stats
+    return (
+        F.lit(float(n_docs)),
+        F.lit(None).cast("double") if avgdl is None else F.lit(float(avgdl)),
+    )
+
+
 def bm25_topk(
     postings: DataFrame,
     doclen: DataFrame,
@@ -46,26 +73,44 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     topn: int = 10,
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Top-``topn`` docs for a bag of query terms under classic Okapi BM25
     with the Lucene non-negative idf: idf = ln((N - df + ½)/(df + ½) + 1),
     score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Returns
     (doc_id, score) ranked by the 4-decimal-rounded score, doc_id tie-break
-    — reproducible across engines and partition counts."""
-    hits = postings.filter(F.col("term").isin(terms))
-    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    — reproducible across engines and partition counts.
+
+    Round-14 plan shape: per-term df is a WINDOW over the term-partitioned
+    hits instead of a broadcast self-aggregate — the pruned posting scan
+    runs once, not twice, and one broadcast job disappears; the hits frame
+    is bounded by the query terms' posting lists, so the window shuffle is
+    query-sized, not corpus-sized. ``stats`` (from
+    :func:`corpus_stats_literals`) optionally injects N/avgdl as literals,
+    sparing the per-call broadcast materialization of the doclen aggregate;
+    both forms produce identical doubles."""
+    from pyspark.sql import Window
+
+    hits = postings.filter(F.col("term").isin(terms)).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    lit_stats = _stats_cols(stats)
+    if lit_stats is None:
+        stats_df = doclen.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        n_docs_c, avgdl_c = F.col("n_docs"), F.col("avgdl")
+    else:
+        n_docs_c, avgdl_c = lit_stats
+    idf = F.log((n_docs_c - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_c)
     contrib = idf * F.col("tf") * (k1 + 1.0) / norm
-    scored = (
-        hits.join(broadcast(dfreq), "term")
-        .join(doclen, id_col)
-        .crossJoin(broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
+    scored = hits.join(doclen, id_col)
+    if lit_stats is None:
+        scored = scored.crossJoin(broadcast(stats_df))
+    scored = scored.groupBy(id_col).agg(
+        F.round(F.sum(contrib) + 1e-8, 4).alias("score")
     )
     return scored.orderBy(F.desc("score"), id_col).limit(topn)
 
@@ -166,18 +211,21 @@ def rocchio_expanded_topk(
                 frame.persist(StorageLevel.MEMORY_AND_DISK)
                 ours.append(frame)
     spark = doclen.sparkSession
+    # N/avgdl collected ONCE (two scalars) and injected as literals into
+    # every pass — the three per-pass broadcast materializations of the
+    # same doclen aggregate were each their own Spark job (round 14).
+    stats_t = corpus_stats_literals(doclen)
+    n_docs_c, avgdl_c = _stats_cols(stats_t)
     fb_ids = [
         r[0]
         for r in bm25_topk(
-            prune(seed_terms), doclen, seed_terms, id_col, k1, b, topn=fb_k
+            prune(seed_terms), doclen, seed_terms, id_col, k1, b, topn=fb_k,
+            stats=stats_t,
         )
         .select(id_col)
         .collect()
     ]
-    stats = doclen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((n_docs_c - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
 
     if forward is not None:
         # doc-major candidate pass: ≤ fb_k doc-buckets of the forward
@@ -205,7 +253,6 @@ def rocchio_expanded_topk(
         cand.groupBy("term")
         .agg(F.sum("tf").alias("stf"))
         .join(broadcast(cdf), "term")
-        .crossJoin(broadcast(stats))
         .select("term", F.round(idf * F.col("stf") + 1e-8, 4).alias("w"))
     )
     expansion_terms = [
@@ -221,14 +268,19 @@ def rocchio_expanded_topk(
     for frame in ours:
         frame.unpersist()
 
-    hits = prune(seed_terms + expansion_terms).join(broadcast(qw), "term")
-    fdf = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    # final rescore: df via the same term-window as bm25_topk (one scan of
+    # the pruned postings, no broadcast self-aggregate), stats as literals
+    from pyspark.sql import Window
+
+    hits = (
+        prune(seed_terms + expansion_terms)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .join(broadcast(qw), "term")
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_c)
     contrib = F.col("wq") * idf * F.col("tf") * (k1 + 1.0) / norm
     scored = (
-        hits.join(broadcast(fdf), "term")
-        .join(doclen, id_col)
-        .crossJoin(broadcast(stats))
+        hits.join(doclen, id_col)
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib) + 1e-8, 4).alias("score"))
     )
@@ -325,13 +377,26 @@ def load_or_build_postings_store(
     )
 
 
+_SHIM_UNSET = object()  # "not supplied" — distinct from the composite
+# convention's None ("caller resolved: nothing to apply")
+
+
 def pruned_postings_for_terms(
-    spark, store_dir: str, terms: list[str], id_col: str = "doc_id"
+    spark, store_dir: str, terms: list[str], id_col: str = "doc_id",
+    tomb=_SHIM_UNSET, revs=_SHIM_UNSET, heal="repair",
 ) -> DataFrame:
     """Partition-pruned posting lists for a query's terms over the shared
     index layout — the scan opens ≤ |terms| ``tb=`` bucket directories,
     never the whole store (delegates to the stream module's probe
-    plumbing, tombstone-aware and crash-heal-aware)."""
-    from ..streaming.incremental_search import pruned_postings
+    plumbing, tombstone-aware and crash-heal-aware). ``tomb``/``revs``/
+    ``heal`` follow the composite-probe convention (round 14): a caller
+    issuing several passes (Rocchio) resolves the tombstone/revision state
+    once and hands it to each pass instead of re-deriving it per call."""
+    from ..streaming.incremental_search import _UNSET, pruned_postings
 
-    return pruned_postings(spark, store_dir, terms, id_col=id_col)
+    return pruned_postings(
+        spark, store_dir, terms, id_col=id_col,
+        tomb=_UNSET if tomb is _SHIM_UNSET else tomb,
+        revs=_UNSET if revs is _SHIM_UNSET else revs,
+        heal=heal,
+    )

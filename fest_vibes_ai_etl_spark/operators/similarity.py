@@ -45,14 +45,32 @@ def topk_cosine(
     — not the |corpus|·|Q| scored rows a bare window would move."""
     from .topk import topk_per_group
 
+    # Norms are precomputed PER SIDE before the |Q|×|corpus| join (round
+    # 14): V.cosine inline would re-aggregate norm(cv) once per query and
+    # norm(qv) once per corpus row — 2/3 of the per-pair higher-order-
+    # function work for values that are constant per row. Same doubles,
+    # same operation order (dot/(qn·cn)), so scores are bit-identical.
     q = broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            V.norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos6", F.round(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos6",
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
         .select("query_id", "vec_id", "cos6")
     )
     return topk_per_group(scored, ["query_id"], "cos6", "vec_id", k).select(

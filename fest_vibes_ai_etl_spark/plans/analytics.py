@@ -77,8 +77,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     family); the query itself is prefix mining + verify over it."""
     docs = table(spark, sf_dir, "documents")
     sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
+    meta = dedup.signature_store_totals(spark, sf_dir)
+    # persist=False: the signature is a persisted parquet store — re-reading
+    # its columnar files per consumer is cheaper than materializing an
+    # InMemoryRelation copy first (round-14 measurement); total_shingles
+    # from store metadata spares the auto-strategy SUM(n) decision job.
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.2, sig=sig
+        docs, "doc_id", "text", k=3, threshold=0.2, sig=sig,
+        persist=False, total_shingles=(meta or {}).get("total_shingles"),
     )
 
 
@@ -122,8 +128,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sig = dedup.load_or_build_signature_store(spark, docs, sf_dir)
+    meta = dedup.signature_store_totals(spark, sf_dir)
+    # persist=False + metadata-decided strategy: see dedup_ngram_jaccard.
     return dedup.containment_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.5, sig=sig
+        docs, "doc_id", "text", k=3, threshold=0.5, sig=sig,
+        persist=False, total_shingles=(meta or {}).get("total_shingles"),
     ).orderBy("src_id", "dst_id")
 
 

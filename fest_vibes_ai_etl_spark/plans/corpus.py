@@ -96,8 +96,14 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.load_or_build_signature_store(spark, docs, sf_dir).join(
         q2.select(F.col("doc_id").alias("id")), "id", "left_semi"
     )
+    # Strategy decided from STORE metadata (an upper bound on the filtered
+    # subset's size — sound: the crossover is a physical-plan choice only),
+    # replacing an auto-strategy SUM(n) job that materialized the whole q2
+    # subtree once more before the query proper even started (round 14).
+    meta = dedup.signature_store_totals(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(
-        q2, "doc_id", "text", k=3, threshold=JACCARD_T, sig=sig
+        q2, "doc_id", "text", k=3, threshold=JACCARD_T, sig=sig,
+        persist=False, total_shingles=(meta or {}).get("total_shingles"),
     )
     victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     survivors = q2.join(victims, "doc_id", "left_anti")

@@ -403,6 +403,12 @@ def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_doclen,
     )
 
+    from ..streaming.incremental_search import (
+        _search_tombstones,
+        read_revisions,
+        recover_search_index,
+    )
+
     docs = table(spark, sf_dir, "documents")
     load_or_build_postings_store(spark, docs, sf_dir)  # stage once per sf
     store = postings_store_path(sf_dir)
@@ -411,11 +417,22 @@ def search_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 13 NOTHING here reads the whole store: the by-term passes
     # partition-prune the tb= layout, and the candidate-vocabulary pass
     # reads ≤ fb_k doc-buckets of the doc-major FORWARD sidecar.
+    # Round 14: the crash heal + tombstone/revision state resolves ONCE for
+    # the whole query (the bm25_over_index composite convention) instead of
+    # per pass — Rocchio issues four store reads, each of which was
+    # re-deriving it.
+    recover_search_index(spark, store)
+    tomb = _search_tombstones(spark, store, "doc_id", heal="repair")
+    revs = read_revisions(spark, store, "doc_id")
     return rocchio_expanded_topk(
         None,
-        index_doclen(spark, store),
+        index_doclen(spark, store, tomb=tomb, revs=revs, heal=False),
         TERMS, fb_k=FB_K, expand_n=EXPAND_N,
         beta=BETA, topn=TOPN,
-        pruned=lambda ts: pruned_postings_for_terms(spark, store, ts),
-        forward=lambda ids: forward_terms_for_docs(spark, store, ids),
+        pruned=lambda ts: pruned_postings_for_terms(
+            spark, store, ts, tomb=tomb, revs=revs, heal=False
+        ),
+        forward=lambda ids: forward_terms_for_docs(
+            spark, store, ids, tomb=tomb, revs=revs
+        ),
     )

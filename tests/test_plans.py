@@ -82,12 +82,14 @@ def test_ngram_jaccard_uses_cached_signature(spark):
 
 
 def test_bloom_probe_only_on_probe_side(spark):
-    # the bloom probe UDF must gate the fact scan, and constraint inference
-    # must NOT copy it onto the build (supplier) side of the semi join
+    # round 14: the bloom probe is JVM-native — NO Python eval node in the
+    # plan (the bitmap rides a one-row broadcast, bit tests run in codegen);
+    # the exact semi join still gates the result
     q = catalog.queries()["bloom_semi_join_revenue"]
     plan = _plan(q(spark, SF_DIR))
-    assert plan.count("ArrowEvalPython") == 1
-    assert "BroadcastHashJoin LeftSemi" in plan.replace("(", " ").replace(")", " ") or "LeftSemi" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row bitmap attach
 
 
 def test_bm25_stats_broadcast_no_udf(spark):

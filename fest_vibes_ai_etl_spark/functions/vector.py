@@ -28,6 +28,30 @@ def norm(a: Column) -> Column:
     )
 
 
+# --- name-based twins (round 14) -------------------------------------------
+# Building a higher-order-function Column through Python lambdas costs
+# ~70 ms of DRIVER time per call (hundreds of py4j round-trips for the
+# lambda plumbing); the identical expression through one F.expr parse costs
+# <1 ms (measured 3.44 s vs 0.03 s per 50 builds). The SQL text below
+# resolves to the SAME expression tree as the lambda forms above — same
+# casts, same operator order, bit-identical results — so the hot query
+# paths (ANN probes, built per bench iteration) use these by column NAME.
+
+
+def dot_n(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_n(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * "
+        f"CAST(v AS DOUBLE)))"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

@@ -118,18 +118,19 @@ def probe_candidates(
     )
     # qn precomputed once per query (round 14): the candidate scorer and
     # the cell ranker would otherwise re-aggregate norm(qv) per joined row.
+    # Name-based expr builders (V.dot_n/norm_n): the lambda forms cost
+    # ~70 ms of driver plan-construction EACH (see functions/vector.py).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm(F.col(vec_col)).alias("qn"),
+        V.norm_n(vec_col).alias("qn"),
     )
     # rank cells per query by centroid similarity, keep nprobe
     q_cells = (
         q.crossJoin(broadcast(centers_df))
         .withColumn(
             "c_sim",
-            V.dot(F.col("qv"), F.col("center"))
-            / (F.col("qn") * V.norm(F.col("center"))),
+            V.dot_n("qv", "center") / (F.col("qn") * V.norm_n("center")),
         )
         .withColumn(
             "rk",
@@ -166,12 +167,10 @@ def ivf_topk(
     # probe_candidates: the rerank evaluates ONE dot per pair instead of
     # three array aggregates (same doubles, same op order — bit-identical).
     scored = (
-        cand.withColumn("cn", V.norm(F.col(vec_col)))
+        cand.withColumn("cn", V.norm_n(vec_col))
         .withColumn(
             "cos6",
-            F.round(
-                V.dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col("cn")), 6
-            ),
+            F.round(V.dot_n("qv", vec_col) / (F.col("qn") * F.col("cn")), 6),
         )
         .select("query_id", F.col(id_col).alias("vec_id"), "cos6")
     )

@@ -54,22 +54,20 @@ def topk_cosine(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            V.norm(F.col(vec_col)).alias("qn"),
+            V.norm_n(vec_col).alias("qn"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        V.norm(F.col(vec_col)).alias("cn"),
+        V.norm_n(vec_col).alias("cn"),
     )
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos6",
-            F.round(
-                V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ),
+            F.round(V.dot_n("qv", "cv") / (F.col("qn") * F.col("cn")), 6),
         )
         .select("query_id", "vec_id", "cos6")
     )

@@ -387,6 +387,53 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def l2_distance_n(a: str, b: str) -> Column:
+    """Name-based twin of :func:`l2_distance` built via ONE ``F.expr``
+    parse — the lambda form costs ~70 ms of driver plan-construction per
+    call (the py4j round-trips of the lambda plumbing; see
+    functions/vector.py round-14 note). Identical expression tree, same
+    casts and operator order, bit-identical results."""
+    return F.expr(
+        f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal form, so parsing it back yields the identical double."""
+    return repr(float(x)) + "D"
+
+
+def recon_from_codes_n(codes: str, codebooks: list[list[list[float]]]) -> Column:
+    """Name-based twin of :func:`recon_from_codes` assembled as ONE SQL
+    string: the lambda/literal form issues ~m·k·dsub py4j calls (one per
+    codeword element — measured ~1 s of driver time per plan build at
+    16×16×16); the parsed expression tree and therefore codegen and
+    results are identical."""
+    m = len(codebooks)
+    cb = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_sql_double(x) for x in word) + ")"
+                for word in book
+            )
+            + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    return F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), s -> "
+        f"element_at(element_at({cb}, CAST(s AS INT) + 1), "
+        f"element_at({codes}, CAST(s AS INT) + 1) + 1)))"
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

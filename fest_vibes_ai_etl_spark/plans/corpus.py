@@ -520,17 +520,16 @@ def _ivfpq_adc_parts(spark: SparkSession, sf_dir: str):
     assigned, centers = _ivf_index(spark, sf_dir)
     codes, books = vectorml.load_or_build_pq_codes(spark, emb, sf_dir, 4, 8, 64)
     queries = emb.filter(F.col("vec_id") < 10)
+    # expr-built decompress + distance (round 14, see plans/retrievalq.py)
     recon = codes.select(
-        "vec_id", vectorml.recon_from_codes(F.col("codes"), books).alias("recon")
+        "vec_id", vectorml.recon_from_codes_n("codes", books).alias("recon")
     )
 
     def adc_topk(cand: DataFrame) -> DataFrame:
         scored = cand.join(recon, "vec_id").select(
             "query_id",
             "vec_id",
-            F.round(vectorml.l2_distance(F.col("qv"), F.col("recon")), 6).alias(
-                "adc6"
-            ),
+            F.round(vectorml.l2_distance_n("qv", "recon"), 6).alias("adc6"),
         ).withColumn("neg", -F.col("adc6"))
         return topk_per_group(scored, ["query_id"], "neg", "vec_id", 5).select(
             "query_id", "vec_id"

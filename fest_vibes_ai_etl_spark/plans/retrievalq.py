@@ -212,8 +212,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, books = vectorml.load_or_build_pq_codes(
         spark, emb, sf_dir, PQ_M, PQ_K, DIM
     )
+    # expr-built decompress + distance (round 14): the literal-codebook
+    # lookup and the L2 lambda cost ~1 s of driver plan-construction per
+    # call through py4j; the one-parse twins build the identical tree.
     recon = codes.select(
-        "vec_id", vectorml.recon_from_codes(F.col("codes"), books).alias("recon")
+        "vec_id", vectorml.recon_from_codes_n("codes", books).alias("recon")
     )
     q = F.broadcast(
         emb.filter(F.col("vec_id") < ADC_QUERIES).select(
@@ -226,9 +229,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(vectorml.l2_distance(F.col("qv"), F.col("recon")), 6).alias(
-                "adc6"
-            ),
+            F.round(vectorml.l2_distance_n("qv", "recon"), 6).alias("adc6"),
         )
         .withColumn("neg", -F.col("adc6"))  # rank ascending via the desc top-k
     )

@@ -230,16 +230,22 @@ def rocchio_expanded_topk(
     if forward is not None:
         # doc-major candidate pass: ≤ fb_k doc-buckets of the forward
         # sidecar, then a driver-side bounded term set pushed back down
-        # as a partition-pruned df pass
+        # as a partition-pruned df pass. The centroid Σtf per term is
+        # COLLECTED IN THE SAME JOB (long sums — exact either way): the
+        # candidate vocabulary is bounded by fb_k docs, so the rows are a
+        # query constant, and re-deriving them in the cw pass re-read the
+        # forward sidecar once more per query (round 14: one forward read,
+        # not two — the stf side re-enters as a driver-local relation).
         cand = forward(fb_ids).filter(~F.col("term").isin(seed_terms))
-        cand_terms = [
-            r[0] for r in cand.select("term").distinct().collect()
-        ]
+        stf_agg = cand.groupBy("term").agg(F.sum("tf").alias("stf"))
+        cand_rows = stf_agg.collect()
+        cand_terms = [r["term"] for r in cand_rows]
         cdf = (
             prune(cand_terms)
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
+        cand_stf = spark.createDataFrame(cand_rows, schema=stf_agg.schema)
     else:
         cand = postings.filter(
             F.col(id_col).isin(fb_ids) & ~F.col("term").isin(seed_terms)
@@ -249,10 +255,9 @@ def rocchio_expanded_topk(
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
+        cand_stf = cand.groupBy("term").agg(F.sum("tf").alias("stf"))
     cw = (
-        cand.groupBy("term")
-        .agg(F.sum("tf").alias("stf"))
-        .join(broadcast(cdf), "term")
+        cand_stf.join(broadcast(cdf), "term")
         .select("term", F.round(idf * F.col("stf") + 1e-8, 4).alias("w"))
     )
     expansion_terms = [

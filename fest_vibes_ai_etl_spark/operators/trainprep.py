@@ -65,16 +65,26 @@ def decontaminate(
     The eval side is a small fraction of the corpus, so its exploded
     shingle set is broadcast; the train side never shuffles before the
     join. Filter on the cheap token count, not on the shingle array (the
-    pushdown re-inline trap)."""
-    toks = docs.select(
-        F.col(id_col), eval_pred.alias("is_eval"), T.tokens(F.col(text_col)).alias("tk")
-    ).filter(F.size("tk") >= k)
-    shingles = toks.select(
-        id_col, "is_eval", F.explode(T.word_shingles(F.col("tk"), k)).alias("g")
-    )
-    train_sh = shingles.filter(~F.col("is_eval")).select(id_col, "g")
+    pushdown re-inline trap).
+
+    The eval/train split predicate is applied BEFORE tokenizing: Spark
+    duplicates the source subtree under the broadcast boundary, and with
+    the split applied after tokenization each branch tokenized the FULL
+    corpus (the conjunct order put size(split(text)) ahead of the cheap
+    predicate) — 2x the corpus' tokenize cost for the same rows. With the
+    predicate first, each row is tokenized on exactly one branch."""
+
+    def _shingles(side: DataFrame) -> DataFrame:
+        toks = side.select(
+            F.col(id_col), T.tokens(F.col(text_col)).alias("tk")
+        ).filter(F.size("tk") >= k)
+        return toks.select(
+            id_col, F.explode(T.word_shingles(F.col("tk"), k)).alias("g")
+        )
+
+    train_sh = _shingles(docs.filter(~eval_pred)).select(id_col, "g")
     eval_sh = (
-        shingles.filter(F.col("is_eval"))
+        _shingles(docs.filter(eval_pred))
         .select(F.col(id_col).alias("eval_id"), "g")
         .distinct()
     )

@@ -640,8 +640,6 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("is_b"),
         )
     )
-    na = pts.agg(F.sum("is_a").cast("double").alias("n_a"))
-    nb = pts.agg(F.sum("is_b").cast("double").alias("n_b"))
     srt = (
         pts.repartitionByRange(F.col("value"))
         .sortWithinPartitions("value")
@@ -652,6 +650,16 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_local = srt.withColumn("_la", F.sum("is_a").over(wloc)).withColumn(
         "_lb", F.sum("is_b").over(wloc)
+    )
+    # n_a/n_b ride the SAME tiny per-partition aggregate that produces the
+    # prefix offsets (Σ is_a over pts ≡ Σ _na over partitions — exact long
+    # sums, cast to double only at the end, so the divisions see the same
+    # doubles). Before round 14 they were two separate pts.agg() branches,
+    # and since Spark re-plans a shared DataFrame per branch, each one
+    # re-ran the full scan+groupBy subtree: 4 passes over events for one
+    # KS evaluation; now 2 (the ECDF rows and the offsets).
+    wall = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     offs = (
         with_local.groupBy("_pid")
@@ -674,14 +682,14 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ),
         )
-        .select("_pid", "_oa", "_ob")
+        .withColumn("n_a", F.sum("_na").over(wall).cast("double"))
+        .withColumn("n_b", F.sum("_nb").over(wall).cast("double"))
+        .select("_pid", "_oa", "_ob", "n_a", "n_b")
     )
     ecdf = (
         with_local.join(broadcast(offs), "_pid")
         .withColumn("ca", F.col("_la") + F.col("_oa"))
         .withColumn("cb", F.col("_lb") + F.col("_ob"))
-        .crossJoin(broadcast(na))
-        .crossJoin(broadcast(nb))
     )
     return ecdf.agg(
         round_div(F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))), 4).alias("ks_d"),

@@ -323,3 +323,30 @@ def test_attribution_queries_degenerate_no_conversions(spark, tmp_path, duck):
         for r in srows:
             assert all(v == 0.0 for v in r[1:]), r
     con.close()
+
+
+def test_decontaminate_branch_predicate_before_tokenize(spark):
+    # Round 14: the broadcast boundary duplicates the source subtree, so
+    # each branch must apply the cheap eval/train predicate BEFORE the
+    # expensive size(split(text)) conjunct — otherwise both branches
+    # tokenize the full corpus. Assert the conjunct order in every Filter
+    # that carries both.
+    q = catalog.queries()["corpus_decontaminate"]
+    plan = _plan(q(spark, SF_DIR))
+    both = [
+        ln
+        for ln in plan.splitlines()
+        if "% 17" in ln and "size(split" in ln
+    ]
+    assert both, "expected filters carrying both conjuncts"
+    for ln in both:
+        assert ln.index("% 17") < ln.index("size(split"), ln
+
+
+def test_ks_statistic_two_source_passes(spark):
+    # Round 14: n_a/n_b ride the per-partition offset aggregate — the
+    # events scan+groupBy subtree appears exactly twice (ECDF rows +
+    # offsets), not four times (two extra single-scalar branches).
+    q = catalog.queries()["events_ks_statistic"]
+    plan = _plan(q(spark, SF_DIR))
+    assert plan.count("events.parquet") == 2, plan.count("events.parquet")

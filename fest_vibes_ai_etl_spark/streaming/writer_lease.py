@@ -91,14 +91,25 @@ class _LocalLeaseBackend:
             return f.read()
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # CONTENT-atomic, not just name-atomic: a bare O_CREAT|O_EXCL
+        # followed by write() exposes an empty claim file between the two
+        # syscalls, and a concurrent acquirer reading it parses {} → age
+        # from epoch 0 → "TTL expired" → claims the NEXT epoch: multiple
+        # winners (seen as 3/8 winners in the round-15 full-suite run
+        # under heavy load). Write the payload to a private temp file and
+        # LINK it into place — link(2) fails with EEXIST atomically and
+        # the name only ever appears fully written.
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-        return True
+        finally:
+            os.remove(tmp)
 
     def delete(self, path: str) -> None:
         try:
@@ -139,14 +150,22 @@ class _HadoopLeaseBackend:
             stream.close()
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # content-atomic (see the local backend): write a private temp
+        # file, then rename WITHOUT overwrite — atomic on HDFS, so the
+        # target name never exists with a partial payload
         jvm, p, fs = self._fs(path)
-        try:
-            out = fs.create(p, False)  # overwrite=False: atomic-exclusive
-        except Exception:
-            return False
+        tmp_path = f"{path}.tmp.{uuid.uuid4().hex}"
+        _, tp, _ = self._fs(tmp_path)
+        out = fs.create(tp, True)
         out.write(bytearray(data))
         out.close()
-        return True
+        try:
+            if fs.rename(tp, p):
+                return True
+            return False
+        finally:
+            if fs.exists(tp):
+                fs.delete(tp, False)
 
     def delete(self, path: str) -> None:
         jvm, p, fs = self._fs(path)
@@ -214,7 +233,17 @@ class WriterLease:
                     ).decode("utf-8")
                 )
             except Exception:
-                payload = {}
+                # Unreadable claim payload = ACTIVE, never expired: claims
+                # are created content-atomically, so this is a transient
+                # read glitch (or real corruption), and presuming the
+                # holder dead on it re-opens the multi-winner hole the
+                # atomic create closed. Back off like any other loser.
+                raise WriterLeaseError(
+                    f"store {self.store_dir}: writer epoch {head} claim "
+                    f"exists but its payload is unreadable — treating the "
+                    f"holder as active (single-writer contract, "
+                    f"STATE.md §5); back off and retry"
+                )
             age = time.time() - float(payload.get("acquired_unix", 0.0))
             if age < float(payload.get("ttl_s", self.ttl_s)):
                 raise WriterLeaseError(

@@ -9,6 +9,7 @@ journals carry the winning epoch as a fencing stamp."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 
@@ -277,3 +278,41 @@ def test_compaction_journal_carries_lease_epoch(spark, tmp_path, monkeypatch):
         assert captured, "compaction should have journaled"
         (payload,) = captured.values()
         assert payload["lease_epoch"] == lease.epoch
+
+
+def test_unreadable_head_claim_is_active_not_expired(spark, tmp_path):
+    """Round 15 (multi-winner hole, seen as 3/8 CAS winners under heavy
+    load): claims are now created content-atomically, so an unreadable or
+    empty head-claim payload must read as an ACTIVE holder — presuming it
+    dead (the old `payload = {}` → age-since-epoch-0 → 'expired' path)
+    let every concurrent acquirer claim the NEXT epoch over a claim whose
+    bytes simply hadn't landed yet."""
+    store = str(tmp_path / "s")
+    a = WriterLease(spark, store, op="maintain")
+    a.acquire()
+    # simulate the torn/corrupt read: truncate the head claim in place
+    lease_dir = os.path.join(store, "_writer_lease")
+    head = sorted(n for n in os.listdir(lease_dir) if n.startswith("e"))[-1]
+    with open(os.path.join(lease_dir, head), "wb"):
+        pass  # 0 bytes
+    b = WriterLease(spark, store, op="maintain")
+    with pytest.raises(WriterLeaseError, match="unreadable"):
+        b.acquire()
+
+
+def test_claim_file_never_visible_partially_written(tmp_path):
+    """The local backend's put-if-absent must expose the name only with
+    its full payload (link-into-place), and the loser's temp must not
+    leak."""
+    from fest_vibes_ai_etl_spark.streaming.writer_lease import (
+        _LocalLeaseBackend,
+    )
+
+    be = _LocalLeaseBackend()
+    path = str(tmp_path / "lease" / "e000000000001.json")
+    assert be.put_if_absent(path, b'{"owner": "x"}')
+    assert not be.put_if_absent(path, b'{"owner": "y"}')
+    with open(path, "rb") as f:
+        assert f.read() == b'{"owner": "x"}'
+    leftovers = [n for n in os.listdir(tmp_path / "lease") if ".tmp." in n]
+    assert leftovers == []

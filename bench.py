@@ -572,11 +572,20 @@ def main() -> None:
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1)
+    print(contract_line(out, errors, norm))
+
+
+def contract_line(out: dict, errors: dict, norm: dict | None) -> str:
+    """The ONE stdout JSON line of the driver contract. Factored out of
+    main() so its format is regression-testable without running Spark
+    (tests/test_bench_gate.py): the round-13 artifact silently dropped the
+    per-query ``queries`` map from the line (n_queries only), darkening a
+    whole round of PERF round-over-round comparison."""
     line = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": timings,
+        "queries": out["queries"],
         "sf": out["sf"],
         "detail": "BENCH_FULL.json",
         "kept_attempt": out["kept_attempt"],
@@ -598,7 +607,7 @@ def main() -> None:
         }
     text = json.dumps(line)
     assert len(text) < 1950, f"bench JSON line too long ({len(text)} chars)"
-    print(text)
+    return text
 
 
 if __name__ == "__main__":

@@ -112,3 +112,42 @@ def test_pick_calmest_prefers_lowest_drift():
 def test_too_few_sentinels_returns_none():
     few = dict(list(SENTINEL_REF_WALL.items())[:3])
     assert _normalized_block(few, None, set()) is None
+
+
+def test_contract_line_format_carries_queries_map():
+    """VERDICT r14 #2/#8: the emitted stdout line must parse as ONE JSON
+    object with metric/value/unit/queries/sf — the r13 artifact dropped the
+    per-query map for line length and darkened a full round of PERF
+    round-over-round comparison. Pin the format with a realistic payload:
+    every current bench query name at a worst-case 3-digit wall."""
+    import json
+
+    from bench import contract_line
+    from fest_vibes_ai_etl_spark.plans.catalog import bench_queries
+
+    timings = {name: 99.999 for name in bench_queries()}
+    out = {
+        "metric": "catalog_bench_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+        "sf": 0.1,
+        "kept_attempt": 3,
+    }
+    norm = {
+        "drift": 1.184, "drift_light": 1.191, "drift_store": 1.177,
+        "value": 35.232, "unit": "sec", "sentinel_spread": 1.586,
+        "drift_model_suspect": False,
+    }
+    text = contract_line(out, {"some_query": "Boom: failed"}, norm)
+    assert "\n" not in text
+    assert len(text) < 1950
+    parsed = json.loads(text)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, key
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"] == timings
+    assert parsed["n_errors"] == 1
+    assert parsed["normalized"]["drift"] == 1.184
+    # the no-errors / no-norm shape parses too
+    lean = json.loads(contract_line(out, {}, None))
+    assert "n_errors" not in lean and "normalized" not in lean

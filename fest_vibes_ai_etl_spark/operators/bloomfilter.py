@@ -163,12 +163,31 @@ def bloom_might_contain_native(
     return cond
 
 
+# Largest bitmap the one-row-broadcast NATIVE probe may attach to probe
+# rows. Round-15 isolation at 6x sf0.1 (3.6M probe rows, OPTIMIZATION_r15):
+# the per-row probe cost is proportional to the ATTACHED ARRAY's width, not
+# to the 5 bit tests — 2^20 bits (16384 longs) measured 3.3-7.7 s where
+# 2^16 bits measured ~0.8-1.1 s and 2^13 ~0.6 s. Above this, the pandas-UDF
+# probe (driver bitmap shipped ONCE per task in the closure, vectorized
+# numpy lookups) is the scalable shape — it measured 2.2 s where the
+# native 2^20 attach measured 4.1 s on the same window.
+NATIVE_ATTACH_MAX_BITS = 1 << 16
+
+
+def sized_bits(n_keys: int, num_hashes: int = DEFAULT_HASHES) -> int:
+    """Bitmap bits for ~1% FP at ``n_keys`` (m ≈ 9.6·n, the standard
+    -n·ln p/ln²2 sizing), floored at 1024 bits and rounded to whole
+    64-bit words. With k=5 hashes the realized FP at m=9.6n is ~1.1%."""
+    m = max(1024, int(9.6 * max(n_keys, 1)) + 63)
+    return m - m % 64
+
+
 def bloom_semi_join(
     probe_side: DataFrame,
     build_side: DataFrame,
     probe_key: str,
     build_key: str,
-    num_bits: int = DEFAULT_BITS,
+    num_bits: int | None = None,
     num_hashes: int = DEFAULT_HASHES,
     exact: bool = True,
 ) -> DataFrame:
@@ -177,24 +196,40 @@ def bloom_semi_join(
     remove bloom false positives — the result is then EXACTLY the semi join,
     but only the ~FP-rate excess of matching rows ever reaches the shuffle.
     ``exact=False`` keeps the pure map-side filter (no shuffle at all) for
-    consumers that tolerate the FP rate (e.g. pre-aggregation pruning).
+    consumers that tolerate the FP rate (e.g. pre-aggregation pruning) —
+    note its row set depends on the bitmap sizing (FPs differ), so pin
+    ``num_bits`` explicitly if reproducibility of the approximate set
+    matters across data sizes.
 
-    Round 14: the probe is JVM-NATIVE — the bitmap rides a one-row
-    broadcast (``bloom_words_df``) and the bit tests run in codegen
-    (``bloom_might_contain_native``), eliminating the ArrowEvalPython node
-    and the per-row hash-array Python transfer of the pandas-UDF path
-    (measured plan diff in OPTIMIZATION_r14.md). ``build_bloom`` /
-    ``bloom_might_contain`` remain for driver-side bitmap consumers."""
-    bm = bloom_words_df(build_side, build_key, num_bits, num_hashes)
-    pre = (
-        probe_side.crossJoin(F.broadcast(bm))
-        .filter(
-            bloom_might_contain_native(
-                F.col("bm"), F.col(probe_key), num_bits, num_hashes
+    Round 15: the bitmap is SIZED FROM THE BUILD SIDE (``num_bits=None``
+    counts it — one cheap job on what is by contract the small side —
+    and applies :func:`sized_bits`): the round-14 fixed 2^20-bit bitmap
+    made the native probe's per-row cost proportional to a 16384-long
+    attached array, measured 2.5x SLOWER than the pre-r14 pandas probe at
+    6x sf0.1. Small sized bitmaps keep the round-14 JVM-native probe (the
+    bitmap rides a one-row broadcast, bit tests in codegen, no
+    ArrowEvalPython); a build side big enough to need more than
+    ``NATIVE_ATTACH_MAX_BITS`` falls back to the pandas probe, whose
+    driver-collected bitmap ships once per task instead of riding every
+    row. Pass ``num_bits`` explicitly to skip the sizing count."""
+    if num_bits is None:
+        num_bits = sized_bits(build_side.count(), num_hashes)
+    if num_bits <= NATIVE_ATTACH_MAX_BITS:
+        bm = bloom_words_df(build_side, build_key, num_bits, num_hashes)
+        pre = (
+            probe_side.crossJoin(F.broadcast(bm))
+            .filter(
+                bloom_might_contain_native(
+                    F.col("bm"), F.col(probe_key), num_bits, num_hashes
+                )
             )
+            .drop("bm")
         )
-        .drop("bm")
-    )
+    else:
+        bitmap = build_bloom(build_side, build_key, num_bits, num_hashes)
+        pre = probe_side.filter(
+            bloom_might_contain(bitmap, F.col(probe_key), num_bits, num_hashes)
+        )
     if not exact:
         return pre
     keys = build_side.select(F.col(build_key).alias(probe_key)).distinct()

@@ -62,6 +62,13 @@ def decontaminate(
     """Find train docs contaminated by k-word-shingle overlap with the eval
     slice. Returns (id_col, n_shared_shingles, n_eval_matches).
 
+    ``eval_pred`` MUST be deterministic (hash/mod/column predicates — never
+    rand()-derived): it is evaluated independently on the two branch
+    filters, so a non-deterministic predicate could place a row in both or
+    neither branch. (The old single-select shape had the same practical
+    requirement through Catalyst's subtree duplication; the API shape now
+    makes it explicit — ADVICE r14.)
+
     The eval side is a small fraction of the corpus, so its exploded
     shingle set is broadcast; the train side never shuffles before the
     join. Filter on the cheap token count, not on the shingle array (the
@@ -434,6 +441,15 @@ def dsir_scores(
     # reduction saves downstream at this density. Kept the instance-row
     # plan; revisit only when the bucket collision rate (rows per (id,b))
     # grows well past ~1.5.
+    # Round 15 note: replacing the flag join with a BROADCAST of the target
+    # ids was tried two ways in interleaved A/Bs and reverted — (a) without
+    # the persist (two raw store scans, the dedup stores' persist=False
+    # logic): 0.93x at sf0.1 / 1.06x at 6x-sf0.1; (b) with the persist
+    # kept: 0.95x at sf0.1. The store join is already shuffle-free on the
+    # corpus-sized side (bucketed by id) and the flags frame is thin, so
+    # the broadcast only adds build cost at the bench operating point; the
+    # ~6% 6x-scale win is too small to buy a bench-point loss. Revisit if
+    # the store's id-bucket layout ever changes.
     if tb is None:
         tbf = _term_buckets(df, id_col, text_col, target_pred, m)
     else:

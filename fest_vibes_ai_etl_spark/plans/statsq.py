@@ -658,6 +658,9 @@ def events_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and since Spark re-plans a shared DataFrame per branch, each one
     # re-ran the full scan+groupBy subtree: 4 passes over events for one
     # KS evaluation; now 2 (the ECDF rows and the offsets).
+    # `wall` is an un-partitioned window ON PURPOSE (Spark warns): offs is
+    # ONE ROW PER SHUFFLE PARTITION (~spark.sql.shuffle.partitions rows),
+    # the same bounded-input convention as the _oa/_ob prefix windows below.
     wall = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -349,4 +349,80 @@ def test_ks_statistic_two_source_passes(spark):
     # offsets), not four times (two extra single-scalar branches).
     q = catalog.queries()["events_ks_statistic"]
     plan = _plan(q(spark, SF_DIR))
-    assert plan.count("events.parquet") == 2, plan.count("events.parquet")
+    # <= 2, not == 2: exchange reuse may legally collapse one subtree into
+    # a ReusedExchange on a Spark bump — the regression this guards is the
+    # pre-r14 FOUR scans, not the exact plan text (ADVICE r14)
+    assert plan.count("events.parquet") <= 2, plan.count("events.parquet")
+
+
+def test_dq_fused_matches_per_check_operators(spark, tmp_path):
+    """Round 15: pins dq_violations_report's VALUES against the
+    quality.check_* operators on data that exercises the edge semantics —
+    planted nulls (the null fingerprint group), duplicate keys, FK
+    orphans. (Added while A/B-ing a fused per-source-scan shape, which
+    measured 0.76x at sf0.1 / 0.83x at 6x-sf0.1 and was reverted — the
+    7-branch union's inter-branch parallelism wins at these scales; the
+    test keeps guarding any future restructuring.)"""
+    import os
+
+    from fest_vibes_ai_etl_spark.operators import quality
+    from fest_vibes_ai_etl_spark.plans.dq import dq_violations_report
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, 10), (1, None), (2, 20), (3, None)],
+        "o_orderkey bigint, o_custkey bigint",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "a b"), (2, "a  b"), (3, None), (4, None), (5, "c")],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [(1, 3, 0.1), (9, 3, -0.5), (2, 99, 1.5), (None, None, 0.0)],
+        "l_orderkey bigint, l_suppkey bigint, l_discount double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(3,), (10,), (7,)], "s_suppkey bigint"
+    ).write.parquet(f"{sf}/supplier.parquet")
+
+    got = {
+        (r["check"], r["target"]): r["n_violations"]
+        for r in dq_violations_report(spark, sf).collect()
+    }
+    assert len(got) == 7
+
+    from fest_vibes_ai_etl_spark.functions.text import fingerprint
+    from fest_vibes_ai_etl_spark.sources import table as _t
+
+    orders, docs = _t(spark, sf, "orders"), _t(spark, sf, "documents")
+    li, supp = _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    expected = [
+        quality.check_not_null(orders, "orders", ["o_custkey"]),
+        quality.check_not_null(docs, "documents", ["text"]),
+        quality.check_unique(orders, "orders", ["o_orderkey"]),
+        quality.check_unique(
+            docs.select(fingerprint(F.col("text")).alias("fp")), "documents", ["fp"]
+        ).withColumn("target", F.lit("documents(fingerprint)")),
+        quality.check_referential(
+            li, orders, "l_orderkey", "o_orderkey", "lineitem.l_orderkey -> orders"
+        ),
+        quality.check_referential(
+            li, supp.filter(F.col("s_suppkey") % 7 != 3), "l_suppkey", "s_suppkey",
+            "lineitem.l_suppkey -> supplier[s_suppkey % 7 <> 3]",
+        ),
+        quality.check_expression(
+            li, "lineitem", "discount in [0,1]",
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+        ),
+    ]
+    for frame in expected:
+        row = frame.collect()[0]
+        key = (row["check"], row["target"])
+        assert got[key] == row["n_violations"], (key, got[key], row)
+    # sanity: the plant actually exercised every mode
+    assert got[("not_null", "orders.o_custkey")] == 2
+    assert got[("unique", "orders(o_orderkey)")] == 1
+    assert got[("unique", "documents(fingerprint)")] == 2  # dup fp + null pair
+    assert got[("referential", "lineitem.l_orderkey -> orders")] == 1
+    assert got[("expression", "lineitem: discount in [0,1]")] == 2

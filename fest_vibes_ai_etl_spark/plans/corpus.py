@@ -74,19 +74,32 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays SQL-expressible; the full transitive-cluster variant is the
     rows-only ``dedup_cluster_survivors`` query."""
     docs = table(spark, sf_dir, "documents")
-    # n_tokens is a map-side column — computing it via token_stats and
-    # joining back on doc_id would be a pointless self-join shuffle.
-    quality = docs.withColumn("n_tokens", F.size(T.tokens(F.col("text")))).filter(
-        F.col("n_tokens") >= MIN_TOKENS
+    # n_tokens and the exact-dedup fingerprint are map-side columns computed
+    # in ONE narrow projection that is PERSISTED (round 15): the old shape
+    # persisted q2 = quality ⋈ exact_kept, whose materialization evaluated
+    # the quality subtree twice (the groupBy(fingerprint) aggregate and the
+    # join probe side are different subtrees — no exchange reuse), i.e. two
+    # tokenize+md5 passes over the corpus and a cached copy carrying the
+    # full text column. Caching the (doc_id, lang, n_tokens, fingerprint)
+    # frame instead tokenizes once, keeps the exact-dedup aggregate and the
+    # join-back as cheap cache replays, and drops text from cache memory.
+    quality = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+            T.fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .persist()
     )
-
-    exact_kept = (
-        dedup.exact_duplicates(quality, "doc_id", "text")
-        .select(F.col("keep_id").alias("doc_id"))
-    )
-    # q2 feeds three consumers (the persisted dedup signature, the survivors
-    # anti-join, the final rollup); persist it once like the signature table.
-    q2 = quality.join(exact_kept, "doc_id").persist()
+    exact_kept = quality.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    # q2 feeds three consumers (the dedup-signature semi-join, the survivors
+    # anti-join, the final rollup); each replays the broadcast join from the
+    # persisted quality frame.
+    q2 = quality.drop("fingerprint").join(exact_kept, "doc_id")
 
     # The near-dedup stage consumes the PERSISTED signature store filtered
     # to the pipeline's surviving ids (PPJoin's prefix/length/positional
@@ -101,8 +114,10 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replacing an auto-strategy SUM(n) job that materialized the whole q2
     # subtree once more before the query proper even started (round 14).
     meta = dedup.signature_store_totals(spark, sf_dir)
+    # df is unused when sig= is supplied (the signature IS the input);
+    # docs satisfies the signature contract — q2 no longer carries text
     pairs = dedup.ngram_jaccard_pairs(
-        q2, "doc_id", "text", k=3, threshold=JACCARD_T, sig=sig,
+        docs, "doc_id", "text", k=3, threshold=JACCARD_T, sig=sig,
         persist=False, total_shingles=(meta or {}).get("total_shingles"),
     )
     victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
